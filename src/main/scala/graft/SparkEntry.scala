@@ -1,13 +1,60 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.models._
+import graft.testdata.{OracleSql => O, TestFixtures => T}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY §2 (or a
+  * training-data-pipeline extension) exercised against the driver's
+  * TPC-H-ish testdata; [[oracleSql]] carries the DuckDB-equivalent SQL the
+  * driver hash-compares against at sf0.01.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    fctMomentum(spark, "/root/testdata/sf0.001")
+
+  private def intDaily(s: SparkSession, dir: String): DataFrame =
+    IntRussellDaily.buildFull(T.stagedBars(s, dir), T.constituents(s, dir))
+
+  private def fctMomentum(s: SparkSession, dir: String): DataFrame =
+    FctTradingMomentum.buildFull(intDaily(s, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stock_stg_projection" -> ((s, dir) =>
+      StgDailyStocks.build(T.rawDaily(s, dir))),
+    "stock_int_daily" -> ((s, dir) => intDaily(s, dir)),
+    "stock_fct_momentum" -> ((s, dir) => fctMomentum(s, dir)),
+    "stock_breadth" -> ((s, dir) => {
+      val int = intDaily(s, dir).persist()
+      AggDailyMarketBreadth.build(int, FctTradingMomentum.buildFull(int))
+    }),
+  )
+
+  /** Subset of [[queries]] timed by [[Bench]] (headline operators). */
+  def benchQueries: Seq[String] = Seq(
+    "stock_fct_momentum", "stock_breadth")
+
+  def oracleSql: Map[String, String] = Map(
+    "stock_stg_projection" -> O.query(Seq(O.RAW_DAILY),
+      """SELECT T AS ticker, CAST(V AS BIGINT) AS volume,
+        |       VW AS volume_weighted_avg, O AS open, C AS close, H AS high,
+        |       L AS low, N AS num_transactions, DATE_ AS trade_date,
+        |       INGESTED_AT AS ingested_at,
+        |       CASE WHEN V > 0 THEN 1 ELSE 0 END AS has_volume,
+        |       CASE WHEN O > 0 AND C > 0 AND H > 0 AND L > 0
+        |                 AND C <= H AND C >= L AND L <= H
+        |            THEN 1 ELSE 0 END AS is_valid_record
+        |FROM raw_daily WHERE DATE_ IS NOT NULL""".stripMargin),
+    "stock_int_daily" -> O.query(
+      Seq(O.BARS, O.STAGED, O.CONSTITUENTS, O.INT_DAILY),
+      "SELECT * FROM int_daily"),
+    "stock_fct_momentum" -> O.query(O.stockChain, "SELECT * FROM fct"),
+    "stock_breadth" -> O.query(O.stockChain ++ O.breadthChain,
+      "SELECT * FROM breadth"),
+  )
 }
