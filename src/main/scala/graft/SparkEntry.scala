@@ -33,6 +33,8 @@ object SparkEntry {
       val int = intDaily(s, dir).persist()
       AggDailyMarketBreadth.build(int, FctTradingMomentum.buildFull(int))
     }),
+    "stock_dim_securities" -> ((s, dir) =>
+      DimSecuritiesCurrent.build(fctMomentum(s, dir).persist())),
   )
 
   /** Subset of [[queries]] timed by [[Bench]] (headline operators). */
@@ -56,5 +58,7 @@ object SparkEntry {
     "stock_fct_momentum" -> O.query(O.stockChain, "SELECT * FROM fct"),
     "stock_breadth" -> O.query(O.stockChain ++ O.breadthChain,
       "SELECT * FROM breadth"),
+    "stock_dim_securities" -> O.query(O.stockChain ++ O.dimChain,
+      "SELECT * FROM dim"),
   )
 }

@@ -222,6 +222,138 @@ object OracleSql {
       |  LEFT JOIN high_low_aggs h ON h.trade_date = b.trade_date
       |)""".stripMargin
 
+  /** dim_securities_current fragments, mirroring
+    * [[graft.models.DimSecuritiesCurrent]] branch by branch (reference
+    * `models/marts/dim_securities_current.sql:1-232`).
+    */
+  val DIM_MAXD = "dim_maxd AS (SELECT MAX(trade_date) AS d FROM fct)"
+
+  val DIM_LATEST =
+    """dim_latest AS (
+      |  SELECT ticker, company, sector,
+      |         trade_date AS latest_trade_date,
+      |         volume AS latest_volume,
+      |         open AS latest_open,
+      |         close AS latest_close,
+      |         yesterday_close AS latest_prev_close,
+      |         high AS latest_high,
+      |         low AS latest_low,
+      |         sma_20 AS latest_sma20,
+      |         sma_50 AS latest_sma50,
+      |         sma_200 AS latest_sma200,
+      |         rsi AS latest_rsi,
+      |         rel_vol AS latest_rel_vol,
+      |         high_52week AS latest_52week_high,
+      |         low_52week AS latest_52week_low,
+      |         close - yesterday_close AS price_change_1d,
+      |         (close - yesterday_close) / NULLIF(yesterday_close, 0) AS return_1d
+      |  FROM fct WHERE trade_date = (SELECT d FROM dim_maxd)
+      |)""".stripMargin
+
+  val DIM_RETURNS =
+    s"""dim_returns AS (
+       |  SELECT ticker, return_1w, return_1m, return_3m, return_ytd FROM (
+       |    SELECT ticker,
+       |      ${lookbackReturnSql(5)} AS return_1w,
+       |      ${lookbackReturnSql(21)} AS return_1m,
+       |      ${lookbackReturnSql(63)} AS return_3m,
+       |      ${lookbackReturnSql(252)} AS return_ytd,
+       |      ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY trade_date DESC) AS rn
+       |    FROM fct) WHERE rn = 1
+       |)""".stripMargin
+
+  val DIM_NUMBERED =
+    """dim_numbered AS (
+      |  SELECT ticker, sector, trade_date, close, yesterday_close, volume,
+      |         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY trade_date DESC) AS days_back
+      |  FROM fct WHERE trade_date >= (SELECT d - 33 FROM dim_maxd)
+      |)""".stripMargin
+
+  val DIM_SECTOR =
+    s"""dim_sector AS (
+       |  SELECT ticker, sector_return_1m, performance_percentile FROM (
+       |    SELECT ticker,
+       |      AVG(return_1m) OVER (PARTITION BY sector) AS sector_return_1m,
+       |      CASE WHEN return_1m IS NOT NULL THEN
+       |        PERCENT_RANK() OVER (
+       |          PARTITION BY CASE WHEN return_1m IS NOT NULL THEN 1 ELSE 0 END
+       |          ORDER BY return_1m)
+       |      ELSE NULL END AS performance_percentile,
+       |      ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY trade_date DESC) AS rn
+       |    FROM (SELECT *, ${lookbackReturnSql(21)} AS return_1m FROM dim_numbered)
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  val DIM_VOL =
+    """dim_vol AS (
+      |  SELECT ticker,
+      |    STDDEV_SAMP(LN(close / NULLIF(yesterday_close, 0))) * SQRT(252) AS vol_20d_raw,
+      |    AVG(volume) AS avg_vol_20d_raw,
+      |    CAST(COUNT(*) AS BIGINT) AS trading_days
+      |  FROM dim_numbered WHERE days_back <= 20 GROUP BY ticker
+      |)""".stripMargin
+
+  val DIM_DAYS =
+    """dim_days AS (
+      |  SELECT ticker, CAST(COUNT(DISTINCT trade_date) AS BIGINT) AS total_trading_days
+      |  FROM fct GROUP BY ticker
+      |)""".stripMargin
+
+  val DIM_FLAGS =
+    """dim_flags AS (
+      |  SELECT ticker,
+      |    CASE WHEN latest_sma50 > latest_sma200 THEN 1 ELSE 0 END AS has_golden_cross_active,
+      |    CASE WHEN latest_close > latest_sma20 THEN 1 ELSE 0 END AS over_sma20,
+      |    CASE WHEN latest_close > latest_sma50 THEN 1 ELSE 0 END AS over_sma50,
+      |    CASE WHEN latest_close > latest_sma200 THEN 1 ELSE 0 END AS over_sma200
+      |  FROM dim_latest
+      |)""".stripMargin
+
+  val DIM_SIGNALS =
+    """dim_signals AS (
+      |  SELECT ticker,
+      |    COALESCE(MAX(CASE WHEN golden_cross = 1 THEN trade_date END),
+      |             MIN(CASE WHEN sma_200 IS NOT NULL THEN trade_date END)) AS last_golden_cross,
+      |    COALESCE(MAX(CASE WHEN close > sma_50 AND (yesterday_close < sma_50 OR yesterday_close IS NULL) THEN trade_date END),
+      |             MIN(CASE WHEN sma_50 IS NOT NULL AND close > sma_50 THEN trade_date END)) AS day_cross_over_sma50,
+      |    COALESCE(MAX(CASE WHEN close < sma_50 AND (yesterday_close > sma_50 OR yesterday_close IS NULL) THEN trade_date END),
+      |             MIN(CASE WHEN sma_50 IS NOT NULL AND close < sma_50 THEN trade_date END)) AS day_cross_below_sma50
+      |  FROM fct WHERE trade_date >= (SELECT d - 365 FROM dim_maxd) GROUP BY ticker
+      |)""".stripMargin
+
+  val DIM =
+    """dim AS (
+      |  SELECT l.*, r.return_1w, r.return_1m, r.return_3m, r.return_ytd,
+      |    d.total_trading_days,
+      |    f.has_golden_cross_active, f.over_sma20, f.over_sma50, f.over_sma200,
+      |    sm.sector_return_1m, sm.performance_percentile,
+      |    CASE WHEN l.latest_52week_high IS NOT NULL
+      |         THEN (l.latest_52week_high - l.latest_close) / l.latest_52week_high
+      |    END AS pct_distance_from_52week_high,
+      |    CASE WHEN l.latest_52week_low IS NOT NULL
+      |         THEN (l.latest_close - l.latest_52week_low) / l.latest_52week_low
+      |    END AS pct_distance_from_52week_low,
+      |    CASE WHEN r.return_1m IS NOT NULL
+      |         THEN r.return_1m - sm.sector_return_1m
+      |    END AS outperformance_vs_sector,
+      |    CASE WHEN v.trading_days >= 20 THEN v.vol_20d_raw END AS volatility_20d,
+      |    CASE WHEN v.trading_days >= 20 THEN v.avg_vol_20d_raw END AS avg_volume_20d,
+      |    CAST(date_diff('day', s.last_golden_cross, l.latest_trade_date) AS BIGINT) AS days_since_last_golden_cross,
+      |    CASE WHEN f.over_sma50 = 1
+      |         THEN CAST(date_diff('day', s.day_cross_over_sma50, l.latest_trade_date) AS BIGINT)
+      |    END AS days_over_sma50,
+      |    CASE WHEN f.over_sma50 = 0
+      |         THEN CAST(date_diff('day', s.day_cross_below_sma50, l.latest_trade_date) AS BIGINT)
+      |    END AS days_under_sma50
+      |  FROM dim_latest l
+      |  LEFT JOIN dim_returns r ON r.ticker = l.ticker
+      |  LEFT JOIN dim_days d ON d.ticker = l.ticker
+      |  LEFT JOIN dim_vol v ON v.ticker = l.ticker
+      |  LEFT JOIN dim_flags f ON f.ticker = l.ticker
+      |  LEFT JOIN dim_signals s ON s.ticker = l.ticker
+      |  LEFT JOIN dim_sector sm ON sm.ticker = l.ticker
+      |)""".stripMargin
+
   /** Composes `WITH <ctes> <select>`. */
   def query(ctes: Seq[String], select: String): String =
     "WITH " + ctes.mkString(",\n") + "\n" + select
@@ -229,4 +361,6 @@ object OracleSql {
   val stockChain: Seq[String] = Seq(BARS, STAGED, CONSTITUENTS, INT_DAILY, FCT)
   val breadthChain: Seq[String] =
     Seq(BREADTH_BASE, BREADTH_HIGH_LOW, BREADTH_SMA, BREADTH)
+  val dimChain: Seq[String] = Seq(DIM_MAXD, DIM_LATEST, DIM_RETURNS,
+    DIM_NUMBERED, DIM_SECTOR, DIM_VOL, DIM_DAYS, DIM_FLAGS, DIM_SIGNALS, DIM)
 }
