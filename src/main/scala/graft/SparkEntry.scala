@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.models._
-import graft.testdata.{OracleSql => O, TestFixtures => T}
+import graft.ops._
+import graft.testdata.{OpsOracleSql => OO, OracleSql => O, TestFixtures => T}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +36,14 @@ object SparkEntry {
     }),
     "stock_dim_securities" -> ((s, dir) =>
       DimSecuritiesCurrent.build(fctMomentum(s, dir).persist())),
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenStats(T.table(s, dir, "documents"))),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(T.table(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(T.table(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(T.table(s, dir, "documents"))),
   )
 
   /** Subset of [[queries]] timed by [[Bench]] (headline operators). */
@@ -60,5 +69,9 @@ object SparkEntry {
       "SELECT * FROM breadth"),
     "stock_dim_securities" -> O.query(O.stockChain ++ O.dimChain,
       "SELECT * FROM dim"),
+    "text_tokens" -> OO.TEXT_TOKENS,
+    "text_langid" -> OO.TEXT_LANGID,
+    "text_quality" -> OO.TEXT_QUALITY,
+    "text_fingerprint" -> OO.TEXT_FINGERPRINT,
   )
 }

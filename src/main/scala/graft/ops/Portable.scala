@@ -1,0 +1,61 @@
+package graft.ops
+
+/** Dialect helpers shared by the Spark operators and their DuckDB oracle SQL.
+  *
+  * The training-data operators (dedup / similarity / text analysis) need
+  * hashing that BOTH engines compute bit-identically, or the driver's
+  * hash-compare would flag false mismatches. `md5` of a UTF-8 string yields
+  * the same lowercase hex in Spark and DuckDB, so every derived hash funnels
+  * through it:
+  *
+  *  - 60-bit integer hash: first 15 hex chars of md5, parsed base-16.
+  *    Spark spells that `conv(substr(md5(x),1,15),16,10)`, DuckDB
+  *    `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`. 15 nibbles = 60 bits,
+  *    always positive, fits a signed 64-bit long in both engines.
+  *  - seeded hash family (MinHash): md5 of `"<seed>:" || value`.
+  *
+  * Marker/stopword lists are defined once here and splatted into BOTH
+  * dialects' SQL, so the language-ID and quality heuristics cannot drift.
+  */
+object Portable {
+
+  /** 60-bit non-negative integer hash of a string SQL expression. */
+  def hexcastSpark(x: String): String =
+    s"CAST(conv(substr(md5($x), 1, 15), 16, 10) AS BIGINT)"
+
+  def hexcastDuck(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  /** Whitespace tokenization — `\S+` runs (not split, which emits empty
+    * strings on doubled separators). Spark string literals escape the
+    * backslash; DuckDB's do not.
+    */
+  val tokensSpark = "regexp_extract_all(text, '\\\\S+', 0)"
+  val tokensDuck = "regexp_extract_all(text, '\\S+')"
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+    * the coarse shape GPT-2's pre-tokenizer produces, minus byte-level
+    * merges (public pattern; no tokenizer library in this container).
+    */
+  val bpeSpark = "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"
+  val bpeDuck = "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')"
+
+  /** Language marker words (tiny public stopword cores). Overlaps between
+    * romance languages are fine — scoring is argmax with a fixed tie order.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein", "zu", "den", "nicht"),
+    "es" -> Seq("el", "la", "que", "de", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "les", "et", "une", "des", "est", "dans", "il", "au", "pas"),
+    "zh" -> Seq("的", "是", "在", "了", "和",
+      "有", "我", "不", "人", "这"),
+  )
+
+  def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** English stopword core for quality scoring. */
+  val enStopwords: Seq[String] =
+    langMarkers.head._2 ++ Seq("on", "with", "as", "at", "by", "an", "be", "this")
+}
