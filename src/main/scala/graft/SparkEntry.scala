@@ -44,6 +44,20 @@ object SparkEntry {
       TextAnalysis.qualityScore(T.table(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(T.table(s, dir, "documents"))),
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(T.table(s, dir, "documents"))),
+    "dedup_minhash_signature" -> ((s, dir) =>
+      Dedup.minhashSignatures(T.table(s, dir, "documents"))),
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(T.table(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T.table(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(T.table(s, dir, "documents"))),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(T.table(s, dir, "documents"))),
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingNearDup(T.table(s, dir, "embeddings"))),
   )
 
   /** Subset of [[queries]] timed by [[Bench]] (headline operators). */
@@ -73,5 +87,12 @@ object SparkEntry {
     "text_langid" -> OO.TEXT_LANGID,
     "text_quality" -> OO.TEXT_QUALITY,
     "text_fingerprint" -> OO.TEXT_FINGERPRINT,
+    "dedup_exact" -> OO.DEDUP_EXACT,
+    "dedup_minhash_signature" -> OO.DEDUP_MINHASH_SIG,
+    "dedup_minhash_pairs" -> OO.DEDUP_MINHASH_PAIRS,
+    "dedup_ngram_jaccard" -> OO.DEDUP_NGRAM_JACCARD,
+    "dedup_simhash" -> OO.DEDUP_SIMHASH,
+    "dedup_simhash_pairs" -> OO.DEDUP_SIMHASH_PAIRS,
+    "dedup_embedding_cosine" -> OO.DEDUP_EMB_COSINE,
   )
 }

@@ -77,4 +77,163 @@ object OpsOracleSql {
        |         ELSE [] END AS shingle_hashes
        |  FROM (SELECT doc_id, array_to_string($tokensDuck, ' ') AS norm
        |        FROM documents))""".stripMargin
+
+  // ---- dedup over documents/embeddings (graft.ops.Dedup) ----
+
+  import graft.ops.Dedup.{Bands, CosineDupThreshold, HammingThreshold,
+    JaccardDupThreshold, JaccardReportThreshold, NumHashes, RowsPerBand}
+
+  val DEDUP_EXACT =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Shared CTE chain: tokens → distinct 3-gram shingles → minhash
+    * signature/bands → exploded inverted index.
+    */
+  private val ddToks = s"dd_toks AS (SELECT doc_id, $tokensDuck AS toks FROM documents)"
+
+  private val ddSh =
+    """dd_sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |         THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |         ELSE [] END AS shingles
+      |  FROM dd_toks)""".stripMargin
+
+  private val ddSig: String = {
+    val mh = (0 until NumHashes).map { j =>
+      s"list_min(list_transform(shingles, s -> ${hexcastDuck(s"'$j:' || s")})) AS mh_$j"
+    }
+    val bands = (0 until Bands).map { b =>
+      val parts = (RowsPerBand * b until RowsPerBand * (b + 1))
+        .map(j => s"CAST(mh_$j AS VARCHAR)").mkString(", ")
+      s"md5(concat_ws(',', $parts)) AS band_$b"
+    }
+    s"""dd_sig AS (
+       |  SELECT *, ${bands.mkString(", ")} FROM (
+       |    SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+       |      ${mh.mkString(",\n      ")}
+       |    FROM dd_sh))""".stripMargin
+  }
+
+  private val ddBands: String = {
+    val cases = (0 until Bands).map(b => s"WHEN $b THEN band_$b").mkString(" ")
+    s"""dd_bands AS (
+       |  SELECT doc_id, band_idx, CASE band_idx $cases END AS band_val
+       |  FROM dd_sig, (VALUES ${(0 until Bands).map(b => s"($b)").mkString(", ")}) t(band_idx)
+       |  WHERE n_shingles > 0)""".stripMargin
+  }
+
+  private val ddCand =
+    """dd_cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM dd_bands a JOIN dd_bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val ddDocsh =
+    "dd_docsh AS (SELECT doc_id, unnest(shingles) AS shingle FROM dd_sh)"
+
+  private val ddSizes =
+    "dd_sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dd_docsh GROUP BY doc_id)"
+
+  private val ddShingleChain = Seq(ddToks, ddSh, ddSig, ddBands, ddCand, ddDocsh, ddSizes)
+
+  val DEDUP_MINHASH_SIG: String = {
+    val cols = (0 until NumHashes).map(j => s"mh_$j") ++
+      (0 until Bands).map(b => s"band_$b")
+    s"WITH $ddToks, $ddSh, $ddSig\n" +
+      s"SELECT doc_id, n_shingles, ${cols.mkString(", ")} FROM dd_sig"
+  }
+
+  val DEDUP_MINHASH_PAIRS: String =
+    s"""WITH ${ddShingleChain.mkString(",\n")},
+       |dd_mh_pairs AS (
+       |  SELECT c.a_id, c.b_id, COALESCE(cm.n_common, 0) AS n_common,
+       |         na.n AS n_a, nb.n AS n_b,
+       |         CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+       |           / (na.n + nb.n - COALESCE(cm.n_common, 0)) AS jaccard
+       |  FROM dd_cand c
+       |  LEFT JOIN (
+       |    SELECT c2.a_id, c2.b_id, CAST(count(*) AS BIGINT) AS n_common
+       |    FROM dd_cand c2
+       |    JOIN dd_docsh sa ON sa.doc_id = c2.a_id
+       |    JOIN dd_docsh sb ON sb.doc_id = c2.b_id AND sb.shingle = sa.shingle
+       |    GROUP BY 1, 2) cm USING (a_id, b_id)
+       |  JOIN dd_sizes na ON na.doc_id = c.a_id
+       |  JOIN dd_sizes nb ON nb.doc_id = c.b_id)
+       |SELECT *, CASE WHEN jaccard >= $JaccardDupThreshold THEN 1 ELSE 0 END AS is_duplicate
+       |FROM dd_mh_pairs""".stripMargin
+
+  val DEDUP_NGRAM_JACCARD: String =
+    s"""WITH $ddToks, $ddSh, $ddDocsh, $ddSizes
+       |SELECT * FROM (
+       |  SELECT cm.a_id, cm.b_id, cm.n_common, na.n AS n_a, nb.n AS n_b,
+       |         CAST(cm.n_common AS DOUBLE) / (na.n + nb.n - cm.n_common) AS jaccard
+       |  FROM (
+       |    SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+       |           CAST(count(*) AS BIGINT) AS n_common
+       |    FROM dd_docsh sa JOIN dd_docsh sb
+       |      ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+       |    GROUP BY 1, 2) cm
+       |  JOIN dd_sizes na ON na.doc_id = cm.a_id
+       |  JOIN dd_sizes nb ON nb.doc_id = cm.b_id)
+       |WHERE jaccard >= $JaccardReportThreshold""".stripMargin
+
+  private val dsSig: String = {
+    val ones = (0 until 16).map { b =>
+      s"CAST(len(list_filter(th, h -> ((h >> $b) & 1) = 1)) AS BIGINT) AS ones_$b"
+    }
+    val shSum = (0 until 16)
+      .map(b => s"CASE WHEN 2 * ones_$b > n_tok THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""ds_sig AS (
+       |  SELECT doc_id, n_tok, CAST($shSum AS BIGINT) AS simhash16 FROM (
+       |    SELECT doc_id, n_tok, ${ones.mkString(",\n      ")} FROM (
+       |      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+       |             list_transform(toks, t -> ${hexcastDuck("t")}) AS th
+       |      FROM dd_toks)))""".stripMargin
+  }
+
+  val DEDUP_SIMHASH: String = {
+    val nibs = (0 until 4).map(q => s"(simhash16 >> ${4 * q}) & 15 AS nib_$q")
+    s"WITH $ddToks, $dsSig\n" +
+      s"SELECT doc_id, n_tok, simhash16, ${nibs.mkString(", ")} FROM ds_sig"
+  }
+
+  val DEDUP_SIMHASH_PAIRS: String = {
+    val cases = (0 until 4).map(q => s"WHEN $q THEN (simhash16 >> ${4 * q}) & 15").mkString(" ")
+    s"""WITH $ddToks, $dsSig,
+       |ds_nib AS (
+       |  SELECT doc_id, simhash16, q, CASE q $cases END AS nib
+       |  FROM ds_sig, (VALUES (0), (1), (2), (3)) t(q))
+       |SELECT * FROM (
+       |  SELECT *, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM (
+       |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |           a.simhash16 AS sh_a, b.simhash16 AS sh_b
+       |    FROM ds_nib a JOIN ds_nib b
+       |      ON a.q = b.q AND a.nib = b.nib AND a.doc_id < b.doc_id))
+       |WHERE hamming <= $HammingThreshold""".stripMargin
+  }
+
+  /** Left-fold dot product — replicates Spark's `aggregate` fold order so
+    * doubles are bit-identical (see graft.ops.Dedup.dot).
+    */
+  def dotDuck(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  val normedEmb: String =
+    s"""de_e AS (SELECT vec_id, embedding,
+       |  sqrt(${dotDuck("embedding", "embedding")}) AS norm FROM embeddings)""".stripMargin
+
+  val DEDUP_EMB_COSINE: String =
+    s"""WITH $normedEmb
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim
+       |  FROM de_e a JOIN de_e b ON a.vec_id < b.vec_id)
+       |WHERE cos_sim >= $CosineDupThreshold""".stripMargin
 }
