@@ -58,6 +58,14 @@ object SparkEntry {
       Dedup.simhashPairs(T.table(s, dir, "documents"))),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDup(T.table(s, dir, "embeddings"))),
+    "sim_signatures" -> ((s, dir) =>
+      Similarity.signatures(T.table(s, dir, "embeddings"))),
+    "sim_brute_topk" -> ((s, dir) =>
+      Similarity.bruteTopK(T.table(s, dir, "embeddings"))),
+    "sim_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(T.table(s, dir, "embeddings"))),
+    "sim_lsh_neardup" -> ((s, dir) =>
+      Similarity.lshNearDup(T.table(s, dir, "embeddings"))),
   )
 
   /** Subset of [[queries]] timed by [[Bench]] (headline operators). */
@@ -94,5 +102,9 @@ object SparkEntry {
     "dedup_simhash" -> OO.DEDUP_SIMHASH,
     "dedup_simhash_pairs" -> OO.DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine" -> OO.DEDUP_EMB_COSINE,
+    "sim_signatures" -> OO.SIM_SIGNATURES,
+    "sim_brute_topk" -> OO.SIM_BRUTE_TOPK,
+    "sim_lsh_topk" -> OO.SIM_LSH_TOPK,
+    "sim_lsh_neardup" -> OO.SIM_LSH_NEARDUP,
   )
 }

@@ -58,4 +58,23 @@ object Portable {
   /** English stopword core for quality scoring. */
   val enStopwords: Seq[String] =
     langMarkers.head._2 ++ Seq("on", "with", "as", "at", "by", "an", "be", "this")
+
+  /** Deterministic ±1 random-hyperplane matrix for sign-LSH, derived from
+    * md5 parity of "plane:<p>:<i>". Generated ONCE driver-side and splatted
+    * as array literals into both dialects' SQL — at scale this is a
+    * broadcast constant, not a per-row hash.
+    */
+  def lshPlane(p: Int, dim: Int): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val d = md.digest(s"plane:$p:$i".getBytes("UTF-8"))
+      if ((d(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  def planeLitSpark(p: Int, dim: Int): String =
+    lshPlane(p, dim).map(w => s"${w}D").mkString("array(", ", ", ")")
+
+  def planeLitDuck(p: Int, dim: Int): String =
+    lshPlane(p, dim).map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]")
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Portable._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column
+  * (`Array[Float]`, 64-dim in the driver testdata) — the retrieval stage of a
+  * training-data curation pipeline.
+  *
+  * Two paths, per the standard ANN playbook:
+  *
+  *  - [[bruteTopK]] — exact cosine top-k. Quadratic in (queries × corpus);
+  *    the CORRECTNESS baseline, and still the right physical plan when the
+  *    query set is small: Spark broadcasts the query side and the scan is
+  *    one pass over the corpus, no shuffle except the final per-query top-k
+  *    (k rows/query).
+  *  - [[lshNearDup]] / [[lshTopK]] — sign-LSH (random hyperplane) bucketing.
+  *    A 16-bit signature from a FIXED ±1 plane matrix (a driver-side
+  *    constant — zero per-row hashing; at cluster scale a broadcast
+  *    matrix), banded into 4 nibbles; candidates share ≥1 nibble band
+  *    (pigeonhole: hamming ≤ 3 ⇒ some nibble equal), then exact-cosine
+  *    verified. The band explode and bucket join carry ONLY (vec_id, band)
+  *    — embeddings rejoin after candidate dedup, so shuffle volume is ids,
+  *    not vectors. Linear in corpus size for well-spread signatures — this
+  *    is the 100 TB path.
+  *
+  * Dot products use the same left-fold as [[Dedup.dot]] so the DuckDB oracle
+  * reproduces doubles bit-identically.
+  */
+object Similarity {
+
+  val Dim = 64
+  val Planes = 16
+  val NibbleBands = 4
+  val TopK = 10
+  /** Every 50th vec_id acts as a query point in the driver testdata. */
+  val QueryStride = 50
+  val NearDupCosine: Double = Dedup.CosineDupThreshold
+
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      expr(s"sqrt(${Dedup.dot("embedding", "embedding")})").as("norm"))
+
+  private def cosine(a: String, b: String): Column =
+    (expr(Dedup.dot(s"$a.embedding", s"$b.embedding")) /
+      (col(s"$a.norm") * col(s"$b.norm"))).as("cos_sim")
+
+  /** 16-bit sign-LSH signature + 4-bit sub-bands per vector. */
+  def signatures(emb: DataFrame): DataFrame = {
+    val projs = (0 until Planes).map { p =>
+      expr(Dedup.dot("embedding", planeLitSpark(p, Dim))).as(s"proj_$p")
+    }
+    val sigSum = (0 until Planes)
+      .map(p => s"CASE WHEN proj_$p > 0 THEN ${1 << p} ELSE 0 END")
+      .mkString(" + ")
+    val nibs = (0 until NibbleBands).map(q =>
+      expr(s"shiftright(sig16, ${4 * q}) & 15").as(s"nib_$q"))
+    emb.select(col("vec_id") +: projs: _*)
+      .withColumn("sig16", expr(s"CAST($sigSum AS BIGINT)"))
+      .select(col("vec_id") +: col("sig16") +: nibs: _*)
+  }
+
+  /** (vec_id, q, nib) exploded band rows — ids only, no vector payload. */
+  private def bandRows(emb: DataFrame): DataFrame =
+    signatures(emb).select(col("vec_id"), posexplode(
+      array((0 until NibbleBands).map(q => col(s"nib_$q")): _*))
+      .as(Seq("q", "nib")))
+
+  /** Exact cosine of a distinct (a_id, b_id) candidate-pair frame. */
+  private def scorePairs(cand: DataFrame, emb: DataFrame): DataFrame = {
+    val e = withNorm(emb)
+    cand
+      .join(e.as("a"), col("a_id") === col("a.vec_id"))
+      .join(e.as("b"), col("b_id") === col("b.vec_id"))
+      .select(col("a_id"), col("b_id"), cosine("a", "b"))
+  }
+
+  /** Exact cosine top-k per query vector (vec_id % stride = 0), neighbors
+    * ranked (cos_sim DESC, neighbor_id ASC), self excluded.
+    */
+  def bruteTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val e = withNorm(emb)
+    val q = e.filter(col("vec_id") % QueryStride === 0)
+    q.as("a")
+      .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"), cosine("a", "b"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-accelerated top-k: rank only candidates sharing ≥1 nibble band
+    * with the query (approximate — may return < k rows per query).
+    */
+  def lshTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val bands = bandRows(emb)
+    val cand = bands.filter(col("vec_id") % QueryStride === 0).as("qa")
+      .join(bands.as("qb"),
+        col("qa.q") === col("qb.q") && col("qa.nib") === col("qb.nib") &&
+          col("qa.vec_id") =!= col("qb.vec_id"))
+      .select(col("qa.vec_id").as("a_id"), col("qb.vec_id").as("b_id"))
+      .distinct()
+    scorePairs(cand, emb)
+      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+        col("cos_sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH near-duplicate pairs: nibble-band candidates, exact-cosine verified
+    * at the [[Dedup.CosineDupThreshold]] — the sub-quadratic counterpart of
+    * [[Dedup.embeddingNearDup]].
+    */
+  def lshNearDup(emb: DataFrame): DataFrame = {
+    val bands = bandRows(emb)
+    val cand = bands.as("qa")
+      .join(bands.as("qb"),
+        col("qa.q") === col("qb.q") && col("qa.nib") === col("qb.nib") &&
+          col("qa.vec_id") < col("qb.vec_id"))
+      .select(col("qa.vec_id").as("a_id"), col("qb.vec_id").as("b_id"))
+      .distinct()
+    scorePairs(cand, emb).filter(col("cos_sim") >= NearDupCosine)
+  }
+}

@@ -236,4 +236,79 @@ object OpsOracleSql {
        |         ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim
        |  FROM de_e a JOIN de_e b ON a.vec_id < b.vec_id)
        |WHERE cos_sim >= $CosineDupThreshold""".stripMargin
+
+  // ---- similarity search over embeddings (graft.ops.Similarity) ----
+
+  import graft.ops.Similarity.{Dim, NearDupCosine, NibbleBands, Planes,
+    QueryStride, TopK}
+
+  private val simSig: String = {
+    val projs = (0 until Planes).map { p =>
+      s"${dotDuck("embedding", planeLitDuck(p, Dim))} AS proj_$p"
+    }
+    val sigSum = (0 until Planes)
+      .map(p => s"CASE WHEN proj_$p > 0 THEN ${1 << p} ELSE 0 END")
+      .mkString(" + ")
+    s"""sim_sig AS (
+       |  SELECT vec_id, CAST($sigSum AS BIGINT) AS sig16 FROM (
+       |    SELECT vec_id, ${projs.mkString(",\n      ")}
+       |    FROM embeddings))""".stripMargin
+  }
+
+  private val simBands: String = {
+    val cases = (0 until NibbleBands)
+      .map(q => s"WHEN $q THEN (sig16 >> ${4 * q}) & 15").mkString(" ")
+    s"""sim_bands AS (
+       |  SELECT vec_id, q, CASE q $cases END AS nib
+       |  FROM sim_sig, (VALUES ${(0 until NibbleBands).map(q => s"($q)").mkString(", ")}) t(q))""".stripMargin
+  }
+
+  val SIM_SIGNATURES: String = {
+    val nibs = (0 until NibbleBands).map(q => s"(sig16 >> ${4 * q}) & 15 AS nib_$q")
+    s"WITH $simSig\nSELECT vec_id, sig16, ${nibs.mkString(", ")} FROM sim_sig"
+  }
+
+  val SIM_BRUTE_TOPK: String =
+    s"""WITH $normedEmb
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) DESC,
+       |                    b.vec_id) AS "rank"
+       |  FROM de_e a JOIN de_e b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % $QueryStride = 0)
+       |WHERE "rank" <= $TopK""".stripMargin
+
+  val SIM_LSH_TOPK: String =
+    s"""WITH $normedEmb, $simSig, $simBands,
+       |sim_cand AS (
+       |  SELECT DISTINCT qa.vec_id AS a_id, qb.vec_id AS b_id
+       |  FROM sim_bands qa JOIN sim_bands qb
+       |    ON qa.q = qb.q AND qa.nib = qb.nib AND qa.vec_id <> qb.vec_id
+       |  WHERE qa.vec_id % $QueryStride = 0)
+       |SELECT * FROM (
+       |  SELECT c.a_id AS query_id, c.b_id AS neighbor_id,
+       |         ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim,
+       |         row_number() OVER (PARTITION BY c.a_id
+       |           ORDER BY ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) DESC,
+       |                    c.b_id) AS "rank"
+       |  FROM sim_cand c
+       |  JOIN de_e a ON c.a_id = a.vec_id
+       |  JOIN de_e b ON c.b_id = b.vec_id)
+       |WHERE "rank" <= $TopK""".stripMargin
+
+  val SIM_LSH_NEARDUP: String =
+    s"""WITH $normedEmb, $simSig, $simBands,
+       |sim_cand AS (
+       |  SELECT DISTINCT qa.vec_id AS a_id, qb.vec_id AS b_id
+       |  FROM sim_bands qa JOIN sim_bands qb
+       |    ON qa.q = qb.q AND qa.nib = qb.nib AND qa.vec_id < qb.vec_id)
+       |SELECT * FROM (
+       |  SELECT c.a_id, c.b_id,
+       |         ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim
+       |  FROM sim_cand c
+       |  JOIN de_e a ON c.a_id = a.vec_id
+       |  JOIN de_e b ON c.b_id = b.vec_id)
+       |WHERE cos_sim >= $NearDupCosine""".stripMargin
 }
