@@ -66,6 +66,12 @@ object SparkEntry {
       Similarity.lshTopK(T.table(s, dir, "embeddings"))),
     "sim_lsh_neardup" -> ((s, dir) =>
       Similarity.lshNearDup(T.table(s, dir, "embeddings"))),
+    "events_hourly" -> ((s, dir) => Events.hourly(T.events(s, dir))),
+    "events_hopping" -> ((s, dir) => Events.hopping(T.events(s, dir))),
+    "events_sessions" -> ((s, dir) => Events.sessionize(T.events(s, dir))),
+    "events_funnel" -> ((s, dir) => Events.funnel(T.events(s, dir))),
+    "events_daily_topk" -> ((s, dir) => Events.dailyTypeTopK(T.events(s, dir))),
+    "events_json" -> ((s, dir) => Events.jsonProps(T.events(s, dir))),
   )
 
   /** Subset of [[queries]] timed by [[Bench]] (headline operators). */
@@ -106,5 +112,11 @@ object SparkEntry {
     "sim_brute_topk" -> OO.SIM_BRUTE_TOPK,
     "sim_lsh_topk" -> OO.SIM_LSH_TOPK,
     "sim_lsh_neardup" -> OO.SIM_LSH_NEARDUP,
+    "events_hourly" -> OO.EVENTS_HOURLY,
+    "events_hopping" -> OO.EVENTS_HOPPING,
+    "events_sessions" -> OO.EVENTS_SESSIONS,
+    "events_funnel" -> OO.EVENTS_FUNNEL,
+    "events_daily_topk" -> OO.EVENTS_DAILY_TOPK,
+    "events_json" -> OO.EVENTS_JSON,
   )
 }

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table
+  * (event_id, ts, user_id, event_type, value, props-JSON) — the batch forms
+  * of the classic streaming workloads: tumbling/hopping time windows,
+  * gap-based sessionization, funnel attribution, per-window top-k, and
+  * semi-structured JSON extraction.
+  *
+  * These are written as ordinary DataFrame transforms so Catalyst plans them
+  * (and the DuckDB oracle can replay them); [[graft.streaming.EventStream]]
+  * runs the same window/session logic under Structured Streaming with
+  * watermarks and state.
+  *
+  * Scale shape: every operator shuffles once on its natural key
+  * (window-bucket, user_id, or day). Sessionization partitions by user_id —
+  * at 100 TB that is the canonical high-cardinality repartition, with AQE
+  * handling hot users; no global windows anywhere.
+  */
+object Events {
+
+  val SessionGapMinutes = 30
+  private val GapMicros: Long = SessionGapMinutes * 60L * 1000000L
+  val DailyTopK = 3
+
+  /** Per-user event-time ordering; event_id breaks exact-timestamp ties so
+    * the running session index is deterministic across engines.
+    */
+  private val byUserTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  /** Tumbling 1-hour windows × event_type: counts, distinct users, value
+    * stats. Uses Spark's `window()` (epoch-aligned buckets).
+    */
+  def hourly(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"),
+        col("window.end").as("hour_end"),
+        col("event_type"), col("n_events"), col("n_users"), col("sum_value"))
+
+  /** Hopping windows (1 h length, 30 min slide) — each event lands in
+    * exactly two buckets.
+    */
+  def hopping(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization: a new session starts after
+    * [[SessionGapMinutes]] of inactivity; one output row per
+    * (user, session) with bounds and totals.
+    */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUserTime))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("is_new"))
+        .over(byUserTime.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"),
+        countDistinct(col("event_type")).as("n_event_types"))
+
+  /** Ordered view → click → purchase funnel per user: each stage's earliest
+    * qualifying timestamp must follow the previous stage's.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("view_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("view_ts"))
+      .groupBy("user_id").agg(min("ts").as("click_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("click_ts"))
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    events.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("reached_stage",
+        when(col("purchase_ts").isNotNull, 3)
+          .when(col("click_ts").isNotNull, 2)
+          .when(col("view_ts").isNotNull, 1)
+          .otherwise(0))
+  }
+
+  /** Top-k event types per day by count (count DESC, type ASC tiebreak). */
+  def dailyTypeTopK(events: DataFrame, k: Int = DailyTopK): DataFrame =
+    events.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rank", row_number().over(Window.partitionBy("day")
+        .orderBy(col("n_events").desc, col("event_type"))))
+      .filter(col("rank") <= k)
+
+  /** Semi-structured extraction from the JSON props payload. */
+  def jsonProps(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("prop_k"))
+}

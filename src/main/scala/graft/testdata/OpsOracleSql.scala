@@ -298,6 +298,90 @@ object OpsOracleSql {
        |  JOIN de_e b ON c.b_id = b.vec_id)
        |WHERE "rank" <= $TopK""".stripMargin
 
+  // ---- event-stream operators (graft.ops.Events) ----
+
+  import graft.ops.Events.{DailyTopK, SessionGapMinutes}
+
+  /** µs-truncated view of the ns-precision events table (mirrors
+    * TestFixtures.events).
+    */
+  private val evBase =
+    """ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |             event_type, value, props FROM events)""".stripMargin
+
+  val EVENTS_HOURLY: String =
+    s"""WITH $evBase
+       |SELECT date_trunc('hour', ts) AS hour_start,
+       |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS hour_end,
+       |       event_type,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |       sum(value) AS sum_value
+       |FROM ev GROUP BY 1, 2, 3""".stripMargin
+
+  val EVENTS_HOPPING: String =
+    s"""WITH $evBase
+       |SELECT make_timestamp((epoch_us(ts) // 1800000000 - i) * 1800000000) AS win_start,
+       |       make_timestamp((epoch_us(ts) // 1800000000 - i + 2) * 1800000000) AS win_end,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       sum(value) AS sum_value
+       |FROM ev, (VALUES (0), (1)) t(i) GROUP BY 1, 2""".stripMargin
+
+  val EVENTS_SESSIONS: String =
+    s"""WITH $evBase,
+       |es_lag AS (
+       |  SELECT *, epoch_us(ts) AS us,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM ev),
+       |es_idx AS (
+       |  SELECT *, sum(CASE WHEN prev_us IS NULL
+       |                       OR us - prev_us > ${SessionGapMinutes * 60L * 1000000L}
+       |                     THEN 1 ELSE 0 END)
+       |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM es_lag)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |       min(ts) AS session_start, max(ts) AS session_end,
+       |       CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sum_value,
+       |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+       |FROM es_idx GROUP BY 1, 2""".stripMargin
+
+  val EVENTS_FUNNEL: String =
+    s"""WITH $evBase,
+       |fv AS (SELECT user_id, min(ts) AS view_ts FROM ev
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |fc AS (SELECT e.user_id, min(e.ts) AS click_ts FROM ev e
+       |       JOIN fv ON e.user_id = fv.user_id AND e.ts > fv.view_ts
+       |       WHERE e.event_type = 'click' GROUP BY 1),
+       |fp AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM ev e
+       |       JOIN fc ON e.user_id = fc.user_id AND e.ts > fc.click_ts
+       |       WHERE e.event_type = 'purchase' GROUP BY 1)
+       |SELECT u.user_id, fv.view_ts, fc.click_ts, fp.purchase_ts,
+       |       CASE WHEN fp.purchase_ts IS NOT NULL THEN 3
+       |            WHEN fc.click_ts IS NOT NULL THEN 2
+       |            WHEN fv.view_ts IS NOT NULL THEN 1
+       |            ELSE 0 END AS reached_stage
+       |FROM (SELECT DISTINCT user_id FROM ev) u
+       |LEFT JOIN fv ON u.user_id = fv.user_id
+       |LEFT JOIN fc ON u.user_id = fc.user_id
+       |LEFT JOIN fp ON u.user_id = fp.user_id""".stripMargin
+
+  val EVENTS_DAILY_TOPK: String =
+    s"""WITH $evBase
+       |SELECT * FROM (
+       |  SELECT day, event_type, n_events,
+       |         row_number() OVER (PARTITION BY day
+       |           ORDER BY n_events DESC, event_type) AS "rank"
+       |  FROM (SELECT CAST(ts AS DATE) AS day, event_type,
+       |               CAST(count(*) AS BIGINT) AS n_events
+       |        FROM ev GROUP BY 1, 2))
+       |WHERE "rank" <= $DailyTopK""".stripMargin
+
+  val EVENTS_JSON: String =
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      |FROM events""".stripMargin
+
   val SIM_LSH_NEARDUP: String =
     s"""WITH $normedEmb, $simSig, $simBands,
        |sim_cand AS (

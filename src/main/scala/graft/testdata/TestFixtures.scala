@@ -26,6 +26,17 @@ object TestFixtures {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table carries nanosecond parquet timestamps, which Spark's
+    * vectorized reader rejects; read them as raw longs and truncate to
+    * microseconds (`div 1000` — exact integer math), matching DuckDB's
+    * `CAST(ts AS TIMESTAMP)` truncation bit-for-bit.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   private def tickerOf(c: org.apache.spark.sql.Column) =
     concat(lit("S"), lpad(c.cast("string"), 2, "0"))
 
