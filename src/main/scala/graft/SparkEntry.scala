@@ -72,6 +72,16 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) => Events.funnel(T.events(s, dir))),
     "events_daily_topk" -> ((s, dir) => Events.dailyTypeTopK(T.events(s, dir))),
     "events_json" -> ((s, dir) => Events.jsonProps(T.events(s, dir))),
+    "media_catalog" -> ((s, dir) =>
+      Multimodal.catalog(T.table(s, dir, "documents"))),
+    "media_byte_stats" -> ((s, dir) =>
+      Multimodal.byteStats(T.table(s, dir, "documents"))),
+    "media_decode_mappartitions" -> ((s, dir) =>
+      Multimodal.decodeFeatures(s, T.table(s, dir, "documents")).toDF()),
+    "media_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(T.table(s, dir, "documents"))),
+    "media_resize" -> ((s, dir) =>
+      Multimodal.resize(T.table(s, dir, "documents"))),
   )
 
   /** Subset of [[queries]] timed by [[Bench]] (headline operators). */
@@ -118,5 +128,10 @@ object SparkEntry {
     "events_funnel" -> OO.EVENTS_FUNNEL,
     "events_daily_topk" -> OO.EVENTS_DAILY_TOPK,
     "events_json" -> OO.EVENTS_JSON,
+    "media_catalog" -> OO.MEDIA_CATALOG,
+    "media_byte_stats" -> OO.MEDIA_BYTE_STATS,
+    "media_decode_mappartitions" -> OO.MEDIA_BYTE_STATS,
+    "media_frame_sample" -> OO.MEDIA_FRAME_SAMPLE,
+    "media_resize" -> OO.MEDIA_RESIZE,
   )
 }

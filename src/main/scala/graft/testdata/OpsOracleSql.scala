@@ -298,6 +298,65 @@ object OpsOracleSql {
        |  JOIN de_e b ON c.b_id = b.vec_id)
        |WHERE "rank" <= $TopK""".stripMargin
 
+  // ---- multimodal media plumbing (graft.ops.Multimodal) ----
+
+  import graft.ops.Multimodal.{ChunkHexChars, FrameStride, MaxChunks}
+
+  /** Hex-domain mirror of Multimodal.media (payload as lowercase hex). */
+  private val mmBase =
+    s"""mm AS (
+       |  SELECT doc_id AS media_id,
+       |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |              ELSE 'video' END AS media_type,
+       |         array_to_string(list_transform(
+       |           generate_series(0, CAST(doc_id % $MaxChunks AS INT)),
+       |           i -> md5(text || ':' || i)), '') AS payload_hex,
+       |         16 * (1 + doc_id % 20) AS width,
+       |         16 * (1 + doc_id % 12) AS height,
+       |         8000 * (1 + doc_id % 3) AS sample_rate
+       |  FROM documents)""".stripMargin
+
+  val MEDIA_CATALOG: String =
+    s"""WITH $mmBase
+       |SELECT media_id, media_type,
+       |       CAST(length(payload_hex) / 2 AS BIGINT) AS n_bytes,
+       |       md5(payload_hex) AS payload_md5,
+       |       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       |       CAST(sample_rate AS INT) AS sample_rate,
+       |       CAST(length(payload_hex) / $ChunkHexChars AS INT) AS n_frames
+       |FROM mm""".stripMargin
+
+  val MEDIA_BYTE_STATS: String =
+    s"""WITH $mmBase,
+       |mb AS (
+       |  SELECT *, list_transform(generate_series(1, CAST(length(payload_hex) / 2 AS INT)),
+       |           i -> CAST('0x' || substr(payload_hex, 2 * i - 1, 2) AS BIGINT)) AS bytes,
+       |         CAST(length(payload_hex) / 2 AS BIGINT) AS n_bytes
+       |  FROM mm)
+       |SELECT media_id, media_type, n_bytes,
+       |       CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / n_bytes AS mean_byte,
+       |       CAST(list_min(bytes) AS INT) AS min_byte,
+       |       CAST(list_max(bytes) AS INT) AS max_byte,
+       |       CAST(len(list_distinct(bytes)) AS INT) AS n_distinct_bytes
+       |FROM mb""".stripMargin
+
+  val MEDIA_FRAME_SAMPLE: String =
+    s"""WITH $mmBase
+       |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |       md5(substr(payload_hex, CAST(frame_idx * $ChunkHexChars + 1 AS INT), $ChunkHexChars)) AS frame_md5
+       |FROM (SELECT media_id, payload_hex,
+       |             unnest(generate_series(0, CAST(length(payload_hex) / $ChunkHexChars AS INT) - 1, $FrameStride)) AS frame_idx
+       |      FROM mm WHERE media_type = 'video')""".stripMargin
+
+  val MEDIA_RESIZE: String =
+    s"""WITH $mmBase
+       |SELECT media_id,
+       |       CAST(width / 2 AS INT) AS new_width,
+       |       CAST(height / 2 AS INT) AS new_height,
+       |       CAST(length(payload_hex) / 4 AS BIGINT) AS thumb_bytes,
+       |       md5(substr(payload_hex, 1, CAST(length(payload_hex) / 4 AS INT) * 2)) AS thumb_md5
+       |FROM mm WHERE media_type = 'image'""".stripMargin
+
   // ---- event-stream operators (graft.ops.Events) ----
 
   import graft.ops.Events.{DailyTopK, SessionGapMinutes}
