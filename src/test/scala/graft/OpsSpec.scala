@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.testdata.{TestFixtures => T}
+
+/** Dedup / similarity / multimodal invariants beyond the DuckDB oracle. */
+class OpsSpec extends SparkSpec {
+
+  private lazy val docs = T.table(spark, sf, "documents").cache()
+  private lazy val emb = T.table(spark, sf, "embeddings").cache()
+
+  test("exact dedup: injected duplicate collapses to one keeper with n_copies=2") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "something else entirely")).toDF("doc_id", "text")
+    val out = Dedup.exact(d).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keeper_doc_id") == 1L)
+  }
+
+  test("minhash pairs: identical long texts are certain duplicates, jaccard 1") {
+    import spark.implicits._
+    val txt = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, txt), (2L, txt), (3L, "wholly different words " * 8))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(d).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a_id") == 1L && r.getAs[Long]("b_id") == 2L &&
+      r.getAs[Double]("jaccard") == 1.0 && r.getAs[Int]("is_duplicate") == 1))
+  }
+
+  test("simhash: identical texts hash identically (hamming 0)") {
+    import spark.implicits._
+    val txt = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, txt), (2L, txt)).toDF("doc_id", "text")
+    val p = Dedup.simhashPairs(d).collect()
+    assert(p.length == 1 && p.head.getAs[Long]("hamming") == 0L)
+  }
+
+  test("LSH near-dup is a subset of exact near-dup with identical cosines") {
+    val exact = Dedup.embeddingNearDup(emb).withColumnRenamed("cos_sim", "exact_cos")
+    val lsh = Similarity.lshNearDup(emb)
+    val joined = lsh.join(exact, Seq("a_id", "b_id"), "left").cache()
+    assert(joined.filter(col("exact_cos").isNull).count() == 0, "LSH pair not in exact set")
+    assert(joined.filter(col("cos_sim") =!= col("exact_cos")).count() == 0)
+    val recall = lsh.count().toDouble / exact.count().toDouble
+    assert(recall >= 0.25, s"LSH recall $recall collapsed") // 4×4-bit bands ⇒ partial recall by design
+  }
+
+  test("LSH top-k ranks consistently with brute force on shared candidates") {
+    val brute = Similarity.bruteTopK(emb)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim").as("brute_cos"))
+    val lsh = Similarity.lshTopK(emb)
+    val joined = lsh.join(brute, Seq("query_id", "neighbor_id"), "inner")
+    assert(joined.filter(col("cos_sim") =!= col("brute_cos")).count() == 0)
+  }
+
+  test("mapPartitions decode path agrees with the expression path exactly") {
+    val expr = Multimodal.byteStats(docs)
+    val mp = Multimodal.decodeFeatures(spark, docs).toDF()
+    assert(mp.exceptAll(expr).count() == 0)
+    assert(expr.exceptAll(mp).count() == 0)
+  }
+
+  test("frame sampling covers every video with stride-2 indices") {
+    val fs = Multimodal.frameSample(docs).cache()
+    assert(fs.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    val videos = Multimodal.media(docs).filter(col("media_type") === "video")
+    assert(fs.select("media_id").distinct().count() == videos.count())
+  }
+
+  test("language-ID assigns 'und' only to marker-free docs") {
+    val lid = TextAnalysis.languageId(docs)
+    val und = lid.filter(col("predicted_lang") === "und")
+    val markers = Portable.langMarkers.flatMap(_._2)
+    assert(und.filter(col("score_en") > 0 || col("score_de") > 0 ||
+      col("score_es") > 0 || col("score_fr") > 0 || col("score_zh") > 0).count() == 0)
+  }
+}
