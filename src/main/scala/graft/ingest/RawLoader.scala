@@ -1,0 +1,60 @@
+package graft.ingest
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Normalizes API bars into the canonical RAW.DAILY_STOCKS shape and appends
+  * them, date-partitioned (reference normalize `src/load.py:37-76`:
+  * rename :50-60, ms-epoch→timestamp :41, DATE/INGESTED_AT literals :44-47,
+  * column whitelist :63-68; append sink `src/snowflake_client.py:103-124`).
+  *
+  * The explicit schema + select-whitelist is the reference's anti-drift
+  * discipline (SURVEY §1.2): loads FAIL on shape change rather than
+  * silently widening.
+  */
+object RawLoader {
+
+  /** RAW.DAILY_STOCKS, `src/snowflake_client.py:63-77`. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("T", StringType),
+    StructField("V", DoubleType),
+    StructField("VW", DoubleType),
+    StructField("O", DoubleType),
+    StructField("C", DoubleType),
+    StructField("H", DoubleType),
+    StructField("L", DoubleType),
+    StructField("N", LongType),
+    StructField("TS", TimestampType),
+    StructField("DATE", DateType),
+    StructField("INGESTED_AT", TimestampType)))
+
+  /** API bars → canonical raw frame for one trading date. */
+  def normalize(spark: SparkSession, bars: Seq[ApiBar], date: LocalDate): DataFrame = {
+    import spark.implicits._
+    bars.toDF()
+      .select(
+        col("ticker").as("T"),
+        col("volume").as("V"),
+        col("vwap").as("VW"),
+        col("open").as("O"),
+        col("close").as("C"),
+        col("high").as("H"),
+        col("low").as("L"),
+        col("numTransactions").as("N"),
+        timestamp_millis(col("epochMillis")).as("TS"),
+        lit(java.sql.Date.valueOf(date)).as("DATE"),
+        current_timestamp().as("INGESTED_AT"))
+  }
+
+  /** Append one date's rows to the raw store, partitioned by DATE so
+    * downstream incremental predicates prune at the file-listing level.
+    */
+  def append(df: DataFrame, rawPath: String): Long = {
+    val n = df.count()
+    df.write.mode(SaveMode.Append).partitionBy("DATE").parquet(rawPath)
+    n
+  }
+}

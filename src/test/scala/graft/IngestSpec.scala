@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+import java.time.{LocalDate, ZonedDateTime, ZoneId}
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest._
+import graft.pipeline.{MergeWriter, Pipeline}
+
+/** Ingestion machinery: calendar, retry policy, ledger idempotency,
+  * end-to-end ingest, pipeline DAG + partition MERGE.
+  */
+class IngestSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("NYSE calendar: 2024 holidays, weekends, observation shifts") {
+    import TradingCalendar._
+    // Known 2024 NYSE closures
+    Seq("2024-01-01", "2024-01-15", "2024-02-19", "2024-03-29", "2024-05-27",
+      "2024-06-19", "2024-07-04", "2024-09-02", "2024-11-28", "2024-12-25")
+      .foreach(d => assert(!isTradingDay(LocalDate.parse(d)), s"$d should be closed"))
+    assert(!isTradingDay(LocalDate.parse("2024-08-10"))) // Saturday
+    assert(isTradingDay(LocalDate.parse("2024-08-12"))) // ordinary Monday
+    // July 4 2026 falls on Saturday -> observed Friday July 3
+    assert(!isTradingDay(LocalDate.parse("2026-07-03")))
+    // New Year's 2022 fell on Saturday -> NYSE did NOT observe Dec 31 2021
+    assert(isTradingDay(LocalDate.parse("2021-12-31")))
+    // Easter computus spot checks
+    assert(easterSunday(2024) == LocalDate.parse("2024-03-31"))
+    assert(easterSunday(2026) == LocalDate.parse("2026-04-05"))
+  }
+
+  test("lastCompletedTradingDay skips weekends/holidays in market time") {
+    val mondayNoonUtc = ZonedDateTime.of(2024, 7, 8, 12, 0, 0, 0, ZoneId.of("UTC"))
+    assert(TradingCalendar.lastCompletedTradingDay(mondayNoonUtc) == LocalDate.parse("2024-07-05"))
+    val fridayAfterJuly4 = ZonedDateTime.of(2024, 7, 5, 12, 0, 0, 0, ZoneId.of("UTC"))
+    assert(TradingCalendar.lastCompletedTradingDay(fridayAfterJuly4) == LocalDate.parse("2024-07-03"))
+  }
+
+  test("retry policy: 429 sleeps 60s, 5xx sleeps 5s, 4xx aborts, 3rd failure throws") {
+    import FetchResult._
+    val d = LocalDate.parse("2024-07-01")
+    var sleeps = Vector.empty[Long]
+    def client(results: FetchResult*) = {
+      val it = results.iterator
+      new RetryingClient(_ => it.next(), sleeper = ms => sleeps :+= ms)
+    }
+    assert(client(RateLimited(), ServerError(503), Ok(Seq.empty)).groupedDaily(d).isEmpty)
+    assert(sleeps == Vector(60000L, 5000L))
+
+    sleeps = Vector.empty
+    intercept[RuntimeException](client(TimedOut(10000), TimedOut(10000), TimedOut(10000)).groupedDaily(d))
+    assert(sleeps == Vector(5000L, 5000L))
+
+    sleeps = Vector.empty
+    intercept[RuntimeException](client(ClientError(404)).groupedDaily(d))
+    assert(sleeps.isEmpty) // no retry on non-retryable 4xx
+  }
+
+  test("ingest end-to-end: fixture fetch, ledger bracketing, idempotent replay") {
+    val rawPath = tmp("raw")
+    val ledger = new CheckpointLedger(spark, tmp("ledger") + "/ledger")
+    val job = new IngestJob(spark, new FixtureClient(20), ledger, rawPath)
+    val now = ZonedDateTime.of(2024, 7, 9, 18, 0, 0, 0, ZoneId.of("America/New_York"))
+
+    val out1 = job.run(now, daysBack = 4) // calendar days: Sat+Sun skipped
+    assert(out1.map(_.date.toString) == Seq("2024-07-05", "2024-07-08")) // July 4 + weekend skipped
+    assert(out1.forall(o => o.status == "completed" && o.rows == 20))
+
+    val raw = spark.read.parquet(rawPath)
+    assert(raw.count() == 40)
+    assert(raw.schema.fieldNames.toSet == RawLoader.rawSchema.fieldNames.toSet)
+    // DATE-partitioned layout prunes on the date predicate
+    assert(raw.filter(col("DATE") === "2024-07-08").count() == 20)
+
+    // replay: ledger's completed set short-circuits everything
+    val out2 = job.run(now, daysBack = 4)
+    assert(out2.isEmpty)
+    assert(spark.read.parquet(rawPath).count() == 40)
+    assert(ledger.completedDates() ==
+      Set(LocalDate.parse("2024-07-05"), LocalDate.parse("2024-07-08")))
+  }
+
+  test("failed fetch writes a failed checkpoint and later retries") {
+    import FetchResult._
+    val rawPath = tmp("raw2")
+    val ledger = new CheckpointLedger(spark, tmp("ledger2") + "/ledger")
+    val now = ZonedDateTime.of(2024, 7, 9, 18, 0, 0, 0, ZoneId.of("America/New_York"))
+    var fail = true
+    val flaky = new MarketDataClient {
+      def groupedDaily(date: LocalDate): Seq[ApiBar] =
+        if (fail) throw new RuntimeException("boom")
+        else new FixtureClient(5).groupedDaily(date)
+    }
+    val job = new IngestJob(spark, flaky, ledger, rawPath)
+    assert(job.run(now, 1).map(_.status) == Seq("failed"))
+    assert(ledger.completedDates().isEmpty)
+    fail = false
+    assert(job.run(now, 1).map(_.status) == Seq("completed")) // failed date retried
+  }
+
+  test("partition MERGE: only touched dates rewritten, idempotent") {
+    import spark.implicits._
+    val path = tmp("merge") + "/t"
+    val base = Seq(
+      ("A", "2024-01-01", 1.0), ("A", "2024-01-02", 2.0), ("A", "2024-01-03", 3.0))
+      .toDF("ticker", "trade_date", "close")
+    base.write.partitionBy("trade_date").parquet(path)
+
+    val slice = Seq(("A", "2024-01-03", 30.0), ("B", "2024-01-03", 5.0))
+      .toDF("ticker", "trade_date", "close")
+    MergeWriter.mergeByDatePartition(spark, slice, path)
+    val after = spark.read.parquet(path)
+    assert(after.count() == 4) // 2 untouched + 2 replaced
+    assert(after.filter($"trade_date" === "2024-01-03").count() == 2)
+    assert(after.filter($"close" === 3.0).count() == 0) // old partition content gone
+
+    MergeWriter.mergeByDatePartition(spark, slice, path)
+    assert(spark.read.parquet(path).count() == 4) // idempotent
+  }
+
+  test("pipeline DAG: topo order, view laziness, cycle detection") {
+    import spark.implicits._
+    import Pipeline._
+    val store = tmp("store")
+    val models = Seq(
+      Model("mart", Seq("stg"), Table, clusterBy = Seq("k"),
+        build = in => in("stg").groupBy("k").agg(sum("v").as("total"))),
+      Model("stg", Seq("src"), View,
+        build = in => in("src").filter($"v" > 0)),
+      Model("src", Nil, View,
+        build = _ => Seq(("a", 1), ("a", 2), ("b", -1), ("b", 4)).toDF("k", "v")))
+    assert(topoOrder(models).map(_.name) == Seq("src", "stg", "mart"))
+    val out = Pipeline.run(spark, models, store)
+    assert(out("mart").orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("a", 3L), ("b", 4L)))
+    assert(Files.exists(java.nio.file.Paths.get(s"$store/mart")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$store/stg"))) // views never materialize
+
+    val cyclic = Seq(
+      Model("x", Seq("y"), View, build = in => in("y")),
+      Model("y", Seq("x"), View, build = in => in("x")))
+    intercept[IllegalArgumentException](topoOrder(cyclic))
+  }
+}
