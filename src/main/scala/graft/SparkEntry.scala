@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.api.Queries
 import graft.models._
 import graft.ops._
 import graft.testdata.{OpsOracleSql => OO, OracleSql => O, TestFixtures => T}
@@ -82,6 +83,24 @@ object SparkEntry {
       Multimodal.frameSample(T.table(s, dir, "documents"))),
     "media_resize" -> ((s, dir) =>
       Multimodal.resize(T.table(s, dir, "documents"))),
+    "api_screener" -> ((s, dir) =>
+      Queries.screener(DimSecuritiesCurrent.build(fctMomentum(s, dir).persist()),
+        Queries.ScreenerFilter(rsiLo = Some(20), rsiHi = Some(80),
+          tickerContains = Some("s1")))),
+    "api_ticker_history" -> ((s, dir) =>
+      Queries.tickerHistory(fctMomentum(s, dir), "S07",
+        java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1998-12-31"))),
+    "api_breadth_trend" -> ((s, dir) => {
+      val int = intDaily(s, dir).persist()
+      Queries.breadthTrend(
+        AggDailyMarketBreadth.build(int, FctTradingMomentum.buildFull(int)))
+    }),
+    "api_freshness" -> ((s, dir) => Queries.freshness(fctMomentum(s, dir))),
+    "readme_golden_crosses" -> ((s, dir) =>
+      Queries.latestGoldenCrosses(fctMomentum(s, dir))),
+    "readme_top_performers" -> ((s, dir) =>
+      Queries.topPerformersBySector(
+        DimSecuritiesCurrent.build(fctMomentum(s, dir).persist()))),
   )
 
   /** Subset of [[queries]] timed by [[Bench]] (headline operators). */
@@ -133,5 +152,32 @@ object SparkEntry {
     "media_decode_mappartitions" -> OO.MEDIA_BYTE_STATS,
     "media_frame_sample" -> OO.MEDIA_FRAME_SAMPLE,
     "media_resize" -> OO.MEDIA_RESIZE,
+    "api_screener" -> O.query(O.stockChain ++ O.dimChain,
+      """SELECT * FROM dim
+        |WHERE latest_rsi >= 20 AND latest_rsi <= 80 AND ticker ILIKE '%s1%'
+        |ORDER BY return_1m DESC NULLS LAST LIMIT 5000""".stripMargin),
+    "api_ticker_history" -> O.query(O.stockChain,
+      """SELECT * FROM fct
+        |WHERE ticker = 'S07'
+        |  AND trade_date BETWEEN DATE '1995-01-01' AND DATE '1998-12-31'
+        |ORDER BY trade_date DESC LIMIT 2000""".stripMargin),
+    "api_breadth_trend" -> O.query(O.stockChain ++ O.breadthChain,
+      """SELECT trade_date, ad_ratio, pct_market_over_sma50, market_rsi,
+        |       CASE WHEN pct_market_over_sma50 > 0.8 THEN 'Strong Bullish'
+        |            WHEN pct_market_over_sma50 < 0.2 THEN 'Strong Bearish'
+        |            ELSE 'Neutral' END AS market_sentiment
+        |FROM breadth ORDER BY trade_date DESC LIMIT 30""".stripMargin),
+    "api_freshness" -> O.query(O.stockChain,
+      """SELECT CAST(count(*) AS BIGINT) AS row_count,
+        |       min(trade_date) AS oldest, max(trade_date) AS newest
+        |FROM fct""".stripMargin),
+    "readme_golden_crosses" -> O.query(O.stockChain,
+      """SELECT ticker, company, sector FROM fct
+        |WHERE trade_date = (SELECT max(trade_date) FROM fct)
+        |  AND golden_cross = 1""".stripMargin),
+    "readme_top_performers" -> O.query(O.stockChain ++ O.dimChain,
+      """SELECT sector, ticker, latest_close, return_1m, performance_percentile
+        |FROM dim WHERE performance_percentile > 0.9
+        |ORDER BY sector, return_1m DESC""".stripMargin),
   )
 }
