@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Portable._
@@ -10,16 +11,24 @@ import Portable._
   * SimHash, n-gram Jaccard, embedding cosine).
   *
   * Scale shape (the part that matters at 100 TB):
-  *  - exact dedup is one hash-aggregate — shuffles once on a 128-bit digest,
-  *    never on document text;
-  *  - MinHash signatures are computed per-document with higher-order array
-  *    functions (no explode, no shuffle), then candidate generation shuffles
-  *    only (band_idx, band_hash) — the classic shingle→minhash→band→bucket
-  *    join, linear in corpus size for near-constant bucket occupancy;
-  *  - SimHash candidates join on 4-bit sub-bands of the 16-bit signature
-  *    (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 nibbles equal);
+  *  - everything text-side flows through ONE exploded `(doc_id, shingle)` /
+  *    `(doc_id, token)` relation built from codegen-friendly operators
+  *    (posexplode + window lead + hash-aggregate) — no higher-order array
+  *    lambdas in the hot path (those run interpreted, row-at-a-time; the
+  *    array formulation measured 10–20× slower at sf0.1);
+  *  - each shingle is md5-hashed ONCE to a 60-bit int; the 16 MinHash
+  *    values are a universal-hash family over that int (pure integer
+  *    arithmetic — [[Portable.minhashExpr]]), not 16 separate md5s;
+  *  - exact dedup is one hash-aggregate — shuffles once on a 128-bit
+  *    digest, never on document text;
+  *  - MinHash candidate generation shuffles only (band_idx, band_hash) —
+  *    shingle→minhash→band→bucket join, linear for near-constant bucket
+  *    occupancy; SimHash candidates join on 4-bit sub-bands of the 16-bit
+  *    signature (pigeonhole: hamming ≤ 3 ⇒ some nibble equal);
   *  - n-gram Jaccard joins through the inverted (shingle → doc) index, so
   *    only pairs sharing ≥ 1 shingle are ever materialized;
+  *  - relations reused across join legs ([[docShingles]], candidate sets)
+  *    are persisted within the operator, so tokenize/hash runs once;
   *  - only the exact embedding pass is quadratic (it is the correctness
   *    baseline; the sub-quadratic path is [[Similarity.lshNearDup]]).
   */
@@ -42,47 +51,62 @@ object Dedup {
       .agg(min("doc_id").as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
 
-  /** doc_id + distinct word-3-gram shingle array. */
-  private def withShingles(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", expr(tokensSpark))
-      .withColumn("shingles", expr(
-        """IF(size(toks) >= 3,
-          |   array_distinct(transform(sequence(1, size(toks) - 2),
-          |     i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
-          |                 ' ', element_at(toks, i + 2)))),
-          |   array())""".stripMargin))
+  /** Exploded (doc_id, pos, tok) token relation. */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(expr(tokensSpark)).as(Seq("pos", "tok")))
 
-  /** Per-document MinHash signature (16 hashes from the seeded md5 family)
-    * plus 4 LSH band digests (4 rows per band).
+  /** Distinct (doc_id, shingle) word-3-gram inverted index, built
+    * relationally: window `lead` assembles 3-grams (strict concat — a null
+    * lead nulls the shingle, so <3-token docs contribute nothing), then a
+    * shuffle-dedup. Whole-stage-codegen throughout.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val mh = (0 until NumHashes).map { j =>
-      expr(s"array_min(transform(shingles, s -> ${hexcastSpark(s"concat('$j:', s)")}))")
-        .as(s"mh_$j")
-    }
-    val sig = withShingles(docs).select(
-      col("doc_id") +: expr("CAST(size(shingles) AS BIGINT)").as("n_shingles") +: mh: _*)
+  def docShingles(docs: DataFrame): DataFrame = {
+    val wp = Window.partitionBy("doc_id").orderBy("pos")
+    docTokens(docs)
+      .select(col("doc_id"),
+        concat(col("tok"), lit(" "), lead("tok", 1).over(wp),
+          lit(" "), lead("tok", 2).over(wp)).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+  }
+
+  /** Signature build over an explicit (possibly persisted) shingle
+    * relation, so callers composing several passes reuse one tokenization.
+    */
+  private def signaturesFrom(docs: DataFrame, ds: DataFrame): DataFrame = {
+    val mh = (0 until NumHashes).map(j => min(expr(minhashExpr(j))).as(s"mh_$j"))
+    val agg = ds
+      .withColumn("h", expr(hexcastSpark("shingle")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), mh: _*)
     val bands = (0 until Bands).map { b =>
       val parts = (RowsPerBand * b until RowsPerBand * (b + 1))
         .map(j => s"CAST(mh_$j AS STRING)").mkString(", ")
       expr(s"md5(concat_ws(',', $parts))").as(s"band_$b")
     }
-    sig.select(col("*") +: bands: _*)
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+      .select(col("doc_id") +: col("n_shingles") +:
+        (0 until NumHashes).map(j => col(s"mh_$j")) ++: bands: _*)
   }
+
+  /** Per-document MinHash signature (universal-hash family over the 60-bit
+    * shingle digest) plus 4 LSH band digests (4 hashes per band). Shingle-
+    * free documents keep a row: null minhashes, n_shingles 0.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    signaturesFrom(docs, docShingles(docs))
 
   /** (doc_id, band_idx, band_val) rows for the bucket join; documents with
     * zero shingles are excluded (their empty-signature bands would bucket
     * all degenerate docs together).
     */
-  private def bandRows(docs: DataFrame): DataFrame =
-    minhashSignatures(docs).filter(col("n_shingles") > 0)
+  private def bandRows(docs: DataFrame, ds: DataFrame): DataFrame =
+    signaturesFrom(docs, ds).filter(col("n_shingles") > 0)
       .select(col("doc_id"), posexplode(
         array((0 until Bands).map(b => col(s"band_$b")): _*))
         .as(Seq("band_idx", "band_val")))
-
-  /** Exploded distinct (doc_id, shingle) inverted-index rows. */
-  private def docShingles(docs: DataFrame): DataFrame =
-    withShingles(docs).select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
   private def jaccardOf(common: Column, na: Column, nb: Column): Column =
     (common.cast("double") / (na + nb - common)).as("jaccard")
@@ -91,7 +115,8 @@ object Dedup {
     * Jaccard verification over the shingle sets.
     */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val bands = bandRows(docs)
+    val ds = docShingles(docs).persist()
+    val bands = bandRows(docs, ds)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -99,14 +124,15 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    verifyJaccard(cand, docs)
+      .persist()
+    verifyJaccard(cand, ds)
   }
 
   /** Exact n-gram Jaccard pairs through the inverted index — every pair
     * sharing at least one shingle, reported above a noise floor.
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val ds = docShingles(docs)
+    val ds = docShingles(docs).persist()
     val common = ds.as("sa")
       .join(ds.as("sb"),
         col("sa.shingle") === col("sb.shingle") &&
@@ -123,9 +149,10 @@ object Dedup {
       .filter(col("jaccard") >= JaccardReportThreshold)
   }
 
-  /** Candidate pairs → exact Jaccard + duplicate verdict. */
-  private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
-    val ds = docShingles(docs)
+  /** Candidate pairs → exact Jaccard + duplicate verdict, over a (persisted)
+    * shingle relation.
+    */
+  private def verifyJaccard(cand: DataFrame, ds: DataFrame): DataFrame = {
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cand
       .join(ds.as("sa"), col("a_id") === col("sa.doc_id"))
@@ -145,22 +172,25 @@ object Dedup {
   }
 
   /** Per-document 16-bit SimHash (term-frequency-weighted bit majority over
-    * token hashes) + 4-bit sub-bands for the pigeonhole candidate join.
+    * token hashes, via one codegen'd hash-aggregate) + 4-bit sub-bands for
+    * the pigeonhole candidate join. Token-free docs keep sig 0.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val ones = (0 until 16).map { b =>
-      expr(s"CAST(size(filter(th, h -> (shiftright(h, $b) & 1) = 1)) AS BIGINT)")
-        .as(s"ones_$b")
-    }
+    val ones = (0 until 16).map(b =>
+      sum(expr(s"shiftright(h, $b) & 1")).as(s"ones_$b"))
+    val agg = docTokens(docs)
+      .withColumn("h", expr(hexcastSpark("tok")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), ones: _*)
     val shSum = (0 until 16)
       .map(b => s"CASE WHEN 2 * ones_$b > n_tok THEN ${1 << b} ELSE 0 END")
       .mkString(" + ")
     val nibs = (0 until 4).map(q =>
       expr(s"shiftright(simhash16, ${4 * q}) & 15").as(s"nib_$q"))
-    docs.withColumn("toks", expr(tokensSpark))
-      .withColumn("th", expr(s"transform(toks, t -> ${hexcastSpark("t")})"))
-      .withColumn("n_tok", expr("CAST(size(toks) AS BIGINT)"))
-      .select(col("doc_id") +: col("n_tok") +: ones: _*)
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
+      .select(col("doc_id") +: col("n_tok") +:
+        (0 until 16).map(b => coalesce(col(s"ones_$b"), lit(0L)).as(s"ones_$b")): _*)
       .withColumn("simhash16", expr(s"CAST($shSum AS BIGINT)"))
       .select(col("doc_id") +: col("n_tok") +: col("simhash16") +: nibs: _*)
   }
@@ -170,7 +200,7 @@ object Dedup {
     * popcount of the XOR.
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    val sig = simhash(docs)
+    val sig = simhash(docs).persist()
     val nibRows = sig.select(col("doc_id"), col("simhash16"), posexplode(
       array((0 until 4).map(q => col(s"nib_$q")): _*)).as(Seq("q", "nib")))
     nibRows.as("a")
@@ -184,12 +214,12 @@ object Dedup {
       .filter(col("hamming") <= HammingThreshold)
   }
 
-  /** Left-fold dot product — the fold order is replicated exactly by the
-    * DuckDB oracle (list_reduce), keeping doubles bit-identical.
+  /** Left-fold dot product via the native codegen expression
+    * [[graft.functions.DotProduct]] (requires the
+    * `graft.functions.GraftExtensions` session extension). Fold order
+    * matches the DuckDB oracle's list_reduce mirror bit-for-bit.
     */
-  def dot(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |          CAST(0 AS DOUBLE), (acc, z) -> acc + z)""".stripMargin
+  def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 
   /** Embedding near-duplicates: exact pairwise cosine ≥ threshold. This is
     * the quadratic correctness baseline (fine at verification scale); the

@@ -77,4 +77,29 @@ object Portable {
 
   def planeLitDuck(p: Int, dim: Int): String =
     lshPlane(p, dim).map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]")
+
+  /** MinHash universal-hash family over the 60-bit base hash `h`:
+    * `mh_j = (A_j * (h mod P) + B_j) mod P`, P = 2^31 − 1. One md5 per
+    * shingle total (vs one per shingle per hash), then pure 64-bit integer
+    * arithmetic that Spark codegen and DuckDB evaluate identically —
+    * `A_j * (h mod P) < 2^62` never overflows a signed long, and both
+    * engines' `%` on non-negative longs agree. Coefficients derive from md5
+    * parity of the family index, generated driver-side like [[lshPlane]].
+    */
+  val MinhashP: Long = 2147483647L
+
+  private def md5Long(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  def minhashA(j: Int): Long = md5Long(s"mh_a:$j") % (MinhashP - 1) + 1
+  def minhashB(j: Int): Long = md5Long(s"mh_b:$j") % MinhashP
+
+  /** `mh_j` expression over a 60-bit hash column named `h` (both dialects —
+    * the arithmetic is dialect-free).
+    */
+  def minhashExpr(j: Int): String =
+    s"(${minhashA(j)} * (h % $MinhashP) + ${minhashB(j)}) % $MinhashP"
 }

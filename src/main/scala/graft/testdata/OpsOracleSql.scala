@@ -88,34 +88,42 @@ object OpsOracleSql {
       |       CAST(COUNT(*) AS BIGINT) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** Shared CTE chain: tokens → distinct 3-gram shingles → minhash
-    * signature/bands → exploded inverted index.
+  /** Shared CTE chain mirroring the exploded-relation Spark design: tokens
+    * → distinct exploded 3-gram shingles → one md5 per shingle → universal-
+    * hash MinHash aggregate → signature/bands (left-joined so shingle-free
+    * docs keep a row).
     */
   private val ddToks = s"dd_toks AS (SELECT doc_id, $tokensDuck AS toks FROM documents)"
 
-  private val ddSh =
-    """dd_sh AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(toks) >= 3
-      |         THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
-      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-      |         ELSE [] END AS shingles
+  private val ddDocsh =
+    """dd_docsh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(toks) >= 3
+      |           THEN list_transform(generate_series(1, len(toks) - 2),
+      |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |           ELSE [] END) AS shingle
       |  FROM dd_toks)""".stripMargin
 
+  private val ddAgg: String = {
+    val mh = (0 until NumHashes).map(j => s"min(${minhashExpr(j)}) AS mh_$j")
+    s"""dd_agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |    ${mh.mkString(",\n    ")}
+       |  FROM (SELECT doc_id, ${hexcastDuck("shingle")} AS h FROM dd_docsh)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
   private val ddSig: String = {
-    val mh = (0 until NumHashes).map { j =>
-      s"list_min(list_transform(shingles, s -> ${hexcastDuck(s"'$j:' || s")})) AS mh_$j"
-    }
     val bands = (0 until Bands).map { b =>
       val parts = (RowsPerBand * b until RowsPerBand * (b + 1))
         .map(j => s"CAST(mh_$j AS VARCHAR)").mkString(", ")
       s"md5(concat_ws(',', $parts)) AS band_$b"
     }
     s"""dd_sig AS (
-       |  SELECT *, ${bands.mkString(", ")} FROM (
-       |    SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
-       |      ${mh.mkString(",\n      ")}
-       |    FROM dd_sh))""".stripMargin
+       |  SELECT doc_id, COALESCE(n_shingles, 0) AS n_shingles,
+       |         ${(0 until NumHashes).map(j => s"mh_$j").mkString(", ")},
+       |         ${bands.mkString(", ")}
+       |  FROM documents LEFT JOIN dd_agg USING (doc_id))""".stripMargin
   }
 
   private val ddBands: String = {
@@ -133,18 +141,15 @@ object OpsOracleSql {
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |   AND a.doc_id < b.doc_id)""".stripMargin
 
-  private val ddDocsh =
-    "dd_docsh AS (SELECT doc_id, unnest(shingles) AS shingle FROM dd_sh)"
-
   private val ddSizes =
     "dd_sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dd_docsh GROUP BY doc_id)"
 
-  private val ddShingleChain = Seq(ddToks, ddSh, ddSig, ddBands, ddCand, ddDocsh, ddSizes)
+  private val ddShingleChain = Seq(ddToks, ddDocsh, ddAgg, ddSig, ddBands, ddCand, ddSizes)
 
   val DEDUP_MINHASH_SIG: String = {
     val cols = (0 until NumHashes).map(j => s"mh_$j") ++
       (0 until Bands).map(b => s"band_$b")
-    s"WITH $ddToks, $ddSh, $ddSig\n" +
+    s"WITH $ddToks, $ddDocsh, $ddAgg, $ddSig\n" +
       s"SELECT doc_id, n_shingles, ${cols.mkString(", ")} FROM dd_sig"
   }
 
@@ -168,7 +173,7 @@ object OpsOracleSql {
        |FROM dd_mh_pairs""".stripMargin
 
   val DEDUP_NGRAM_JACCARD: String =
-    s"""WITH $ddToks, $ddSh, $ddDocsh, $ddSizes
+    s"""WITH $ddToks, $ddDocsh, $ddSizes
        |SELECT * FROM (
        |  SELECT cm.a_id, cm.b_id, cm.n_common, na.n AS n_a, nb.n AS n_b,
        |         CAST(cm.n_common AS DOUBLE) / (na.n + nb.n - cm.n_common) AS jaccard
@@ -183,18 +188,20 @@ object OpsOracleSql {
        |WHERE jaccard >= $JaccardReportThreshold""".stripMargin
 
   private val dsSig: String = {
-    val ones = (0 until 16).map { b =>
-      s"CAST(len(list_filter(th, h -> ((h >> $b) & 1) = 1)) AS BIGINT) AS ones_$b"
-    }
+    val ones = (0 until 16).map(b => s"CAST(sum((h >> $b) & 1) AS BIGINT) AS ones_$b")
     val shSum = (0 until 16)
-      .map(b => s"CASE WHEN 2 * ones_$b > n_tok THEN ${1 << b} ELSE 0 END")
+      .map(b => s"CASE WHEN 2 * COALESCE(ones_$b, 0) > n_tok THEN ${1 << b} ELSE 0 END")
       .mkString(" + ")
-    s"""ds_sig AS (
-       |  SELECT doc_id, n_tok, CAST($shSum AS BIGINT) AS simhash16 FROM (
-       |    SELECT doc_id, n_tok, ${ones.mkString(",\n      ")} FROM (
-       |      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
-       |             list_transform(toks, t -> ${hexcastDuck("t")}) AS th
-       |      FROM dd_toks)))""".stripMargin
+    s"""ds_agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |    ${ones.mkString(",\n    ")}
+       |  FROM (SELECT doc_id, ${hexcastDuck("tok")} AS h
+       |        FROM (SELECT doc_id, unnest(toks) AS tok FROM dd_toks))
+       |  GROUP BY doc_id),
+       |ds_sig AS (
+       |  SELECT doc_id, COALESCE(n_tok, 0) AS n_tok,
+       |         CAST($shSum AS BIGINT) AS simhash16
+       |  FROM documents LEFT JOIN ds_agg USING (doc_id))""".stripMargin
   }
 
   val DEDUP_SIMHASH: String = {
