@@ -101,6 +101,12 @@ object SparkEntry {
     "readme_top_performers" -> ((s, dir) =>
       Queries.topPerformersBySector(
         DimSecuritiesCurrent.build(fctMomentum(s, dir).persist()))),
+    "api_screener_stats" -> ((s, dir) =>
+      Queries.screenerStats(
+        DimSecuritiesCurrent.build(fctMomentum(s, dir).persist()))),
+    "api_sector_picklist" -> ((s, dir) =>
+      Queries.sectorPicklist(
+        DimSecuritiesCurrent.build(fctMomentum(s, dir).persist()))),
   )
 
   /** Subset of [[queries]] timed by [[Bench]] (headline operators). */
@@ -179,5 +185,14 @@ object SparkEntry {
       """SELECT sector, ticker, latest_close, return_1m, performance_percentile
         |FROM dim WHERE performance_percentile > 0.9
         |ORDER BY sector, return_1m DESC""".stripMargin),
+    "api_screener_stats" -> O.query(O.stockChain ++ O.dimChain,
+      """SELECT median(return_1m) AS median_return_1m,
+        |       avg(return_1m) AS mean_return_1m,
+        |       median(latest_rsi) AS median_rsi,
+        |       avg(latest_rel_vol) AS mean_rel_vol,
+        |       CAST(count(*) AS BIGINT) AS n_securities
+        |FROM dim""".stripMargin),
+    "api_sector_picklist" -> O.query(O.stockChain ++ O.dimChain,
+      "SELECT DISTINCT sector FROM dim ORDER BY sector"),
   )
 }

@@ -88,4 +88,25 @@ object Queries {
   def freshness(df: DataFrame): DataFrame =
     df.agg(count(lit(1)).as("row_count"),
       min("trade_date").as("oldest"), max("trade_date").as("newest"))
+
+  /** Screener summary metrics — the reference computes these client-side
+    * over the fetched page (`2_Universe_Screener.py:119-127`, A8); here
+    * they run in-engine as one aggregate.
+    */
+  def screenerStats(dim: DataFrame): DataFrame =
+    dim.agg(
+      expr("median(return_1m)").as("median_return_1m"),
+      avg(col("return_1m")).as("mean_return_1m"),
+      expr("median(latest_rsi)").as("median_rsi"),
+      avg(col("latest_rel_vol")).as("mean_rel_vol"),
+      count(lit(1)).as("n_securities"))
+
+  /** Widget picklists (`2_Universe_Screener.py:21-25`,
+    * `3_Ticker_Momentum.py:24-28`, O5).
+    */
+  def sectorPicklist(dim: DataFrame): DataFrame =
+    dim.select("sector").distinct().orderBy("sector")
+
+  def tickerPicklist(dim: DataFrame): DataFrame =
+    dim.select("ticker").distinct().orderBy("ticker")
 }

@@ -115,7 +115,11 @@ object Dedup {
     * Jaccard verification over the shingle sets.
     */
   def minhashPairs(docs: DataFrame): DataFrame = {
+    // eager materialization: the shingle relation feeds ~6 plan paths
+    // (bands x2, verify legs x2, sizes x2); racing AQE stages would each
+    // recompute an unmaterialized cache, so fill it once up front
     val ds = docShingles(docs).persist()
+    ds.count()
     val bands = bandRows(docs, ds)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -133,6 +137,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     val ds = docShingles(docs).persist()
+    ds.count() // eager: three downstream legs (see minhashPairs)
     val common = ds.as("sa")
       .join(ds.as("sb"),
         col("sa.shingle") === col("sb.shingle") &&
@@ -201,6 +206,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val sig = simhash(docs).persist()
+    sig.count() // eager: both self-join legs (see minhashPairs)
     val nibRows = sig.select(col("doc_id"), col("simhash16"), posexplode(
       array((0 until 4).map(q => col(s"nib_$q")): _*)).as(Seq("q", "nib")))
     nibRows.as("a")
