@@ -40,6 +40,10 @@ object Dedup {
   val JaccardDupThreshold = 0.7
   val JaccardReportThreshold = 0.05
   val HammingThreshold = 3
+  val SimhashBits = 32
+  val SimhashBands = 4
+  val BandBits: Int = SimhashBits / SimhashBands
+  val BandMask: Int = (1 << BandBits) - 1
   val CosineDupThreshold = 0.3
 
   /** Exact dedup: one row per distinct text digest with the surviving doc id
@@ -176,28 +180,31 @@ object Dedup {
         when(col("jaccard") >= JaccardDupThreshold, 1).otherwise(0))
   }
 
-  /** Per-document 16-bit SimHash (term-frequency-weighted bit majority over
-    * token hashes, via one codegen'd hash-aggregate) + 4-bit sub-bands for
-    * the pigeonhole candidate join. Token-free docs keep sig 0.
+  /** Per-document [[SimhashBits]]-bit SimHash (term-frequency-weighted bit
+    * majority over token hashes, via one codegen'd hash-aggregate) +
+    * [[SimhashBands]] byte-wide sub-bands for the pigeonhole candidate join
+    * (hamming ≤ 3 over 4 bands ⇒ some band equal). 32 bits / 8-bit bands
+    * keeps buckets sparse — at sf0.1 a 16-bit signature collided ~15× more
+    * candidates. Token-free docs keep sig 0.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val ones = (0 until 16).map(b =>
+    val ones = (0 until SimhashBits).map(b =>
       sum(expr(s"shiftright(h, $b) & 1")).as(s"ones_$b"))
     val agg = docTokens(docs)
       .withColumn("h", expr(hexcastSpark("tok")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), ones: _*)
-    val shSum = (0 until 16)
-      .map(b => s"CASE WHEN 2 * ones_$b > n_tok THEN ${1 << b} ELSE 0 END")
+    val shSum = (0 until SimhashBits)
+      .map(b => s"CASE WHEN 2 * ones_$b > n_tok THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
-    val nibs = (0 until 4).map(q =>
-      expr(s"shiftright(simhash16, ${4 * q}) & 15").as(s"nib_$q"))
+    val nibs = (0 until SimhashBands).map(q =>
+      expr(s"shiftright(simhash_sig, ${BandBits * q}) & $BandMask").as(s"nib_$q"))
     docs.select("doc_id").join(agg, Seq("doc_id"), "left")
       .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
       .select(col("doc_id") +: col("n_tok") +:
-        (0 until 16).map(b => coalesce(col(s"ones_$b"), lit(0L)).as(s"ones_$b")): _*)
-      .withColumn("simhash16", expr(s"CAST($shSum AS BIGINT)"))
-      .select(col("doc_id") +: col("n_tok") +: col("simhash16") +: nibs: _*)
+        (0 until SimhashBits).map(b => coalesce(col(s"ones_$b"), lit(0L)).as(s"ones_$b")): _*)
+      .withColumn("simhash_sig", expr(s"CAST($shSum AS BIGINT)"))
+      .select(col("doc_id") +: col("n_tok") +: col("simhash_sig") +: nibs: _*)
   }
 
   /** SimHash near-duplicate pairs: candidates share at least one of the 4
@@ -207,14 +214,14 @@ object Dedup {
   def simhashPairs(docs: DataFrame): DataFrame = {
     val sig = simhash(docs).persist()
     sig.count() // eager: both self-join legs (see minhashPairs)
-    val nibRows = sig.select(col("doc_id"), col("simhash16"), posexplode(
-      array((0 until 4).map(q => col(s"nib_$q")): _*)).as(Seq("q", "nib")))
+    val nibRows = sig.select(col("doc_id"), col("simhash_sig"), posexplode(
+      array((0 until SimhashBands).map(q => col(s"nib_$q")): _*)).as(Seq("q", "nib")))
     nibRows.as("a")
       .join(nibRows.as("b"),
         col("a.q") === col("b.q") && col("a.nib") === col("b.nib") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.simhash16").as("sh_a"), col("b.simhash16").as("sh_b"))
+        col("a.simhash_sig").as("sh_a"), col("b.simhash_sig").as("sh_b"))
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
       .filter(col("hamming") <= HammingThreshold)

@@ -80,8 +80,9 @@ object OpsOracleSql {
 
   // ---- dedup over documents/embeddings (graft.ops.Dedup) ----
 
-  import graft.ops.Dedup.{Bands, CosineDupThreshold, HammingThreshold,
-    JaccardDupThreshold, JaccardReportThreshold, NumHashes, RowsPerBand}
+  import graft.ops.Dedup.{BandBits, BandMask, Bands, CosineDupThreshold,
+    HammingThreshold, JaccardDupThreshold, JaccardReportThreshold, NumHashes,
+    RowsPerBand, SimhashBands, SimhashBits}
 
   val DEDUP_EXACT =
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
@@ -188,9 +189,9 @@ object OpsOracleSql {
        |WHERE jaccard >= $JaccardReportThreshold""".stripMargin
 
   private val dsSig: String = {
-    val ones = (0 until 16).map(b => s"CAST(sum((h >> $b) & 1) AS BIGINT) AS ones_$b")
-    val shSum = (0 until 16)
-      .map(b => s"CASE WHEN 2 * COALESCE(ones_$b, 0) > n_tok THEN ${1 << b} ELSE 0 END")
+    val ones = (0 until SimhashBits).map(b => s"CAST(sum((h >> $b) & 1) AS BIGINT) AS ones_$b")
+    val shSum = (0 until SimhashBits)
+      .map(b => s"CASE WHEN 2 * COALESCE(ones_$b, 0) > n_tok THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
     s"""ds_agg AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
@@ -200,26 +201,27 @@ object OpsOracleSql {
        |  GROUP BY doc_id),
        |ds_sig AS (
        |  SELECT doc_id, COALESCE(n_tok, 0) AS n_tok,
-       |         CAST($shSum AS BIGINT) AS simhash16
+       |         CAST($shSum AS BIGINT) AS simhash_sig
        |  FROM documents LEFT JOIN ds_agg USING (doc_id))""".stripMargin
   }
 
   val DEDUP_SIMHASH: String = {
-    val nibs = (0 until 4).map(q => s"(simhash16 >> ${4 * q}) & 15 AS nib_$q")
+    val nibs = (0 until SimhashBands).map(q => s"(simhash_sig >> ${BandBits * q}) & $BandMask AS nib_$q")
     s"WITH $ddToks, $dsSig\n" +
-      s"SELECT doc_id, n_tok, simhash16, ${nibs.mkString(", ")} FROM ds_sig"
+      s"SELECT doc_id, n_tok, simhash_sig, ${nibs.mkString(", ")} FROM ds_sig"
   }
 
   val DEDUP_SIMHASH_PAIRS: String = {
-    val cases = (0 until 4).map(q => s"WHEN $q THEN (simhash16 >> ${4 * q}) & 15").mkString(" ")
+    val cases = (0 until SimhashBands)
+      .map(q => s"WHEN $q THEN (simhash_sig >> ${BandBits * q}) & $BandMask").mkString(" ")
     s"""WITH $ddToks, $dsSig,
        |ds_nib AS (
-       |  SELECT doc_id, simhash16, q, CASE q $cases END AS nib
-       |  FROM ds_sig, (VALUES (0), (1), (2), (3)) t(q))
+       |  SELECT doc_id, simhash_sig, q, CASE q $cases END AS nib
+       |  FROM ds_sig, (VALUES ${(0 until SimhashBands).map(q => s"($q)").mkString(", ")}) t(q))
        |SELECT * FROM (
        |  SELECT *, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM (
        |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-       |           a.simhash16 AS sh_a, b.simhash16 AS sh_b
+       |           a.simhash_sig AS sh_a, b.simhash_sig AS sh_b
        |    FROM ds_nib a JOIN ds_nib b
        |      ON a.q = b.q AND a.nib = b.nib AND a.doc_id < b.doc_id))
        |WHERE hamming <= $HammingThreshold""".stripMargin
