@@ -67,6 +67,10 @@ object SparkEntry {
       Similarity.lshTopK(T.table(s, dir, "embeddings"))),
     "sim_lsh_neardup" -> ((s, dir) =>
       Similarity.lshNearDup(T.table(s, dir, "embeddings"))),
+    "sim_ivf_assign" -> ((s, dir) =>
+      Similarity.ivfAssignments(T.table(s, dir, "embeddings"))),
+    "sim_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(T.table(s, dir, "embeddings"))),
     "events_hourly" -> ((s, dir) => Events.hourly(T.events(s, dir))),
     "events_hopping" -> ((s, dir) => Events.hopping(T.events(s, dir))),
     "events_sessions" -> ((s, dir) => Events.sessionize(T.events(s, dir))),
@@ -147,6 +151,8 @@ object SparkEntry {
     "sim_brute_topk" -> OO.SIM_BRUTE_TOPK,
     "sim_lsh_topk" -> OO.SIM_LSH_TOPK,
     "sim_lsh_neardup" -> OO.SIM_LSH_NEARDUP,
+    "sim_ivf_assign" -> OO.SIM_IVF_ASSIGN,
+    "sim_ivf_topk" -> OO.SIM_IVF_TOPK,
     "events_hourly" -> OO.EVENTS_HOURLY,
     "events_hopping" -> OO.EVENTS_HOPPING,
     "events_sessions" -> OO.EVENTS_SESSIONS,

@@ -112,6 +112,65 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ---- IVF-flat (inverted-file) ANN ----
+
+  val NumLists = 16
+  val NProbe = 2
+
+  /** Deterministic coarse quantizer: the [[NumLists]] lowest-vec_id vectors
+    * act as list leaders (a "sampled leaders" IVF — at production scale the
+    * leaders come from k-means, but assignment/probe mechanics are
+    * identical and this keeps the oracle deterministic).
+    */
+  private def leaders(emb: DataFrame): DataFrame =
+    withNorm(emb.filter(col("vec_id") < NumLists))
+      .select(col("vec_id").as("list_id"), col("embedding").as("lvec"),
+        col("norm").as("lnorm"))
+
+  /** IVF assignment: each vector to its max-cosine leader (ties → lowest
+    * list id). One broadcast of the leaders, one linear scan — N×K dot
+    * products, no shuffle of the corpus.
+    */
+  def ivfAssignments(emb: DataFrame): DataFrame =
+    withNorm(emb).crossJoin(broadcast(leaders(emb)))
+      .select(col("vec_id"), col("list_id"),
+        (expr(Dedup.dot("embedding", "lvec")) / (col("norm") * col("lnorm")))
+          .as("list_cos"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("list_cos").desc, col("list_id"))))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "list_id", "list_cos")
+
+  /** IVF-flat top-k: probe the [[NProbe]] nearest lists per query, rank
+    * only vectors assigned there. Candidate volume ≈ nprobe/nlists of the
+    * corpus per query; the probe join co-partitions on list_id.
+    */
+  def ivfTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val e = withNorm(emb)
+    val assign = ivfAssignments(emb).select("vec_id", "list_id").persist()
+    assign.count() // eager: probed by both the query and candidate legs
+    val probes = e.filter(col("vec_id") % QueryStride === 0)
+      .crossJoin(broadcast(leaders(emb)))
+      .select(col("vec_id").as("query_id"), col("list_id"),
+        (expr(Dedup.dot("embedding", "lvec")) / (col("norm") * col("lnorm")))
+          .as("probe_cos"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("probe_cos").desc, col("list_id"))))
+      .filter(col("rnk") <= NProbe)
+      .select("query_id", "list_id")
+    val cand = probes
+      .join(assign, Seq("list_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id").as("a_id"), col("vec_id").as("b_id"))
+      .distinct()
+    scorePairs(cand, emb)
+      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+        col("cos_sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH near-duplicate pairs: nibble-band candidates, exact-cosine verified
     * at the [[Dedup.CosineDupThreshold]] — the sub-quadratic counterpart of
     * [[Dedup.embeddingNearDup]].

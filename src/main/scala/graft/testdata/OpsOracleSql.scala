@@ -248,8 +248,8 @@ object OpsOracleSql {
 
   // ---- similarity search over embeddings (graft.ops.Similarity) ----
 
-  import graft.ops.Similarity.{Dim, NearDupCosine, NibbleBands, Planes,
-    QueryStride, TopK}
+  import graft.ops.Similarity.{Dim, NProbe, NearDupCosine, NibbleBands,
+    NumLists, Planes, QueryStride, TopK}
 
   private val simSig: String = {
     val projs = (0 until Planes).map { p =>
@@ -449,6 +449,50 @@ object OpsOracleSql {
     """SELECT event_id,
       |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
       |FROM events""".stripMargin
+
+  private val ivfChain: String =
+    s"""$normedEmb,
+       |iv_lead AS (
+       |  SELECT vec_id AS list_id, embedding AS lvec, norm AS lnorm
+       |  FROM de_e WHERE vec_id < $NumLists),
+       |iv_assign AS (
+       |  SELECT vec_id, list_id, list_cos FROM (
+       |    SELECT e.vec_id, l.list_id,
+       |           ${dotDuck("e.embedding", "l.lvec")} / (e.norm * l.lnorm) AS list_cos,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dotDuck("e.embedding", "l.lvec")} / (e.norm * l.lnorm) DESC,
+       |                      l.list_id) AS rnk
+       |    FROM de_e e CROSS JOIN iv_lead l)
+       |  WHERE rnk = 1)""".stripMargin
+
+  val SIM_IVF_ASSIGN: String =
+    s"WITH $ivfChain\nSELECT vec_id, list_id, list_cos FROM iv_assign"
+
+  val SIM_IVF_TOPK: String =
+    s"""WITH $ivfChain,
+       |iv_probe AS (
+       |  SELECT query_id, list_id FROM (
+       |    SELECT e.vec_id AS query_id, l.list_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dotDuck("e.embedding", "l.lvec")} / (e.norm * l.lnorm) DESC,
+       |                      l.list_id) AS rnk
+       |    FROM de_e e CROSS JOIN iv_lead l
+       |    WHERE e.vec_id % $QueryStride = 0)
+       |  WHERE rnk <= $NProbe),
+       |iv_cand AS (
+       |  SELECT DISTINCT p.query_id AS a_id, a.vec_id AS b_id
+       |  FROM iv_probe p JOIN iv_assign a USING (list_id)
+       |  WHERE p.query_id <> a.vec_id)
+       |SELECT * FROM (
+       |  SELECT c.a_id AS query_id, c.b_id AS neighbor_id,
+       |         ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim,
+       |         row_number() OVER (PARTITION BY c.a_id
+       |           ORDER BY ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) DESC,
+       |                    c.b_id) AS "rank"
+       |  FROM iv_cand c
+       |  JOIN de_e a ON c.a_id = a.vec_id
+       |  JOIN de_e b ON c.b_id = b.vec_id)
+       |WHERE "rank" <= $TopK""".stripMargin
 
   val SIM_LSH_NEARDUP: String =
     s"""WITH $normedEmb, $simSig, $simBands,

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Similarity, SkewJoin}
+import graft.streaming.RawLanding
+import graft.testdata.{TestFixtures => T}
+
+/** Scale utilities: salted skew join, IVF recall, streaming raw landing. */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("salted join equals plain join on skewed data, for inner and left") {
+    import spark.implicits._
+    // 10k rows of one hot key + tail, joined to a 100-row build side
+    val skewed = spark.range(10000)
+      .select((when(col("id") % 10 =!= 0, 1L).otherwise(col("id") % 100)).as("k"),
+        col("id").as("rowid"))
+    val build = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+    for (jt <- Seq("inner", "left")) {
+      val plain = skewed.join(build, Seq("k"), jt)
+      val salted = SkewJoin.saltedJoin(skewed, build, Seq("k"), 8, col("rowid"), jt)
+      assert(salted.exceptAll(plain).count() == 0, s"$jt: extra rows")
+      assert(plain.exceptAll(salted).count() == 0, s"$jt: missing rows")
+    }
+  }
+
+  test("IVF top-k neighbors agree with brute force cosines; decent recall") {
+    val emb = T.table(spark, sf, "embeddings")
+    val brute = Similarity.bruteTopK(emb)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim").as("brute_cos"))
+    val ivf = Similarity.ivfTopK(emb)
+    val joined = ivf.join(brute, Seq("query_id", "neighbor_id"), "left").cache()
+    // any overlapping pair must carry the identical cosine
+    assert(joined.filter(col("brute_cos").isNotNull &&
+      col("cos_sim") =!= col("brute_cos")).count() == 0)
+    val recall = joined.filter(col("brute_cos").isNotNull).count().toDouble /
+      brute.count().toDouble
+    assert(recall >= 0.2, s"IVF recall $recall collapsed (nprobe=2/16 lists)")
+  }
+
+  test("streaming raw landing drains idempotently with exactly-once file tracking") {
+    val landing = Files.createTempDirectory("landing")
+    val raw = Files.createTempDirectory("rawstream").toString + "/raw"
+    val ckpt = Files.createTempDirectory("ckpt").toString + "/c"
+    def barJson(t: String, date: String, c: Double): String =
+      s"""{"T":"$t","v":100.0,"vw":$c,"o":$c,"c":$c,"h":$c,"l":$c,"n":5,"t_ms":1704067200000,"api_date":"$date"}"""
+    Files.writeString(landing.resolve("d1.json"),
+      barJson("AAA", "2024-01-02", 10.0) + "\n" + barJson("BBB", "2024-01-02", 20.0) + "\n")
+
+    RawLanding.drainOnce(spark, landing.toString, raw, ckpt)
+    val after1 = spark.read.parquet(raw)
+    assert(after1.count() == 2)
+    assert(after1.schema.fieldNames.contains("INGESTED_AT"))
+    assert(after1.filter(col("DATE") === "2024-01-02").count() == 2)
+
+    // replay with no new files: nothing re-ingested
+    RawLanding.drainOnce(spark, landing.toString, raw, ckpt)
+    assert(spark.read.parquet(raw).count() == 2)
+
+    // a new landed file is picked up exactly once
+    Files.writeString(landing.resolve("d2.json"), barJson("CCC", "2024-01-03", 30.0) + "\n")
+    RawLanding.drainOnce(spark, landing.toString, raw, ckpt)
+    val after3 = spark.read.parquet(raw)
+    assert(after3.count() == 3)
+    assert(after3.filter(col("T") === "CCC").count() == 1)
+  }
+}
