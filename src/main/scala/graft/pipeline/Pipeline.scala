@@ -80,7 +80,13 @@ object Pipeline {
           spark.read.parquet(path)
         case Incremental =>
           val path = s"$storeDir/${m.name}"
-          MergeWriter.mergeByDatePartition(spark, clustered(df, m.clusterBy), path)
+          // date-aware layout: co-locate each trade_date in one task (file
+          // count ≈ dates, not tasks × dates), rows sorted by the cluster
+          // key within each date's file
+          val arranged =
+            df.repartition(col("trade_date"))
+              .sortWithinPartitions(("trade_date" +: m.clusterBy).map(col): _*)
+          MergeWriter.mergeByDatePartition(spark, arranged, path)
           spark.read.parquet(path)
       }
       resolved += m.name -> out

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.models._
+import graft.pipeline.StockPipeline
+import graft.testdata.{TestFixtures => T}
+
+/** End-to-end: the real model DAG through the Pipeline runner, against
+  * direct model builds.
+  */
+class StockPipelineSpec extends SparkSpec {
+
+  test("full DAG run materializes marts identical to direct builds") {
+    val store = Files.createTempDirectory("stockstore").toString
+    val stg = T.stagedBars(spark, sf)
+    val const = T.constituents(spark, sf)
+    val out = StockPipeline.run(spark, stg, const, store)
+
+    // fct from the store == fct built directly (partitionBy reorders
+    // columns, so compare in a canonical column order)
+    val direct = FctTradingMomentum.buildFull(IntRussellDaily.buildFull(stg, const))
+    val cols = direct.columns.sorted.map(col).toSeq
+    val stored = out("fct_trading_momentum").select(cols: _*)
+    val directSel = direct.select(cols: _*)
+    assert(stored.exceptAll(directSel).count() == 0)
+    assert(directSel.exceptAll(stored).count() == 0)
+
+    // marts materialized on disk; views never are
+    for (t <- Seq("int_russell_daily", "fct_trading_momentum",
+        "agg_daily_market_breadth", "dim_securities_current"))
+      assert(Files.exists(Paths.get(s"$store/$t")), t)
+    assert(!Files.exists(Paths.get(s"$store/stg_daily_stocks")))
+
+    // incremental tables are trade_date-partitioned (prunable layout)
+    val dates = out("int_russell_daily").select("trade_date").distinct().count()
+    val partDirs = new java.io.File(s"$store/int_russell_daily")
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("trade_date="))
+    assert(partDirs.toLong == dates)
+
+    // breadth mart row count = one per trade date
+    assert(out("agg_daily_market_breadth").count() == dates)
+  }
+}
