@@ -26,6 +26,32 @@ object SparkEntry {
   private def fctMomentum(s: SparkSession, dir: String): DataFrame =
     FctTradingMomentum.buildFull(intDaily(s, dir))
 
+  /** Latest Wilder-smoothed RSI per ticker — the EWMA recursion runs in the
+    * custom [[graft.functions.Ewma]] window function (SURVEY §7 stretch;
+    * the reference ships Cutler's constant-divisor variant as `rsi`).
+    */
+  private def wilderRsi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.RollingFunctions
+    val alphaSql = s"CAST(${graft.ops.Portable.wilderAlpha} AS DOUBLE)"
+    val w = Window.partitionBy("ticker").orderBy("trade_date")
+    intDaily(s, dir)
+      .withColumn("gain", expr(
+        "CASE WHEN yesterday_close IS NOT NULL THEN greatest(close - yesterday_close, 0D) END"))
+      .withColumn("loss", expr(
+        "CASE WHEN yesterday_close IS NOT NULL THEN greatest(yesterday_close - close, 0D) END"))
+      .withColumn("avg_gain_wilder", expr(s"graft_ewma(gain, $alphaSql)").over(w))
+      .withColumn("avg_loss_wilder", expr(s"graft_ewma(loss, $alphaSql)").over(w))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ticker").orderBy(col("trade_date").desc)))
+      .filter(col("rn") === 1)
+      .select(col("ticker"), col("trade_date").as("latest_trade_date"),
+        col("avg_gain_wilder"), col("avg_loss_wilder"),
+        RollingFunctions.rsi(col("avg_gain_wilder"), col("avg_loss_wilder"))
+          .cast("double").as("rsi_wilder"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stock_stg_projection" -> ((s, dir) =>
       StgDailyStocks.build(T.rawDaily(s, dir))),
@@ -105,6 +131,7 @@ object SparkEntry {
     "readme_top_performers" -> ((s, dir) =>
       Queries.topPerformersBySector(
         DimSecuritiesCurrent.build(fctMomentum(s, dir).persist()))),
+    "stock_wilder_rsi" -> ((s, dir) => wilderRsi(s, dir)),
     "api_screener_stats" -> ((s, dir) =>
       Queries.screenerStats(
         DimSecuritiesCurrent.build(fctMomentum(s, dir).persist()))),
@@ -191,6 +218,40 @@ object SparkEntry {
       """SELECT sector, ticker, latest_close, return_1m, performance_percentile
         |FROM dim WHERE performance_percentile > 0.9
         |ORDER BY sector, return_1m DESC""".stripMargin),
+    "stock_wilder_rsi" -> {
+      val a = s"CAST(${graft.ops.Portable.wilderAlpha} AS DOUBLE)"
+      val wg =
+        """wr_g AS (
+          |  SELECT ticker, trade_date,
+          |    CASE WHEN yesterday_close IS NOT NULL
+          |         THEN greatest(close - yesterday_close, 0) END AS gain,
+          |    CASE WHEN yesterday_close IS NOT NULL
+          |         THEN greatest(yesterday_close - close, 0) END AS loss
+          |  FROM int_daily)""".stripMargin
+      val wagg =
+        """wr_agg AS (
+          |  SELECT ticker, max(trade_date) AS latest_trade_date,
+          |    list(CAST(gain AS DOUBLE) ORDER BY trade_date)
+          |      FILTER (WHERE gain IS NOT NULL) AS gl,
+          |    list(CAST(loss AS DOUBLE) ORDER BY trade_date)
+          |      FILTER (WHERE loss IS NOT NULL) AS ll
+          |  FROM wr_g GROUP BY ticker)""".stripMargin
+      O.query(Seq(O.BARS, O.STAGED, O.CONSTITUENTS, O.INT_DAILY, wg, wagg),
+        s"""SELECT ticker, latest_trade_date, avg_gain_wilder, avg_loss_wilder,
+           |  CAST(CASE WHEN avg_gain_wilder IS NULL OR avg_loss_wilder IS NULL THEN NULL
+           |       WHEN avg_gain_wilder = 0 AND avg_loss_wilder = 0 THEN 50
+           |       WHEN avg_loss_wilder = 0 THEN 100
+           |       WHEN avg_gain_wilder = 0 THEN 0
+           |       ELSE 100 - 100 / (1 + avg_gain_wilder / avg_loss_wilder)
+           |       END AS DOUBLE) AS rsi_wilder
+           |FROM (
+           |  SELECT ticker, latest_trade_date,
+           |    CASE WHEN len(gl) > 0
+           |         THEN list_reduce(gl, (acc, x) -> $a * x + (1 - $a) * acc) END AS avg_gain_wilder,
+           |    CASE WHEN len(ll) > 0
+           |         THEN list_reduce(ll, (acc, x) -> $a * x + (1 - $a) * acc) END AS avg_loss_wilder
+           |  FROM wr_agg)""".stripMargin)
+    },
     "api_screener_stats" -> O.query(O.stockChain ++ O.dimChain,
       """SELECT median(return_1m) AS median_return_1m,
         |       avg(return_1m) AS mean_return_1m,

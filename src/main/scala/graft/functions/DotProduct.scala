@@ -97,9 +97,14 @@ case class DotProduct(left: Expression, right: Expression)
   * `expr()`/SQL text without touching Spark internals.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ewma"),
+      new ExpressionInfo(classOf[Ewma].getName, "graft_ewma"),
+      Ewma.fromChildren _))
+  }
 }

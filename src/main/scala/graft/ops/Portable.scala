@@ -102,4 +102,9 @@ object Portable {
     */
   def minhashExpr(j: Int): String =
     s"(${minhashA(j)} * (h % $MinhashP) + ${minhashB(j)}) % $MinhashP"
+
+  /** Wilder smoothing factor 1/14; splatted as its shortest round-trip
+    * decimal into BOTH dialects so each parses back the identical double.
+    */
+  val wilderAlpha: Double = 1.0 / 14
 }
