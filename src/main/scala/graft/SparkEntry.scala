@@ -85,6 +85,8 @@ object SparkEntry {
       Dedup.simhashPairs(T.table(s, dir, "documents"))),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDup(T.table(s, dir, "embeddings"))),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.minhashDupClusters(T.table(s, dir, "documents"))),
     "sim_signatures" -> ((s, dir) =>
       Similarity.signatures(T.table(s, dir, "embeddings"))),
     "sim_brute_topk" -> ((s, dir) =>
@@ -100,6 +102,7 @@ object SparkEntry {
     "events_hourly" -> ((s, dir) => Events.hourly(T.events(s, dir))),
     "events_hopping" -> ((s, dir) => Events.hopping(T.events(s, dir))),
     "events_sessions" -> ((s, dir) => Events.sessionize(T.events(s, dir))),
+    "events_session_window" -> ((s, dir) => Events.sessionWindows(T.events(s, dir))),
     "events_funnel" -> ((s, dir) => Events.funnel(T.events(s, dir))),
     "events_daily_topk" -> ((s, dir) => Events.dailyTypeTopK(T.events(s, dir))),
     "events_json" -> ((s, dir) => Events.jsonProps(T.events(s, dir))),
@@ -113,6 +116,17 @@ object SparkEntry {
       Multimodal.frameSample(T.table(s, dir, "documents"))),
     "media_resize" -> ((s, dir) =>
       Multimodal.resize(T.table(s, dir, "documents"))),
+    "rel_pricing_summary" -> ((s, dir) =>
+      Relational.pricingSummary(T.table(s, dir, "lineitem"))),
+    "rel_top_customers" -> ((s, dir) =>
+      Relational.topCustomers(T.table(s, dir, "lineitem"),
+        T.table(s, dir, "orders"), T.table(s, dir, "customer"))),
+    "rel_late_orders" -> ((s, dir) =>
+      Relational.lateOrderPriorities(T.table(s, dir, "lineitem"),
+        T.table(s, dir, "orders"))),
+    "rel_brand_volume" -> ((s, dir) =>
+      Relational.brandVolume(T.table(s, dir, "lineitem"),
+        T.table(s, dir, "part"))),
     "api_screener" -> ((s, dir) =>
       Queries.screener(DimSecuritiesCurrent.build(fctMomentum(s, dir).persist()),
         Queries.ScreenerFilter(rsiLo = Some(20), rsiHi = Some(80),
@@ -174,6 +188,7 @@ object SparkEntry {
     "dedup_simhash" -> OO.DEDUP_SIMHASH,
     "dedup_simhash_pairs" -> OO.DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine" -> OO.DEDUP_EMB_COSINE,
+    "dedup_clusters" -> OO.DEDUP_CLUSTERS,
     "sim_signatures" -> OO.SIM_SIGNATURES,
     "sim_brute_topk" -> OO.SIM_BRUTE_TOPK,
     "sim_lsh_topk" -> OO.SIM_LSH_TOPK,
@@ -183,6 +198,7 @@ object SparkEntry {
     "events_hourly" -> OO.EVENTS_HOURLY,
     "events_hopping" -> OO.EVENTS_HOPPING,
     "events_sessions" -> OO.EVENTS_SESSIONS,
+    "events_session_window" -> OO.EVENTS_SESSION_WINDOW,
     "events_funnel" -> OO.EVENTS_FUNNEL,
     "events_daily_topk" -> OO.EVENTS_DAILY_TOPK,
     "events_json" -> OO.EVENTS_JSON,
@@ -191,6 +207,40 @@ object SparkEntry {
     "media_decode_mappartitions" -> OO.MEDIA_BYTE_STATS,
     "media_frame_sample" -> OO.MEDIA_FRAME_SAMPLE,
     "media_resize" -> OO.MEDIA_RESIZE,
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |       CAST(count(*) AS BIGINT) AS count_order,
+        |       CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-01'
+        |GROUP BY 1, 2""".stripMargin,
+    "rel_top_customers" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+        |         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |         row_number() OVER (
+        |           ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))) DESC,
+        |                    c_custkey) AS "rank"
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3)
+        |WHERE "rank" <= 10""".stripMargin,
+    "rel_late_orders" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    "rel_brand_volume" ->
+      """SELECT p_brand, sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
     "api_screener" -> O.query(O.stockChain ++ O.dimChain,
       """SELECT * FROM dim
         |WHERE latest_rsi >= 20 AND latest_rsi <= 80 AND ticker ILIKE '%s1%'

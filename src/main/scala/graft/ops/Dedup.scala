@@ -227,6 +227,44 @@ object Dedup {
       .filter(col("hamming") <= HammingThreshold)
   }
 
+  /** Duplicate-cluster resolution: connected components over the verified
+    * near-duplicate pair graph, by iterative min-label propagation (the
+    * distributed Pregel pattern: each round is one join + min-aggregate;
+    * rounds = component diameter, tiny for dup clusters). Every document
+    * gets a cluster id (= the smallest doc_id in its component — singletons
+    * cluster with themselves) and a keeper flag.
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    edges.count()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    labels.count()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 50) {
+      iters += 1
+      val propagated = edges
+        .join(labels, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+        .unionByName(labels)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .persist()
+      val changed = propagated.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = propagated
+      converged = changed == 0
+    }
+    labels.withColumn("is_keeper",
+      when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
+  }
+
+  /** MinHash-verified duplicate clusters over the documents table. */
+  def minhashDupClusters(docs: DataFrame): DataFrame =
+    dupClusters(docs, minhashPairs(docs).filter(col("is_duplicate") === 1))
+
   /** Left-fold dot product via the native codegen expression
     * [[graft.functions.DotProduct]] (requires the
     * `graft.functions.GraftExtensions` session extension). Fold order

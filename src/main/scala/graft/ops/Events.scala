@@ -106,4 +106,18 @@ object Events {
   def jsonProps(events: DataFrame): DataFrame =
     events.select(col("event_id"),
       get_json_object(col("props"), "$.k").cast("bigint").as("prop_k"))
+
+  /** Gap sessionization via Spark's native `session_window` (the same
+    * grouping [[sessionize]] derives with lag+cumsum, usable unchanged
+    * under Structured Streaming). The window end is last_event + gap by
+    * definition; `n_events`/`sum_value` match the lag-based rows.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("window_end"),
+        col("n_events"), col("sum_value"))
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classic relational analytics over the TPC-H-ish star schema — the
+  * general-purpose engine surface beyond the stock pipeline: multi-way
+  * joins, semi-joins, decimal-exact money aggregation, deterministic top-k.
+  *
+  * Money columns are aggregated as DECIMAL(18,2) (cast at the scan, summed
+  * exactly) — float sums of 600k+ values would be association-order
+  * sensitive across engines; decimal sums are exact and reproducible
+  * anywhere, which is also the right call at 100 TB where partial-aggregate
+  * merge order is nondeterministic.
+  */
+object Relational {
+
+  private def money(c: String) = col(c).cast("decimal(18,2)")
+
+  /** Q1-style pricing summary: one pass, hash-aggregate by two low-
+    * cardinality flags.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem.filter(col("l_shipdate") <= "1998-09-01")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(money("l_extendedprice")).as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        (col("sum_qty").cast("double") / col("count_order")).cast("double"))
+
+  /** Top customers by revenue: lineitem ⋈ orders ⋈ customer, decimal-exact
+    * revenue, deterministic top-k via (revenue DESC, custkey).
+    */
+  def topCustomers(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, k: Int = 10): DataFrame = {
+    val revenue = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_mktsegment")
+      .agg(sum(money("l_extendedprice")).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+    revenue
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("revenue").desc, col("c_custkey"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Q4-style late-shipment priorities: orders having ANY lineitem shipped
+    * >60 days after the order date — a LEFT SEMI join (exists), counted per
+    * priority.
+    */
+  def lateOrderPriorities(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > date_add(col("o_orderdate"), 60),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+
+  /** Per-brand demand: lineitem ⋈ part (broadcastable dimension). */
+  def brandVolume(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lineitems"))
+}

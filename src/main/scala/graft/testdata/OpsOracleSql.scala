@@ -246,6 +246,39 @@ object OpsOracleSql {
        |  FROM de_e a JOIN de_e b ON a.vec_id < b.vec_id)
        |WHERE cos_sim >= $CosineDupThreshold""".stripMargin
 
+  /** Connected components by transitive closure (recursive CTE) — cluster
+    * id = min reachable doc_id; mirrors Dedup.dupClusters' fixpoint.
+    */
+  val DEDUP_CLUSTERS: String =
+    s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},
+       |dd_pairs AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM dd_cand c
+       |  JOIN (
+       |    SELECT c2.a_id, c2.b_id, CAST(count(*) AS BIGINT) AS n_common
+       |    FROM dd_cand c2
+       |    JOIN dd_docsh sa ON sa.doc_id = c2.a_id
+       |    JOIN dd_docsh sb ON sb.doc_id = c2.b_id AND sb.shingle = sa.shingle
+       |    GROUP BY 1, 2) cm USING (a_id, b_id)
+       |  JOIN dd_sizes na ON na.doc_id = c.a_id
+       |  JOIN dd_sizes nb ON nb.doc_id = c.b_id
+       |  WHERE CAST(cm.n_common AS DOUBLE) / (na.n + nb.n - cm.n_common)
+       |        >= $JaccardDupThreshold),
+       |dd_edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM dd_pairs
+       |  UNION ALL SELECT b_id, a_id FROM dd_pairs),
+       |dd_reach(node, reached) AS (
+       |  SELECT src, dst FROM dd_edges
+       |  UNION
+       |  SELECT r.node, e.dst FROM dd_reach r JOIN dd_edges e ON r.reached = e.src)
+       |SELECT d.doc_id,
+       |       least(d.doc_id, COALESCE(m.min_reached, d.doc_id)) AS cluster_id,
+       |       CASE WHEN least(d.doc_id, COALESCE(m.min_reached, d.doc_id)) = d.doc_id
+       |            THEN 1 ELSE 0 END AS is_keeper
+       |FROM documents d
+       |LEFT JOIN (SELECT node, min(reached) AS min_reached
+       |           FROM dd_reach GROUP BY node) m ON m.node = d.doc_id""".stripMargin
+
   // ---- similarity search over embeddings (graft.ops.Similarity) ----
 
   import graft.ops.Similarity.{Dim, NProbe, NearDupCosine, NibbleBands,
@@ -413,6 +446,28 @@ object OpsOracleSql {
        |       CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sum_value,
        |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
        |FROM es_idx GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors Spark's session_window merge rule: a new session starts when
+    * the gap is >= the window gap (half-open [start, end) windows), and the
+    * reported window end is last_event + gap.
+    */
+  val EVENTS_SESSION_WINDOW: String =
+    s"""WITH $evBase,
+       |sw_lag AS (
+       |  SELECT *, epoch_us(ts) AS us,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM ev),
+       |sw_idx AS (
+       |  SELECT *, sum(CASE WHEN prev_us IS NULL
+       |                       OR us - prev_us >= ${SessionGapMinutes * 60L * 1000000L}
+       |                     THEN 1 ELSE 0 END)
+       |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM sw_lag)
+       |SELECT user_id, min(ts) AS session_start,
+       |       max(ts) + INTERVAL $SessionGapMinutes MINUTE AS window_end,
+       |       CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sum_value
+       |FROM sw_idx GROUP BY user_id, session_idx""".stripMargin
 
   val EVENTS_FUNNEL: String =
     s"""WITH $evBase,

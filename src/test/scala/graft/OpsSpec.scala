@@ -73,6 +73,17 @@ class OpsSpec extends SparkSpec {
     assert(fs.select("media_id").distinct().count() == videos.count())
   }
 
+  test("dup clusters: chains collapse to min-id component, singletons self-cluster") {
+    import spark.implicits._
+    val d = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id") // a chain
+    val out = Dedup.dupClusters(d, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_)._1 == 1L))
+    assert(out(1L)._2 == 1 && out(2L)._2 == 0)
+    assert(out(9L) == (9L, 1)) // singleton keeps itself
+  }
+
   test("language-ID assigns 'und' only to marker-free docs") {
     val lid = TextAnalysis.languageId(docs)
     val und = lid.filter(col("predicted_lang") === "und")
