@@ -106,6 +106,9 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) => Events.funnel(T.events(s, dir))),
     "events_daily_topk" -> ((s, dir) => Events.dailyTypeTopK(T.events(s, dir))),
     "events_json" -> ((s, dir) => Events.jsonProps(T.events(s, dir))),
+    "events_retention" -> ((s, dir) => Events.retention(T.events(s, dir))),
+    "text_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(T.table(s, dir, "documents"))),
     "media_catalog" -> ((s, dir) =>
       Multimodal.catalog(T.table(s, dir, "documents"))),
     "media_byte_stats" -> ((s, dir) =>
@@ -202,6 +205,8 @@ object SparkEntry {
     "events_funnel" -> OO.EVENTS_FUNNEL,
     "events_daily_topk" -> OO.EVENTS_DAILY_TOPK,
     "events_json" -> OO.EVENTS_JSON,
+    "events_retention" -> OO.EVENTS_RETENTION,
+    "text_top_terms" -> OO.TEXT_TOP_TERMS,
     "media_catalog" -> OO.MEDIA_CATALOG,
     "media_byte_stats" -> OO.MEDIA_BYTE_STATS,
     "media_decode_mappartitions" -> OO.MEDIA_BYTE_STATS,

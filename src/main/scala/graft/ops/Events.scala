@@ -107,6 +107,27 @@ object Events {
     events.select(col("event_id"),
       get_json_object(col("props"), "$.k").cast("bigint").as("prop_k"))
 
+  /** Cohort retention: users grouped by first-activity day; for each
+    * (cohort, day-offset) the distinct active users and the retention
+    * rate. Two shuffles (per-user first day, then cohort × day counts);
+    * the rate division is exact IEEE on integer operands.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val sizes = firstDay.groupBy("cohort_day")
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    events.select(col("user_id"), to_date(col("ts")).as("activity_day"))
+      .distinct()
+      .join(firstDay, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("activity_day"), col("cohort_day")).cast("long"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, Seq("cohort_day"))
+      .withColumn("retention_rate",
+        col("n_active").cast("double") / col("cohort_size"))
+  }
+
   /** Gap sessionization via Spark's native `session_window` (the same
     * grouping [[sessionize]] derives with lag+cumsum, usable unchanged
     * under Structured Streaming). The window end is last_event + gap by

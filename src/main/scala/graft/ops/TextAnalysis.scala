@@ -93,4 +93,24 @@ object TextAnalysis {
         "md5(norm) AS fp_md5",
         "array_min(shingle_hashes) AS min_shingle_hash",
         "CAST(size(array_distinct(shingle_hashes)) AS BIGINT) AS n_distinct_shingles")
+
+  /** Corpus-weighted top terms per document: term frequency × rarity
+    * (tf / document-frequency — the TF-IDF shape with a rational weight
+    * instead of a log, so the score is bit-identical across engines; libm
+    * `ln` can differ by an ulp and flip near-tie rankings). Two shuffles:
+    * (doc, term) counts and term document frequency.
+    */
+  def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(expr(tokensSpark)).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+  }
 }

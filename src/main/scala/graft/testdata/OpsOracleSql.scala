@@ -500,6 +500,43 @@ object OpsOracleSql {
        |        FROM ev GROUP BY 1, 2))
        |WHERE "rank" <= $DailyTopK""".stripMargin
 
+  val EVENTS_RETENTION: String =
+    s"""WITH $evBase,
+       |rt_first AS (
+       |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM ev GROUP BY 1),
+       |rt_sizes AS (
+       |  SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+       |  FROM rt_first GROUP BY 1),
+       |rt_active AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS activity_day FROM ev)
+       |SELECT f.cohort_day,
+       |       CAST(date_diff('day', f.cohort_day, a.activity_day) AS BIGINT) AS day_offset,
+       |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active,
+       |       s.cohort_size,
+       |       CAST(count(DISTINCT a.user_id) AS DOUBLE) / s.cohort_size AS retention_rate
+       |FROM rt_active a
+       |JOIN rt_first f ON a.user_id = f.user_id
+       |JOIN rt_sizes s ON s.cohort_day = f.cohort_day
+       |GROUP BY 1, 2, 4""".stripMargin
+
+  val TEXT_TOP_TERMS: String =
+    """WITH tt_tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+      |  FROM documents),
+      |tt_tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tt_tok GROUP BY 1, 2),
+      |tt_df AS (
+      |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM tt_tok GROUP BY 1)
+      |SELECT doc_id, term, tf, df, score, "rank" FROM (
+      |  SELECT tt_tf.doc_id, tt_tf.term, tf, df,
+      |         CAST(tf AS DOUBLE) / df AS score,
+      |         row_number() OVER (PARTITION BY tt_tf.doc_id
+      |           ORDER BY CAST(tf AS DOUBLE) / df DESC, tt_tf.term) AS "rank"
+      |  FROM tt_tf JOIN tt_df ON tt_tf.term = tt_df.term)
+      |WHERE "rank" <= 5""".stripMargin
+
   val EVENTS_JSON: String =
     """SELECT event_id,
       |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
