@@ -147,6 +147,10 @@ object SparkEntry {
     "rel_brand_volume" -> ((s, dir) =>
       Relational.brandVolume(T.table(s, dir, "lineitem"),
         T.table(s, dir, "part"))),
+    "stock_sector_pivot" -> ((s, dir) =>
+      Relational.sectorMonthlyPivot(intDaily(s, dir))),
+    "stock_volume_rollup" -> ((s, dir) =>
+      Relational.volumeRollup(intDaily(s, dir))),
     "api_screener" -> ((s, dir) =>
       Queries.screener(dimSecurities(s, dir),
         Queries.ScreenerFilter(rsiLo = Some(20), rsiHi = Some(80),
@@ -257,6 +261,23 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_lineitems
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+    "stock_sector_pivot" -> O.query(
+      Seq(O.BARS, O.STAGED, O.CONSTITUENTS, O.INT_DAILY),
+      """SELECT CAST(date_trunc('month', trade_date) AS DATE) AS month,
+        |       avg(CASE WHEN sector = 'AFRICA' THEN close END) AS avg_close_africa,
+        |       avg(CASE WHEN sector = 'AMERICA' THEN close END) AS avg_close_america,
+        |       avg(CASE WHEN sector = 'ASIA' THEN close END) AS avg_close_asia,
+        |       avg(CASE WHEN sector = 'EUROPE' THEN close END) AS avg_close_europe,
+        |       avg(CASE WHEN sector = 'MIDDLE EAST' THEN close END) AS avg_close_middle_east
+        |FROM int_daily GROUP BY 1""".stripMargin),
+    "stock_volume_rollup" -> O.query(
+      Seq(O.BARS, O.STAGED, O.CONSTITUENTS, O.INT_DAILY),
+      """SELECT CAST(year(trade_date) AS INT) AS year,
+        |       CAST(month(trade_date) AS INT) AS month,
+        |       sum(volume) AS total_volume,
+        |       CAST(count(*) AS BIGINT) AS n_bars
+        |FROM int_daily
+        |GROUP BY ROLLUP (1, 2)""".stripMargin),
     "api_screener" -> O.query(O.stockChain ++ O.dimChain,
       """SELECT * FROM dim
         |WHERE latest_rsi >= 20 AND latest_rsi <= 80 AND ticker ILIKE '%s1%'

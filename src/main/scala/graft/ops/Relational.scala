@@ -60,6 +60,34 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_late_orders"))
 
+  /** Sector × month matrix: PIVOT with an explicit value list (no extra
+    * distinct scan) — avg close per sector as columns.
+    */
+  def sectorMonthlyPivot(intDaily: DataFrame): DataFrame = {
+    val sectors = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    val pivoted = intDaily
+      .withColumn("month", date_trunc("month", col("trade_date")).cast("date"))
+      .groupBy("month")
+      .pivot("sector", sectors)
+      .agg(avg(col("close")))
+    sectors.foldLeft(pivoted) { (df, sct) =>
+      df.withColumnRenamed(sct, "avg_close_" + sct.toLowerCase.replace(" ", "_"))
+    }
+  }
+
+  /** ROLLUP subtotals: volume by (year, month) with month and grand
+    * subtotal rows (NULL-filled grouping columns), exact long sums.
+    */
+  def volumeRollup(intDaily: DataFrame): DataFrame =
+    intDaily
+      .selectExpr("CAST(year(trade_date) AS INT) AS year",
+        "CAST(month(trade_date) AS INT) AS month", "volume")
+      // functions.col (untagged) instead of name-based rollup: Dataset.col's
+      // dataset-id disambiguation false-positives on reused cached frames
+      .rollup(col("year"), col("month"))
+      .agg(sum(col("volume")).as("total_volume"),
+        count(lit(1)).as("n_bars"))
+
   /** Per-brand demand: lineitem ⋈ part (broadcastable dimension). */
   def brandVolume(lineitem: DataFrame, part: DataFrame): DataFrame =
     lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"))
