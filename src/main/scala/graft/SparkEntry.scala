@@ -149,6 +149,10 @@ object SparkEntry {
         T.table(s, dir, "part"))),
     "stock_sector_pivot" -> ((s, dir) =>
       Relational.sectorMonthlyPivot(intDaily(s, dir))),
+    "stock_tickers_except" -> ((s, dir) =>
+      Relational.tickersOnlyIn(intDaily(s, dir), 1997, 1998)),
+    "stock_volume_deciles" -> ((s, dir) =>
+      Relational.volumeDeciles(intDaily(s, dir))),
     "stock_volume_rollup" -> ((s, dir) =>
       Relational.volumeRollup(intDaily(s, dir))),
     "api_screener" -> ((s, dir) =>
@@ -270,6 +274,17 @@ object SparkEntry {
         |       avg(CASE WHEN sector = 'EUROPE' THEN close END) AS avg_close_europe,
         |       avg(CASE WHEN sector = 'MIDDLE EAST' THEN close END) AS avg_close_middle_east
         |FROM int_daily GROUP BY 1""".stripMargin),
+    "stock_tickers_except" -> O.query(
+      Seq(O.BARS, O.STAGED, O.CONSTITUENTS, O.INT_DAILY),
+      """SELECT ticker FROM int_daily WHERE year(trade_date) = 1997
+        |EXCEPT
+        |SELECT ticker FROM int_daily WHERE year(trade_date) = 1998""".stripMargin),
+    "stock_volume_deciles" -> O.query(
+      Seq(O.BARS, O.STAGED, O.CONSTITUENTS, O.INT_DAILY),
+      """SELECT ticker, total_volume,
+        |       ntile(10) OVER (ORDER BY total_volume DESC, ticker) AS decile
+        |FROM (SELECT ticker, sum(volume) AS total_volume
+        |      FROM int_daily GROUP BY 1)""".stripMargin),
     "stock_volume_rollup" -> O.query(
       Seq(O.BARS, O.STAGED, O.CONSTITUENTS, O.INT_DAILY),
       """SELECT CAST(year(trade_date) AS INT) AS year,

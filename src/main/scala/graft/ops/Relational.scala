@@ -88,6 +88,25 @@ object Relational {
       .agg(sum(col("volume")).as("total_volume"),
         count(lit(1)).as("n_bars"))
 
+  /** Set difference: tickers that traded in `yearA` but not `yearB`
+    * (EXCEPT — the one set operator the reference never uses; completes
+    * §2.7 coverage).
+    */
+  def tickersOnlyIn(intDaily: DataFrame, yearA: Int, yearB: Int): DataFrame =
+    intDaily.filter(year(col("trade_date")) === yearA).select("ticker")
+      .except(
+        intDaily.filter(year(col("trade_date")) === yearB).select("ticker"))
+
+  /** Decile bucketing by a metric (ntile) — the screener's "top decile"
+    * generalized.
+    */
+  def volumeDeciles(intDaily: DataFrame): DataFrame = {
+    val perTicker = intDaily.groupBy("ticker")
+      .agg(sum(col("volume")).as("total_volume"))
+    perTicker.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("total_volume").desc, col("ticker"))))
+  }
+
   /** Per-brand demand: lineitem ⋈ part (broadcastable dimension). */
   def brandVolume(lineitem: DataFrame, part: DataFrame): DataFrame =
     lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"))

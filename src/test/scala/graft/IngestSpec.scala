@@ -84,6 +84,20 @@ class IngestSpec extends SparkSpec {
       Set(LocalDate.parse("2024-07-05"), LocalDate.parse("2024-07-08")))
   }
 
+  test("ingested raw data flows through staging with correct flags") {
+    val rawPath = tmp("rawbridge")
+    val ledger = new CheckpointLedger(spark, tmp("ledgerb") + "/ledger")
+    val job = new IngestJob(spark, new FixtureClient(10), ledger, rawPath)
+    val now = ZonedDateTime.of(2024, 7, 9, 18, 0, 0, 0, ZoneId.of("America/New_York"))
+    job.run(now, daysBack = 1)
+    val stg = graft.models.StgDailyStocks.build(spark.read.parquet(rawPath))
+    assert(stg.count() == 10)
+    assert(stg.filter(col("trade_date").isNull).count() == 0)
+    // fixture bars have positive volume and consistent OHLC
+    assert(stg.filter(col("has_volume") =!= 1 || col("is_valid_record") =!= 1).count() == 0)
+    assert(stg.columns.contains("volume_weighted_avg"))
+  }
+
   test("failed fetch writes a failed checkpoint and later retries") {
     import FetchResult._
     val rawPath = tmp("raw2")
