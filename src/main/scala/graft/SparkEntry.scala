@@ -124,6 +124,16 @@ object SparkEntry {
     "events_daily_topk" -> ((s, dir) => Events.dailyTypeTopK(T.events(s, dir))),
     "events_json" -> ((s, dir) => Events.jsonProps(T.events(s, dir))),
     "events_retention" -> ((s, dir) => Events.retention(T.events(s, dir))),
+    "events_asof_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = T.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_event_id"))
+      AsOfJoin.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+        Seq("view_event_id"))
+    }),
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(T.table(s, dir, "documents"))),
     "media_catalog" -> ((s, dir) =>
@@ -225,6 +235,7 @@ object SparkEntry {
     "events_daily_topk" -> OO.EVENTS_DAILY_TOPK,
     "events_json" -> OO.EVENTS_JSON,
     "events_retention" -> OO.EVENTS_RETENTION,
+    "events_asof_attribution" -> OO.EVENTS_ASOF_ATTRIBUTION,
     "text_top_terms" -> OO.TEXT_TOP_TERMS,
     "media_catalog" -> OO.MEDIA_CATALOG,
     "media_byte_stats" -> OO.MEDIA_BYTE_STATS,

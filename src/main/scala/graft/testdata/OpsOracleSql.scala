@@ -500,6 +500,20 @@ object OpsOracleSql {
        |        FROM ev GROUP BY 1, 2))
        |WHERE "rank" <= $DailyTopK""".stripMargin
 
+  /** Native ASOF LEFT JOIN mirrors AsOfJoin's union-window carry-forward;
+    * the right side is deduped per (user, ts) so the match is
+    * deterministic on both engines.
+    */
+  val EVENTS_ASOF_ATTRIBUTION: String =
+    s"""WITH $evBase,
+       |ap AS (SELECT event_id, ts, user_id, value FROM ev
+       |       WHERE event_type = 'purchase'),
+       |av AS (SELECT user_id, ts AS vts, max(event_id) AS view_event_id
+       |       FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+       |SELECT ap.event_id, ap.ts, ap.user_id, ap.value, av.view_event_id
+       |FROM ap ASOF LEFT JOIN av
+       |  ON ap.user_id = av.user_id AND ap.ts >= av.vts""".stripMargin
+
   val EVENTS_RETENTION: String =
     s"""WITH $evBase,
        |rt_first AS (

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsOfJoin
+
+/** Union-window as-of join semantics. */
+class AsOfJoinSpec extends SparkSpec {
+
+  test("asof: latest right at-or-before left time, per key; no match -> null") {
+    import spark.implicits._
+    val left = Seq(("u1", 5L), ("u1", 10L), ("u1", 25L), ("u2", 7L))
+      .toDF("k", "t")
+    val right = Seq(("u1", 8L, "a"), ("u1", 20L, "b"), ("u2", 9L, "c"))
+      .toDF("k", "t", "payload")
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "t", Seq("payload"))
+      .orderBy("k", "t").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq == Seq(
+      ("u1", 5L, null), // before any right row
+      ("u1", 10L, "a"),
+      ("u1", 25L, "b"),
+      ("u2", 7L, null))) // u2's right row is later; keys are isolated
+  }
+
+  test("asof boundary is inclusive: equal timestamps match") {
+    import spark.implicits._
+    val left = Seq(("k", 10L)).toDF("k", "t")
+    val right = Seq(("k", 10L, "exact")).toDF("k", "t", "payload")
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "t", Seq("payload")).head()
+    assert(out.getAs[String]("payload") == "exact")
+  }
+}
