@@ -238,8 +238,17 @@ object Dedup {
     val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))).persist()
-    edges.count()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    edges.count() // eager: read by every propagation round
+    // propagate only over edge-connected nodes (the interesting minority,
+    // typically ≪ corpus); isolated docs join back as self-clusters at the
+    // end. Each round materializes (persist + count): plan depth stays
+    // constant — a many-round lazy tree sends Catalyst analysis superlinear
+    // — and the loop exits as soon as labels stop changing (component
+    // diameter rounds; dup clusters are clique-like, so 2–3).
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist()
     labels.count()
     var converged = false
     var iters = 0
@@ -251,14 +260,18 @@ object Dedup {
         .unionByName(labels)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .persist()
-      val changed = propagated.join(labels.withColumnRenamed("cluster_id", "old"),
-        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      val changed = propagated
+        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
       labels.unpersist()
       labels = propagated
       converged = changed == 0
     }
-    labels.withColumn("is_keeper",
-      when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
+    docs.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("is_keeper",
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
   }
 
   /** MinHash-verified duplicate clusters over the documents table. */
