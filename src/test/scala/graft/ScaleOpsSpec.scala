@@ -40,6 +40,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall $recall collapsed (nprobe=2/16 lists)")
   }
 
+  test("bucketed tables: co-located join plans without a shuffle exchange") {
+    import spark.implicits._
+    val bars = T.stagedBars(spark, sf).select("ticker", "trade_date", "close")
+    val vols = T.stagedBars(spark, sf).select("ticker", "trade_date", "volume")
+    bars.write.bucketBy(8, "ticker").sortBy("ticker", "trade_date")
+      .mode("overwrite").saveAsTable("bars_bucketed")
+    vols.write.bucketBy(8, "ticker").sortBy("ticker", "trade_date")
+      .mode("overwrite").saveAsTable("vols_bucketed")
+    val joined = spark.table("bars_bucketed")
+      .join(spark.table("vols_bucketed"), Seq("ticker", "trade_date"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == bars.count())
+    spark.sql("DROP TABLE bars_bucketed")
+    spark.sql("DROP TABLE vols_bucketed")
+  }
+
   test("streaming raw landing drains idempotently with exactly-once file tracking") {
     val landing = Files.createTempDirectory("landing")
     val raw = Files.createTempDirectory("rawstream").toString + "/raw"
