@@ -50,8 +50,15 @@ class QualitySpec extends SparkSpec {
     // tautological threshold never trips.
     val minD = breadth.agg(min("trade_date")).head().getDate(0)
     val maxD = breadth.agg(max("trade_date")).head().getDate(0)
-    assert(recordHighPctReasonable(lit(minD), 0.3)(breadth).count() > 0)
+    // a threshold below every value flags all non-null rows from the start…
+    val flaggable = breadth.filter(col("record_high_pct").isNotNull &&
+      col("record_high_pct") >= 0).count()
+    assert(recordHighPctReasonable(lit(minD), -1.0)(breadth).count() == flaggable)
+    // …a past-the-end cutoff flags nothing, and widening the cutoff never
+    // flags more at the same threshold (gating monotonicity)
     assert(recordHighPctReasonable(date_add(lit(maxD), 1), 0.3)(breadth).count() == 0)
+    assert(recordHighPctReasonable(lit(minD), 0.3)(breadth).count() >=
+      recordHighPctReasonable(date_add(lit(minD), 300), 0.3)(breadth).count())
     assert(recordHighPctReasonable(lit(minD), 1.0)(breadth).count() == 0)
   }
 
