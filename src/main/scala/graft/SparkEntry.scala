@@ -136,6 +136,10 @@ object SparkEntry {
     }),
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(T.table(s, dir, "documents"))),
+    "split_assign" -> ((s, dir) =>
+      HashSplit.split(T.table(s, dir, "documents"))),
+    "split_summary" -> ((s, dir) =>
+      HashSplit.splitSummary(T.table(s, dir, "documents"))),
     "media_catalog" -> ((s, dir) =>
       Multimodal.catalog(T.table(s, dir, "documents"))),
     "media_byte_stats" -> ((s, dir) =>
@@ -237,6 +241,8 @@ object SparkEntry {
     "events_retention" -> OO.EVENTS_RETENTION,
     "events_asof_attribution" -> OO.EVENTS_ASOF_ATTRIBUTION,
     "text_top_terms" -> OO.TEXT_TOP_TERMS,
+    "split_assign" -> OO.SPLIT_ASSIGN,
+    "split_summary" -> OO.SPLIT_SUMMARY,
     "media_catalog" -> OO.MEDIA_CATALOG,
     "media_byte_stats" -> OO.MEDIA_BYTE_STATS,
     "media_decode_mappartitions" -> OO.MEDIA_BYTE_STATS,

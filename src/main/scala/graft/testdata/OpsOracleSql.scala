@@ -340,6 +340,28 @@ object OpsOracleSql {
        |  JOIN de_e b ON c.b_id = b.vec_id)
        |WHERE "rank" <= $TopK""".stripMargin
 
+  // ---- deterministic hash splits (graft.ops.HashSplit) ----
+
+  import graft.ops.HashSplit.{Buckets, TrainUpper, ValUpper}
+
+  private val hsBucket = s"CAST(${hexcastDuck("text")} % $Buckets AS INT)"
+
+  val SPLIT_ASSIGN: String =
+    s"""SELECT doc_id, $hsBucket AS bucket,
+       |       CASE WHEN $hsBucket < $TrainUpper THEN 'train'
+       |            WHEN $hsBucket < $ValUpper THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
+  val SPLIT_SUMMARY: String =
+    s"""SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS fraction
+       |FROM (SELECT CASE WHEN $hsBucket < $TrainUpper THEN 'train'
+       |                  WHEN $hsBucket < $ValUpper THEN 'val'
+       |                  ELSE 'test' END AS split
+       |      FROM documents)
+       |GROUP BY 1""".stripMargin
+
   // ---- multimodal media plumbing (graft.ops.Multimodal) ----
 
   import graft.ops.Multimodal.{ChunkHexChars, FrameStride, MaxChunks}
