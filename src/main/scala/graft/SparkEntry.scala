@@ -190,10 +190,6 @@ object SparkEntry {
       Queries.sectorPicklist(dimSecurities(s, dir))),
   )
 
-  /** Subset of [[queries]] timed by [[Bench]] (headline operators). */
-  def benchQueries: Seq[String] = Seq(
-    "stock_fct_momentum", "stock_breadth")
-
   def oracleSql: Map[String, String] = Map(
     "stock_stg_projection" -> O.query(Seq(O.RAW_DAILY),
       """SELECT T AS ticker, CAST(V AS BIGINT) AS volume,
@@ -248,10 +244,15 @@ object SparkEntry {
     "media_decode_mappartitions" -> OO.MEDIA_BYTE_STATS,
     "media_frame_sample" -> OO.MEDIA_FRAME_SAMPLE,
     "media_resize" -> OO.MEDIA_RESIZE,
+    // NB every aggregate below is CAST to BIGINT/DOUBLE: DuckDB's native
+    // sum(BIGINT)=HUGEINT / sum(DECIMAL)=DECIMAL land in the driver's pandas
+    // frame as float/Decimal objects and canonicalize differently than
+    // Spark's long/double parquet columns even when values are identical
+    // (round-1 hash misses on exactly these five queries).
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |       CAST(count(*) AS BIGINT) AS count_order,
         |       CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty
         |FROM lineitem WHERE l_shipdate <= DATE '1998-09-01'
@@ -259,7 +260,7 @@ object SparkEntry {
     "rel_top_customers" ->
       """SELECT * FROM (
         |  SELECT c_custkey, c_name, c_mktsegment,
-        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
         |         row_number() OVER (
         |           ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))) DESC,
@@ -277,7 +278,7 @@ object SparkEntry {
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1""".stripMargin,
     "rel_brand_volume" ->
-      """SELECT p_brand, sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      """SELECT p_brand, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |       CAST(count(*) AS BIGINT) AS n_lineitems
         |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -298,7 +299,7 @@ object SparkEntry {
         |SELECT ticker FROM int_daily WHERE year(trade_date) = 1998""".stripMargin),
     "stock_volume_deciles" -> O.query(
       Seq(O.BARS, O.STAGED, O.CONSTITUENTS, O.INT_DAILY),
-      """SELECT ticker, total_volume,
+      """SELECT ticker, CAST(total_volume AS BIGINT) AS total_volume,
         |       ntile(10) OVER (ORDER BY total_volume DESC, ticker) AS decile
         |FROM (SELECT ticker, sum(volume) AS total_volume
         |      FROM int_daily GROUP BY 1)""".stripMargin),
@@ -306,7 +307,7 @@ object SparkEntry {
       Seq(O.BARS, O.STAGED, O.CONSTITUENTS, O.INT_DAILY),
       """SELECT CAST(year(trade_date) AS INT) AS year,
         |       CAST(month(trade_date) AS INT) AS month,
-        |       sum(volume) AS total_volume,
+        |       CAST(sum(volume) AS BIGINT) AS total_volume,
         |       CAST(count(*) AS BIGINT) AS n_bars
         |FROM int_daily
         |GROUP BY ROLLUP (1, 2)""".stripMargin),

@@ -30,9 +30,13 @@ class IngestJob(
     val wanted = TradingCalendar.tradingDays(start, end)
     val done = ledger.completedDates()
     wanted.filterNot(done).map { date =>
+      // started row FIRST (ticker count unknown until the fetch returns) so
+      // a failed fetch still leaves a started/failed bracket in the ledger —
+      // reference src/extract_load_stocks.py:56-66 checkpoints 'started'
+      // before calling the API.
       try {
+        ledger.markStarted(runId, date, 0L)
         val bars = client.groupedDaily(date)
-        ledger.markStarted(runId, date, bars.size.toLong)
         val n = RawLoader.append(RawLoader.normalize(spark, bars, date), rawPath)
         ledger.markCompleted(runId, date, n)
         DateOutcome(date, "completed", n)

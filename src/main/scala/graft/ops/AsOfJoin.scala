@@ -31,26 +31,34 @@ object AsOfJoin {
       payloadCols: Seq[String]): DataFrame = {
     val ts = "__asof_ts"
     val side = "__asof_side" // 0 = right (sorts first at equal times), 1 = left
-    val l = left
+    val pay = "__asof_payload"
+    // All payload columns travel in ONE struct that is non-null for every
+    // right row: last(struct, ignoreNulls) then matches the most recent
+    // right ROW even when that row's payload values are legitimately NULL
+    // (per-column ignoreNulls carry would skip them and surface an older
+    // row's value, diverging from native ASOF). Also: one window pass
+    // instead of |payloadCols|.
+    val r0 = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as(ts), lit(0).as(side),
+          struct(payloadCols.map(col): _*).as(pay)): _*)
+    val payType = r0.schema(pay).dataType
+    val l0 = left
       .withColumn(ts, col(leftTime))
       .withColumn(side, lit(1))
-    val lAligned = payloadCols.foldLeft(l)((df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
-    val r = right.select(
-      keys.map(col) ++
-        Seq(col(rightTime).as(ts), lit(0).as(side)) ++
-        payloadCols.map(col): _*)
-    val rAligned = lAligned.columns.foldLeft(r) { (df, c) =>
+      .withColumn(pay, lit(null).cast(payType))
+    val rAligned = l0.columns.foldLeft(r0) { (df, c) =>
       if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(lAligned.schema(c).dataType))
-    }.select(lAligned.columns.map(col): _*)
+      else df.withColumn(c, lit(null).cast(l0.schema(c).dataType))
+    }.select(l0.columns.map(col): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts), col(side))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payloadCols.foldLeft(lAligned.unionByName(rAligned)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col(side) === 1).drop(ts, side)
+    val carried = l0.unionByName(rAligned)
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+    val extracted = payloadCols.foldLeft(carried)((df, c) =>
+      df.withColumn(c, col(pay).getField(c)))
+    extracted.filter(col(side) === 1).drop(ts, side, pay)
   }
 }

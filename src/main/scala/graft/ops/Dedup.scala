@@ -267,6 +267,13 @@ object Dedup {
       labels = propagated
       converged = changed == 0
     }
+    // 50 rounds covers any realistic dup-cluster diameter; a graph that
+    // still hasn't converged (pathological chain topology) must fail loudly
+    // rather than hand back partially-merged cluster ids.
+    if (!converged)
+      throw new IllegalStateException(
+        "dupClusters: label propagation did not converge within 50 rounds " +
+          "(component diameter > 50); refusing to return partial clusters")
     docs.select("doc_id")
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))

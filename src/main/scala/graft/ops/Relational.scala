@@ -19,14 +19,18 @@ object Relational {
   private def money(c: String) = col(c).cast("decimal(18,2)")
 
   /** Q1-style pricing summary: one pass, hash-aggregate by two low-
-    * cardinality flags.
+    * cardinality flags. Money is summed exactly as decimal, then the FINAL
+    * sum is cast to double — deterministic regardless of partial-aggregate
+    * merge order, and the output schema carries no decimal/int128 types
+    * (cross-engine compare canonicalizes those differently than Spark's
+    * long/double).
     */
   def pricingSummary(lineitem: DataFrame): DataFrame =
     lineitem.filter(col("l_shipdate") <= "1998-09-01")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity").cast("long")).as("sum_qty"),
-        sum(money("l_extendedprice")).as("sum_base_price"),
+        sum(money("l_extendedprice")).cast("double").as("sum_base_price"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty",
         (col("sum_qty").cast("double") / col("count_order")).cast("double"))
@@ -46,6 +50,9 @@ object Relational {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("revenue").desc, col("c_custkey"))))
       .filter(col("rank") <= k)
+      // rank over the exact decimal sum; emit double (schema parity — see
+      // pricingSummary)
+      .withColumn("revenue", col("revenue").cast("double"))
   }
 
   /** Q4-style late-shipment priorities: orders having ANY lineitem shipped

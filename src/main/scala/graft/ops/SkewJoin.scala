@@ -30,6 +30,16 @@ object SkewJoin {
       saltBy: Column,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // Replicating the build side salts× preserves semantics only when each
+    // build row may match multiple times or not at all from the PROBE side's
+    // perspective. For right/full outer (or right_semi/anti), unmatched
+    // build rows would surface once per salt replica — silently duplicated.
+    val supported = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(supported.contains(joinType.toLowerCase.replace("_", "")) ||
+      supported.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti/cross, got '$joinType' " +
+        "(right/full outer would duplicate unmatched build rows per salt replica)")
     val l = skewed.withColumn(SaltCol, pmod(saltBy.cast("long"), lit(salts.toLong)))
     val r = build.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(salts.toLong - 1))))

@@ -29,4 +29,15 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "t", Seq("payload")).head()
     assert(out.getAs[String]("payload") == "exact")
   }
+
+  test("asof matches the newest right ROW even when its payload is null") {
+    import spark.implicits._
+    // right row at t=20 carries a legitimately NULL payload; the match must
+    // surface that null, not carry the older t=8 value forward
+    val left = Seq(("k", 25L)).toDF("k", "t")
+    val right = Seq(("k", 8L, Some("old")), ("k", 20L, Option.empty[String]))
+      .toDF("k", "t", "payload")
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "t", Seq("payload")).head()
+    assert(out.getAs[String]("payload") == null)
+  }
 }

@@ -26,6 +26,15 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("salted join rejects join types that would duplicate build rows") {
+    import spark.implicits._
+    val l = Seq((1L, 1L)).toDF("k", "rowid")
+    val r = Seq((1L, 2L)).toDF("k", "v")
+    for (jt <- Seq("right", "full", "full_outer"))
+      intercept[IllegalArgumentException](
+        SkewJoin.saltedJoin(l, r, Seq("k"), 4, col("rowid"), jt))
+  }
+
   test("IVF top-k neighbors agree with brute force cosines; decent recall") {
     val emb = T.table(spark, sf, "embeddings")
     val brute = Similarity.bruteTopK(emb)
