@@ -235,37 +235,59 @@ object Dedup {
     * cluster with themselves) and a keeper flag.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    def prof[A](name: String)(f: => A): A =
+      if (sys.env.contains("GRAFT_PROFILE")) {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"PROFILE dupClusters.$name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      } else f
     val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-    val edges = fwd.unionByName(
-      fwd.select(col("dst").as("src"), col("src").as("dst"))).persist()
-    edges.count() // eager: read by every propagation round
+    // eager localCheckpoint: materializes AND truncates lineage to a flat
+    // LogicalRDD. persist() alone is not enough for the iterative loop —
+    // cached plans keep their full logical child tree, so every round's
+    // analysis re-walks the whole minhash/verify pipeline nested inside the
+    // cache entries, and driver-side Catalyst time (not task time) comes to
+    // dominate: measured 30-40 s/run at sf0.1 vs <5 s of actual task time.
+    val edges = prof("edges")(fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).localCheckpoint())
     // propagate only over edge-connected nodes (the interesting minority,
     // typically ≪ corpus); isolated docs join back as self-clusters at the
-    // end. Each round materializes (persist + count): plan depth stays
-    // constant — a many-round lazy tree sends Catalyst analysis superlinear
-    // — and the loop exits as soon as labels stop changing (component
-    // diameter rounds; dup clusters are clique-like, so 2–3).
-    var labels = edges.select(col("src").as("doc_id"))
+    // end; the loop exits as soon as labels stop changing.
+    var labels = prof("labels0")(edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .persist()
-    labels.count()
+      .localCheckpoint())
     var converged = false
     var iters = 0
     while (!converged && iters < 50) {
       iters += 1
-      val propagated = edges
+      val viaEdges = edges
         .join(labels, col("src") === col("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
         .unionByName(labels)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .persist()
+      // pointer jumping (path doubling): follow each node's label to THAT
+      // node's label, so label distance compresses geometrically and long
+      // near-dup chains converge in O(log diameter) rounds instead of
+      // O(diameter) — with per-round materialization, round count is the
+      // dominant wall-clock cost. min-propagation keeps labels inside the
+      // component, so the final fixpoint is unchanged: min doc_id.
+      val jumpTo = viaEdges
+        .select(col("doc_id").as("via_id"), col("cluster_id").as("via_cluster"))
+      val propagated = prof(s"round$iters")(viaEdges
+        .join(jumpTo, col("cluster_id") === col("via_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("via_cluster"), col("cluster_id")).as("cluster_id"))
+        .localCheckpoint())
       val changed = propagated
         .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old")).count()
       labels.unpersist()
       labels = propagated
       converged = changed == 0
+      if (sys.env.contains("GRAFT_PROFILE"))
+        println(s"PROFILE dupClusters round=$iters changed=$changed")
     }
     // 50 rounds covers any realistic dup-cluster diameter; a graph that
     // still hasn't converged (pathological chain topology) must fail loudly
