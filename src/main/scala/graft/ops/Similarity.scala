@@ -84,7 +84,10 @@ object Similarity {
   def bruteTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
     val e = withNorm(emb)
     val q = e.filter(col("vec_id") % QueryStride === 0)
-    q.as("a")
+    // broadcast the QUERY side: the non-equi join is a nested-loop join and
+    // without the hint Spark builds the right (full-corpus) side — fine at
+    // test scale, fatal at 100 TB. With BuildLeft the corpus streams.
+    broadcast(q.as("a"))
       .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"),
         col("b.vec_id").as("neighbor_id"), cosine("a", "b"))

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.Queries
+import graft.models.{FctTradingMomentum, IntRussellDaily}
+import graft.ops.{AsOfJoin, Relational, Similarity, TextAnalysis}
+import graft.testdata.{TestFixtures => T}
+
+/** Physical-plan assertions for the scale-critical operators: these pin the
+  * properties that make the operators survive a 100 TB / 1000-executor
+  * deployment — column-pruned scans, pushed filters, broadcast of the SMALL
+  * side, top-k instead of global sort, single-shuffle as-of. A regression
+  * here can pass every value-correctness test and still be a disaster at
+  * scale, so the plans are contract, not implementation detail.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("text token stats: parquet scan prunes to (doc_id, text)") {
+    val p = plan(TextAnalysis.tokenStats(T.table(spark, sf, "documents")))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("point-in-time constituents join broadcasts the dimension (J1)") {
+    val p = plan(IntRussellDaily.buildFull(
+      T.stagedBars(spark, sf), T.constituents(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the range predicate rides the broadcast join, not a cartesian filter
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("brand volume broadcasts the part dimension, aggregates partially") {
+    val p = plan(Relational.brandVolume(
+      T.table(spark, sf, "lineitem"), T.table(spark, sf, "part")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p) // map-side combine before shuffle
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey)]"), p)
+  }
+
+  test("ticker history and screener run as top-k, not global sort") {
+    val fct = FctTradingMomentum.buildFull(IntRussellDaily.buildFull(
+      T.stagedBars(spark, sf), T.constituents(spark, sf)))
+    val hist = plan(Queries.tickerHistory(fct, "S07",
+      java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1998-12-31")))
+    assert(hist.contains("TakeOrderedAndProject"), hist)
+    val dim = graft.models.DimSecuritiesCurrent.build(fct)
+    val scr = plan(Queries.screener(dim, Queries.ScreenerFilter(rsiLo = Some(20))))
+    assert(scr.contains("TakeOrderedAndProject"), scr)
+  }
+
+  test("brute-force ANN broadcasts the query side, streams the corpus") {
+    val p = plan(Similarity.bruteTopK(T.table(spark, sf, "embeddings")))
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"), p)
+    // partial per-partition top-k before the shuffle (WindowGroupLimit)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("as-of join is one shuffle over the key, with pushed event filters") {
+    val ev = T.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "value")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("event_id").as("view_event_id"))
+    val p = plan(AsOfJoin.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+      Seq("view_event_id")))
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"), p)
+    // exactly one window pass; shuffles = one for the view-leg pre-agg plus
+    // one on the key for the union window — no join-shaped explosion
+    assert("windowspecdefinition".r.findAllIn(p).length >= 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+}
