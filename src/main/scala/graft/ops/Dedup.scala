@@ -60,10 +60,17 @@ object Dedup {
     docs.select(col("doc_id"),
       posexplode(expr(tokensSpark)).as(Seq("pos", "tok")))
 
-  /** Distinct (doc_id, shingle) word-3-gram inverted index, built
+  /** Distinct (doc_id, h) hashed word-3-gram inverted index, built
     * relationally: window `lead` assembles 3-grams (strict concat — a null
-    * lead nulls the shingle, so <3-token docs contribute nothing), then a
-    * shuffle-dedup. Whole-stage-codegen throughout.
+    * lead nulls the shingle, so <3-token docs contribute nothing), each
+    * shingle is digested to its 60-bit hash BEFORE the dedup shuffle, then
+    * a shuffle-dedup on (long, long) rows. Carrying the digest instead of
+    * raw text cuts exchange volume severalfold — at corpus scale the
+    * shingle relation is the largest intermediate in the dedup pipeline.
+    * All consumers (MinHash agg, Jaccard verify) operate on the digest; the
+    * DuckDB oracle applies the identical digest, so even a collision
+    * (p ≈ n²/2^61) lands identically on both engines. Whole-stage-codegen
+    * throughout.
     */
   def docShingles(docs: DataFrame): DataFrame = {
     val wp = Window.partitionBy("doc_id").orderBy("pos")
@@ -72,6 +79,7 @@ object Dedup {
         concat(col("tok"), lit(" "), lead("tok", 1).over(wp),
           lit(" "), lead("tok", 2).over(wp)).as("shingle"))
       .filter(col("shingle").isNotNull)
+      .select(col("doc_id"), expr(hexcastSpark("shingle")).as("h"))
       .distinct()
   }
 
@@ -81,7 +89,6 @@ object Dedup {
   private def signaturesFrom(docs: DataFrame, ds: DataFrame): DataFrame = {
     val mh = (0 until NumHashes).map(j => min(expr(minhashExpr(j))).as(s"mh_$j"))
     val agg = ds
-      .withColumn("h", expr(hexcastSpark("shingle")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), mh: _*)
     val bands = (0 until Bands).map { b =>
@@ -144,7 +151,7 @@ object Dedup {
     ds.count() // eager: three downstream legs (see minhashPairs)
     val common = ds.as("sa")
       .join(ds.as("sb"),
-        col("sa.shingle") === col("sb.shingle") &&
+        col("sa.h") === col("sb.h") &&
           col("sa.doc_id") < col("sb.doc_id"))
       .groupBy(col("sa.doc_id").as("a_id"), col("sb.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_common"))
@@ -166,7 +173,7 @@ object Dedup {
     val common = cand
       .join(ds.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(ds.as("sb"),
-        col("b_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+        col("b_id") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
     cand
       .join(common, Seq("a_id", "b_id"), "left")

@@ -96,21 +96,24 @@ object OpsOracleSql {
     */
   private val ddToks = s"dd_toks AS (SELECT doc_id, $tokensDuck AS toks FROM documents)"
 
+  // shingles are digested to the 60-bit hash BEFORE the distinct, mirroring
+  // the engine: the dedup shuffle and all downstream joins carry (long, long)
   private val ddDocsh =
-    """dd_docsh AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(CASE WHEN len(toks) >= 3
-      |           THEN list_transform(generate_series(1, len(toks) - 2),
-      |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-      |           ELSE [] END) AS shingle
-      |  FROM dd_toks)""".stripMargin
+    s"""dd_docsh AS (
+      |  SELECT DISTINCT doc_id, ${hexcastDuck("shingle")} AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(CASE WHEN len(toks) >= 3
+      |                 THEN list_transform(generate_series(1, len(toks) - 2),
+      |                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |                 ELSE [] END) AS shingle
+      |        FROM dd_toks))""".stripMargin
 
   private val ddAgg: String = {
     val mh = (0 until NumHashes).map(j => s"min(${minhashExpr(j)}) AS mh_$j")
     s"""dd_agg AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
        |    ${mh.mkString(",\n    ")}
-       |  FROM (SELECT doc_id, ${hexcastDuck("shingle")} AS h FROM dd_docsh)
+       |  FROM dd_docsh
        |  GROUP BY doc_id)""".stripMargin
   }
 
@@ -166,7 +169,7 @@ object OpsOracleSql {
        |    SELECT c2.a_id, c2.b_id, CAST(count(*) AS BIGINT) AS n_common
        |    FROM dd_cand c2
        |    JOIN dd_docsh sa ON sa.doc_id = c2.a_id
-       |    JOIN dd_docsh sb ON sb.doc_id = c2.b_id AND sb.shingle = sa.shingle
+       |    JOIN dd_docsh sb ON sb.doc_id = c2.b_id AND sb.h = sa.h
        |    GROUP BY 1, 2) cm USING (a_id, b_id)
        |  JOIN dd_sizes na ON na.doc_id = c.a_id
        |  JOIN dd_sizes nb ON nb.doc_id = c.b_id)
@@ -182,7 +185,7 @@ object OpsOracleSql {
        |    SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
        |           CAST(count(*) AS BIGINT) AS n_common
        |    FROM dd_docsh sa JOIN dd_docsh sb
-       |      ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+       |      ON sa.h = sb.h AND sa.doc_id < sb.doc_id
        |    GROUP BY 1, 2) cm
        |  JOIN dd_sizes na ON na.doc_id = cm.a_id
        |  JOIN dd_sizes nb ON nb.doc_id = cm.b_id)
@@ -258,7 +261,7 @@ object OpsOracleSql {
        |    SELECT c2.a_id, c2.b_id, CAST(count(*) AS BIGINT) AS n_common
        |    FROM dd_cand c2
        |    JOIN dd_docsh sa ON sa.doc_id = c2.a_id
-       |    JOIN dd_docsh sb ON sb.doc_id = c2.b_id AND sb.shingle = sa.shingle
+       |    JOIN dd_docsh sb ON sb.doc_id = c2.b_id AND sb.h = sa.h
        |    GROUP BY 1, 2) cm USING (a_id, b_id)
        |  JOIN dd_sizes na ON na.doc_id = c.a_id
        |  JOIN dd_sizes nb ON nb.doc_id = c.b_id

@@ -47,11 +47,16 @@ object TestFixtures {
     */
   private def quarters(c: org.apache.spark.sql.Column) = floor(c * 4) / 4
 
-  /** OHLCV bars at (ticker, trade_date) grain derived from lineitem. */
+  /** OHLCV bars at (ticker, trade_date) grain derived from lineitem.
+    * Grouping runs on the raw integer key (`l_suppkey % 25`) and the ticker
+    * string is derived AFTER aggregation: the partial-agg hash and the
+    * shuffle carry a long, and the concat/lpad runs once per output group
+    * instead of once per input row.
+    */
   def bars(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     li.groupBy(
-        tickerOf(col("l_suppkey") % 25).as("ticker"),
+        (col("l_suppkey") % 25).as("tid"),
         col("l_shipdate").cast("date").as("trade_date"))
       .agg(
         quarters(min(col("l_extendedprice"))).as("open"),
@@ -60,6 +65,8 @@ object TestFixtures {
         quarters(min(col("l_extendedprice") * (lit(1d) - col("l_discount")))).as("low"),
         sum(col("l_quantity")).cast("long").as("volume"),
         count(lit(1)).as("num_transactions"))
+      .withColumn("ticker", tickerOf(col("tid")))
+      .drop("tid")
   }
 
   /** Bars in the staging-output shape consumed by IntRussellDaily. */

@@ -17,8 +17,12 @@ import graft.testdata.{TestFixtures => T}
   */
 class PlanSpec extends SparkSpec {
 
-  private def plan(df: DataFrame): String =
+  private def plan(df: DataFrame): String = {
+    // suites share one session; a sibling suite's cache would swap the
+    // asserted FileScan for an InMemoryTableScan
+    spark.catalog.clearCache()
     df.queryExecution.executedPlan.toString
+  }
 
   test("text token stats: parquet scan prunes to (doc_id, text)") {
     val p = plan(TextAnalysis.tokenStats(T.table(spark, sf, "documents")))
