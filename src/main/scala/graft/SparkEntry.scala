@@ -104,6 +104,11 @@ object SparkEntry {
       Dedup.embeddingNearDup(T.table(s, dir, "embeddings"))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.minhashDupClusters(T.table(s, dir, "documents"))),
+    "dedup_keeper_quality" -> ((s, dir) => {
+      val docs = T.table(s, dir, "documents")
+      Dedup.keeperByQuality(Dedup.minhashDupClusters(docs),
+        TextAnalysis.qualityScore(docs))
+    }),
     "sim_signatures" -> ((s, dir) =>
       Similarity.signatures(T.table(s, dir, "embeddings"))),
     "sim_brute_topk" -> ((s, dir) =>
@@ -221,6 +226,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> OO.DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine" -> OO.DEDUP_EMB_COSINE,
     "dedup_clusters" -> OO.DEDUP_CLUSTERS,
+    "dedup_keeper_quality" -> OO.DEDUP_KEEPER_QUALITY,
     "sim_signatures" -> OO.SIM_SIGNATURES,
     "sim_brute_topk" -> OO.SIM_BRUTE_TOPK,
     "sim_lsh_topk" -> OO.SIM_LSH_TOPK,

@@ -314,6 +314,26 @@ object Dedup {
   def minhashDupClusters(docs: DataFrame): DataFrame =
     dupClusters(docs, minhashPairs(docs).filter(col("is_duplicate") === 1))
 
+  /** Keeper selection by quality: within each near-dup cluster the highest
+    * quality_score survives (ties → lowest doc_id) — the curation policy of
+    * CCNet-style pipelines (keep the best copy, drop the rest), replacing
+    * [[dupClusters]]' min-id keeper. One shuffle on cluster_id; clusters
+    * are small, so the per-cluster window has no skew exposure.
+    *
+    * @param clusters (doc_id, cluster_id, ...) — e.g. [[minhashDupClusters]]
+    * @param quality  (doc_id, quality_score, ...) — e.g.
+    *                 [[TextAnalysis.qualityScore]]
+    */
+  def keeperByQuality(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.select("doc_id", "cluster_id")
+      .join(quality.select("doc_id", "quality_score"), Seq("doc_id"))
+      .withColumn("qrank", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        when(col("qrank") === 1, 1).otherwise(0).as("is_keeper"))
+  }
+
   /** Left-fold dot product via the native codegen expression
     * [[graft.functions.DotProduct]] (requires the
     * `graft.functions.GraftExtensions` session extension). Fold order

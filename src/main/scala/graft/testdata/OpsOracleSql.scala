@@ -252,9 +252,12 @@ object OpsOracleSql {
   /** Connected components by transitive closure (recursive CTE) — cluster
     * id = min reachable doc_id; mirrors Dedup.dupClusters' fixpoint.
     */
-  val DEDUP_CLUSTERS: String =
-    s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},
-       |dd_pairs AS (
+  /** Verified-pair graph → transitive closure → per-doc cluster id CTE
+    * (`dd_clusters`), shared by the cluster-resolution and keeper-selection
+    * oracles. Requires WITH RECURSIVE at the query head.
+    */
+  private val ddClusterChain: String =
+    s"""dd_pairs AS (
        |  SELECT c.a_id, c.b_id
        |  FROM dd_cand c
        |  JOIN (
@@ -273,14 +276,35 @@ object OpsOracleSql {
        |dd_reach(node, reached) AS (
        |  SELECT src, dst FROM dd_edges
        |  UNION
-       |  SELECT r.node, e.dst FROM dd_reach r JOIN dd_edges e ON r.reached = e.src)
-       |SELECT d.doc_id,
-       |       least(d.doc_id, COALESCE(m.min_reached, d.doc_id)) AS cluster_id,
-       |       CASE WHEN least(d.doc_id, COALESCE(m.min_reached, d.doc_id)) = d.doc_id
+       |  SELECT r.node, e.dst FROM dd_reach r JOIN dd_edges e ON r.reached = e.src),
+       |dd_clusters AS (
+       |  SELECT d.doc_id,
+       |         least(d.doc_id, COALESCE(m.min_reached, d.doc_id)) AS cluster_id
+       |  FROM documents d
+       |  LEFT JOIN (SELECT node, min(reached) AS min_reached
+       |             FROM dd_reach GROUP BY node) m ON m.node = d.doc_id)""".stripMargin
+
+  val DEDUP_CLUSTERS: String =
+    s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},
+       |$ddClusterChain
+       |SELECT doc_id, cluster_id,
+       |       CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END AS is_keeper
+       |FROM dd_clusters""".stripMargin
+
+  /** Keeper selection by quality: within each near-dup cluster the highest
+    * quality_score survives (ties → lowest doc_id) — the CCNet-style
+    * curation policy, replacing min-id keeper choice.
+    */
+  val DEDUP_KEEPER_QUALITY: String =
+    s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},
+       |$ddClusterChain,
+       |dd_quality AS (SELECT doc_id, quality_score FROM ($TEXT_QUALITY))
+       |SELECT doc_id, cluster_id, quality_score,
+       |       CASE WHEN row_number() OVER (
+       |              PARTITION BY cluster_id
+       |              ORDER BY quality_score DESC, doc_id) = 1
        |            THEN 1 ELSE 0 END AS is_keeper
-       |FROM documents d
-       |LEFT JOIN (SELECT node, min(reached) AS min_reached
-       |           FROM dd_reach GROUP BY node) m ON m.node = d.doc_id""".stripMargin
+       |FROM dd_clusters JOIN dd_quality USING (doc_id)""".stripMargin
 
   // ---- similarity search over embeddings (graft.ops.Similarity) ----
 

@@ -84,6 +84,18 @@ class OpsSpec extends SparkSpec {
     assert(out(9L) == (9L, 1)) // singleton keeps itself
   }
 
+  test("keeper-by-quality keeps exactly the best-quality doc per cluster") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "quality_score")
+    val out = Dedup.keeperByQuality(clusters, quality).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // doc 2 wins the tie with doc 3 on lower id; min-id doc 1 loses on quality
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0, 9L -> 1))
+  }
+
   test("language-ID assigns 'und' only to marker-free docs") {
     val lid = TextAnalysis.languageId(docs)
     val und = lid.filter(col("predicted_lang") === "und")
