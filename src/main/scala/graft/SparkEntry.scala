@@ -145,6 +145,8 @@ object SparkEntry {
       HashSplit.split(T.table(s, dir, "documents"))),
     "split_summary" -> ((s, dir) =>
       HashSplit.splitSummary(T.table(s, dir, "documents"))),
+    "split_token_shards" -> ((s, dir) =>
+      HashSplit.tokenShards(T.table(s, dir, "documents"))),
     "media_catalog" -> ((s, dir) =>
       Multimodal.catalog(T.table(s, dir, "documents"))),
     "media_byte_stats" -> ((s, dir) =>
@@ -245,6 +247,7 @@ object SparkEntry {
     "text_top_terms" -> OO.TEXT_TOP_TERMS,
     "split_assign" -> OO.SPLIT_ASSIGN,
     "split_summary" -> OO.SPLIT_SUMMARY,
+    "split_token_shards" -> OO.SPLIT_TOKEN_SHARDS,
     "media_catalog" -> OO.MEDIA_CATALOG,
     "media_byte_stats" -> OO.MEDIA_BYTE_STATS,
     "media_decode_mappartitions" -> OO.MEDIA_BYTE_STATS,

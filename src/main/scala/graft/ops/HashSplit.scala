@@ -46,4 +46,53 @@ object HashSplit {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("fraction", col("n_docs").cast("double") / total)
   }
+
+  val ShardTokenBudget = 20000L
+  /** Range-partition width for the distributed prefix sum. */
+  val ShardRangeParts = 32
+
+  /** Pack documents into fixed-token-budget training shards, in doc_id
+    * order: shard_id = (global token offset at the document's START) div
+    * budget — every document lands in exactly one shard, shards are
+    * contiguous in doc order, and a shard's total can exceed the budget by
+    * at most one document (standard greedy packing).
+    *
+    * The global running sum is a two-phase DISTRIBUTED prefix sum, not a
+    * single-partition global window (`Window.orderBy` with no partition
+    * moves the whole corpus through one task — the classic scale trap):
+    *  1. range-repartition by doc_id, so partition i holds a contiguous
+    *     doc_id range and partition order = global order;
+    *  2. per-partition running sums in parallel
+    *     (`Window.partitionBy(partition) .orderBy(doc_id)`);
+    *  3. per-partition TOTALS — one row per partition — prefix-summed on a
+    *     single tiny partition and broadcast back as offsets.
+    * The result is invariant to partition boundaries, so re-runs at any
+    * parallelism produce identical shards (and the DuckDB oracle's plain
+    * cumulative window reproduces them exactly).
+    */
+  def tokenShards(docs: DataFrame,
+      budget: Long = ShardTokenBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"),
+      expr(s"CAST(size($tokensSpark) AS BIGINT)").as("n_tok"))
+    val parted = t.repartitionByRange(ShardRangeParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    parted.count() // eager: BOTH legs below must see the SAME range
+    // boundaries — a re-sampled repartition could assign different pids to
+    // the two plan branches and mismatch offsets against local sums
+    val local = parted.withColumn("local_cum",
+      sum(col("n_tok")).over(Window.partitionBy("pid").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = parted.groupBy("pid").agg(sum(col("n_tok")).as("ptot"))
+      .withColumn("offset",
+        coalesce(sum(col("ptot")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset") // ShardRangeParts rows — broadcast side
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_tokens", col("local_cum") + col("offset"))
+      .withColumn("shard_id",
+        expr(s"CAST((cum_tokens - n_tok) DIV $budget AS BIGINT)"))
+      .select("doc_id", "n_tok", "cum_tokens", "shard_id")
+  }
 }

@@ -389,6 +389,21 @@ object OpsOracleSql {
        |      FROM documents)
        |GROUP BY 1""".stripMargin
 
+  /** Token-budget shard packing: the engine's two-phase distributed prefix
+    * sum is value-identical to a plain cumulative window in doc_id order.
+    */
+  val SPLIT_TOKEN_SHARDS: String = {
+    import graft.ops.HashSplit.ShardTokenBudget
+    s"""SELECT doc_id, n_tok,
+       |       CAST(sum(n_tok) OVER w AS BIGINT) AS cum_tokens,
+       |       CAST((sum(n_tok) OVER w - n_tok) // $ShardTokenBudget AS BIGINT)
+       |         AS shard_id
+       |FROM (SELECT doc_id, CAST(len($tokensDuck) AS BIGINT) AS n_tok
+       |      FROM documents)
+       |WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |             AND CURRENT ROW)""".stripMargin
+  }
+
   // ---- multimodal media plumbing (graft.ops.Multimodal) ----
 
   import graft.ops.Multimodal.{ChunkHexChars, FrameStride, MaxChunks}

@@ -26,6 +26,25 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("token shards: distributed prefix sum equals the global running sum") {
+    import graft.ops.HashSplit
+    val docs = T.table(spark, sf, "documents")
+    val out = HashSplit.tokenShards(docs, budget = 1000L)
+      .orderBy("doc_id").collect()
+    // cum_tokens is the exact running sum in doc_id order — the two-phase
+    // offsets reconstruct the single-partition answer
+    var running = 0L
+    out.foreach { r =>
+      running += r.getAs[Long]("n_tok")
+      assert(r.getAs[Long]("cum_tokens") == running, s"at doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("shard_id") ==
+        (r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tok")) / 1000L)
+    }
+    // shards are contiguous in doc order and each holds >= 1 doc
+    val shardSeq = out.map(_.getAs[Long]("shard_id"))
+    assert(shardSeq.sameElements(shardSeq.sorted))
+  }
+
   test("salted join rejects join types that would duplicate build rows") {
     import spark.implicits._
     val l = Seq((1L, 1L)).toDF("k", "rowid")
