@@ -30,13 +30,15 @@ class IngestJob(
     val wanted = TradingCalendar.tradingDays(start, end)
     val done = ledger.completedDates()
     wanted.filterNot(done).map { date =>
-      // started row FIRST (ticker count unknown until the fetch returns) so
-      // a failed fetch still leaves a started/failed bracket in the ledger —
-      // reference src/extract_load_stocks.py:56-66 checkpoints 'started'
-      // before calling the API.
+      // Reference bracketing (src/extract_load_stocks.py:73-74 +
+      // src/load.py:25-32): fetch FIRST, then record 'started' with the
+      // fetched ticker count, then load, then completed/failed. A failed
+      // FETCH leaves no ledger row in the reference (the run aborts);
+      // recording a 'failed' row instead and continuing with later dates is
+      // our deliberate robustness divergence.
       try {
-        ledger.markStarted(runId, date, 0L)
         val bars = client.groupedDaily(date)
+        ledger.markStarted(runId, date, bars.map(_.ticker).distinct.size.toLong)
         val n = RawLoader.append(RawLoader.normalize(spark, bars, date), rawPath)
         ledger.markCompleted(runId, date, n)
         DateOutcome(date, "completed", n)

@@ -249,22 +249,36 @@ object Dedup {
         println(f"PROFILE dupClusters.$name ${(System.nanoTime() - t0) / 1e9}%.2f s")
         r
       } else f
-    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val sc = docs.sparkSession.sparkContext
     // eager localCheckpoint: materializes AND truncates lineage to a flat
     // LogicalRDD. persist() alone is not enough for the iterative loop —
     // cached plans keep their full logical child tree, so every round's
     // analysis re-walks the whole minhash/verify pipeline nested inside the
     // cache entries, and driver-side Catalyst time (not task time) comes to
     // dominate: measured 30-40 s/run at sf0.1 vs <5 s of actual task time.
-    val edges = prof("edges")(fwd.unionByName(
-      fwd.select(col("dst").as("src"), col("src").as("dst"))).localCheckpoint())
+    // Dataset.unpersist() is a no-op for localCheckpoint blocks (they are a
+    // direct RDD persist, never registered with the CacheManager), so each
+    // checkpoint's newly-persisted RDD ids are tracked and freed explicitly
+    // when the round's labels are superseded — otherwise the loop
+    // accumulates rounds × |labels| of storage. Queries run one at a time
+    // here, so the before/after id diff only ever captures our own RDDs.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val (edges, edgeIds) = prof("edges")(checkpointTracked(fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))))
     // propagate only over edge-connected nodes (the interesting minority,
     // typically ≪ corpus); isolated docs join back as self-clusters at the
     // end; the loop exits as soon as labels stop changing.
-    var labels = prof("labels0")(edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint())
+    var (labels, labelIds) = prof("labels0")(checkpointTracked(
+      edges.select(col("src").as("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", col("doc_id"))))
     var converged = false
     var iters = 0
     while (!converged && iters < 50) {
@@ -282,16 +296,16 @@ object Dedup {
       // component, so the final fixpoint is unchanged: min doc_id.
       val jumpTo = viaEdges
         .select(col("doc_id").as("via_id"), col("cluster_id").as("via_cluster"))
-      val propagated = prof(s"round$iters")(viaEdges
+      val (propagated, propIds) = prof(s"round$iters")(checkpointTracked(viaEdges
         .join(jumpTo, col("cluster_id") === col("via_id"), "left")
         .select(col("doc_id"),
-          coalesce(col("via_cluster"), col("cluster_id")).as("cluster_id"))
-        .localCheckpoint())
+          coalesce(col("via_cluster"), col("cluster_id")).as("cluster_id"))))
       val changed = propagated
         .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
+      free(labelIds)
       labels = propagated
+      labelIds = propIds
       converged = changed == 0
       if (sys.env.contains("GRAFT_PROFILE"))
         println(s"PROFILE dupClusters round=$iters changed=$changed")
@@ -303,6 +317,7 @@ object Dedup {
       throw new IllegalStateException(
         "dupClusters: label propagation did not converge within 50 rounds " +
           "(component diameter > 50); refusing to return partial clusters")
+    free(edgeIds) // the returned plan reads only the final labels checkpoint
     docs.select("doc_id")
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -325,10 +340,13 @@ object Dedup {
     *                 [[TextAnalysis.qualityScore]]
     */
   def keeperByQuality(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    // left join + nulls-last: a doc without a quality row stays in the
+    // output (every clustered doc keeps a row) and loses ranking ties, so a
+    // cluster always elects exactly one keeper
     val w = Window.partitionBy("cluster_id")
-      .orderBy(col("quality_score").desc, col("doc_id"))
+      .orderBy(col("quality_score").desc_nulls_last, col("doc_id"))
     clusters.select("doc_id", "cluster_id")
-      .join(quality.select("doc_id", "quality_score"), Seq("doc_id"))
+      .join(quality.select("doc_id", "quality_score"), Seq("doc_id"), "left")
       .withColumn("qrank", row_number().over(w))
       .select(col("doc_id"), col("cluster_id"), col("quality_score"),
         when(col("qrank") === 1, 1).otherwise(0).as("is_keeper"))

@@ -48,7 +48,7 @@ object HashSplit {
   }
 
   val ShardTokenBudget = 20000L
-  /** Range-partition width for the distributed prefix sum. */
+  /** Floor on the range-partition width for the distributed prefix sum. */
   val ShardRangeParts = 32
 
   /** Pack documents into fixed-token-budget training shards, in doc_id
@@ -71,16 +71,24 @@ object HashSplit {
     * cumulative window reproduces them exactly).
     */
   def tokenShards(docs: DataFrame,
-      budget: Long = ShardTokenBudget): DataFrame = {
+      budget: Long = ShardTokenBudget,
+      numParts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = docs.select(col("doc_id"),
       expr(s"CAST(size($tokensSpark) AS BIGINT)").as("n_tok"))
-    val parted = t.repartitionByRange(ShardRangeParts, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .persist()
-    parted.count() // eager: BOTH legs below must see the SAME range
+    // partition width scales with the input/cluster (caller-overridable) —
+    // a fixed width would turn back into a constant-parallelism funnel
+    val parts =
+      if (numParts > 0) numParts
+      else math.max(math.max(ShardRangeParts, t.rdd.getNumPartitions),
+        docs.sparkSession.sparkContext.defaultParallelism)
+    // eager localCheckpoint: BOTH legs below must see the SAME range
     // boundaries — a re-sampled repartition could assign different pids to
-    // the two plan branches and mismatch offsets against local sums
+    // the two plan branches and mismatch offsets against local sums; the
+    // checkpoint makes recompute (and thus re-sampling) impossible
+    val parted = t.repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val local = parted.withColumn("local_cum",
       sum(col("n_tok")).over(Window.partitionBy("pid").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)))
@@ -88,7 +96,7 @@ object HashSplit {
       .withColumn("offset",
         coalesce(sum(col("ptot")).over(Window.orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("pid", "offset") // ShardRangeParts rows — broadcast side
+      .select("pid", "offset") // one row per range partition — broadcast side
     local.join(broadcast(offsets), Seq("pid"))
       .withColumn("cum_tokens", col("local_cum") + col("offset"))
       .withColumn("shard_id",

@@ -34,10 +34,11 @@ object SkewJoin {
     // build row may match multiple times or not at all from the PROBE side's
     // perspective. For right/full outer (or right_semi/anti), unmatched
     // build rows would surface once per salt replica — silently duplicated.
-    val supported = Set("inner", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
-    require(supported.contains(joinType.toLowerCase.replace("_", "")) ||
-      supported.contains(joinType.toLowerCase),
+    val canonical = joinType.toLowerCase.replace("_", "")
+    val supported = // all probe-side-preserving spellings Spark accepts
+      Set("inner", "left", "leftouter", "semi", "leftsemi", "anti",
+        "leftanti", "cross")
+    require(supported.contains(canonical),
       s"saltedJoin supports inner/left/left_semi/left_anti/cross, got '$joinType' " +
         "(right/full outer would duplicate unmatched build rows per salt replica)")
     val l = skewed.withColumn(SaltCol, pmod(saltBy.cast("long"), lit(salts.toLong)))

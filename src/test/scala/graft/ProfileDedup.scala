@@ -20,22 +20,24 @@ object ProfileDedup {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // listener-bus thread appends while the main thread clears/sorts —
+    // synchronize every access on the buffer itself
     val stages = mutable.ArrayBuffer.empty[(String, Long, Int)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val ms = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
-        stages += ((si.name.take(80), ms, si.numTasks))
+        stages.synchronized { stages += ((si.name.take(80), ms, si.numTasks)) }
       }
     })
     val docs = T.table(spark, sfDir, "documents")
     def time(name: String)(f: => Long): Unit = {
-      stages.clear()
+      stages.synchronized { stages.clear() }
       val t0 = System.nanoTime()
       val n = f
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"PROFILE $name%-24s $dt%8.2f s  rows=$n")
-      stages.sortBy(-_._2).take(6).foreach { case (nm, ms, nt) =>
+      stages.synchronized { stages.sortBy(-_._2).take(6) }.foreach { case (nm, ms, nt) =>
         println(f"    stage ${ms}%6d ms  tasks=$nt%-4d $nm")
       }
     }
