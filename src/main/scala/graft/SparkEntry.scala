@@ -129,6 +129,10 @@ object SparkEntry {
     "events_daily_topk" -> ((s, dir) => Events.dailyTypeTopK(T.events(s, dir))),
     "events_json" -> ((s, dir) => Events.jsonProps(T.events(s, dir))),
     "events_retention" -> ((s, dir) => Events.retention(T.events(s, dir))),
+    // sketch estimates are implementation-defined → no DuckDB oracle
+    // (driver records the weaker rows-only check; accuracy is spec-tested)
+    "events_daily_users_approx" -> ((s, dir) =>
+      Events.dailyUsersApprox(T.events(s, dir))),
     "events_asof_attribution" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val ev = T.events(s, dir)
@@ -195,6 +199,9 @@ object SparkEntry {
       Queries.screenerStats(dimSecurities(s, dir))),
     "api_sector_picklist" -> ((s, dir) =>
       Queries.sectorPicklist(dimSecurities(s, dir))),
+    "quality_report" -> ((s, dir) =>
+      graft.quality.DataQuality.report(fctMomentum(s, dir),
+        graft.quality.DataQuality.fctTests)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -390,5 +397,48 @@ object SparkEntry {
         |FROM dim""".stripMargin),
     "api_sector_picklist" -> O.query(O.stockChain ++ O.dimChain,
       "SELECT DISTINCT sector FROM dim ORDER BY sector"),
+    // the fct test battery, violation predicates mirrored one-for-one from
+    // graft.quality.DataQuality.fctTests
+    "quality_report" -> O.query(O.stockChain, Seq(
+      ("fct_unique_ticker_date",
+        """SELECT CAST(count(*) AS BIGINT) FROM (
+          |  SELECT ticker, trade_date FROM fct
+          |  GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin),
+      ("fct_not_null_keys",
+        """SELECT CAST(count(*) AS BIGINT) FROM fct
+          |WHERE ticker IS NULL OR trade_date IS NULL OR close IS NULL""".stripMargin),
+      ("fct_rsi_range_or_null",
+        """SELECT CAST(count(*) AS BIGINT) FROM fct
+          |WHERE rsi IS NOT NULL AND NOT (rsi >= 0 AND rsi <= 100)""".stripMargin),
+      ("fct_rel_vol_positive",
+        """SELECT CAST(count(*) AS BIGINT) FROM fct
+          |WHERE rel_vol IS NOT NULL AND rel_vol <= 0""".stripMargin),
+      ("fct_avg_gain_nonneg",
+        """SELECT CAST(count(*) AS BIGINT) FROM fct
+          |WHERE avg_gain_14 IS NOT NULL AND avg_gain_14 < 0""".stripMargin),
+      ("fct_avg_loss_min",
+        """SELECT CAST(count(*) AS BIGINT) FROM fct
+          |WHERE avg_loss_14 IS NOT NULL AND avg_loss_14 < -1e-8""".stripMargin),
+      ("fct_close_within_52week",
+        """SELECT CAST(count(*) AS BIGINT) FROM fct
+          |WHERE (high_52week IS NOT NULL AND close > high_52week)
+          |   OR (low_52week IS NOT NULL AND close < low_52week)""".stripMargin),
+      ("fct_golden_death_exclusive",
+        """SELECT CAST(count(*) AS BIGINT) FROM fct
+          |WHERE golden_cross = 1 AND death_cross = 1""".stripMargin),
+      ("fct_sma_monotonic",
+        """SELECT CAST(count(*) AS BIGINT) FROM fct
+          |WHERE (sma_200 IS NOT NULL AND (sma_50 IS NULL OR sma_20 IS NULL))
+          |   OR (sma_50 IS NOT NULL AND sma_20 IS NULL)""".stripMargin),
+      ("fct_yesterday_close_is_lag",
+        """SELECT CAST(count(*) AS BIGINT) FROM (
+          |  SELECT yesterday_close,
+          |         lag(close) OVER (PARTITION BY ticker ORDER BY trade_date) AS rl
+          |  FROM fct)
+          |WHERE yesterday_close IS NOT NULL AND rl IS NOT NULL
+          |  AND yesterday_close <> rl""".stripMargin))
+      .map { case (n, sql) =>
+        s"SELECT '$n' AS test_name, ($sql) AS n_violations"
+      }.mkString("\nUNION ALL\n")),
   )
 }

@@ -38,6 +38,17 @@ object DataQuality {
   def minValue(c: String, lo: Double): DataFrame => DataFrame =
     df => df.filter(col(c).isNotNull && col(c) < lo)
 
+  /** Run a battery as ONE query: (test_name, n_violations) per test — the
+    * dbt-test-results table equivalent, lazily unioned so Spark runs all
+    * violation counts in a single job over the (persisted) input.
+    */
+  def report(df: DataFrame, tests: Seq[DataTest]): DataFrame =
+    tests.map(t =>
+      t.violations(df)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(t.name).as("test_name"), col("n_violations")))
+      .reduce(_ unionByName _)
+
   // ---- staging (`models/staging/_schema.yml:12-18`) ----
 
   val stagingTests: Seq[DataTest] = Seq(

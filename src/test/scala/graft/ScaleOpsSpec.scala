@@ -26,6 +26,18 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("HLL daily distinct users stays within the configured error bound") {
+    import graft.ops.Events
+    val out = Events.dailyUsersApprox(T.events(spark, sf), rsd = 0.02).collect()
+    assert(out.nonEmpty)
+    // HLL++ rsd=0.02 is a standard-deviation bound; 5x gives a hard ceiling
+    // that still catches a broken sketch (exact equality is not expected)
+    out.foreach { r =>
+      assert(r.getAs[Double]("rel_err") <= 0.10,
+        s"day ${r.get(0)}: approx ${r.getLong(1)} vs exact ${r.getLong(2)}")
+    }
+  }
+
   test("token shards: distributed prefix sum equals the global running sum") {
     import graft.ops.HashSplit
     val docs = T.table(spark, sf, "documents")
