@@ -199,6 +199,8 @@ object SparkEntry {
       Queries.screenerStats(dimSecurities(s, dir))),
     "api_sector_picklist" -> ((s, dir) =>
       Queries.sectorPicklist(dimSecurities(s, dir))),
+    "api_ticker_picklist" -> ((s, dir) =>
+      Queries.tickerPicklist(dimSecurities(s, dir))),
     "quality_report" -> ((s, dir) =>
       graft.quality.DataQuality.report(fctMomentum(s, dir),
         graft.quality.DataQuality.fctTests)),
@@ -397,6 +399,8 @@ object SparkEntry {
         |FROM dim""".stripMargin),
     "api_sector_picklist" -> O.query(O.stockChain ++ O.dimChain,
       "SELECT DISTINCT sector FROM dim ORDER BY sector"),
+    "api_ticker_picklist" -> O.query(O.stockChain ++ O.dimChain,
+      "SELECT DISTINCT ticker FROM dim ORDER BY ticker"),
     // the fct test battery, violation predicates mirrored one-for-one from
     // graft.quality.DataQuality.fctTests
     "quality_report" -> O.query(O.stockChain, Seq(
