@@ -46,6 +46,14 @@ object SparkEntry {
   private def dimSecurities(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "dim")(DimSecuritiesCurrent.build(fctMomentum(s, dir)))
 
+  /** Cluster resolution is the most expensive dedup stage and feeds both
+    * the cluster query and keeper selection — materialized once per
+    * (session, dir), like the marts.
+    */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "dupclusters")(
+      Dedup.minhashDupClusters(T.table(s, dir, "documents")))
+
   /** Latest Wilder-smoothed RSI per ticker — the EWMA recursion runs in the
     * custom [[graft.functions.Ewma]] window function (SURVEY §7 stretch;
     * the reference ships Cutler's constant-divisor variant as `rsi`).
@@ -102,13 +110,10 @@ object SparkEntry {
       Dedup.simhashPairs(T.table(s, dir, "documents"))),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDup(T.table(s, dir, "embeddings"))),
-    "dedup_clusters" -> ((s, dir) =>
-      Dedup.minhashDupClusters(T.table(s, dir, "documents"))),
-    "dedup_keeper_quality" -> ((s, dir) => {
-      val docs = T.table(s, dir, "documents")
-      Dedup.keeperByQuality(Dedup.minhashDupClusters(docs),
-        TextAnalysis.qualityScore(docs))
-    }),
+    "dedup_clusters" -> ((s, dir) => dupClusters(s, dir)),
+    "dedup_keeper_quality" -> ((s, dir) =>
+      Dedup.keeperByQuality(dupClusters(s, dir),
+        TextAnalysis.qualityScore(T.table(s, dir, "documents")))),
     "sim_signatures" -> ((s, dir) =>
       Similarity.signatures(T.table(s, dir, "embeddings"))),
     "sim_brute_topk" -> ((s, dir) =>
