@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops._
+
+/** Every operator must degrade to an empty (or self-trivial) result on
+  * empty input — at scale, empty partitions/days/slices are routine and an
+  * operator that throws on them takes the pipeline down. The sf oracles
+  * can't see this class of bug (fixtures are never empty).
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private def emptyDocs: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType))))
+
+  private def emptyEmb: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+
+  test("text + dedup + split operators return empty on an empty corpus") {
+    val d = emptyDocs
+    assert(TextAnalysis.tokenStats(d).count() == 0)
+    assert(TextAnalysis.qualityScore(d).count() == 0)
+    assert(TextAnalysis.topTerms(d).count() == 0)
+    assert(Dedup.exact(d).count() == 0)
+    assert(Dedup.minhashSignatures(d).count() == 0)
+    assert(Dedup.minhashPairs(d).count() == 0)
+    assert(Dedup.ngramJaccardPairs(d).count() == 0)
+    assert(Dedup.simhashPairs(d).count() == 0)
+    assert(HashSplit.split(d).count() == 0)
+    assert(HashSplit.tokenShards(d).count() == 0)
+  }
+
+  test("cluster resolution on empty docs and empty pair graph is empty") {
+    assert(Dedup.minhashDupClusters(emptyDocs).count() == 0)
+    // non-empty docs, empty verified-pair graph: every doc self-clusters
+    import spark.implicits._
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val out = Dedup.dupClusters(docs, noPairs).collect()
+    assert(out.length == 2 && out.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("similarity operators return empty on an empty embedding table") {
+    val e = emptyEmb
+    assert(Similarity.signatures(e).count() == 0)
+    assert(Similarity.bruteTopK(e).count() == 0)
+    assert(Similarity.lshTopK(e).count() == 0)
+    assert(Similarity.lshNearDup(e).count() == 0)
+    assert(Similarity.ivfTopK(e).count() == 0)
+  }
+}
