@@ -57,6 +57,18 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked streaming deduplication: at-least-once transports (replayed
+    * files, retried producers) become exactly-once by keying on event_id;
+    * the watermark bounds the dedup state — an id older than the watermark
+    * can be dropped from state because a duplicate that late would be
+    * discarded anyway. Unbounded-state `dropDuplicates` without the
+    * watermark is the classic streaming OOM.
+    */
+  def dedupEvents(events: DataFrame,
+      watermark: String = DefaultWatermark): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful gap sessionization via flatMapGroupsWithState: state is one
     * open session per user, closed (emitted) when the event-time timeout
     * fires or a later-than-gap event arrives. Streaming twin of

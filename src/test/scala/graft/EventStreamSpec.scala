@@ -77,4 +77,23 @@ class EventStreamSpec extends SparkSpec {
       assert(out.count() == 2) // view + click windows at 10:00
     } finally q.stop()
   }
+
+  test("watermarked streaming dedup drops replayed event ids exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val deduped = EventStream.dedupEvents(input.toDF(), watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 0), ev(2, 1, 1), ev(1, 1, 0)) // in-batch dup
+      q.processAllAvailable()
+      input.addData(ev(2, 1, 1), ev(3, 2, 2)) // cross-batch replay of id 2
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
 }
