@@ -28,7 +28,24 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String]): DataFrame =
+    asofJoinTolerance(left, right, keys, leftTime, rightTime, payloadCols,
+      toleranceMicros = None)
+
+  /** As-of join with an optional match-staleness bound: a right row only
+    * matches while `leftTime - rightTime <= tolerance` (native ASOF's
+    * TOLERANCE clause). Implemented by carrying the matched row's own
+    * timestamp inside the payload struct and nulling the payload when the
+    * carried match is staler than the bound — same single key-shuffle plan.
+    */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      toleranceMicros: Option[Long]): DataFrame = {
     val ts = "__asof_ts"
     val side = "__asof_side" // 0 = right (sorts first at equal times), 1 = left
     val pay = "__asof_payload"
@@ -38,10 +55,11 @@ object AsOfJoin {
     // (per-column ignoreNulls carry would skip them and surface an older
     // row's value, diverging from native ASOF). Also: one window pass
     // instead of |payloadCols|.
+    val rts = "__asof_rts" // matched row's own time rides in the struct
     val r0 = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as(ts), lit(0).as(side),
-          struct(payloadCols.map(col): _*).as(pay)): _*)
+          struct(col(rightTime).as(rts) +: payloadCols.map(col): _*).as(pay)): _*)
     val payType = r0.schema(pay).dataType
     val l0 = left
       .withColumn(ts, col(leftTime))
@@ -57,7 +75,18 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = l0.unionByName(rAligned)
       .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
-    val extracted = payloadCols.foldLeft(carried)((df, c) =>
+    val bounded = toleranceMicros match {
+      case Some(tol) =>
+        // units: microseconds for timestamp columns, raw units otherwise
+        val diff = left.schema(leftTime).dataType match {
+          case org.apache.spark.sql.types.TimestampType =>
+            unix_micros(col(ts)) - unix_micros(col(pay).getField(rts))
+          case _ => col(ts).cast("long") - col(pay).getField(rts).cast("long")
+        }
+        carried.withColumn(pay, when(diff <= tol, col(pay)))
+      case None => carried
+    }
+    val extracted = payloadCols.foldLeft(bounded)((df, c) =>
       df.withColumn(c, col(pay).getField(c)))
     extracted.filter(col(side) === 1).drop(ts, side, pay)
   }

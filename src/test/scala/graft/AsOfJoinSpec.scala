@@ -30,6 +30,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getAs[String]("payload") == "exact")
   }
 
+  test("asof tolerance: matches staler than the bound null out") {
+    import spark.implicits._
+    val left = Seq(("k", 10L), ("k", 30L)).toDF("k", "t")
+    val right = Seq(("k", 8L, "a")).toDF("k", "t", "payload")
+    val out = AsOfJoin.asofJoinTolerance(left, right, Seq("k"), "t", "t",
+        Seq("payload"), toleranceMicros = Some(5L))
+      .orderBy("t").collect()
+    assert(out(0).getAs[String]("payload") == "a") // 10-8=2 <= 5
+    assert(out(1).getAs[String]("payload") == null) // 30-8=22 > 5
+  }
+
   test("asof matches the newest right ROW even when its payload is null") {
     import spark.implicits._
     // right row at t=20 carries a legitimately NULL payload; the match must
