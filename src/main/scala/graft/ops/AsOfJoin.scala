@@ -77,13 +77,25 @@ object AsOfJoin {
       .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
     val bounded = toleranceMicros match {
       case Some(tol) =>
-        // units: microseconds for timestamp columns, raw units otherwise
-        val diff = left.schema(leftTime).dataType match {
-          case org.apache.spark.sql.types.TimestampType =>
-            unix_micros(col(ts)) - unix_micros(col(pay).getField(rts))
-          case _ => col(ts).cast("long") - col(pay).getField(rts).cast("long")
-        }
-        carried.withColumn(pay, when(diff <= tol, col(pay)))
+        // units: microseconds for timestamp(-NTZ) columns, raw units for
+        // integral time columns. Dispatch on the UNIONED column's type (the
+        // post-coercion truth for mixed left/right inputs); anything else —
+        // e.g. DateType, where cast-to-long is seconds in non-ANSI and an
+        // analysis error in ANSI mode — is rejected instead of silently
+        // comparing in the wrong unit.
+        import org.apache.spark.sql.types._
+        def micros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          carried.schema(ts).dataType match {
+            case TimestampType => unix_micros(c)
+            case TimestampNTZType => unix_micros(c.cast(TimestampType))
+            case LongType | IntegerType | ShortType => c.cast("long")
+            case other => throw new IllegalArgumentException(
+              s"asofJoinTolerance: unsupported time column type $other " +
+                "(use timestamp, timestamp_ntz, or an integral column)")
+          }
+        carried.withColumn(pay,
+          when(micros(col(ts)) - micros(col(pay).getField(rts)) <= tol,
+            col(pay)))
       case None => carried
     }
     val extracted = payloadCols.foldLeft(bounded)((df, c) =>

@@ -279,9 +279,13 @@ object Dedup {
       edges.select(col("src").as("doc_id"))
         .distinct()
         .withColumn("cluster_id", col("doc_id"))))
+    // everything checkpointed so far; freed wholesale if the loop throws
+    // (a caller catching the failure would otherwise keep the blocks
+    // pinned for the session lifetime)
+    var live: Set[Int] = edgeIds ++ labelIds
     var converged = false
     var iters = 0
-    while (!converged && iters < 50) {
+    try while (!converged && iters < 50) {
       iters += 1
       val viaEdges = edges
         .join(labels, col("src") === col("doc_id"))
@@ -300,23 +304,27 @@ object Dedup {
         .join(jumpTo, col("cluster_id") === col("via_id"), "left")
         .select(col("doc_id"),
           coalesce(col("via_cluster"), col("cluster_id")).as("cluster_id"))))
+      live ++= propIds
       val changed = propagated
         .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old")).count()
       free(labelIds)
+      live --= labelIds
       labels = propagated
       labelIds = propIds
       converged = changed == 0
       if (sys.env.contains("GRAFT_PROFILE"))
         println(s"PROFILE dupClusters round=$iters changed=$changed")
-    }
+    } catch { case t: Throwable => free(live); throw t }
     // 50 rounds covers any realistic dup-cluster diameter; a graph that
     // still hasn't converged (pathological chain topology) must fail loudly
     // rather than hand back partially-merged cluster ids.
-    if (!converged)
+    if (!converged) {
+      free(live)
       throw new IllegalStateException(
         "dupClusters: label propagation did not converge within 50 rounds " +
           "(component diameter > 50); refusing to return partial clusters")
+    }
     free(edgeIds) // the returned plan reads only the final labels checkpoint
     docs.select("doc_id")
       .join(labels, Seq("doc_id"), "left")

@@ -107,23 +107,22 @@ object Events {
     events.select(col("event_id"),
       get_json_object(col("props"), "$.k").cast("bigint").as("prop_k"))
 
-  /** Sketch-based daily distinct users: HyperLogLog++ (`approx_count_
-    * distinct`) beside the exact count. At 100 TB exact COUNT(DISTINCT)
-    * shuffles every (day, user) pair; the HLL sketch is a few KB per day,
-    * merges associatively in partial aggregation, and never moves raw ids —
-    * this is the scale path, with the exact column retained here so the
-    * accuracy contract is testable (spec asserts relative error ≤ the
-    * configured rsd bound). No DuckDB oracle: sketch estimates are
-    * implementation-defined.
+  /** Sketch-based daily distinct users: HyperLogLog++ only. At 100 TB
+    * exact COUNT(DISTINCT) shuffles every (day, user) pair; the HLL sketch
+    * is a few KB per day, merges associatively in partial aggregation, and
+    * never moves raw ids. Keeping the exact count alongside would reinstate
+    * the very shuffle the sketch avoids — the accuracy contract lives in
+    * the spec, which compares against a separately computed exact count.
+    * No DuckDB oracle: sketch estimates are implementation-defined.
     */
   def dailyUsersApprox(events: DataFrame, rsd: Double = 0.02): DataFrame =
     events.groupBy(col("ts").cast("date").as("day"))
-      .agg(
-        approx_count_distinct(col("user_id"), rsd).as("n_users_approx"),
-        countDistinct(col("user_id")).as("n_users_exact"))
-      .withColumn("rel_err",
-        abs(col("n_users_approx") - col("n_users_exact")).cast("double") /
-          col("n_users_exact"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+
+  /** Exact twin of [[dailyUsersApprox]] — correctness baseline for specs. */
+  def dailyUsersExact(events: DataFrame): DataFrame =
+    events.groupBy(col("ts").cast("date").as("day"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
 
   /** Cohort retention: users grouped by first-activity day; for each
     * (cohort, day-offset) the distinct active users and the retention

@@ -60,15 +60,19 @@ object HashSplit {
     * The global running sum is a two-phase DISTRIBUTED prefix sum, not a
     * single-partition global window (`Window.orderBy` with no partition
     * moves the whole corpus through one task — the classic scale trap):
-    *  1. range-repartition by doc_id, so partition i holds a contiguous
-    *     doc_id range and partition order = global order;
-    *  2. per-partition running sums in parallel
-    *     (`Window.partitionBy(partition) .orderBy(doc_id)`);
-    *  3. per-partition TOTALS — one row per partition — prefix-summed on a
-    *     single tiny partition and broadcast back as offsets.
-    * The result is invariant to partition boundaries, so re-runs at any
-    * parallelism produce identical shards (and the DuckDB oracle's plain
-    * cumulative window reproduces them exactly).
+    *  1. a range-bucket id is computed as a PURE EXPRESSION of doc_id,
+    *     against approximate-quantile boundaries collected once (a tiny
+    *     driver-side array) — both plan legs below derive identical
+    *     buckets by construction, with no repartition sampling to pin down
+    *     and no checkpoint blocks to leak;
+    *  2. per-bucket running sums in parallel
+    *     (`Window.partitionBy(bucket).orderBy(doc_id)`);
+    *  3. per-bucket TOTALS — one row each — prefix-summed on a single tiny
+    *     partition and broadcast back as offsets.
+    * The result is invariant to boundary placement (only load balance
+    * depends on it), so re-runs at any parallelism produce identical
+    * shards, and the DuckDB oracle's plain cumulative window reproduces
+    * them exactly.
     */
   def tokenShards(docs: DataFrame,
       budget: Long = ShardTokenBudget,
@@ -82,17 +86,17 @@ object HashSplit {
       if (numParts > 0) numParts
       else math.max(math.max(ShardRangeParts, t.rdd.getNumPartitions),
         docs.sparkSession.sparkContext.defaultParallelism)
-    // eager localCheckpoint: BOTH legs below must see the SAME range
-    // boundaries — a re-sampled repartition could assign different pids to
-    // the two plan branches and mismatch offsets against local sums; the
-    // checkpoint makes recompute (and thus re-sampling) impossible
-    val parted = t.repartitionByRange(parts, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val local = parted.withColumn("local_cum",
+    val bounds = docs.select(col("doc_id").cast("double").as("d"))
+      .stat.approxQuantile("d",
+        (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .map(_.toLong).distinct.sorted
+    val pid = bounds.foldLeft(lit(0))((acc, b) =>
+      acc + when(col("doc_id") > b, 1).otherwise(0))
+    val bucketed = t.withColumn("pid", pid)
+    val local = bucketed.withColumn("local_cum",
       sum(col("n_tok")).over(Window.partitionBy("pid").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)))
-    val offsets = parted.groupBy("pid").agg(sum(col("n_tok")).as("ptot"))
+    val offsets = bucketed.groupBy("pid").agg(sum(col("n_tok")).as("ptot"))
       .withColumn("offset",
         coalesce(sum(col("ptot")).over(Window.orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

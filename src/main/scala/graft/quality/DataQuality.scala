@@ -42,12 +42,18 @@ object DataQuality {
     * dbt-test-results table equivalent, lazily unioned so Spark runs all
     * violation counts in a single job over the (persisted) input.
     */
-  def report(df: DataFrame, tests: Seq[DataTest]): DataFrame =
-    tests.map(t =>
+  def report(df: DataFrame, tests: Seq[DataTest]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val counts = tests.map(t =>
       t.violations(df)
         .agg(count(lit(1)).as("n_violations"))
         .select(lit(t.name).as("test_name"), col("n_violations")))
-      .reduce(_ unionByName _)
+    counts.reduceOption(_ unionByName _).getOrElse(
+      df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("test_name", StringType, nullable = false),
+          StructField("n_violations", LongType, nullable = false)))))
+  }
 
   // ---- staging (`models/staging/_schema.yml:12-18`) ----
 

@@ -28,13 +28,17 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("HLL daily distinct users stays within the configured error bound") {
     import graft.ops.Events
-    val out = Events.dailyUsersApprox(T.events(spark, sf), rsd = 0.02).collect()
+    val ev = T.events(spark, sf)
+    val out = Events.dailyUsersApprox(ev, rsd = 0.02)
+      .join(Events.dailyUsersExact(ev), Seq("day")).collect()
     assert(out.nonEmpty)
     // HLL++ rsd=0.02 is a standard-deviation bound; 5x gives a hard ceiling
     // that still catches a broken sketch (exact equality is not expected)
     out.foreach { r =>
-      assert(r.getAs[Double]("rel_err") <= 0.10,
-        s"day ${r.get(0)}: approx ${r.getLong(1)} vs exact ${r.getLong(2)}")
+      val approx = r.getAs[Long]("n_users_approx").toDouble
+      val exact = r.getAs[Long]("n_users_exact").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"day ${r.get(0)}: approx $approx vs exact $exact")
     }
   }
 
