@@ -10,6 +10,16 @@ import Portable._
   * the dedup stage of a training-data curation pipeline (exact, MinHash-LSH,
   * SimHash, n-gram Jaccard, embedding cosine).
   *
+  * Algorithms are the published standards: shingling + min-wise hashing
+  * (Broder, "On the resemblance and containment of documents", 1997), LSH
+  * banding over signature bands (Leskovec/Rajaraman/Ullman, Mining of
+  * Massive Datasets ch. 3), SimHash bit-majority fingerprints (Charikar,
+  * "Similarity estimation techniques from rounding algorithms", 2002; used
+  * for web dedup in Manku et al., WWW 2007), connected components by
+  * min-label propagation with path doubling (the map-reduce CC family of
+  * Rastogi et al., "Finding connected components in map-reduce", ICDE
+  * 2013), and keep-best-quality curation as in CCNet (Wenzek et al., 2020).
+  *
   * Scale shape (the part that matters at 100 TB):
   *  - everything text-side flows through ONE exploded `(doc_id, shingle)` /
   *    `(doc_id, token)` relation built from codegen-friendly operators

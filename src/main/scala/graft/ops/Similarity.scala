@@ -29,6 +29,12 @@ import Portable._
   *
   * Dot products use the same left-fold as [[Dedup.dot]] so the DuckDB oracle
   * reproduces doubles bit-identically.
+  *
+  * Sign-LSH is Charikar's random-hyperplane rounding (STOC 2002); the
+  * inverted-file (IVF-flat) coarse-quantize-then-probe layout follows
+  * Jégou/Douze/Schmid, "Product quantization for nearest neighbor search"
+  * (TPAMI 2011) as popularized by FAISS, with deterministic leaders in
+  * place of k-means so the oracle replays assignment bit-for-bit.
   */
 object Similarity {
 
