@@ -156,6 +156,8 @@ object SparkEntry {
       HashSplit.splitSummary(T.table(s, dir, "documents"))),
     "split_token_shards" -> ((s, dir) =>
       HashSplit.tokenShards(T.table(s, dir, "documents"))),
+    "split_contamination" -> ((s, dir) =>
+      HashSplit.contaminatedTrainDocs(T.table(s, dir, "documents"))),
     "media_catalog" -> ((s, dir) =>
       Multimodal.catalog(T.table(s, dir, "documents"))),
     "media_byte_stats" -> ((s, dir) =>
@@ -262,6 +264,7 @@ object SparkEntry {
     "split_assign" -> OO.SPLIT_ASSIGN,
     "split_summary" -> OO.SPLIT_SUMMARY,
     "split_token_shards" -> OO.SPLIT_TOKEN_SHARDS,
+    "split_contamination" -> OO.SPLIT_CONTAMINATION,
     "media_catalog" -> OO.MEDIA_CATALOG,
     "media_byte_stats" -> OO.MEDIA_BYTE_STATS,
     "media_decode_mappartitions" -> OO.MEDIA_BYTE_STATS,

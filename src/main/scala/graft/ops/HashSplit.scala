@@ -47,6 +47,29 @@ object HashSplit {
       .withColumn("fraction", col("n_docs").cast("double") / total)
   }
 
+  /** Train/test contamination: training-split documents whose word-3-gram
+    * shingles overlap a test-split document (the GPT-3-style n-gram
+    * decontamination check — Brown et al. 2020, appendix C). Joins through
+    * the inverted hashed-shingle index, so only genuinely overlapping pairs
+    * materialize; one row per contaminated train doc with the overlap
+    * evidence.
+    */
+  def contaminatedTrainDocs(docs: DataFrame, minShared: Int = 1): DataFrame = {
+    val sh = Dedup.docShingles(docs)
+      .join(split(docs).select("doc_id", "split"), Seq("doc_id"))
+    val train = sh.filter(col("split") === "train").select("doc_id", "h")
+    val test = sh.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc_id"), col("h"))
+    train.join(test, Seq("h"))
+      .groupBy(col("doc_id").as("train_doc_id"), col("test_doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy("train_doc_id")
+      .agg(countDistinct(col("test_doc_id")).as("n_test_docs"),
+        max(col("n_shared")).as("max_shared_shingles"),
+        min(col("test_doc_id")).as("example_test_doc"))
+  }
+
   val ShardTokenBudget = 20000L
   /** Floor on the range-partition width for the distributed prefix sum. */
   val ShardRangeParts = 32

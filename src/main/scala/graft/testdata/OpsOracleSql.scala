@@ -404,6 +404,29 @@ object OpsOracleSql {
        |             AND CURRENT ROW)""".stripMargin
   }
 
+  /** Train/test contamination via the hashed-shingle inverted index. */
+  val SPLIT_CONTAMINATION: String =
+    s"""WITH $ddToks, $ddDocsh,
+       |sp AS (SELECT doc_id,
+       |         CASE WHEN $hsBucket < $TrainUpper THEN 'train'
+       |              WHEN $hsBucket < $ValUpper THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM documents),
+       |pairs AS (
+       |  SELECT tr.doc_id AS train_doc_id, te.doc_id AS test_doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM dd_docsh tr
+       |  JOIN sp str ON str.doc_id = tr.doc_id AND str.split = 'train'
+       |  JOIN dd_docsh te ON te.h = tr.h
+       |  JOIN sp ste ON ste.doc_id = te.doc_id AND ste.split = 'test'
+       |  GROUP BY 1, 2)
+       |SELECT train_doc_id,
+       |       CAST(count(DISTINCT test_doc_id) AS BIGINT) AS n_test_docs,
+       |       CAST(max(n_shared) AS BIGINT) AS max_shared_shingles,
+       |       min(test_doc_id) AS example_test_doc
+       |FROM pairs WHERE n_shared >= 1
+       |GROUP BY 1""".stripMargin
+
   // ---- multimodal media plumbing (graft.ops.Multimodal) ----
 
   import graft.ops.Multimodal.{ChunkHexChars, FrameStride, MaxChunks}
