@@ -138,6 +138,8 @@ object SparkEntry {
     // (driver records the weaker rows-only check; accuracy is spec-tested)
     "events_daily_users_approx" -> ((s, dir) =>
       Events.dailyUsersApprox(T.events(s, dir))),
+    "events_value_quantiles_approx" -> ((s, dir) =>
+      Events.valueQuantilesApprox(T.events(s, dir))),
     "events_asof_attribution" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val ev = T.events(s, dir)
@@ -187,6 +189,8 @@ object SparkEntry {
       Relational.volumeDeciles(intDaily(s, dir))),
     "stock_volume_rollup" -> ((s, dir) =>
       Relational.volumeRollup(intDaily(s, dir))),
+    "stock_volume_cube" -> ((s, dir) =>
+      Relational.volumeCube(intDaily(s, dir))),
     "api_screener" -> ((s, dir) =>
       Queries.screener(dimSecurities(s, dir),
         Queries.ScreenerFilter(rsiLo = Some(20), rsiHi = Some(80),
@@ -337,6 +341,14 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_bars
         |FROM int_daily
         |GROUP BY ROLLUP (1, 2)""".stripMargin),
+    "stock_volume_cube" -> O.query(
+      Seq(O.BARS, O.STAGED, O.CONSTITUENTS, O.INT_DAILY),
+      """SELECT CAST(year(trade_date) AS INT) AS year,
+        |       CAST(month(trade_date) AS INT) AS month,
+        |       CAST(sum(volume) AS BIGINT) AS total_volume,
+        |       CAST(count(*) AS BIGINT) AS n_bars
+        |FROM int_daily
+        |GROUP BY CUBE (1, 2)""".stripMargin),
     "api_screener" -> O.query(O.stockChain ++ O.dimChain,
       """SELECT * FROM dim
         |WHERE latest_rsi >= 20 AND latest_rsi <= 80 AND ticker ILIKE '%s1%'

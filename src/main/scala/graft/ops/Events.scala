@@ -124,6 +124,30 @@ object Events {
     events.groupBy(col("ts").cast("date").as("day"))
       .agg(countDistinct(col("user_id")).as("n_users_exact"))
 
+  /** Sketch-based value quantiles per event type (Greenwald-Khanna via
+    * `percentile_approx`): mergeable partial sketches, no global sort — the
+    * scale path for percentile dashboards. Spec-bounded against the exact
+    * twin; no DuckDB oracle (sketch estimates are implementation-defined).
+    */
+  def valueQuantilesApprox(events: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    events.groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)).as("q"))
+      .select(col("event_type"),
+        col("q")(0).as("p50_approx"), col("q")(1).as("p95_approx"),
+        col("q")(2).as("p99_approx"))
+
+  /** Exact twin of [[valueQuantilesApprox]] (single-node sort per group —
+    * correctness baseline only).
+    */
+  def valueQuantilesExact(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("q"))
+      .select(col("event_type"),
+        col("q")(0).as("p50_exact"), col("q")(1).as("p95_exact"),
+        col("q")(2).as("p99_exact"))
+
   /** Cohort retention: users grouped by first-activity day; for each
     * (cohort, day-offset) the distinct active users and the retention
     * rate. Two shuffles (per-user first day, then cohort × day counts);

@@ -95,6 +95,18 @@ object Relational {
       .agg(sum(col("volume")).as("total_volume"),
         count(lit(1)).as("n_bars"))
 
+  /** CUBE subtotals: volume by every subset of (year, month) — rollup plus
+    * the month-only marginal; exercises Spark's full grouping-sets
+    * machinery (one Expand + one hash aggregate, not four scans).
+    */
+  def volumeCube(intDaily: DataFrame): DataFrame =
+    intDaily
+      .selectExpr("CAST(year(trade_date) AS INT) AS year",
+        "CAST(month(trade_date) AS INT) AS month", "volume")
+      .cube(col("year"), col("month"))
+      .agg(sum(col("volume")).as("total_volume"),
+        count(lit(1)).as("n_bars"))
+
   /** Set difference: tickers that traded in `yearA` but not `yearB`
     * (EXCEPT — the one set operator the reference never uses; completes
     * §2.7 coverage).

@@ -42,6 +42,26 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("approx value quantiles honor the sketch's RANK-error guarantee") {
+    import graft.ops.Events
+    val ev = T.events(spark, sf)
+    // Greenwald-Khanna bounds rank error, not value error (value distance
+    // to the interpolated exact percentile is unbounded on sparse tails),
+    // so assert the rank of each returned value is within tolerance.
+    val values = ev.select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val out = Events.valueQuantilesApprox(ev).collect()
+    assert(out.nonEmpty)
+    for (r <- out; (p, q) <- Seq("p50_approx" -> 0.5, "p95_approx" -> 0.95,
+        "p99_approx" -> 0.99)) {
+      val vs = values(r.getString(0))
+      val a = r.getAs[Double](p)
+      val rank = vs.count(_ <= a).toDouble / vs.length
+      assert(math.abs(rank - q) <= 0.02,
+        s"${r.getString(0)} $p: value $a has rank $rank, want ~$q")
+    }
+  }
+
   test("token shards: distributed prefix sum equals the global running sum") {
     import graft.ops.HashSplit
     val docs = T.table(spark, sf, "documents")
