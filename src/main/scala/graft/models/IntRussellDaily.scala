@@ -68,10 +68,16 @@ object IntRussellDaily {
     val slice = stgDaily.filter(
       col("trade_date") >= date_sub(lit(maxDate), lookbackDays))
     val w = Window.partitionBy("ticker").orderBy("trade_date")
-    val prev = existing.select(
-      col("ticker").as("p_ticker"),
-      col("trade_date").as("p_trade_date"),
-      col("close").as("prev_close"))
+    // the fallback join key is exact calendar day+1, so the earliest
+    // existing row any slice row can reach is sliceStart-1 — filter BEFORE
+    // the join so a date-partitioned mart prunes to the lookback window
+    // instead of scanning history on every incremental run
+    val prev = existing
+      .filter(col("trade_date") >= date_sub(lit(maxDate), lookbackDays + 1))
+      .select(
+        col("ticker").as("p_ticker"),
+        col("trade_date").as("p_trade_date"),
+        col("close").as("prev_close"))
     joined(slice, constituents).alias("j")
       .join(prev,
         col("j.ticker") === col("p_ticker") &&

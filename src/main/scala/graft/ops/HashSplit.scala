@@ -55,8 +55,14 @@ object HashSplit {
     * evidence.
     */
   def contaminatedTrainDocs(docs: DataFrame, minShared: Int = 1): DataFrame = {
+    // persist + eager materialize: the shingle relation (the costliest
+    // intermediate — tokenize + window + distinct) feeds BOTH self-join
+    // legs; without it the split filters push into each leg and the whole
+    // pipeline runs twice
     val sh = Dedup.docShingles(docs)
       .join(split(docs).select("doc_id", "split"), Seq("doc_id"))
+      .persist()
+    sh.count()
     val train = sh.filter(col("split") === "train").select("doc_id", "h")
     val test = sh.filter(col("split") === "test")
       .select(col("doc_id").as("test_doc_id"), col("h"))

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -18,10 +17,12 @@ import graft.pipeline.MergeWriter
   * yesterday_close fallback, MERGE by trade_date partition overwrite.
   *
   * Exactly-once: Spark's checkpointed file tracking dedupes landed files
-  * across restarts, and the merge itself is idempotent (re-merging an
-  * identical slice rewrites identical partitions —
-  * `IncrementalParitySpec`), so a batch replayed after a crash between
-  * raw-append and merge converges to the same mart.
+  * across restarts; the raw write is keyed by batch id (overwrite of a
+  * per-batch directory), so foreachBatch's at-least-once replay of an
+  * uncommitted epoch rewrites the identical rows instead of appending
+  * duplicates; and the merge itself is idempotent (re-merging an identical
+  * slice rewrites identical partitions — `IncrementalParitySpec`). A crash
+  * anywhere between raw write and merge therefore converges on replay.
   *
   * Scale shape: per-trigger work is proportional to the lookback window
   * (slice recompute + the touched partitions' rewrite), never to mart
@@ -41,13 +42,22 @@ object IncrementalMartStream {
       martPath: String,
       constituents: DataFrame,
       lookbackDays: Int = 4): DataFrame = {
+    def exists(p: String): Boolean = {
+      val hp = new Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+    }
     val q = RawLanding.normalizedStream(spark, landingDir).writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          batch.write.mode("append").partitionBy("DATE").parquet(rawPath)
-          val staged = StgDailyStocks.build(spark.read.parquet(rawPath))
-          if (!Files.exists(Paths.get(martPath))) {
+          // idempotent raw write: overwrite THIS batch's directory, so an
+          // at-least-once replay rewrites identical rows instead of
+          // appending duplicate grain
+          batch.write.mode("overwrite").partitionBy("DATE")
+            .parquet(s"$rawPath/batch=$batchId")
+          val staged = StgDailyStocks.build(
+            spark.read.parquet(rawPath).drop("batch"))
+          if (!exists(martPath)) {
             IntRussellDaily.buildFull(staged, constituents)
               .write.partitionBy("trade_date").parquet(martPath)
           } else {

@@ -50,16 +50,21 @@ class ScaleOpsSpec extends SparkSpec {
     // so assert the rank of each returned value is within tolerance.
     val values = ev.select(col("event_type"), col("value")).collect()
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
-    val out = Events.valueQuantilesApprox(ev).collect()
-    assert(out.nonEmpty)
-    for (r <- out; (p, q) <- Seq("p50_approx" -> 0.5, "p95_approx" -> 0.95,
-        "p99_approx" -> 0.99)) {
-      val vs = values(r.getString(0))
-      val a = r.getAs[Double](p)
+    def assertRank(row: org.apache.spark.sql.Row, colName: String, q: Double): Unit = {
+      val vs = values(row.getString(0))
+      val a = row.getAs[Double](colName)
       val rank = vs.count(_ <= a).toDouble / vs.length
       assert(math.abs(rank - q) <= 0.02,
-        s"${r.getString(0)} $p: value $a has rank $rank, want ~$q")
+        s"${row.getString(0)} $colName: value $a has rank $rank, want ~$q")
     }
+    val approx = Events.valueQuantilesApprox(ev).collect()
+    assert(approx.nonEmpty)
+    for (r <- approx; (p, q) <- Seq("p50_approx" -> 0.5, "p95_approx" -> 0.95,
+      "p99_approx" -> 0.99)) assertRank(r, p, q)
+    // the exact twin's interpolated values must land at the same ranks
+    for (r <- Events.valueQuantilesExact(ev).collect();
+        (p, q) <- Seq("p50_exact" -> 0.5, "p95_exact" -> 0.95,
+          "p99_exact" -> 0.99)) assertRank(r, p, q)
   }
 
   test("token shards: distributed prefix sum equals the global running sum") {

@@ -50,25 +50,28 @@ class StreamingMartSpec extends SparkSpec {
     assert(symmetricDiff(comparable(m1), comparable(full1)) == 0)
     assert(m1.count() == 6)
 
-    // a new day lands (plus a restatement of the last day) → incremental
-    // cycle must merge the lookback slice, carrying yesterday_close across
-    // the batch boundary
+    // a new day lands → incremental cycle with lookbackDays=1: the slice
+    // is (01-03 .. 01-05), so 01-03's yesterday_close can ONLY come from
+    // the cross-boundary fallback join against the stored mart's 01-02 row
+    // (in-slice lag sees nothing earlier) — the ST4 branch is genuinely
+    // exercised, not shadowed by an all-history slice
     Files.writeString(landing.resolve("d2.json"),
-      Seq(barJson("S01", "2024-01-04", 13.5), // corrected close
-        barJson("S01", "2024-01-05", 14.0),
+      Seq(barJson("S01", "2024-01-05", 14.0),
         barJson("S02", "2024-01-05", 24.0)).mkString("\n"))
     val m2 = IncrementalMartStream.maintainIntDaily(
-      spark, landing.toString, ckpt, raw, mart, const)
+      spark, landing.toString, ckpt, raw, mart, const, lookbackDays = 1)
     val full2 = IntRussellDaily.buildFull(
-      StgDailyStocks.build(spark.read.parquet(raw)), const)
-    // the restated 01-04 bar appends a second raw row; staging dedups by
-    // grain? No — the reference reprocesses the whole slice from raw, so
-    // both engines see identical staged input. Parity is on the OUTPUT.
+      StgDailyStocks.build(spark.read.parquet(raw).drop("batch")), const)
     assert(symmetricDiff(comparable(m2), comparable(full2)) == 0)
-    assert(m2.filter(col("trade_date") === "2024-01-05").count() == 2)
-    // cross-boundary lag: 01-05's yesterday_close = the merged 01-04 close
-    val yc = m2.filter(col("ticker") === "S02" &&
+    assert(m2.filter(col("trade_date") === "2024-01-05").count() === 2)
+    // boundary carry: 01-03 was recomputed in-slice with no earlier row in
+    // the slice; its yesterday_close must be the STORED mart's 01-02 close
+    val ycBoundary = m2.filter(col("ticker") === "S02" &&
+      col("trade_date") === "2024-01-03").head().getAs[Double]("yesterday_close")
+    assert(ycBoundary == 20.0)
+    // in-slice lag still supplies the newest day
+    val ycNew = m2.filter(col("ticker") === "S02" &&
       col("trade_date") === "2024-01-05").head().getAs[Double]("yesterday_close")
-    assert(yc == 22.0)
+    assert(ycNew == 22.0)
   }
 }

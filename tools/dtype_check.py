@@ -62,6 +62,13 @@ def main():
         got = pd.read_parquet(glob.glob(f"{d}/*.parquet")[0])
         exp = con.sql(oracle[name]).df()
         ed = {c.lower(): exp[c] for c in exp.columns}
+        gset = {c.lower() for c in got.columns}
+        for missing in sorted(gset - set(ed)):
+            print(f"COLUMN-MISMATCH {name}.{missing}: in spark output only")
+            bad += 1
+        for missing in sorted(set(ed) - gset):
+            print(f"COLUMN-MISMATCH {name}.{missing}: in oracle only")
+            bad += 1
         for c in got.columns:
             if c.lower() not in ed:
                 continue
