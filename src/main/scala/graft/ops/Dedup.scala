@@ -252,8 +252,9 @@ object Dedup {
     * cluster with themselves) and a keeper flag.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val profiling = sys.env.contains("GRAFT_PROFILE")
     def prof[A](name: String)(f: => A): A =
-      if (sys.env.contains("GRAFT_PROFILE")) {
+      if (profiling) {
         val t0 = System.nanoTime()
         val r = f
         println(f"PROFILE dupClusters.$name ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -323,7 +324,7 @@ object Dedup {
       labels = propagated
       labelIds = propIds
       converged = changed == 0
-      if (sys.env.contains("GRAFT_PROFILE"))
+      if (profiling)
         println(s"PROFILE dupClusters round=$iters changed=$changed")
     } catch { case t: Throwable => free(live); throw t }
     // 50 rounds covers any realistic dup-cluster diameter; a graph that

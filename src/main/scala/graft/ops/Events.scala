@@ -129,24 +129,28 @@ object Events {
     * scale path for percentile dashboards. Spec-bounded against the exact
     * twin; no DuckDB oracle (sketch estimates are implementation-defined).
     */
+  val QuantilePoints: Seq[Double] = Seq(0.5, 0.95, 0.99)
+
+  private def quantileCols(suffix: String) =
+    QuantilePoints.zipWithIndex.map { case (q, i) =>
+      col("q")(i).as(s"p${(q * 100).toInt}_$suffix")
+    }
+
   def valueQuantilesApprox(events: DataFrame,
       accuracy: Int = 10000): DataFrame =
     events.groupBy("event_type")
       .agg(percentile_approx(col("value"),
-        array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)).as("q"))
-      .select(col("event_type"),
-        col("q")(0).as("p50_approx"), col("q")(1).as("p95_approx"),
-        col("q")(2).as("p99_approx"))
+        array(QuantilePoints.map(lit): _*), lit(accuracy)).as("q"))
+      .select(col("event_type") +: quantileCols("approx"): _*)
 
   /** Exact twin of [[valueQuantilesApprox]] (single-node sort per group —
     * correctness baseline only).
     */
   def valueQuantilesExact(events: DataFrame): DataFrame =
     events.groupBy("event_type")
-      .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("q"))
-      .select(col("event_type"),
-        col("q")(0).as("p50_exact"), col("q")(1).as("p95_exact"),
-        col("q")(2).as("p99_exact"))
+      .agg(expr(s"percentile(value, array(${QuantilePoints.mkString("D, ")}D))")
+        .as("q"))
+      .select(col("event_type") +: quantileCols("exact"): _*)
 
   /** Cohort retention: users grouped by first-activity day; for each
     * (cohort, day-offset) the distinct active users and the retention

@@ -59,12 +59,11 @@ class ScaleOpsSpec extends SparkSpec {
     }
     val approx = Events.valueQuantilesApprox(ev).collect()
     assert(approx.nonEmpty)
-    for (r <- approx; (p, q) <- Seq("p50_approx" -> 0.5, "p95_approx" -> 0.95,
-      "p99_approx" -> 0.99)) assertRank(r, p, q)
+    for (r <- approx; q <- Events.QuantilePoints)
+      assertRank(r, s"p${(q * 100).toInt}_approx", q)
     // the exact twin's interpolated values must land at the same ranks
-    for (r <- Events.valueQuantilesExact(ev).collect();
-        (p, q) <- Seq("p50_exact" -> 0.5, "p95_exact" -> 0.95,
-          "p99_exact" -> 0.99)) assertRank(r, p, q)
+    for (r <- Events.valueQuantilesExact(ev).collect(); q <- Events.QuantilePoints)
+      assertRank(r, s"p${(q * 100).toInt}_exact", q)
   }
 
   test("token shards: distributed prefix sum equals the global running sum") {
