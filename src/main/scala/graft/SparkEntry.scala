@@ -54,6 +54,18 @@ object SparkEntry {
     memo(s, dir, "dupclusters")(
       Dedup.minhashDupClusters(T.table(s, dir, "documents")))
 
+  /** Forces every memoized shared relation (the int→fct→dim mart chain and
+    * the dup-cluster resolution) to materialize NOW, so callers timing
+    * individual queries can report the shared build as its own line instead
+    * of charging it to whichever query happens to run first (the reference
+    * materializes models once per dbt run in exactly this way).
+    */
+  def prewarmShared(s: SparkSession, dir: String): Unit = {
+    dimSecurities(s, dir) // builds int + fct + dim (memo is eager)
+    dupClusters(s, dir)
+    ()
+  }
+
   /** Latest Wilder-smoothed RSI per ticker — the EWMA recursion runs in the
     * custom [[graft.functions.Ewma]] window function (SURVEY §7 stretch;
     * the reference ships Cutler's constant-divisor variant as `rsi`).
@@ -135,11 +147,16 @@ object SparkEntry {
     "events_json" -> ((s, dir) => Events.jsonProps(T.events(s, dir))),
     "events_retention" -> ((s, dir) => Events.retention(T.events(s, dir))),
     // sketch estimates are implementation-defined → no DuckDB oracle
-    // (driver records the weaker rows-only check; accuracy is spec-tested)
+    // (driver records the weaker rows-only check; accuracy is spec-tested
+    // against the oracle-checked exact twins below)
     "events_daily_users_approx" -> ((s, dir) =>
       Events.dailyUsersApprox(T.events(s, dir))),
     "events_value_quantiles_approx" -> ((s, dir) =>
       Events.valueQuantilesApprox(T.events(s, dir))),
+    "events_daily_users_exact" -> ((s, dir) =>
+      Events.dailyUsersExact(T.events(s, dir))),
+    "events_value_quantiles_exact" -> ((s, dir) =>
+      Events.valueQuantilesExact(T.events(s, dir))),
     "events_asof_attribution" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val ev = T.events(s, dir)
@@ -263,6 +280,8 @@ object SparkEntry {
     "events_daily_topk" -> OO.EVENTS_DAILY_TOPK,
     "events_json" -> OO.EVENTS_JSON,
     "events_retention" -> OO.EVENTS_RETENTION,
+    "events_daily_users_exact" -> OO.EVENTS_DAILY_USERS_EXACT,
+    "events_value_quantiles_exact" -> OO.EVENTS_VALUE_QUANTILES_EXACT,
     "events_asof_attribution" -> OO.EVENTS_ASOF_ATTRIBUTION,
     "text_top_terms" -> OO.TEXT_TOP_TERMS,
     "split_assign" -> OO.SPLIT_ASSIGN,

@@ -56,6 +56,24 @@ object Dedup {
   val BandMask: Int = (1 << BandBits) - 1
   val CosineDupThreshold = 0.3
 
+  /** Document-frequency caps for the posting-list self-joins. Bucket joins
+    * are linear only while bucket occupancy is near-uniform; one hot key —
+    * a boilerplate shingle shared by 10⁶ documents, or a band hash shared
+    * by a giant duplicate family — yields df² candidate pairs from that
+    * single key (10¹² from one shingle on a real crawl). The standard
+    * defense (CCNet / GPT-3 decontamination lineage: drop the most frequent
+    * n-grams from candidate generation) is a df cap: keys hotter than the
+    * cap are EXCLUDED from candidate generation. A shingle in >
+    * [[MaxShingleDf]] documents is boilerplate, not duplication evidence; a
+    * band bucket holding > [[MaxBandOccupancy]] documents is a duplicate
+    * family that exact dedup (which has no quadratic step) already
+    * resolves. Both caps are mirrored verbatim in the DuckDB oracle SQL
+    * ([[graft.testdata.OpsOracleSql]]), so capped semantics are the
+    * verified semantics.
+    */
+  val MaxBandOccupancy = 1000
+  val MaxShingleDf = 1000
+
   /** Exact dedup: one row per distinct text digest with the surviving doc id
     * (min) and the multiplicity. SURVEY §2.7-style dedup generalized to
     * content hashing.
@@ -132,16 +150,24 @@ object Dedup {
   private def jaccardOf(common: Column, na: Column, nb: Column): Column =
     (common.cast("double") / (na + nb - common)).as("jaccard")
 
-  /** MinHash-LSH near-duplicate pairs: bucket-join candidates, then exact
-    * Jaccard verification over the shingle sets.
+  /** MinHash-LSH near-duplicate pairs: bucket-join candidates (band buckets
+    * hotter than `maxBandOccupancy` dropped — see [[MaxBandOccupancy]]),
+    * then exact Jaccard verification over the FULL (uncapped) shingle sets.
     */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+  def minhashPairs(docs: DataFrame,
+      maxBandOccupancy: Int = MaxBandOccupancy): DataFrame = {
     // eager materialization: the shingle relation feeds ~6 plan paths
     // (bands x2, verify legs x2, sizes x2); racing AQE stages would each
     // recompute an unmaterialized cache, so fill it once up front
     val ds = docShingles(docs).persist()
     ds.count()
+    // occupancy cap as a window count over the SAME (band_idx, band_val)
+    // partitioning the self-join shuffles on — no extra exchange
     val bands = bandRows(docs, ds)
+      .withColumn("bdf", count(lit(1))
+        .over(Window.partitionBy("band_idx", "band_val")))
+      .filter(col("bdf") <= maxBandOccupancy)
+      .drop("bdf")
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -154,10 +180,18 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs through the inverted index — every pair
-    * sharing at least one shingle, reported above a noise floor.
+    * sharing at least one NON-UBIQUITOUS shingle, reported above a noise
+    * floor. Shingles with document frequency > `maxDf` are dropped from the
+    * whole relation (common counts AND set sizes, so the Jaccard stays
+    * internally consistent): they are boilerplate, and each contributes
+    * df² candidate pairs — see [[MaxShingleDf]].
     */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val ds = docShingles(docs).persist()
+  def ngramJaccardPairs(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+    val ds = docShingles(docs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "h")
+      .persist()
     ds.count() // eager: three downstream legs (see minhashPairs)
     val common = ds.as("sa")
       .join(ds.as("sb"),

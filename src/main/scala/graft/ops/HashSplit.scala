@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Portable._
@@ -53,13 +54,24 @@ object HashSplit {
     * the inverted hashed-shingle index, so only genuinely overlapping pairs
     * materialize; one row per contaminated train doc with the overlap
     * evidence.
+    *
+    * Shingles with document frequency > `maxDf` (over the WHOLE corpus,
+    * before the split) are excluded: a boilerplate shingle present in every
+    * document is not contamination evidence, and one such key joins every
+    * train doc to every test doc — the quadratic hot-key blowup
+    * ([[Dedup.MaxShingleDf]]; GPT-3's decontamination drops the most
+    * frequent n-grams for the same reason). Mirrored in the DuckDB oracle.
     */
-  def contaminatedTrainDocs(docs: DataFrame, minShared: Int = 1): DataFrame = {
+  def contaminatedTrainDocs(docs: DataFrame, minShared: Int = 1,
+      maxDf: Int = Dedup.MaxShingleDf): DataFrame = {
     // persist + eager materialize: the shingle relation (the costliest
     // intermediate — tokenize + window + distinct) feeds BOTH self-join
     // legs; without it the split filters push into each leg and the whole
     // pipeline runs twice
     val sh = Dedup.docShingles(docs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
       .join(split(docs).select("doc_id", "split"), Seq("doc_id"))
       .persist()
     sh.count()

@@ -37,6 +37,14 @@ object Relational {
 
   /** Top customers by revenue: lineitem ⋈ orders ⋈ customer, decimal-exact
     * revenue, deterministic top-k via (revenue DESC, custkey).
+    *
+    * Two-phase top-k: `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject — each partition keeps its local top k and only
+    * k rows per partition reach the driver-side merge. Ranks are then
+    * numbered over the ≤ k surviving rows, so the only unpartitioned window
+    * in the plan runs on a bounded input. (The previous formulation ranked
+    * the FULL customer aggregate through one `Window.orderBy` task — a
+    * single-partition funnel of the whole customer cardinality at 100×.)
     */
   def topCustomers(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, k: Int = 10): DataFrame = {
@@ -47,9 +55,10 @@ object Relational {
       .agg(sum(money("l_extendedprice")).as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
     revenue
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("revenue").desc, col("c_custkey"))))
-      .filter(col("rank") <= k)
       // rank over the exact decimal sum; emit double (schema parity — see
       // pricingSummary)
       .withColumn("revenue", col("revenue").cast("double"))

@@ -81,8 +81,9 @@ object OpsOracleSql {
   // ---- dedup over documents/embeddings (graft.ops.Dedup) ----
 
   import graft.ops.Dedup.{BandBits, BandMask, Bands, CosineDupThreshold,
-    HammingThreshold, JaccardDupThreshold, JaccardReportThreshold, NumHashes,
-    RowsPerBand, SimhashBands, SimhashBits}
+    HammingThreshold, JaccardDupThreshold, JaccardReportThreshold,
+    MaxBandOccupancy, MaxShingleDf, NumHashes, RowsPerBand, SimhashBands,
+    SimhashBits}
 
   val DEDUP_EXACT =
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
@@ -138,17 +139,28 @@ object OpsOracleSql {
        |  WHERE n_shingles > 0)""".stripMargin
   }
 
+  /** Band-occupancy cap mirror (Dedup.MaxBandOccupancy): buckets hotter
+    * than the cap are dropped from candidate generation.
+    */
+  private val ddBandsKept =
+    s"""dd_bandsk AS (
+       |  SELECT doc_id, band_idx, band_val FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bdf
+       |    FROM dd_bands)
+       |  WHERE bdf <= $MaxBandOccupancy)""".stripMargin
+
   private val ddCand =
     """dd_cand AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      |  FROM dd_bands a JOIN dd_bands b
+      |  FROM dd_bandsk a JOIN dd_bandsk b
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |   AND a.doc_id < b.doc_id)""".stripMargin
 
   private val ddSizes =
     "dd_sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dd_docsh GROUP BY doc_id)"
 
-  private val ddShingleChain = Seq(ddToks, ddDocsh, ddAgg, ddSig, ddBands, ddCand, ddSizes)
+  private val ddShingleChain =
+    Seq(ddToks, ddDocsh, ddAgg, ddSig, ddBands, ddBandsKept, ddCand, ddSizes)
 
   val DEDUP_MINHASH_SIG: String = {
     val cols = (0 until NumHashes).map(j => s"mh_$j") ++
@@ -176,19 +188,32 @@ object OpsOracleSql {
        |SELECT *, CASE WHEN jaccard >= $JaccardDupThreshold THEN 1 ELSE 0 END AS is_duplicate
        |FROM dd_mh_pairs""".stripMargin
 
+  /** Shingle-df cap mirror (Dedup.MaxShingleDf) for the inverted-index
+    * Jaccard: the capped relation feeds common counts AND sizes.
+    */
+  private val ngDocsh =
+    s"""ng_docsh AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+       |    FROM dd_docsh)
+       |  WHERE df <= $MaxShingleDf)""".stripMargin
+
+  private val ngSizes =
+    "ng_sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ng_docsh GROUP BY doc_id)"
+
   val DEDUP_NGRAM_JACCARD: String =
-    s"""WITH $ddToks, $ddDocsh, $ddSizes
+    s"""WITH $ddToks, $ddDocsh, $ngDocsh, $ngSizes
        |SELECT * FROM (
        |  SELECT cm.a_id, cm.b_id, cm.n_common, na.n AS n_a, nb.n AS n_b,
        |         CAST(cm.n_common AS DOUBLE) / (na.n + nb.n - cm.n_common) AS jaccard
        |  FROM (
        |    SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
        |           CAST(count(*) AS BIGINT) AS n_common
-       |    FROM dd_docsh sa JOIN dd_docsh sb
+       |    FROM ng_docsh sa JOIN ng_docsh sb
        |      ON sa.h = sb.h AND sa.doc_id < sb.doc_id
        |    GROUP BY 1, 2) cm
-       |  JOIN dd_sizes na ON na.doc_id = cm.a_id
-       |  JOIN dd_sizes nb ON nb.doc_id = cm.b_id)
+       |  JOIN ng_sizes na ON na.doc_id = cm.a_id
+       |  JOIN ng_sizes nb ON nb.doc_id = cm.b_id)
        |WHERE jaccard >= $JaccardReportThreshold""".stripMargin
 
   private val dsSig: String = {
@@ -404,9 +429,17 @@ object OpsOracleSql {
        |             AND CURRENT ROW)""".stripMargin
   }
 
-  /** Train/test contamination via the hashed-shingle inverted index. */
+  /** Train/test contamination via the hashed-shingle inverted index, with
+    * the shingle-df cap mirror (`ct_docsh` — Dedup.MaxShingleDf over the
+    * whole corpus, before the split).
+    */
   val SPLIT_CONTAMINATION: String =
     s"""WITH $ddToks, $ddDocsh,
+       |ct_docsh AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+       |    FROM dd_docsh)
+       |  WHERE df <= ${graft.ops.Dedup.MaxShingleDf}),
        |sp AS (SELECT doc_id,
        |         CASE WHEN $hsBucket < $TrainUpper THEN 'train'
        |              WHEN $hsBucket < $ValUpper THEN 'val'
@@ -415,9 +448,9 @@ object OpsOracleSql {
        |pairs AS (
        |  SELECT tr.doc_id AS train_doc_id, te.doc_id AS test_doc_id,
        |         CAST(count(*) AS BIGINT) AS n_shared
-       |  FROM dd_docsh tr
+       |  FROM ct_docsh tr
        |  JOIN sp str ON str.doc_id = tr.doc_id AND str.split = 'train'
-       |  JOIN dd_docsh te ON te.h = tr.h
+       |  JOIN ct_docsh te ON te.h = tr.h
        |  JOIN sp ste ON ste.doc_id = te.doc_id AND ste.split = 'test'
        |  GROUP BY 1, 2)
        |SELECT train_doc_id,
@@ -600,6 +633,27 @@ object OpsOracleSql {
        |SELECT ap.event_id, ap.ts, ap.user_id, ap.value, av.view_event_id
        |FROM ap ASOF LEFT JOIN av
        |  ON ap.user_id = av.user_id AND ap.ts >= av.vts""".stripMargin
+
+  /** Exact twin of the HLL daily-users sketch (the sketch itself has no
+    * oracle: estimates are implementation-defined).
+    */
+  val EVENTS_DAILY_USERS_EXACT: String =
+    s"""WITH $evBase
+       |SELECT CAST(ts AS DATE) AS day,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+       |FROM ev GROUP BY 1""".stripMargin
+
+  /** Exact twin of the GK value-quantile sketch: DuckDB's `quantile_cont`
+    * and Spark's `percentile` both interpolate at rank (n-1)·q over the
+    * sorted values (R type-7), so the doubles agree.
+    */
+  val EVENTS_VALUE_QUANTILES_EXACT: String = {
+    val cols = graft.ops.Events.QuantilePoints.map(q =>
+      s"CAST(quantile_cont(value, $q) AS DOUBLE) AS p${(q * 100).toInt}_exact")
+    s"""WITH $evBase
+       |SELECT event_type, ${cols.mkString(", ")}
+       |FROM ev GROUP BY event_type""".stripMargin
+  }
 
   val EVENTS_RETENTION: String =
     s"""WITH $evBase,

@@ -56,6 +56,46 @@ class PlanSpec extends SparkSpec {
     assert(scr.contains("TakeOrderedAndProject"), scr)
   }
 
+  test("topCustomers is two-phase top-k, not a global window rank") {
+    val p = plan(Relational.topCustomers(T.table(spark, sf, "lineitem"),
+      T.table(spark, sf, "orders"), T.table(spark, sf, "customer")))
+    // phase 1: per-partition top-k + driver merge; the rank window then
+    // runs over ≤ k rows instead of the whole customer aggregate
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("no unpartitioned window over unbounded input (SparkEntry battery)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
+    // A window with no PARTITION BY funnels its entire input through ONE
+    // task — at 100 TB that task never finishes. Allowed only when the
+    // window's input is bounded: a limit beneath it in the plan, or a
+    // relation whose cardinality is bounded by construction (whitelist,
+    // with the bounding argument spelled out).
+    val boundedByDesign = Map(
+      "stock_breadth" -> "cumulative A/D line: one row per trading day",
+      "api_breadth_trend" -> "same breadth relation (one row per day)",
+      "split_token_shards" ->
+        "offsets leg of the two-phase prefix sum: one row per range partition",
+      "stock_volume_deciles" ->
+        "ntile(10) is a global rank over the per-ticker aggregate by definition")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => boundedByDesign.contains(name) }
+      .flatMap { case (name, fn) =>
+        // analyzed plan, not optimized: cache substitution (memoized marts)
+        // would hide the mart-build windows behind an InMemoryRelation
+        fn(spark, sf).queryExecution.analyzed.collect {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+              w.child.collectFirst {
+                case g: GlobalLimit => g
+                case l: LocalLimit => l
+              }.isEmpty =>
+            s"$name: ${w.windowExpressions.map(_.name).mkString(",")}"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unbounded input:\n${offenders.mkString("\n")}")
+  }
+
   test("brute-force ANN broadcasts the query side, streams the corpus") {
     val p = plan(Similarity.bruteTopK(T.table(spark, sf, "embeddings")))
     assert(p.contains("BroadcastNestedLoopJoin BuildLeft"), p)

@@ -85,6 +85,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(shardSeq.sameElements(shardSeq.sorted))
   }
 
+  test("df caps bound the posting-list joins on pathological hot keys") {
+    import spark.implicits._
+    import graft.ops.{Dedup, HashSplit}
+    // every doc shares one boilerplate sentence (3 hot shingles, df = n)
+    // plus unique filler — uncapped, ONE hot key pairs every doc with every
+    // other (the 100 TB quadratic blowup in miniature)
+    val n = 60
+    val nPairs = n.toLong * (n - 1) / 2
+    val docs = (1 to n).map(i =>
+      (i.toLong, s"shared boiler plate sentence here u$i v$i w$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(docs).count() == nPairs)
+    // capped: boilerplate shingles leave candidate generation entirely, so
+    // the candidate count is bounded by sum(df²) over df <= cap keys
+    assert(Dedup.ngramJaccardPairs(docs, maxDf = 10).count() == 0)
+    assert(HashSplit.contaminatedTrainDocs(docs, maxDf = 10).count() == 0)
+    // identical documents — one LSH band bucket holding the whole corpus
+    val dup = (1 to n).map(i =>
+      (i.toLong, "all documents carry identical content here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(dup).count() == nPairs)
+    assert(Dedup.minhashPairs(dup, maxBandOccupancy = 10).count() == 0)
+  }
+
   test("salted join rejects join types that would duplicate build rows") {
     import spark.implicits._
     val l = Seq((1L, 1L)).toDF("k", "rowid")
