@@ -150,6 +150,22 @@ object Dedup {
   private def jaccardOf(common: Column, na: Column, nb: Column): Column =
     (common.cast("double") / (na + nb - common)).as("jaccard")
 
+  /** Materialize the operator's (output-sized) result eagerly, then free the
+    * operator-internal persisted legs. The pair operators persist their
+    * biggest intermediates (shingle relation, candidate set) to share them
+    * across join legs; returning a lazy plan over those caches would pin
+    * corpus-sized blocks for the session lifetime (or recompute everything
+    * if the caller unpersisted them). `localCheckpoint` cuts the plan to a
+    * flat LogicalRDD whose blocks are result-sized, and Spark's
+    * ContextCleaner frees THOSE automatically once the returned frame is
+    * unreachable — so the operator leaks nothing it allocated.
+    */
+  private[ops] def materializeFreeing(result: DataFrame, legs: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint() // eager
+    legs.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** MinHash-LSH near-duplicate pairs: bucket-join candidates (band buckets
     * hotter than `maxBandOccupancy` dropped — see [[MaxBandOccupancy]]),
     * then exact Jaccard verification over the FULL (uncapped) shingle sets.
@@ -176,7 +192,7 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
       .persist()
-    verifyJaccard(cand, ds)
+    materializeFreeing(verifyJaccard(cand, ds), ds, cand)
   }
 
   /** Exact n-gram Jaccard pairs through the inverted index — every pair
@@ -200,13 +216,15 @@ object Dedup {
       .groupBy(col("sa.doc_id").as("a_id"), col("sb.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_common"))
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    common
-      .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("b_id") === col("nb.doc_id"))
-      .select(col("a_id"), col("b_id"), col("n_common"),
-        col("na.n").as("n_a"), col("nb.n").as("n_b"),
-        jaccardOf(col("n_common"), col("na.n"), col("nb.n")))
-      .filter(col("jaccard") >= JaccardReportThreshold)
+    materializeFreeing(
+      common
+        .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("b_id") === col("nb.doc_id"))
+        .select(col("a_id"), col("b_id"), col("n_common"),
+          col("na.n").as("n_a"), col("nb.n").as("n_b"),
+          jaccardOf(col("n_common"), col("na.n"), col("nb.n")))
+        .filter(col("jaccard") >= JaccardReportThreshold),
+      ds)
   }
 
   /** Candidate pairs → exact Jaccard + duplicate verdict, over a (persisted)
@@ -267,15 +285,17 @@ object Dedup {
     sig.count() // eager: both self-join legs (see minhashPairs)
     val nibRows = sig.select(col("doc_id"), col("simhash_sig"), posexplode(
       array((0 until SimhashBands).map(q => col(s"nib_$q")): _*)).as(Seq("q", "nib")))
-    nibRows.as("a")
-      .join(nibRows.as("b"),
-        col("a.q") === col("b.q") && col("a.nib") === col("b.nib") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.simhash_sig").as("sh_a"), col("b.simhash_sig").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
-      .filter(col("hamming") <= HammingThreshold)
+    materializeFreeing(
+      nibRows.as("a")
+        .join(nibRows.as("b"),
+          col("a.q") === col("b.q") && col("a.nib") === col("b.nib") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.simhash_sig").as("sh_a"), col("b.simhash_sig").as("sh_b"))
+        .distinct()
+        .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+        .filter(col("hamming") <= HammingThreshold),
+      sig)
   }
 
   /** Duplicate-cluster resolution: connected components over the verified

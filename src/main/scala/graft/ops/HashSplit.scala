@@ -78,14 +78,16 @@ object HashSplit {
     val train = sh.filter(col("split") === "train").select("doc_id", "h")
     val test = sh.filter(col("split") === "test")
       .select(col("doc_id").as("test_doc_id"), col("h"))
-    train.join(test, Seq("h"))
-      .groupBy(col("doc_id").as("train_doc_id"), col("test_doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .groupBy("train_doc_id")
-      .agg(countDistinct(col("test_doc_id")).as("n_test_docs"),
-        max(col("n_shared")).as("max_shared_shingles"),
-        min(col("test_doc_id")).as("example_test_doc"))
+    Dedup.materializeFreeing(
+      train.join(test, Seq("h"))
+        .groupBy(col("doc_id").as("train_doc_id"), col("test_doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .groupBy("train_doc_id")
+        .agg(countDistinct(col("test_doc_id")).as("n_test_docs"),
+          max(col("n_shared")).as("max_shared_shingles"),
+          min(col("test_doc_id")).as("example_test_doc")),
+      sh)
   }
 
   val ShardTokenBudget = 20000L

@@ -109,6 +109,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(Dedup.minhashPairs(dup, maxBandOccupancy = 10).count() == 0)
   }
 
+  test("pair operators free their persisted legs (no session-lifetime cache leak)") {
+    import spark.implicits._
+    import graft.ops.{Dedup, HashSplit}
+    val sc = spark.sparkContext
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    // Each operator persists corpus-sized legs (shingle relation, candidate
+    // set) internally; the contract is that after the call returns, the only
+    // block it still holds is the RESULT's own localCheckpoint (freed by the
+    // ContextCleaner when the frame goes unreachable). A leak of the legs
+    // shows up as >1 newly-registered persistent RDD.
+    def newlyPersisted(f: => Unit): Int = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      f
+      (sc.getPersistentRDDs.keySet.toSet -- before).size
+    }
+    assert(newlyPersisted(Dedup.minhashPairs(docs).count()) <= 1)
+    assert(newlyPersisted(Dedup.ngramJaccardPairs(docs).count()) <= 1)
+    assert(newlyPersisted(Dedup.simhashPairs(docs).count()) <= 1)
+    assert(newlyPersisted(HashSplit.contaminatedTrainDocs(docs).count()) <= 1)
+  }
+
   test("salted join rejects join types that would duplicate build rows") {
     import spark.implicits._
     val l = Seq((1L, 1L)).toDF("k", "rowid")
