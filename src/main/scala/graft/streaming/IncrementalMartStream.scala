@@ -30,6 +30,22 @@ import graft.pipeline.MergeWriter
   */
 object IncrementalMartStream {
 
+  /** Raw-store read pruned on the stored `DATE` partition column to the
+    * incremental lookback window. `buildIncremental`'s slice filter is on
+    * the DERIVED `trade_date` (an alias of DATE after staging) — Catalyst
+    * usually pushes it through the rename, but the "per-trigger cost ∝
+    * lookback" contract should not hinge on an optimizer rewrite surviving
+    * refactors: filtering here, on the partition column itself, guarantees
+    * partition pruning (pinned in `StreamingMartSpec`). The cutoff matches
+    * the slice filter exactly; the cross-boundary yesterday_close fallback
+    * reads the STORED mart, not raw, so no extra margin is needed.
+    */
+  def prunedRaw(spark: SparkSession, rawPath: String,
+      martMaxDate: java.sql.Date, lookbackDays: Int): DataFrame =
+    spark.read.parquet(rawPath)
+      .filter(col("DATE") >= date_sub(lit(martMaxDate), lookbackDays))
+      .drop("batch")
+
   /** One maintenance cycle per micro-batch; Trigger.AvailableNow drains the
     * landing dir then stops (the scheduled-run shape). Returns the mart
     * path's final frame.
@@ -55,13 +71,17 @@ object IncrementalMartStream {
           // appending duplicate grain
           batch.write.mode("overwrite").partitionBy("DATE")
             .parquet(s"$rawPath/batch=$batchId")
-          val staged = StgDailyStocks.build(
-            spark.read.parquet(rawPath).drop("batch"))
           if (!exists(martPath)) {
+            // bootstrap is the one full-history scan (SURVEY ST3)
+            val staged = StgDailyStocks.build(
+              spark.read.parquet(rawPath).drop("batch"))
             IntRussellDaily.buildFull(staged, constituents)
               .write.partitionBy("trade_date").parquet(martPath)
           } else {
             val existing = spark.read.parquet(martPath)
+            val martMax = existing.agg(max("trade_date")).head().getDate(0)
+            val staged = StgDailyStocks.build(
+              prunedRaw(spark, rawPath, martMax, lookbackDays))
             val slice = IntRussellDaily.buildIncremental(
               staged, constituents, existing, lookbackDays)
             // align column order with the stored mart (partition column

@@ -73,5 +73,16 @@ class StreamingMartSpec extends SparkSpec {
     val ycNew = m2.filter(col("ticker") === "S02" &&
       col("trade_date") === "2024-01-05").head().getAs[Double]("yesterday_close")
     assert(ycNew == 22.0)
+
+    // scale contract: the per-batch restage prunes the DATE-partitioned raw
+    // store to the lookback window — a partition FILTER in the scan, not a
+    // post-scan filter over full history
+    val pruned = IncrementalMartStream.prunedRaw(
+      spark, raw, java.sql.Date.valueOf("2024-01-05"), 1)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*DATE[^\\]]*>=[^\\]]*\\].*"), p)
+    // lookback=1 from 01-05 keeps exactly the 01-04 and 01-05 partitions
+    assert(pruned.count() == 4)
+    assert(pruned.select(min(col("DATE"))).head().getDate(0).toString == "2024-01-04")
   }
 }
