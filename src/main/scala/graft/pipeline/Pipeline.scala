@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** dbt-style model DAG runner (SURVEY §3.2 port).
   *
@@ -31,12 +32,36 @@ object Pipeline {
     */
   case object Incremental extends Materialization
 
+  /** `contract` is the dbt `on_schema_change='fail'` analogue (reference
+    * `models/intermediate/int_russell3000__daily.sql:6`,
+    * `models/marts/fct_trading_momentum.sql:6`): when declared, the built
+    * frame's schema is checked BEFORE any write, so upstream drift fails
+    * fast, named at the model that detected it, instead of surfacing as a
+    * corrupt mart or a far-downstream analysis error.
+    */
   final case class Model(
     name: String,
     deps: Seq[String],
     materialization: Materialization,
     clusterBy: Seq[String] = Nil,
+    contract: Option[StructType] = None,
     build: Map[String, DataFrame] => DataFrame)
+
+  /** Column names (case-insensitive, in declared order) and types must match
+    * exactly; nullability is NOT contracted — Spark tightens and loosens it
+    * through joins/coalesce and parquet round-trips don't preserve it.
+    */
+  private def enforceContract(name: String, actual: StructType, contract: StructType): Unit = {
+    def sig(s: StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.simpleString))
+    if (sig(actual) != sig(contract)) {
+      def render(s: StructType) =
+        sig(s).map { case (n, t) => s"$n $t" }.mkString(", ")
+      throw new IllegalStateException(
+        s"schema contract violation in model '$name' (on_schema_change=fail)\n" +
+          s"  declared: ${render(contract)}\n  actual:   ${render(actual)}")
+    }
+  }
 
   /** Kahn topological order; fails fast on unknown deps or cycles. */
   def topoOrder(models: Seq[Model]): Seq[Model] = {
@@ -72,6 +97,7 @@ object Pipeline {
     topoOrder(models).foreach { m =>
       val inputs = m.deps.map(d => d -> resolved(d)).toMap
       val df = m.build(inputs)
+      m.contract.foreach(c => enforceContract(m.name, df.schema, c))
       val out = m.materialization match {
         case View => df
         case Table =>

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 import graft.models._
 import graft.pipeline.Pipeline._
@@ -16,6 +17,29 @@ import graft.pipeline.Pipeline._
   */
 object StockPipeline {
 
+  /** Declared output schemas for the two models the reference protects with
+    * `on_schema_change='fail'` (`int_russell3000__daily.sql:6`,
+    * `fct_trading_momentum.sql:6`) — the contract the DAG runner enforces
+    * before writing.
+    */
+  val IntRussellDailyContract: StructType = StructType.fromDDL(
+    "ticker STRING, trade_date DATE, volume BIGINT, " +
+      "volume_weighted_avg DOUBLE, open DOUBLE, close DOUBLE, high DOUBLE, " +
+      "low DOUBLE, num_transactions BIGINT, ingested_at TIMESTAMP, " +
+      "has_volume INT, is_valid_record INT, sector STRING, company STRING, " +
+      "index_weight DOUBLE, consecutive_trading_days BIGINT, " +
+      "yesterday_close DOUBLE, is_new_to_index INT")
+
+  val FctTradingMomentumContract: StructType = StructType.fromDDL(
+    "ticker STRING, volume BIGINT, open DOUBLE, close DOUBLE, " +
+      "yesterday_close DOUBLE, high DOUBLE, low DOUBLE, trade_date DATE, " +
+      "sector STRING, company STRING, index_weight DOUBLE, " +
+      "is_new_to_index INT, is_valid_record INT, sma_20 DOUBLE, " +
+      "sma_50 DOUBLE, sma_200 DOUBLE, high_52week DOUBLE, " +
+      "low_52week DOUBLE, avg_gain_14 DOUBLE, avg_loss_14 DOUBLE, " +
+      "bullish_crossover INT, golden_cross INT, death_cross INT, " +
+      "rel_vol DOUBLE, rsi DOUBLE")
+
   /** @param stagedBars  staging-shaped OHLCV bars (see TestFixtures.stagedBars)
     * @param constituents SCD2 constituents dimension
     */
@@ -24,10 +48,12 @@ object StockPipeline {
     Model("stg_constituents", Nil, View, build = _ => constituents),
     Model("int_russell_daily", Seq("stg_daily_stocks", "stg_constituents"),
       Incremental, clusterBy = Seq("ticker"),
+      contract = Some(IntRussellDailyContract),
       build = in => IntRussellDaily.buildFull(
         in("stg_daily_stocks"), in("stg_constituents"))),
     Model("fct_trading_momentum", Seq("int_russell_daily"),
       Incremental, clusterBy = Seq("ticker"),
+      contract = Some(FctTradingMomentumContract),
       build = in => FctTradingMomentum.buildFull(in("int_russell_daily"))),
     Model("agg_daily_market_breadth", Seq("int_russell_daily", "fct_trading_momentum"),
       Table,

@@ -43,4 +43,23 @@ class StockPipelineSpec extends SparkSpec {
     // breadth mart row count = one per trade date
     assert(out("agg_daily_market_breadth").count() == dates)
   }
+
+  test("schema contract aborts the DAG at the drifted model, before any write") {
+    val store = Files.createTempDirectory("driftstore").toString
+    val stg = T.stagedBars(spark, sf)
+    val const = T.constituents(spark, sf)
+    // upstream type drift that SURVIVES the model's projection (an extra
+    // column would be dropped by the explicit select; a type change rides
+    // through it into the declared output): volume narrows to INT
+    val retyped = stg.withColumn("volume", col("volume").cast("int"))
+    val ex = intercept[IllegalStateException](
+      StockPipeline.run(spark, retyped, const, store))
+    assert(ex.getMessage.contains("int_russell_daily"), ex.getMessage)
+    assert(ex.getMessage.contains("volume"), ex.getMessage)
+    // fail-fast: the drifted model aborted BEFORE writing its table
+    assert(!Files.exists(Paths.get(s"$store/int_russell_daily")))
+
+    // the undrifted DAG still matches its declared contracts: no throw
+    StockPipeline.run(spark, stg, const, store)
+  }
 }
