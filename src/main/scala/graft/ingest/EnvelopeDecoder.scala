@@ -1,0 +1,99 @@
+package graft.ingest
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema'd decode of the vendor's grouped-daily JSON envelope
+  * (`{"status":…, "queryCount":N, "results":[{bar},…]}`) — the seam the
+  * reference implements with `data["results"]` → `pd.DataFrame(results)`
+  * (`src/extraction.py:30-44`), where a missing/empty `results` yields no
+  * rows and absent per-bar keys become NaN→NULL.
+  *
+  * The bar object carries BOTH `T` (ticker) and `t` (timestamp). Spark's
+  * default case-insensitive resolution refuses a struct holding both, so
+  * `results` is parsed as `array<map<string,string>>` — JSON map KEYS stay
+  * case-sensitive — and each field is cast out of its map entry. A missing
+  * key reads as NULL, exactly the reference's NaN column; `explode` of a
+  * NULL/empty array contributes no rows, exactly the reference's
+  * `None` return for a resultless envelope.
+  */
+object EnvelopeDecoder {
+
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("status", StringType),
+    StructField("request_id", StringType),
+    StructField("queryCount", LongType),
+    StructField("resultsCount", LongType),
+    StructField("adjusted", BooleanType),
+    StructField("results", ArrayType(MapType(StringType, StringType)))))
+
+  /** One typed bar row per element of `results`, named per
+    * [[graft.streaming.RawLanding.landingSchema]] (`t` → `t_ms` is that
+    * schema's documented rename, done here at the decode boundary).
+    * Non-`jsonCol` input columns (e.g. the fetch date) pass through.
+    */
+  def decodeBars(envelopes: DataFrame, jsonCol: String = "envelope"): DataFrame = {
+    val passthrough = envelopes.columns.filterNot(_ == jsonCol).map(col).toSeq
+    envelopes
+      .select(passthrough :+ from_json(col(jsonCol), envelopeSchema).as("__env"): _*)
+      .select(passthrough :+ explode(col("__env.results")).as("__bar"): _*)
+      .select(passthrough ++ Seq(
+        element_at(col("__bar"), "T").as("T"),
+        element_at(col("__bar"), "v").cast("double").as("v"),
+        element_at(col("__bar"), "vw").cast("double").as("vw"),
+        element_at(col("__bar"), "o").cast("double").as("o"),
+        element_at(col("__bar"), "c").cast("double").as("c"),
+        element_at(col("__bar"), "h").cast("double").as("h"),
+        element_at(col("__bar"), "l").cast("double").as("l"),
+        element_at(col("__bar"), "n").cast("long").as("n"),
+        element_at(col("__bar"), "t").cast("long").as("t_ms")): _*)
+  }
+}
+
+/** [[MarketDataClient]] over a raw-JSON transport: the live-HTTP shape of
+  * the ingest seam, with the envelope decode done by [[EnvelopeDecoder]]
+  * instead of fixture-constructed [[ApiBar]]s. `transport` returns the
+  * response body for one date (in tests, a canned envelope; in production,
+  * the HTTP GET the reference builds in `src/extraction.py:21-29`).
+  *
+  * A bar missing `T` or `t` is malformed beyond use (no grain key) and is
+  * dropped; missing optional fields (`vw`, `n`) survive as None, and the
+  * required prices default to NaN — the same values the reference's pandas
+  * frame would carry.
+  */
+class JsonEnvelopeClient(spark: SparkSession, transport: LocalDate => String)
+    extends MarketDataClient {
+
+  private def optD(r: Row, c: String): Option[Double] = {
+    val i = r.fieldIndex(c)
+    if (r.isNullAt(i)) None else Some(r.getDouble(i))
+  }
+  private def reqD(r: Row, c: String): Double =
+    optD(r, c).getOrElse(Double.NaN)
+  private def optL(r: Row, c: String): Option[Long] = {
+    val i = r.fieldIndex(c)
+    if (r.isNullAt(i)) None else Some(r.getLong(i))
+  }
+
+  def groupedDaily(date: LocalDate): Seq[ApiBar] = {
+    import spark.implicits._
+    val envelopes = Seq(transport(date)).toDF("envelope")
+    EnvelopeDecoder.decodeBars(envelopes)
+      .filter(col("T").isNotNull && col("t_ms").isNotNull)
+      .collect().toSeq.map { r =>
+        ApiBar(
+          ticker = r.getAs[String]("T"),
+          volume = reqD(r, "v"),
+          vwap = optD(r, "vw"),
+          open = reqD(r, "o"),
+          close = reqD(r, "c"),
+          high = reqD(r, "h"),
+          low = reqD(r, "l"),
+          numTransactions = optL(r, "n"),
+          epochMillis = r.getAs[Long]("t_ms"))
+      }
+  }
+}

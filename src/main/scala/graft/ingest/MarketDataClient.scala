@@ -5,16 +5,21 @@ import java.time.LocalDate
 /** One grouped-daily bar as returned by the upstream API (Polygon
   * grouped-daily envelope field names, reference `src/extraction.py:11-44`,
   * renamed downstream by [[RawLoader]] per `src/load.py:50-60`).
+  *
+  * `vwap` and `numTransactions` are the fields the vendor omits for
+  * thinly-traded bars; the reference's `pd.DataFrame(results)` turns the
+  * missing keys into NaN that load as SQL NULL, so they are Options here —
+  * None flows to NULL in the raw store.
   */
 final case class ApiBar(
   ticker: String, // "T"
   volume: Double, // "v"
-  vwap: Double, // "vw"
+  vwap: Option[Double], // "vw"
   open: Double, // "o"
   close: Double, // "c"
   high: Double, // "h"
   low: Double, // "l"
-  numTransactions: Long, // "n"
+  numTransactions: Option[Long], // "n"
   epochMillis: Long) // "t"
 
 /** Abstracts the market-data HTTP API so the pipeline is testable offline;
@@ -82,12 +87,12 @@ class FixtureClient(nTickers: Int = 50) extends MarketDataClient {
       ApiBar(
         ticker = f"SYN$i%03d",
         volume = 1000.0 + (seed % 31) * 100.0,
-        vwap = base + 0.5,
+        vwap = Some(base + 0.5),
         open = base,
         close = base + (seed % 5) * 0.25 - 0.5,
         high = base + 1.5,
         low = base - 1.5,
-        numTransactions = 10 + (seed % 13),
+        numTransactions = Some(10 + (seed % 13)),
         epochMillis = epochDay * 86400000L)
     }
   }

@@ -98,6 +98,47 @@ class IngestSpec extends SparkSpec {
     assert(stg.columns.contains("volume_weighted_avg"))
   }
 
+  test("JSON envelope decode: schema'd from_json seam, end-to-end through ingest") {
+    val rawPath = tmp("rawenv")
+    val ledger = new CheckpointLedger(spark, tmp("ledgerenv") + "/ledger")
+    // canned vendor envelope: one full bar, one bar missing the optional
+    // vw/n keys, one malformed bar with no grain key (no T/t)
+    def envelope(date: LocalDate): String = {
+      val t = date.toEpochDay * 86400000L
+      s"""{"status":"OK","queryCount":3,"resultsCount":3,"adjusted":true,""" +
+        s""""request_id":"r1","results":[""" +
+        s"""{"T":"ENV1","v":1000.0,"vw":10.5,"o":10.0,"c":11.0,"h":11.5,"l":9.5,"n":42,"t":$t},""" +
+        s"""{"T":"ENV2","v":2000.0,"o":20.0,"c":21.0,"h":21.5,"l":19.5,"t":$t},""" +
+        s"""{"v":1.0,"o":1.0,"c":1.0,"h":1.0,"l":1.0}]}"""
+    }
+    val client = new JsonEnvelopeClient(spark, envelope)
+    val d = LocalDate.parse("2024-07-08")
+    val bars = client.groupedDaily(d)
+    assert(bars.map(_.ticker) == Seq("ENV1", "ENV2")) // malformed bar dropped
+    assert(bars(0).vwap.contains(10.5) && bars(0).numTransactions.contains(42L))
+    assert(bars(1).vwap.isEmpty && bars(1).numTransactions.isEmpty)
+    assert(bars(1).epochMillis == d.toEpochDay * 86400000L)
+
+    // resultless / empty-results envelopes decode to zero bars (the
+    // reference returns None for both — extraction.py:33-41)
+    assert(new JsonEnvelopeClient(spark, _ => """{"status":"OK","queryCount":0}""")
+      .groupedDaily(d).isEmpty)
+    assert(new JsonEnvelopeClient(spark, _ => """{"status":"OK","results":[]}""")
+      .groupedDaily(d).isEmpty)
+
+    // end-to-end: envelope transport → decode → normalize → raw append
+    val job = new IngestJob(spark, client, ledger, rawPath)
+    val now = ZonedDateTime.of(2024, 7, 9, 18, 0, 0, 0, ZoneId.of("America/New_York"))
+    val out = job.run(now, daysBack = 1)
+    assert(out.forall(_.status == "completed") && out.nonEmpty)
+    val raw = spark.read.parquet(rawPath)
+    assert(raw.count() == 2 * out.size)
+    // missing optional vendor fields land as NULL (reference NaN → SQL NULL)
+    assert(raw.filter(col("T") === "ENV2").count() ==
+      raw.filter(col("T") === "ENV2" && col("VW").isNull && col("N").isNull).count())
+    assert(raw.filter(col("T") === "ENV1").head().getAs[Double]("VW") == 10.5)
+  }
+
   test("failed fetch writes a failed checkpoint and later retries") {
     import FetchResult._
     val rawPath = tmp("raw2")
