@@ -66,6 +66,40 @@ object SparkEntry {
     ()
   }
 
+  /** Registers the resolved model layers as temp views, so ad-hoc
+    * `spark.sql` works over the mart schema — the surface the reference's
+    * dashboard pages use (`data-viz/pages/2_Universe_Screener.py:58-107`
+    * issues SELECTs against the warehouse via
+    * `data-viz/utilities/snowflake_helper.py:42-51`). Registration is lazy
+    * (views over the memoized marts) and idempotent.
+    */
+  def registerMartViews(s: SparkSession, dir: String): Unit = {
+    StgDailyStocks.build(T.rawDaily(s, dir))
+      .createOrReplaceTempView("stg_daily_stocks")
+    intDaily(s, dir).createOrReplaceTempView("int_russell_daily")
+    fctMomentum(s, dir).createOrReplaceTempView("fct_trading_momentum")
+    AggDailyMarketBreadth.build(intDaily(s, dir), fctMomentum(s, dir))
+      .createOrReplaceTempView("agg_daily_market_breadth")
+    dimSecurities(s, dir).createOrReplaceTempView("dim_securities_current")
+  }
+
+  /** The ad-hoc SQL surface proof: plain ANSI SQL over the registered mart
+    * views, oracle-checked like every DataFrame query. Aggregates are
+    * order-independent (counts, integer sums, min/max) so the cross-engine
+    * hash compare is exact.
+    */
+  private val sectorMomentumSql =
+    """SELECT sector,
+      |       CAST(count(DISTINCT ticker) AS BIGINT) AS n_tickers,
+      |       CAST(sum(CAST(golden_cross AS BIGINT)) AS BIGINT) AS n_golden_crosses,
+      |       CAST(sum(volume) AS BIGINT) AS total_volume,
+      |       CAST(min(close) AS DOUBLE) AS min_close,
+      |       CAST(max(close) AS DOUBLE) AS max_close
+      |FROM fct_trading_momentum
+      |WHERE trade_date >= DATE '1998-01-01'
+      |GROUP BY sector
+      |ORDER BY sector""".stripMargin
+
   /** Latest Wilder-smoothed RSI per ticker — the EWMA recursion runs in the
     * custom [[graft.functions.Ewma]] window function (SURVEY §7 stretch;
     * the reference ships Cutler's constant-divisor variant as `rsi`).
@@ -232,6 +266,10 @@ object SparkEntry {
     "quality_report" -> ((s, dir) =>
       graft.quality.DataQuality.report(fctMomentum(s, dir),
         graft.quality.DataQuality.fctTests)),
+    "sql_sector_momentum" -> ((s, dir) => {
+      registerMartViews(s, dir)
+      s.sql(sectorMomentumSql)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -438,6 +476,17 @@ object SparkEntry {
         |FROM dim""".stripMargin),
     "api_sector_picklist" -> O.query(O.stockChain ++ O.dimChain,
       "SELECT DISTINCT sector FROM dim ORDER BY sector"),
+    "sql_sector_momentum" -> O.query(O.stockChain,
+      """SELECT sector,
+        |       CAST(count(DISTINCT ticker) AS BIGINT) AS n_tickers,
+        |       CAST(sum(CAST(golden_cross AS BIGINT)) AS BIGINT) AS n_golden_crosses,
+        |       CAST(sum(volume) AS BIGINT) AS total_volume,
+        |       CAST(min(close) AS DOUBLE) AS min_close,
+        |       CAST(max(close) AS DOUBLE) AS max_close
+        |FROM fct
+        |WHERE trade_date >= DATE '1998-01-01'
+        |GROUP BY sector
+        |ORDER BY sector""".stripMargin),
     "api_ticker_picklist" -> O.query(O.stockChain ++ O.dimChain,
       "SELECT DISTINCT ticker FROM dim ORDER BY ticker"),
     // the fct test battery, violation predicates mirrored one-for-one from
