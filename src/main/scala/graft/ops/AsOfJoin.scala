@@ -46,6 +46,15 @@ object AsOfJoin {
       rightTime: String,
       payloadCols: Seq[String],
       toleranceMicros: Option[Long]): DataFrame = {
+    // mixed time types would otherwise surface as an opaque union-coercion
+    // analysis error deep inside the plan (or, worse, a silent widening that
+    // changes tolerance units) — reject them at the API boundary by name
+    val lt = left.schema(leftTime).dataType
+    val rt = right.schema(rightTime).dataType
+    if (lt != rt) throw new IllegalArgumentException(
+      s"asofJoin: left time column '$leftTime' (${lt.simpleString}) and " +
+        s"right time column '$rightTime' (${rt.simpleString}) must have the " +
+        "same type — cast one side explicitly")
     val ts = "__asof_ts"
     val side = "__asof_side" // 0 = right (sorts first at equal times), 1 = left
     val pay = "__asof_payload"

@@ -41,6 +41,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1).getAs[String]("payload") == null) // 30-8=22 > 5
   }
 
+  test("asof rejects mixed left/right time column types with a named error") {
+    import spark.implicits._
+    val left = Seq(("k", 10L)).toDF("k", "t")
+    val right = Seq(("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+      .toDF("k", "t", "payload")
+    val ex = intercept[IllegalArgumentException](
+      AsOfJoin.asofJoin(left, right, Seq("k"), "t", "t", Seq("payload")))
+    assert(ex.getMessage.contains("bigint") && ex.getMessage.contains("timestamp"),
+      ex.getMessage)
+  }
+
   test("asof matches the newest right ROW even when its payload is null") {
     import spark.implicits._
     // right row at t=20 carries a legitimately NULL payload; the match must

@@ -59,7 +59,10 @@ def main():
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d) or name not in oracle or (only and name not in only):
             continue
-        got = pd.read_parquet(glob.glob(f"{d}/*.parquet")[0])
+        # read EVERY part file: a multi-partition result can carry a drifted
+        # dtype (or an all-null object column) in a later part only
+        parts = sorted(glob.glob(f"{d}/*.parquet"))
+        got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
         exp = con.sql(oracle[name]).df()
         ed = {c.lower(): exp[c] for c in exp.columns}
         gset = {c.lower() for c in got.columns}
