@@ -51,6 +51,24 @@ object EnvelopeDecoder {
         element_at(col("__bar"), "n").cast("long").as("n"),
         element_at(col("__bar"), "t").cast("long").as("t_ms")): _*)
   }
+
+  /** Envelope rows that are not parseable JSON objects at all (truncated
+    * body, HTML error page): `from_json` in PERMISSIVE mode silently yields
+    * an all-null struct for these, which [[decodeBars]] would then decode
+    * to zero bars — indistinguishable from a legitimately empty trading
+    * day. The reference's `response.json()` RAISES on such bodies and the
+    * fetch is retried, so callers must check this relation and fail the
+    * fetch rather than complete it empty. Detection uses the parser's
+    * corrupt-record column: populated ⇔ the row failed to parse.
+    */
+  def corruptEnvelopes(envelopes: DataFrame, jsonCol: String = "envelope"): DataFrame = {
+    val corruptCol = "_corrupt_envelope"
+    val schemaWithCorrupt = envelopeSchema.add(StructField(corruptCol, StringType))
+    envelopes.filter(
+      from_json(col(jsonCol), schemaWithCorrupt,
+        Map("columnNameOfCorruptRecord" -> corruptCol))
+        .getField(corruptCol).isNotNull)
+  }
 }
 
 /** [[MarketDataClient]] over a raw-JSON transport: the live-HTTP shape of
@@ -59,10 +77,11 @@ object EnvelopeDecoder {
   * response body for one date (in tests, a canned envelope; in production,
   * the HTTP GET the reference builds in `src/extraction.py:21-29`).
   *
-  * A bar missing `T` or `t` is malformed beyond use (no grain key) and is
-  * dropped; missing optional fields (`vw`, `n`) survive as None, and the
-  * required prices default to NaN — the same values the reference's pandas
-  * frame would carry.
+  * An unparseable body (truncated response, HTML error page) THROWS — the
+  * reference's `response.json()` raises there, failing the fetch so it is
+  * retried rather than checkpointed empty. A bar missing `T` or `t` is
+  * malformed beyond use (no grain key) and is dropped; every other missing
+  * field survives as None → SQL NULL, the reference's NaN-column behavior.
   */
 class JsonEnvelopeClient(spark: SparkSession, transport: LocalDate => String)
     extends MarketDataClient {
@@ -71,8 +90,6 @@ class JsonEnvelopeClient(spark: SparkSession, transport: LocalDate => String)
     val i = r.fieldIndex(c)
     if (r.isNullAt(i)) None else Some(r.getDouble(i))
   }
-  private def reqD(r: Row, c: String): Double =
-    optD(r, c).getOrElse(Double.NaN)
   private def optL(r: Row, c: String): Option[Long] = {
     val i = r.fieldIndex(c)
     if (r.isNullAt(i)) None else Some(r.getLong(i))
@@ -81,17 +98,20 @@ class JsonEnvelopeClient(spark: SparkSession, transport: LocalDate => String)
   def groupedDaily(date: LocalDate): Seq[ApiBar] = {
     import spark.implicits._
     val envelopes = Seq(transport(date)).toDF("envelope")
+    if (!EnvelopeDecoder.corruptEnvelopes(envelopes).isEmpty)
+      throw new RuntimeException(
+        s"unparseable grouped-daily envelope for $date (not a JSON object)")
     EnvelopeDecoder.decodeBars(envelopes)
       .filter(col("T").isNotNull && col("t_ms").isNotNull)
       .collect().toSeq.map { r =>
         ApiBar(
           ticker = r.getAs[String]("T"),
-          volume = reqD(r, "v"),
+          volume = optD(r, "v"),
           vwap = optD(r, "vw"),
-          open = reqD(r, "o"),
-          close = reqD(r, "c"),
-          high = reqD(r, "h"),
-          low = reqD(r, "l"),
+          open = optD(r, "o"),
+          close = optD(r, "c"),
+          high = optD(r, "h"),
+          low = optD(r, "l"),
           numTransactions = optL(r, "n"),
           epochMillis = r.getAs[Long]("t_ms"))
       }

@@ -38,10 +38,18 @@ class IngestJob(
       // our deliberate robustness divergence.
       try {
         val bars = client.groupedDaily(date)
-        ledger.markStarted(runId, date, bars.map(_.ticker).distinct.size.toLong)
-        val n = RawLoader.append(RawLoader.normalize(spark, bars, date), rawPath)
-        ledger.markCompleted(runId, date, n)
-        DateOutcome(date, "completed", n)
+        if (bars.isEmpty) {
+          // reference `src/load.py:21-23`: a resultless fetch writes NO
+          // checkpoint row at all — the date stays un-completed and is
+          // re-fetched on the next run. Marking it completed here would
+          // permanently swallow a day the vendor was late publishing.
+          DateOutcome(date, "no_data", 0L)
+        } else {
+          ledger.markStarted(runId, date, bars.map(_.ticker).distinct.size.toLong)
+          val n = RawLoader.append(RawLoader.normalize(spark, bars, date), rawPath)
+          ledger.markCompleted(runId, date, n)
+          DateOutcome(date, "completed", n)
+        }
       } catch {
         case e: Exception =>
           ledger.markFailed(runId, date, e.getMessage)

@@ -6,19 +6,21 @@ import java.time.LocalDate
   * grouped-daily envelope field names, reference `src/extraction.py:11-44`,
   * renamed downstream by [[RawLoader]] per `src/load.py:50-60`).
   *
-  * `vwap` and `numTransactions` are the fields the vendor omits for
-  * thinly-traded bars; the reference's `pd.DataFrame(results)` turns the
-  * missing keys into NaN that load as SQL NULL, so they are Options here —
-  * None flows to NULL in the raw store.
+  * All numeric fields are Options: the reference's `pd.DataFrame(results)`
+  * turns ANY missing key into NaN that loads as SQL NULL, so None here
+  * flows to NULL in the raw store. (A NaN sentinel instead would both
+  * poison downstream aggregates and crash staging's `CAST(V AS BIGINT)`
+  * under ANSI mode.) Only the grain keys — ticker and the bar timestamp —
+  * are required.
   */
 final case class ApiBar(
   ticker: String, // "T"
-  volume: Double, // "v"
+  volume: Option[Double], // "v"
   vwap: Option[Double], // "vw"
-  open: Double, // "o"
-  close: Double, // "c"
-  high: Double, // "h"
-  low: Double, // "l"
+  open: Option[Double], // "o"
+  close: Option[Double], // "c"
+  high: Option[Double], // "h"
+  low: Option[Double], // "l"
   numTransactions: Option[Long], // "n"
   epochMillis: Long) // "t"
 
@@ -86,12 +88,12 @@ class FixtureClient(nTickers: Int = 50) extends MarketDataClient {
       val base = 25.0 + (seed % 97) * 0.25
       ApiBar(
         ticker = f"SYN$i%03d",
-        volume = 1000.0 + (seed % 31) * 100.0,
+        volume = Some(1000.0 + (seed % 31) * 100.0),
         vwap = Some(base + 0.5),
-        open = base,
-        close = base + (seed % 5) * 0.25 - 0.5,
-        high = base + 1.5,
-        low = base - 1.5,
+        open = Some(base),
+        close = Some(base + (seed % 5) * 0.25 - 0.5),
+        high = Some(base + 1.5),
+        low = Some(base - 1.5),
         numTransactions = Some(10 + (seed % 13)),
         epochMillis = epochDay * 86400000L)
     }

@@ -126,6 +126,24 @@ class IngestSpec extends SparkSpec {
     assert(new JsonEnvelopeClient(spark, _ => """{"status":"OK","results":[]}""")
       .groupedDaily(d).isEmpty)
 
+    // an UNPARSEABLE body throws (reference response.json() raises): it must
+    // fail the fetch — never masquerade as an empty trading day
+    val ex = intercept[RuntimeException](new JsonEnvelopeClient(spark,
+      _ => "<html>502 Bad Gateway</html>").groupedDaily(d))
+    assert(ex.getMessage.contains("unparseable"), ex.getMessage)
+
+    // a resultless fetch writes NO checkpoint (reference load.py:21-23): the
+    // date stays un-completed and is re-fetched next run
+    val emptyLedger = new CheckpointLedger(spark, tmp("ledgerempty") + "/ledger")
+    val emptyJob = new IngestJob(spark,
+      new JsonEnvelopeClient(spark, _ => """{"status":"OK","queryCount":0}"""),
+      emptyLedger, tmp("rawempty"))
+    val now0 = ZonedDateTime.of(2024, 7, 9, 18, 0, 0, 0, ZoneId.of("America/New_York"))
+    val eo = emptyJob.run(now0, daysBack = 1)
+    assert(eo.nonEmpty && eo.forall(_.status == "no_data"))
+    assert(emptyLedger.completedDates().isEmpty)
+    assert(emptyJob.run(now0, daysBack = 1).nonEmpty) // retried, not skipped
+
     // end-to-end: envelope transport → decode → normalize → raw append
     val job = new IngestJob(spark, client, ledger, rawPath)
     val now = ZonedDateTime.of(2024, 7, 9, 18, 0, 0, 0, ZoneId.of("America/New_York"))
