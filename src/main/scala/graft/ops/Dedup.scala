@@ -60,14 +60,24 @@ object Dedup {
     * are linear only while bucket occupancy is near-uniform; one hot key —
     * a boilerplate shingle shared by 10⁶ documents, or a band hash shared
     * by a giant duplicate family — yields df² candidate pairs from that
-    * single key (10¹² from one shingle on a real crawl). The standard
-    * defense (CCNet / GPT-3 decontamination lineage: drop the most frequent
-    * n-grams from candidate generation) is a df cap: keys hotter than the
-    * cap are EXCLUDED from candidate generation. A shingle in >
-    * [[MaxShingleDf]] documents is boilerplate, not duplication evidence; a
-    * band bucket holding > [[MaxBandOccupancy]] documents is a duplicate
-    * family that exact dedup (which has no quadratic step) already
-    * resolves. Both caps are mirrored verbatim in the DuckDB oracle SQL
+    * single key (10¹² from one shingle on a real crawl).
+    *
+    * Two different defenses, matched to what the hot key MEANS:
+    *  - a shingle in > [[MaxShingleDf]] documents is boilerplate, not
+    *    duplication evidence — it is DROPPED from the inverted-index joins
+    *    (the CCNet / GPT-3-decontamination standard: exclude the most
+    *    frequent n-grams);
+    *  - an LSH band bucket holding > [[MaxBandOccupancy]] documents is a
+    *    giant duplicate family — precisely dedup's target, so it must NOT
+    *    vanish from candidate generation. [[minhashPairs]] degrades such
+    *    buckets to STAR candidates (each member paired with the bucket's
+    *    min doc_id): df−1 pairs instead of df², and the star keeps the
+    *    family connected through [[dupClusters]]' transitive closure.
+    *    The approximation: a member whose verified Jaccard to the bucket
+    *    root is below the duplicate threshold no longer links via THIS
+    *    bucket (full pairwise linking could have connected it through an
+    *    intermediate member).
+    * Both behaviors are mirrored verbatim in the DuckDB oracle SQL
     * ([[graft.testdata.OpsOracleSql]]), so capped semantics are the
     * verified semantics.
     */
@@ -167,8 +177,9 @@ object Dedup {
   }
 
   /** MinHash-LSH near-duplicate pairs: bucket-join candidates (band buckets
-    * hotter than `maxBandOccupancy` dropped — see [[MaxBandOccupancy]]),
-    * then exact Jaccard verification over the FULL (uncapped) shingle sets.
+    * hotter than `maxBandOccupancy` degrade to star candidates — see
+    * [[MaxBandOccupancy]]), then exact Jaccard verification over the FULL
+    * (uncapped) shingle sets.
     */
   def minhashPairs(docs: DataFrame,
       maxBandOccupancy: Int = MaxBandOccupancy): DataFrame = {
@@ -177,21 +188,27 @@ object Dedup {
     // recompute an unmaterialized cache, so fill it once up front
     val ds = docShingles(docs).persist()
     ds.count()
-    // occupancy cap as a window count over the SAME (band_idx, band_val)
-    // partitioning the self-join shuffles on — no extra exchange
+    // occupancy count + bucket root as windows over the SAME
+    // (band_idx, band_val) partitioning the self-join shuffles on — no
+    // extra exchange
+    val wBucket = Window.partitionBy("band_idx", "band_val")
     val bands = bandRows(docs, ds)
-      .withColumn("bdf", count(lit(1))
-        .over(Window.partitionBy("band_idx", "band_val")))
-      .filter(col("bdf") <= maxBandOccupancy)
-      .drop("bdf")
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+      .withColumn("bdf", count(lit(1)).over(wBucket))
+      .withColumn("broot", min("doc_id").over(wBucket))
+    // cold buckets: full pairwise candidates (quadratic per bucket, bounded
+    // by the cap); hot buckets: linear star candidates root→member
+    val cold = bands.filter(col("bdf") <= maxBandOccupancy)
+      .select("doc_id", "band_idx", "band_val")
+    val candCold = cold.as("a")
+      .join(cold.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-      .persist()
+    val candHot = bands
+      .filter(col("bdf") > maxBandOccupancy && col("doc_id") =!= col("broot"))
+      .select(col("broot").as("a_id"), col("doc_id").as("b_id"))
+    val cand = candCold.unionByName(candHot).distinct().persist()
     materializeFreeing(verifyJaccard(cand, ds), ds, cand)
   }
 

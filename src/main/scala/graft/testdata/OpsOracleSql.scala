@@ -140,21 +140,30 @@ object OpsOracleSql {
   }
 
   /** Band-occupancy cap mirror (Dedup.MaxBandOccupancy): buckets hotter
-    * than the cap are dropped from candidate generation.
+    * than the cap degrade to STAR candidates (bucket-min doc_id → member)
+    * instead of full pairwise — exactly Dedup.minhashPairs' hot-bucket
+    * branch.
     */
   private val ddBandsKept =
-    s"""dd_bandsk AS (
-       |  SELECT doc_id, band_idx, band_val FROM (
-       |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bdf
-       |    FROM dd_bands)
-       |  WHERE bdf <= $MaxBandOccupancy)""".stripMargin
+    s"""dd_bandsx AS (
+       |  SELECT doc_id, band_idx, band_val,
+       |         count(*) OVER (PARTITION BY band_idx, band_val) AS bdf,
+       |         min(doc_id) OVER (PARTITION BY band_idx, band_val) AS broot
+       |  FROM dd_bands)""".stripMargin
 
   private val ddCand =
-    """dd_cand AS (
-      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      |  FROM dd_bandsk a JOIN dd_bandsk b
-      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-      |   AND a.doc_id < b.doc_id)""".stripMargin
+    s"""dd_cand AS (
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |    FROM (SELECT doc_id, band_idx, band_val FROM dd_bandsx
+       |          WHERE bdf <= $MaxBandOccupancy) a
+       |    JOIN (SELECT doc_id, band_idx, band_val FROM dd_bandsx
+       |          WHERE bdf <= $MaxBandOccupancy) b
+       |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |     AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT broot AS a_id, doc_id AS b_id FROM dd_bandsx
+       |    WHERE bdf > $MaxBandOccupancy AND doc_id <> broot))""".stripMargin
 
   private val ddSizes =
     "dd_sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dd_docsh GROUP BY doc_id)"

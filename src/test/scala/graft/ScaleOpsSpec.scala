@@ -101,12 +101,20 @@ class ScaleOpsSpec extends SparkSpec {
     // the candidate count is bounded by sum(df²) over df <= cap keys
     assert(Dedup.ngramJaccardPairs(docs, maxDf = 10).count() == 0)
     assert(HashSplit.contaminatedTrainDocs(docs, maxDf = 10).count() == 0)
-    // identical documents — one LSH band bucket holding the whole corpus
+    // identical documents — one LSH band bucket holding the whole corpus.
+    // Over the cap the bucket degrades to STAR candidates: linear (n-1)
+    // pairs instead of quadratic, and — the part a plain drop would lose —
+    // the giant duplicate family still resolves to ONE cluster.
     val dup = (1 to n).map(i =>
       (i.toLong, "all documents carry identical content here"))
       .toDF("doc_id", "text")
     assert(Dedup.minhashPairs(dup).count() == nPairs)
-    assert(Dedup.minhashPairs(dup, maxBandOccupancy = 10).count() == 0)
+    val starred = Dedup.minhashPairs(dup, maxBandOccupancy = 10)
+    assert(starred.count() == (n - 1).toLong)
+    assert(starred.filter(col("is_duplicate") =!= 1).count() == 0)
+    val clusters = Dedup.dupClusters(dup,
+      starred.filter(col("is_duplicate") === 1))
+    assert(clusters.select("cluster_id").distinct().count() == 1)
   }
 
   test("pair operators free their persisted legs (no session-lifetime cache leak)") {
