@@ -48,11 +48,14 @@ object Bench {
           org.apache.spark.sql.expressions.Window.partitionBy(col("k") % 10)
             .orderBy(col("sv"))))
         .count()
-      // first-touch each input table so parquet footer/IO setup is off the
-      // per-query clock too
-      Seq("lineitem", "orders", "customer", "part", "nation", "region",
-        "documents", "embeddings")
-        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      // first-touch EVERY input table so parquet footer/IO setup is off the
+      // per-query clock too; a missing table must degrade to that table's
+      // queries failing (they have their own try), not kill the whole bench
+      Seq("lineitem", "orders", "customer", "part", "supplier", "nation",
+        "region", "events", "documents", "embeddings")
+        .foreach(t =>
+          try { spark.read.parquet(s"$sfDir/$t.parquet").count(); () }
+          catch { case _: Throwable => () })
       ()
     }
 

@@ -63,8 +63,13 @@ object IntRussellDaily {
       stgDaily: DataFrame,
       constituents: DataFrame,
       existing: DataFrame,
-      lookbackDays: Int = 4): DataFrame = {
-    val maxDate = existing.agg(max("trade_date")).head().getDate(0)
+      lookbackDays: Int = 4,
+      knownMaxDate: Option[java.sql.Date] = None): DataFrame = {
+    // callers that already computed max(existing.trade_date) — e.g. the
+    // streaming maintainer, which needs it for raw-store pruning — pass it
+    // in, so the stored mart is aggregated once per cycle, not twice
+    val maxDate = knownMaxDate.getOrElse(
+      existing.agg(max("trade_date")).head().getDate(0))
     val slice = stgDaily.filter(
       col("trade_date") >= date_sub(lit(maxDate), lookbackDays))
     val w = Window.partitionBy("ticker").orderBy("trade_date")

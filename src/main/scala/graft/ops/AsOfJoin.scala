@@ -48,9 +48,16 @@ object AsOfJoin {
       toleranceMicros: Option[Long]): DataFrame = {
     // mixed time types would otherwise surface as an opaque union-coercion
     // analysis error deep inside the plan (or, worse, a silent widening that
-    // changes tolerance units) — reject them at the API boundary by name
-    val lt = left.schema(leftTime).dataType
-    val rt = right.schema(rightTime).dataType
+    // changes tolerance units) — reject them at the API boundary by name.
+    // Resolution is case-insensitive, like the join's own column resolution
+    // (StructType.apply is case-sensitive and would reject names the rest
+    // of the API accepts).
+    def timeTypeOf(df: DataFrame, name: String, side: String) =
+      df.schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asofJoin: $side time column '$name' not found"))
+    val lt = timeTypeOf(left, leftTime, "left")
+    val rt = timeTypeOf(right, rightTime, "right")
     if (lt != rt) throw new IllegalArgumentException(
       s"asofJoin: left time column '$leftTime' (${lt.simpleString}) and " +
         s"right time column '$rightTime' (${rt.simpleString}) must have the " +

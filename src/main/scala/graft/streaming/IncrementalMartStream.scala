@@ -83,7 +83,8 @@ object IncrementalMartStream {
             val staged = StgDailyStocks.build(
               prunedRaw(spark, rawPath, martMax, lookbackDays))
             val slice = IntRussellDaily.buildIncremental(
-              staged, constituents, existing, lookbackDays)
+              staged, constituents, existing, lookbackDays,
+              knownMaxDate = Some(martMax))
             // align column order with the stored mart (partition column
             // moves last on disk) before the partition-overwrite merge
             MergeWriter.mergeByDatePartition(spark,
