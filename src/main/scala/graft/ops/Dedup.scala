@@ -295,20 +295,39 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: candidates share at least one of the 4
     * nibble bands (necessary for hamming ≤ 3 by pigeonhole), verified by
-    * popcount of the XOR.
+    * popcount of the XOR. Nibble buckets hotter than `maxBandOccupancy`
+    * degrade to star candidates exactly like [[minhashPairs]]' LSH buckets
+    * (a giant identical-signature family would otherwise be df² pairs from
+    * one bucket — or invisible, if simply dropped).
     */
-  def simhashPairs(docs: DataFrame): DataFrame = {
+  def simhashPairs(docs: DataFrame,
+      maxBandOccupancy: Int = MaxBandOccupancy): DataFrame = {
     val sig = simhash(docs).persist()
     sig.count() // eager: both self-join legs (see minhashPairs)
     val nibRows = sig.select(col("doc_id"), col("simhash_sig"), posexplode(
       array((0 until SimhashBands).map(q => col(s"nib_$q")): _*)).as(Seq("q", "nib")))
+    val wBucket = Window.partitionBy("q", "nib")
+    // bucket root rides in a struct so the star branch has the root's
+    // signature too (min over (doc_id, sig) = row of the min doc_id)
+    val nb = nibRows
+      .withColumn("bdf", count(lit(1)).over(wBucket))
+      .withColumn("root",
+        min(struct(col("doc_id"), col("simhash_sig"))).over(wBucket))
+    val cold = nb.filter(col("bdf") <= maxBandOccupancy)
+      .select("doc_id", "simhash_sig", "q", "nib")
+    val candCold = cold.as("a")
+      .join(cold.as("b"),
+        col("a.q") === col("b.q") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash_sig").as("sh_a"), col("b.simhash_sig").as("sh_b"))
+    val candHot = nb
+      .filter(col("bdf") > maxBandOccupancy &&
+        col("doc_id") =!= col("root.doc_id"))
+      .select(col("root.doc_id").as("a_id"), col("doc_id").as("b_id"),
+        col("root.simhash_sig").as("sh_a"), col("simhash_sig").as("sh_b"))
     materializeFreeing(
-      nibRows.as("a")
-        .join(nibRows.as("b"),
-          col("a.q") === col("b.q") && col("a.nib") === col("b.nib") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.simhash_sig").as("sh_a"), col("b.simhash_sig").as("sh_b"))
+      candCold.unionByName(candHot)
         .distinct()
         .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
         .filter(col("hamming") <= HammingThreshold),

@@ -251,16 +251,29 @@ object OpsOracleSql {
   val DEDUP_SIMHASH_PAIRS: String = {
     val cases = (0 until SimhashBands)
       .map(q => s"WHEN $q THEN (simhash_sig >> ${BandBits * q}) & $BandMask").mkString(" ")
+    // occupancy-cap mirror (Dedup.simhashPairs): hot nibble buckets degrade
+    // to star candidates rooted at the bucket's min doc_id
     s"""WITH $ddToks, $dsSig,
        |ds_nib AS (
        |  SELECT doc_id, simhash_sig, q, CASE q $cases END AS nib
-       |  FROM ds_sig, (VALUES ${(0 until SimhashBands).map(q => s"($q)").mkString(", ")}) t(q))
+       |  FROM ds_sig, (VALUES ${(0 until SimhashBands).map(q => s"($q)").mkString(", ")}) t(q)),
+       |ds_nibx AS (
+       |  SELECT *, count(*) OVER (PARTITION BY q, nib) AS bdf,
+       |         min(doc_id) OVER (PARTITION BY q, nib) AS broot,
+       |         arg_min(simhash_sig, doc_id) OVER (PARTITION BY q, nib) AS broot_sig
+       |  FROM ds_nib)
        |SELECT * FROM (
        |  SELECT *, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM (
-       |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-       |           a.simhash_sig AS sh_a, b.simhash_sig AS sh_b
-       |    FROM ds_nib a JOIN ds_nib b
-       |      ON a.q = b.q AND a.nib = b.nib AND a.doc_id < b.doc_id))
+       |    SELECT DISTINCT a_id, b_id, sh_a, sh_b FROM (
+       |      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |             a.simhash_sig AS sh_a, b.simhash_sig AS sh_b
+       |      FROM (SELECT * FROM ds_nibx WHERE bdf <= $MaxBandOccupancy) a
+       |      JOIN (SELECT * FROM ds_nibx WHERE bdf <= $MaxBandOccupancy) b
+       |        ON a.q = b.q AND a.nib = b.nib AND a.doc_id < b.doc_id
+       |      UNION ALL
+       |      SELECT broot AS a_id, doc_id AS b_id,
+       |             broot_sig AS sh_a, simhash_sig AS sh_b
+       |      FROM ds_nibx WHERE bdf > $MaxBandOccupancy AND doc_id <> broot)))
        |WHERE hamming <= $HammingThreshold""".stripMargin
   }
 

@@ -115,6 +115,11 @@ class ScaleOpsSpec extends SparkSpec {
     val clusters = Dedup.dupClusters(dup,
       starred.filter(col("is_duplicate") === 1))
     assert(clusters.select("cluster_id").distinct().count() == 1)
+    // simhash: identical signatures put the whole corpus in one nibble
+    // bucket per band — the same star degradation applies
+    val shStar = Dedup.simhashPairs(dup, maxBandOccupancy = 10)
+    assert(shStar.count() == (n - 1).toLong)
+    assert(shStar.filter(col("hamming") =!= 0).count() == 0)
   }
 
   test("pair operators free their persisted legs (no session-lifetime cache leak)") {
