@@ -439,26 +439,37 @@ object Dedup {
     dupClusters(docs, minhashPairs(docs).filter(col("is_duplicate") === 1))
 
   /** Keeper selection by quality: within each near-dup cluster the highest
-    * quality_score survives (ties → lowest doc_id) — the curation policy of
-    * CCNet-style pipelines (keep the best copy, drop the rest), replacing
-    * [[dupClusters]]' min-id keeper. One shuffle on cluster_id; clusters
-    * are small, so the per-cluster window has no skew exposure.
+    * quality_score survives (ties → lowest doc_id; missing quality loses
+    * all ties) — the curation policy of CCNet-style pipelines (keep the
+    * best copy, drop the rest), replacing [[dupClusters]]' min-id keeper.
+    *
+    * The election is an AGGREGATION (`max_by` over a totally-ordered key),
+    * not a per-cluster window rank: a window sorts each cluster inside one
+    * task, and a giant duplicate family — which the hot-bucket star path
+    * deliberately keeps as ONE cluster — would funnel millions of rows
+    * through that task. The aggregate gets map-side partial combine, so a
+    * hot cluster_id costs one carry per partition.
     *
     * @param clusters (doc_id, cluster_id, ...) — e.g. [[minhashDupClusters]]
     * @param quality  (doc_id, quality_score, ...) — e.g.
     *                 [[TextAnalysis.qualityScore]]
     */
   def keeperByQuality(clusters: DataFrame, quality: DataFrame): DataFrame = {
-    // left join + nulls-last: a doc without a quality row stays in the
-    // output (every clustered doc keeps a row) and loses ranking ties, so a
-    // cluster always elects exactly one keeper
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("quality_score").desc_nulls_last, col("doc_id"))
-    clusters.select("doc_id", "cluster_id")
+    // left join: a doc without a quality row stays in the output (every
+    // clustered doc keeps a row); its election key coalesces to -inf so it
+    // loses to any scored member. (-doc_id, not doc_id, in the max key ⇒
+    // quality ties elect the LOWEST id.) doc_id uniqueness makes the key
+    // total, so max_by is deterministic.
+    val joined = clusters.select("doc_id", "cluster_id")
       .join(quality.select("doc_id", "quality_score"), Seq("doc_id"), "left")
-      .withColumn("qrank", row_number().over(w))
+    val winner = joined.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(coalesce(col("quality_score"), lit(Double.NegativeInfinity)),
+          -col("doc_id"))).as("keeper_doc_id"))
+    joined.join(winner, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("quality_score"),
-        when(col("qrank") === 1, 1).otherwise(0).as("is_keeper"))
+        when(col("doc_id") === col("keeper_doc_id"), 1).otherwise(0)
+          .as("is_keeper"))
   }
 
   /** Left-fold dot product via the native codegen expression
