@@ -54,25 +54,42 @@ object Similarity {
     (expr(Dedup.dot(s"$a.embedding", s"$b.embedding")) /
       (col(s"$a.norm") * col(s"$b.norm"))).as("cos_sim")
 
-  /** 16-bit sign-LSH signature + 4-bit sub-bands per vector. */
-  def signatures(emb: DataFrame): DataFrame = {
-    val projs = (0 until Planes).map { p =>
+  /** Sign-LSH signature (default 16 bits) + per-band sub-keys per vector.
+    *
+    * `planes`/`bands` are the CAPACITY knobs: buckets per band =
+    * 2^(planes/bands), and expected bucket occupancy = corpus /
+    * 2^(planes/bands) — the unit of candidate-join cost. The 16/4 default
+    * (16 buckets/band) fits the driver testdata and its low 0.3 cosine
+    * threshold; a billion-vector corpus wants wider signatures AND more
+    * bands to hold recall while shrinking buckets (e.g. 48 planes / 8
+    * six-bit bands ⇒ 64 buckets/band, recall per band falls but 8 chances
+    * compensate). planes ≤ 62 (the signature packs into one BIGINT on both
+    * engines).
+    */
+  def signatures(emb: DataFrame, planes: Int = Planes,
+      bands: Int = NibbleBands): DataFrame = {
+    require(planes > 0 && planes <= 62 && planes % bands == 0,
+      s"signatures: need 0 < planes <= 62 and planes % bands == 0, got $planes/$bands")
+    val bandBits = planes / bands
+    val bandMask = (1 << bandBits) - 1
+    val projs = (0 until planes).map { p =>
       expr(Dedup.dot("embedding", planeLitSpark(p, Dim))).as(s"proj_$p")
     }
-    val sigSum = (0 until Planes)
-      .map(p => s"CASE WHEN proj_$p > 0 THEN ${1 << p} ELSE 0 END")
+    val sigSum = (0 until planes)
+      .map(p => s"CASE WHEN proj_$p > 0 THEN ${1L << p} ELSE 0 END")
       .mkString(" + ")
-    val nibs = (0 until NibbleBands).map(q =>
-      expr(s"shiftright(sig16, ${4 * q}) & 15").as(s"nib_$q"))
+    val nibs = (0 until bands).map(q =>
+      expr(s"shiftright(sig16, ${bandBits * q}) & $bandMask").as(s"nib_$q"))
     emb.select(col("vec_id") +: projs: _*)
       .withColumn("sig16", expr(s"CAST($sigSum AS BIGINT)"))
       .select(col("vec_id") +: col("sig16") +: nibs: _*)
   }
 
   /** (vec_id, q, nib) exploded band rows — ids only, no vector payload. */
-  private def bandRows(emb: DataFrame): DataFrame =
-    signatures(emb).select(col("vec_id"), posexplode(
-      array((0 until NibbleBands).map(q => col(s"nib_$q")): _*))
+  private def bandRows(emb: DataFrame, planes: Int = Planes,
+      bands: Int = NibbleBands): DataFrame =
+    signatures(emb, planes, bands).select(col("vec_id"), posexplode(
+      array((0 until bands).map(q => col(s"nib_$q")): _*))
       .as(Seq("q", "nib")))
 
   /** Exact cosine of a distinct (a_id, b_id) candidate-pair frame. */
@@ -104,9 +121,11 @@ object Similarity {
 
   /** LSH-accelerated top-k: rank only candidates sharing ≥1 nibble band
     * with the query (approximate — may return < k rows per query).
+    * `planes`/`bands` size the buckets — see [[signatures]].
     */
-  def lshTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
-    val bands = bandRows(emb)
+  def lshTopK(emb: DataFrame, k: Int = TopK, planes: Int = Planes,
+      nBands: Int = NibbleBands): DataFrame = {
+    val bands = bandRows(emb, planes, nBands)
     val cand = bands.filter(col("vec_id") % QueryStride === 0).as("qa")
       .join(bands.as("qb"),
         col("qa.q") === col("qb.q") && col("qa.nib") === col("qb.nib") &&
@@ -182,10 +201,12 @@ object Similarity {
 
   /** LSH near-duplicate pairs: nibble-band candidates, exact-cosine verified
     * at the [[Dedup.CosineDupThreshold]] — the sub-quadratic counterpart of
-    * [[Dedup.embeddingNearDup]].
+    * [[Dedup.embeddingNearDup]]. `planes`/`bands` size the buckets — see
+    * [[signatures]]; candidate cost per band ≈ corpus × occupancy / 2.
     */
-  def lshNearDup(emb: DataFrame): DataFrame = {
-    val bands = bandRows(emb)
+  def lshNearDup(emb: DataFrame, planes: Int = Planes,
+      nBands: Int = NibbleBands): DataFrame = {
+    val bands = bandRows(emb, planes, nBands)
     val cand = bands.as("qa")
       .join(bands.as("qb"),
         col("qa.q") === col("qb.q") && col("qa.nib") === col("qb.nib") &&

@@ -154,6 +154,23 @@ class ScaleOpsSpec extends SparkSpec {
         SkewJoin.saltedJoin(l, r, Seq("k"), 4, col("rowid"), jt))
   }
 
+  test("widened LSH signatures shrink candidates but stay exact-verified") {
+    import graft.ops.Dedup
+    val emb = T.table(spark, sf, "embeddings")
+    // 32 planes / 4 bands = 256 buckets per band (the corpus-growth knob):
+    // every returned pair must still be a true near-dup (exact cosine
+    // verification runs after candidate generation), i.e. a subset of the
+    // quadratic baseline's pairs
+    val wide = Similarity.lshNearDup(emb, planes = 32, nBands = 4)
+      .select("a_id", "b_id")
+    val brute = Dedup.embeddingNearDup(emb).select("a_id", "b_id")
+    assert(wide.exceptAll(brute).count() == 0)
+    // invalid shapes are rejected at the API boundary
+    intercept[IllegalArgumentException](Similarity.signatures(emb, planes = 63))
+    intercept[IllegalArgumentException](
+      Similarity.signatures(emb, planes = 10, bands = 4))
+  }
+
   test("IVF top-k neighbors agree with brute force cosines; decent recall") {
     val emb = T.table(spark, sf, "embeddings")
     val brute = Similarity.bruteTopK(emb)
