@@ -55,7 +55,7 @@ object Bench {
         "region", "events", "documents", "embeddings")
         .foreach(t =>
           try { spark.read.parquet(s"$sfDir/$t.parquet").count(); () }
-          catch { case _: Throwable => () })
+          catch { case scala.util.control.NonFatal(_) => () })
       ()
     }
 

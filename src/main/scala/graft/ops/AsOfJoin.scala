@@ -49,13 +49,24 @@ object AsOfJoin {
     // mixed time types would otherwise surface as an opaque union-coercion
     // analysis error deep inside the plan (or, worse, a silent widening that
     // changes tolerance units) — reject them at the API boundary by name.
-    // Resolution is case-insensitive, like the join's own column resolution
-    // (StructType.apply is case-sensitive and would reject names the rest
-    // of the API accepts).
-    def timeTypeOf(df: DataFrame, name: String, side: String) =
-      df.schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
-        .getOrElse(throw new IllegalArgumentException(
-          s"asofJoin: $side time column '$name' not found"))
+    // Name matching honors the session's spark.sql.caseSensitive so the
+    // guard validates the SAME column the plan will resolve, and an
+    // ambiguous match (two case-variant columns under case-insensitive
+    // resolution) is an error rather than a coin flip.
+    val caseSensitive = left.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def timeTypeOf(df: DataFrame, name: String, side: String) = {
+      val hits = df.schema.fields.filter(f =>
+        if (caseSensitive) f.name == name else f.name.equalsIgnoreCase(name))
+      hits match {
+        case Array(one) => one.dataType
+        case Array() => throw new IllegalArgumentException(
+          s"asofJoin: $side time column '$name' not found")
+        case many => throw new IllegalArgumentException(
+          s"asofJoin: $side time column '$name' is ambiguous: " +
+            many.map(_.name).mkString(", "))
+      }
+    }
     val lt = timeTypeOf(left, leftTime, "left")
     val rt = timeTypeOf(right, rightTime, "right")
     if (lt != rt) throw new IllegalArgumentException(

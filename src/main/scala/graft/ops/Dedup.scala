@@ -456,20 +456,31 @@ object Dedup {
     */
   def keeperByQuality(clusters: DataFrame, quality: DataFrame): DataFrame = {
     // left join: a doc without a quality row stays in the output (every
-    // clustered doc keeps a row); its election key coalesces to -inf so it
-    // loses to any scored member. (-doc_id, not doc_id, in the max key ⇒
-    // quality ties elect the LOWEST id.) doc_id uniqueness makes the key
-    // total, so max_by is deterministic.
+    // clustered doc keeps a row). Election key = (has_score, score, -id):
+    // the leading flag makes ANY scored doc beat every unscored one —
+    // including a legitimate -Infinity score, which a coalesce-to-minimum
+    // sentinel would conflate with "unscored" — and -doc_id resolves ties
+    // to the LOWEST id. doc_id uniqueness makes the key total, so max_by
+    // is deterministic. Persisted: the relation feeds both the winner
+    // aggregation and the flag join, and it carries a full quality-scoring
+    // pass that must not run twice.
     val joined = clusters.select("doc_id", "cluster_id")
       .join(quality.select("doc_id", "quality_score"), Seq("doc_id"), "left")
+      .persist()
     val winner = joined.groupBy("cluster_id")
       .agg(max_by(col("doc_id"),
-        struct(coalesce(col("quality_score"), lit(Double.NegativeInfinity)),
+        struct(col("quality_score").isNotNull.cast("int"),
+          coalesce(col("quality_score"), lit(0d)),
           -col("doc_id"))).as("keeper_doc_id"))
-    joined.join(winner, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
-        when(col("doc_id") === col("keeper_doc_id"), 1).otherwise(0)
-          .as("is_keeper"))
+      .withColumnRenamed("cluster_id", "w_cluster_id")
+    // null-safe equality: a null cluster_id (not produced by dupClusters,
+    // but legal input) must keep its rows rather than vanish in the join
+    materializeFreeing(
+      joined.join(winner, col("cluster_id") <=> col("w_cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+          when(col("doc_id") === col("keeper_doc_id"), 1).otherwise(0)
+            .as("is_keeper")),
+      joined)
   }
 
   /** Left-fold dot product via the native codegen expression

@@ -71,7 +71,9 @@ object Similarity {
     require(planes > 0 && planes <= 62 && planes % bands == 0,
       s"signatures: need 0 < planes <= 62 and planes % bands == 0, got $planes/$bands")
     val bandBits = planes / bands
-    val bandMask = (1 << bandBits) - 1
+    // Long shift: an Int (1 << 32) wraps to 1 and a 32-bit band would mask
+    // every bucket key to 0 — one bucket, full quadratic join, silently
+    val bandMask = (1L << bandBits) - 1
     val projs = (0 until planes).map { p =>
       expr(Dedup.dot("embedding", planeLitSpark(p, Dim))).as(s"proj_$p")
     }

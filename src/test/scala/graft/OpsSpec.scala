@@ -96,6 +96,20 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0, 9L -> 1))
   }
 
+  test("keeper-by-quality edge cases: -inf beats unscored; null cluster survives") {
+    import spark.implicits._
+    // doc 5 is SCORED -Infinity, doc 7 has no quality row: any scored doc
+    // outranks any unscored one, so 5 is keeper despite the lower id 7...
+    val clusters = Seq((5L, Some(4L)), (7L, Some(4L)), (8L, None))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((5L, Double.NegativeInfinity)).toDF("doc_id", "quality_score")
+    val out = Dedup.keeperByQuality(clusters, quality).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out(5L) == 1 && out(7L) == 0)
+    // ...and a null cluster_id keeps its row (null-safe join-back)
+    assert(out.contains(8L) && out(8L) == 1)
+  }
+
   test("language-ID assigns 'und' only to marker-free docs") {
     val lid = TextAnalysis.languageId(docs)
     val und = lid.filter(col("predicted_lang") === "und")
