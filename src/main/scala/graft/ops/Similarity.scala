@@ -193,12 +193,16 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id").as("a_id"), col("vec_id").as("b_id"))
       .distinct()
-    scorePairs(cand, emb)
-      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
-        col("cos_sim"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    // free the assignment leg once the (k rows/query) result materializes —
+    // same no-leak contract as the Dedup pair operators
+    Dedup.materializeFreeing(
+      scorePairs(cand, emb)
+        .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+          col("cos_sim"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= k),
+      assign)
   }
 
   /** LSH near-duplicate pairs: nibble-band candidates, exact-cosine verified

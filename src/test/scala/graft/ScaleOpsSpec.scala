@@ -143,6 +143,13 @@ class ScaleOpsSpec extends SparkSpec {
     assert(newlyPersisted(Dedup.ngramJaccardPairs(docs).count()) <= 1)
     assert(newlyPersisted(Dedup.simhashPairs(docs).count()) <= 1)
     assert(newlyPersisted(HashSplit.contaminatedTrainDocs(docs).count()) <= 1)
+    assert(newlyPersisted(
+      Similarity.ivfTopK(T.table(spark, sf, "embeddings")).count()) <= 1)
+    assert(newlyPersisted(Dedup.keeperByQuality(
+      Dedup.exact(docs).select(col("keeper_doc_id").as("doc_id"),
+        col("keeper_doc_id").as("cluster_id")),
+      docs.select(col("doc_id"), col("doc_id").cast("double").as("quality_score")))
+      .count()) <= 1)
   }
 
   test("salted join rejects join types that would duplicate build rows") {
