@@ -68,8 +68,11 @@ object Similarity {
     */
   def signatures(emb: DataFrame, planes: Int = Planes,
       bands: Int = NibbleBands): DataFrame = {
-    require(planes > 0 && planes <= 62 && planes % bands == 0,
-      s"signatures: need 0 < planes <= 62 and planes % bands == 0, got $planes/$bands")
+    // bands > 0 must short-circuit first: bands = 0 would raise
+    // ArithmeticException from the modulo instead of the promised
+    // IllegalArgumentException, and a negative bands could pass it
+    require(planes > 0 && planes <= 62 && bands > 0 && planes % bands == 0,
+      s"signatures: need 0 < planes <= 62, bands > 0, planes % bands == 0, got $planes/$bands")
     val bandBits = planes / bands
     // Long shift: an Int (1 << 32) wraps to 1 and a 32-bit band would mask
     // every bucket key to 0 — one bucket, full quadratic join, silently
@@ -93,6 +96,31 @@ object Similarity {
     signatures(emb, planes, bands).select(col("vec_id"), posexplode(
       array((0 until bands).map(q => col(s"nib_$q")): _*))
       .as(Seq("q", "nib")))
+
+  /** Band rows + bucket occupancy + bucket root (min vec_id), PERSISTED and
+    * eagerly filled — the candidate legs below read it 2-3 times, and racing
+    * AQE stages would each recompute an unfilled cache (the shared-relation
+    * discipline of [[Dedup.minhashPairs]]). The occupancy/root windows ride
+    * the SAME (q, nib) partitioning the candidate self-join shuffles on — no
+    * extra exchange. Callers must free via [[Dedup.materializeFreeing]].
+    *
+    * Why a cap at all: `planes`/`bands` size EXPECTED occupancy; they cannot
+    * bound a data-dependent hot bucket. A giant family of near-identical
+    * embeddings — exactly dedup's target input — lands in ONE bucket per
+    * band and an uncapped self-join yields df² candidates from it. Buckets
+    * over `maxBandOccupancy` degrade to STAR candidates (bucket-min vec_id →
+    * member): df−1 pairs, family stays discoverable through its root.
+    */
+  private def bandRowsWithOccupancy(emb: DataFrame, planes: Int,
+      bands: Int): DataFrame = {
+    val wBucket = Window.partitionBy("q", "nib")
+    val b = bandRows(emb, planes, bands)
+      .withColumn("bdf", count(lit(1)).over(wBucket))
+      .withColumn("broot", min("vec_id").over(wBucket))
+      .persist()
+    b.count()
+    b
+  }
 
   /** Exact cosine of a distinct (a_id, b_id) candidate-pair frame. */
   private def scorePairs(cand: DataFrame, emb: DataFrame): DataFrame = {
@@ -123,23 +151,37 @@ object Similarity {
 
   /** LSH-accelerated top-k: rank only candidates sharing ≥1 nibble band
     * with the query (approximate — may return < k rows per query).
-    * `planes`/`bands` size the buckets — see [[signatures]].
+    * `planes`/`bands` size the buckets — see [[signatures]]; buckets hotter
+    * than `maxBandOccupancy` degrade to star candidates (the root—member
+    * edges with a query endpoint, oriented query-first) — see
+    * [[bandRowsWithOccupancy]]. Mirrored in the DuckDB oracle.
     */
   def lshTopK(emb: DataFrame, k: Int = TopK, planes: Int = Planes,
-      nBands: Int = NibbleBands): DataFrame = {
-    val bands = bandRows(emb, planes, nBands)
-    val cand = bands.filter(col("vec_id") % QueryStride === 0).as("qa")
-      .join(bands.as("qb"),
+      nBands: Int = NibbleBands,
+      maxBandOccupancy: Int = Dedup.MaxBandOccupancy): DataFrame = {
+    val bands = bandRowsWithOccupancy(emb, planes, nBands)
+    val cold = bands.filter(col("bdf") <= maxBandOccupancy)
+      .select("vec_id", "q", "nib")
+    val candCold = cold.filter(col("vec_id") % QueryStride === 0).as("qa")
+      .join(cold.as("qb"),
         col("qa.q") === col("qb.q") && col("qa.nib") === col("qb.nib") &&
           col("qa.vec_id") =!= col("qb.vec_id"))
       .select(col("qa.vec_id").as("a_id"), col("qb.vec_id").as("b_id"))
-      .distinct()
-    scorePairs(cand, emb)
-      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
-        col("cos_sim"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    val hot = bands
+      .filter(col("bdf") > maxBandOccupancy && col("vec_id") =!= col("broot"))
+    val candHot = hot.filter(col("broot") % QueryStride === 0)
+      .select(col("broot").as("a_id"), col("vec_id").as("b_id"))
+      .unionByName(hot.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("a_id"), col("broot").as("b_id")))
+    val cand = candCold.unionByName(candHot).distinct()
+    Dedup.materializeFreeing(
+      scorePairs(cand, emb)
+        .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+          col("cos_sim"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= k),
+      bands)
   }
 
   // ---- IVF-flat (inverted-file) ANN ----
@@ -208,17 +250,28 @@ object Similarity {
   /** LSH near-duplicate pairs: nibble-band candidates, exact-cosine verified
     * at the [[Dedup.CosineDupThreshold]] — the sub-quadratic counterpart of
     * [[Dedup.embeddingNearDup]]. `planes`/`bands` size the buckets — see
-    * [[signatures]]; candidate cost per band ≈ corpus × occupancy / 2.
+    * [[signatures]]; candidate cost per band ≈ corpus × occupancy / 2, with
+    * buckets hotter than `maxBandOccupancy` degraded to star candidates
+    * (root = bucket-min vec_id, so orientation keeps a_id < b_id) — see
+    * [[bandRowsWithOccupancy]]. Mirrored in the DuckDB oracle.
     */
   def lshNearDup(emb: DataFrame, planes: Int = Planes,
-      nBands: Int = NibbleBands): DataFrame = {
-    val bands = bandRows(emb, planes, nBands)
-    val cand = bands.as("qa")
-      .join(bands.as("qb"),
+      nBands: Int = NibbleBands,
+      maxBandOccupancy: Int = Dedup.MaxBandOccupancy): DataFrame = {
+    val bands = bandRowsWithOccupancy(emb, planes, nBands)
+    val cold = bands.filter(col("bdf") <= maxBandOccupancy)
+      .select("vec_id", "q", "nib")
+    val candCold = cold.as("qa")
+      .join(cold.as("qb"),
         col("qa.q") === col("qb.q") && col("qa.nib") === col("qb.nib") &&
           col("qa.vec_id") < col("qb.vec_id"))
       .select(col("qa.vec_id").as("a_id"), col("qb.vec_id").as("b_id"))
-      .distinct()
-    scorePairs(cand, emb).filter(col("cos_sim") >= NearDupCosine)
+    val candHot = bands
+      .filter(col("bdf") > maxBandOccupancy && col("vec_id") =!= col("broot"))
+      .select(col("broot").as("a_id"), col("vec_id").as("b_id"))
+    val cand = candCold.unionByName(candHot).distinct()
+    Dedup.materializeFreeing(
+      scorePairs(cand, emb).filter(col("cos_sim") >= NearDupCosine),
+      bands)
   }
 }

@@ -384,6 +384,17 @@ object OpsOracleSql {
     s"WITH $simSig\nSELECT vec_id, sig16, ${nibs.mkString(", ")} FROM sim_sig"
   }
 
+  /** Band-occupancy cap mirror (Similarity band joins): buckets hotter than
+    * Dedup.MaxBandOccupancy degrade to STAR candidates rooted at the
+    * bucket-min vec_id — exactly Dedup.minhashPairs' hot-bucket branch.
+    */
+  private val simBandsX =
+    s"""sim_bandsx AS (
+       |  SELECT vec_id, q, nib,
+       |         count(*) OVER (PARTITION BY q, nib) AS bdf,
+       |         min(vec_id) OVER (PARTITION BY q, nib) AS broot
+       |  FROM sim_bands)""".stripMargin
+
   val SIM_BRUTE_TOPK: String =
     s"""WITH $normedEmb
        |SELECT * FROM (
@@ -397,12 +408,24 @@ object OpsOracleSql {
        |WHERE "rank" <= $TopK""".stripMargin
 
   val SIM_LSH_TOPK: String =
-    s"""WITH $normedEmb, $simSig, $simBands,
+    s"""WITH $normedEmb, $simSig, $simBands, $simBandsX,
        |sim_cand AS (
-       |  SELECT DISTINCT qa.vec_id AS a_id, qb.vec_id AS b_id
-       |  FROM sim_bands qa JOIN sim_bands qb
-       |    ON qa.q = qb.q AND qa.nib = qb.nib AND qa.vec_id <> qb.vec_id
-       |  WHERE qa.vec_id % $QueryStride = 0)
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT qa.vec_id AS a_id, qb.vec_id AS b_id
+       |    FROM (SELECT vec_id, q, nib FROM sim_bandsx
+       |          WHERE bdf <= $MaxBandOccupancy) qa
+       |    JOIN (SELECT vec_id, q, nib FROM sim_bandsx
+       |          WHERE bdf <= $MaxBandOccupancy) qb
+       |      ON qa.q = qb.q AND qa.nib = qb.nib AND qa.vec_id <> qb.vec_id
+       |    WHERE qa.vec_id % $QueryStride = 0
+       |    UNION ALL
+       |    SELECT broot AS a_id, vec_id AS b_id FROM sim_bandsx
+       |    WHERE bdf > $MaxBandOccupancy AND vec_id <> broot
+       |      AND broot % $QueryStride = 0
+       |    UNION ALL
+       |    SELECT vec_id AS a_id, broot AS b_id FROM sim_bandsx
+       |    WHERE bdf > $MaxBandOccupancy AND vec_id <> broot
+       |      AND vec_id % $QueryStride = 0))
        |SELECT * FROM (
        |  SELECT c.a_id AS query_id, c.b_id AS neighbor_id,
        |         ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim,
@@ -764,11 +787,18 @@ object OpsOracleSql {
        |WHERE "rank" <= $TopK""".stripMargin
 
   val SIM_LSH_NEARDUP: String =
-    s"""WITH $normedEmb, $simSig, $simBands,
+    s"""WITH $normedEmb, $simSig, $simBands, $simBandsX,
        |sim_cand AS (
-       |  SELECT DISTINCT qa.vec_id AS a_id, qb.vec_id AS b_id
-       |  FROM sim_bands qa JOIN sim_bands qb
-       |    ON qa.q = qb.q AND qa.nib = qb.nib AND qa.vec_id < qb.vec_id)
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT qa.vec_id AS a_id, qb.vec_id AS b_id
+       |    FROM (SELECT vec_id, q, nib FROM sim_bandsx
+       |          WHERE bdf <= $MaxBandOccupancy) qa
+       |    JOIN (SELECT vec_id, q, nib FROM sim_bandsx
+       |          WHERE bdf <= $MaxBandOccupancy) qb
+       |      ON qa.q = qb.q AND qa.nib = qb.nib AND qa.vec_id < qb.vec_id
+       |    UNION ALL
+       |    SELECT broot AS a_id, vec_id AS b_id FROM sim_bandsx
+       |    WHERE bdf > $MaxBandOccupancy AND vec_id <> broot))
        |SELECT * FROM (
        |  SELECT c.a_id, c.b_id,
        |         ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim

@@ -122,6 +122,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(shStar.filter(col("hamming") =!= 0).count() == 0)
   }
 
+  test("similarity LSH band joins degrade hot buckets to star candidates") {
+    import spark.implicits._
+    // identical embeddings — the whole corpus lands in ONE nibble bucket per
+    // band, the embedding analogue of ScaleOpsSpec's identical-documents
+    // fixture: uncapped, that single bucket yields n(n-1)/2 candidate pairs
+    val n = 60
+    val vec = Array.fill(Similarity.Dim)(0.5f)
+    val emb = (1 to n).map(i => (i.toLong, vec)).toDF("vec_id", "embedding")
+    assert(Similarity.lshNearDup(emb).count() == n.toLong * (n - 1) / 2)
+    // capped: star candidates rooted at the bucket-min vec_id — linear n-1
+    // pairs, every one still a verified near-dup (cos 1.0)
+    val starred = Similarity.lshNearDup(emb, maxBandOccupancy = 10)
+    assert(starred.count() == (n - 1).toLong)
+    assert(starred.filter(col("cos_sim") < Similarity.NearDupCosine).count() == 0)
+    assert(starred.filter(col("a_id") =!= 1L).count() == 0)
+    // top-k: the only query (vec_id 50) is NOT the bucket root (vec_id 1),
+    // so the star leaves it exactly one candidate — the root — instead of
+    // the 59 co-bucketed members an uncapped join would rank
+    val capped = Similarity.lshTopK(emb, maxBandOccupancy = 10)
+    assert(capped.count() == 1)
+    assert(capped.select("neighbor_id").head().getLong(0) == 1L)
+    assert(Similarity.lshTopK(emb).count() == Similarity.TopK)
+  }
+
   test("pair operators free their persisted legs (no session-lifetime cache leak)") {
     import spark.implicits._
     import graft.ops.{Dedup, HashSplit}
@@ -145,6 +169,10 @@ class ScaleOpsSpec extends SparkSpec {
     assert(newlyPersisted(HashSplit.contaminatedTrainDocs(docs).count()) <= 1)
     assert(newlyPersisted(
       Similarity.ivfTopK(T.table(spark, sf, "embeddings")).count()) <= 1)
+    assert(newlyPersisted(
+      Similarity.lshNearDup(T.table(spark, sf, "embeddings")).count()) <= 1)
+    assert(newlyPersisted(
+      Similarity.lshTopK(T.table(spark, sf, "embeddings")).count()) <= 1)
     assert(newlyPersisted(Dedup.keeperByQuality(
       Dedup.exact(docs).select(col("keeper_doc_id").as("doc_id"),
         col("keeper_doc_id").as("cluster_id")),
