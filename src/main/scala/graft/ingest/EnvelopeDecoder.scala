@@ -85,6 +85,11 @@ object EnvelopeDecoder {
   */
 class JsonEnvelopeClient(spark: SparkSession, transport: LocalDate => String)
     extends MarketDataClient {
+  def groupedDaily(date: LocalDate): Seq[ApiBar] =
+    JsonEnvelopeClient.decode(spark, date, transport(date))
+}
+
+object JsonEnvelopeClient {
 
   private def optD(r: Row, c: String): Option[Double] = {
     val i = r.fieldIndex(c)
@@ -95,9 +100,13 @@ class JsonEnvelopeClient(spark: SparkSession, transport: LocalDate => String)
     if (r.isNullAt(i)) None else Some(r.getLong(i))
   }
 
-  def groupedDaily(date: LocalDate): Seq[ApiBar] = {
+  /** Decode one grouped-daily response body into bars — the seam shared by
+    * the injected-transport client above and the live [[HttpMarketData]]
+    * client. Throws on an unparseable body (see class doc).
+    */
+  def decode(spark: SparkSession, date: LocalDate, body: String): Seq[ApiBar] = {
     import spark.implicits._
-    val envelopes = Seq(transport(date)).toDF("envelope")
+    val envelopes = Seq(body).toDF("envelope")
     if (!EnvelopeDecoder.corruptEnvelopes(envelopes).isEmpty)
       throw new RuntimeException(
         s"unparseable grouped-daily envelope for $date (not a JSON object)")

@@ -157,6 +157,88 @@ class IngestSpec extends SparkSpec {
     assert(raw.filter(col("T") === "ENV1").head().getAs[Double]("VW") == 10.5)
   }
 
+  test("live HTTP transport: reference URL shape, retry policy, corrupt body fails the fetch") {
+    import java.net.InetSocketAddress
+    import java.util.concurrent.atomic.AtomicReference
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // local stub server scripted as a queue of (status, body) responses;
+    // status -1 = stall past the client timeout (the last entry repeats)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val script = new AtomicReference[List[(Int, String)]](Nil)
+    server.createContext("/", { exchange: HttpExchange =>
+      try {
+        seen.add(exchange.getRequestURI.toString)
+        val (status, body) = script.getAndUpdate(l => if (l.size > 1) l.tail else l).head
+        if (status == -1) { Thread.sleep(800); exchange.sendResponseHeaders(204, -1) }
+        else {
+          val bytes = body.getBytes("UTF-8")
+          exchange.sendResponseHeaders(status, bytes.length.toLong)
+          exchange.getResponseBody.write(bytes)
+        }
+      } catch { case _: Exception => () } // client may have timed out already
+      finally exchange.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val d = LocalDate.parse("2024-07-08")
+      val good =
+        s"""{"status":"OK","queryCount":1,"resultsCount":1,"adjusted":true,"results":[""" +
+          s"""{"T":"HTT1","v":100.0,"vw":10.5,"o":10.0,"c":11.0,"h":11.5,"l":9.5,"n":7,""" +
+          s""""t":${d.toEpochDay * 86400000L}}]}"""
+      var sleeps = Vector.empty[Long]
+      def mkClient(timeoutMs: Long = 10000L) = HttpMarketData.client(
+        spark, base, "k123", timeoutMs, sleeper = ms => sleeps :+= ms)
+
+      // happy path: decoded bars, and the URL/params are the reference's
+      // construction (extraction.py:24-29)
+      script.set(List((200, good)))
+      val bars = mkClient().groupedDaily(d)
+      assert(bars.map(_.ticker) == Seq("HTT1") && bars.head.vwap.contains(10.5))
+      assert(seen.poll() ==
+        "/v2/aggs/grouped/locale/us/market/stocks/2024-07-08?adjusted=true&apiKey=k123")
+
+      // 429 then success: one 60 s back-off
+      sleeps = Vector.empty
+      script.set(List((429, "slow down"), (200, good)))
+      assert(mkClient().groupedDaily(d).size == 1)
+      assert(sleeps == Vector(60000L))
+
+      // 5xx then success: 5 s back-off
+      sleeps = Vector.empty
+      script.set(List((503, "oops"), (200, good)))
+      assert(mkClient().groupedDaily(d).size == 1)
+      assert(sleeps == Vector(5000L))
+
+      // request timeout retries through the same 5 s branch
+      sleeps = Vector.empty
+      script.set(List((-1, ""), (200, good)))
+      assert(mkClient(timeoutMs = 250L).groupedDaily(d).size == 1)
+      assert(sleeps == Vector(5000L))
+
+      // non-retryable 4xx aborts with no sleep
+      sleeps = Vector.empty
+      script.set(List((404, "nope")))
+      intercept[RuntimeException](mkClient().groupedDaily(d))
+      assert(sleeps.isEmpty)
+
+      // a truncated 200 body fails the fetch (decode throws — reference
+      // response.json() raises): no 'completed' checkpoint, and the SAME
+      // date succeeds on the next run once the body is healthy
+      script.set(List((200, good.dropRight(25))))
+      val ledger = new CheckpointLedger(spark, tmp("ledgerhttp") + "/ledger")
+      val job = new IngestJob(spark, mkClient(), ledger, tmp("rawhttp"))
+      val now = ZonedDateTime.of(2024, 7, 9, 18, 0, 0, 0, ZoneId.of("America/New_York"))
+      assert(job.run(now, 1).map(_.status) == Seq("failed"))
+      assert(ledger.completedDates().isEmpty)
+      script.set(List((200, good)))
+      assert(job.run(now, 1).map(_.status) == Seq("completed"))
+      assert(ledger.completedDates() == Set(d))
+    } finally server.stop(0)
+  }
+
   test("failed fetch writes a failed checkpoint and later retries") {
     import FetchResult._
     val rawPath = tmp("raw2")
