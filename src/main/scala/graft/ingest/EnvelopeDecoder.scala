@@ -30,15 +30,32 @@ object EnvelopeDecoder {
     StructField("adjusted", BooleanType),
     StructField("results", ArrayType(MapType(StringType, StringType)))))
 
+  val CorruptCol = "_corrupt_envelope"
+
+  private val parseSchema: StructType =
+    envelopeSchema.add(StructField(CorruptCol, StringType))
+
+  /** THE parse — one `from_json` per envelope, shared by the bar decode and
+    * the corruption check (parsing twice with different schemas, as earlier
+    * revisions did, costs a second full parse of a ~10k-bar body and lets
+    * the two readings drift). The parser's corrupt-record field rides along
+    * inside `__env`. Non-`jsonCol` input columns (e.g. the fetch date) pass
+    * through.
+    */
+  def parsedEnvelopes(envelopes: DataFrame, jsonCol: String = "envelope"): DataFrame = {
+    val passthrough = envelopes.columns.filterNot(_ == jsonCol).map(col).toSeq
+    envelopes.select(passthrough :+
+      from_json(col(jsonCol), parseSchema,
+        Map("columnNameOfCorruptRecord" -> CorruptCol)).as("__env"): _*)
+  }
+
   /** One typed bar row per element of `results`, named per
     * [[graft.streaming.RawLanding.landingSchema]] (`t` → `t_ms` is that
     * schema's documented rename, done here at the decode boundary).
-    * Non-`jsonCol` input columns (e.g. the fetch date) pass through.
     */
-  def decodeBars(envelopes: DataFrame, jsonCol: String = "envelope"): DataFrame = {
-    val passthrough = envelopes.columns.filterNot(_ == jsonCol).map(col).toSeq
-    envelopes
-      .select(passthrough :+ from_json(col(jsonCol), envelopeSchema).as("__env"): _*)
+  def barsFromParsed(parsed: DataFrame): DataFrame = {
+    val passthrough = parsed.columns.filterNot(_ == "__env").map(col).toSeq
+    parsed
       .select(passthrough :+ explode(col("__env.results")).as("__bar"): _*)
       .select(passthrough ++ Seq(
         element_at(col("__bar"), "T").as("T"),
@@ -52,23 +69,34 @@ object EnvelopeDecoder {
         element_at(col("__bar"), "t").cast("long").as("t_ms")): _*)
   }
 
-  /** Envelope rows that are not parseable JSON objects at all (truncated
-    * body, HTML error page): `from_json` in PERMISSIVE mode silently yields
-    * an all-null struct for these, which [[decodeBars]] would then decode
-    * to zero bars — indistinguishable from a legitimately empty trading
-    * day. The reference's `response.json()` RAISES on such bodies and the
-    * fetch is retried, so callers must check this relation and fail the
-    * fetch rather than complete it empty. Detection uses the parser's
-    * corrupt-record column: populated ⇔ the row failed to parse.
+  def decodeBars(envelopes: DataFrame, jsonCol: String = "envelope"): DataFrame =
+    barsFromParsed(parsedEnvelopes(envelopes, jsonCol))
+
+  /** Rows of a [[parsedEnvelopes]] frame that are not parseable JSON objects
+    * at all (truncated body, HTML error page): PERMISSIVE-mode `from_json`
+    * silently yields an all-null struct for these, which [[barsFromParsed]]
+    * would then decode to zero bars — indistinguishable from a legitimately
+    * empty trading day. The reference's `response.json()` RAISES on such
+    * bodies and the fetch is retried, so callers must check this relation
+    * and fail the fetch rather than complete it empty.
+    *
+    * A row is corrupt only when the corrupt-record field is populated AND
+    * every typed field is null — a syntactically valid envelope with one
+    * unconvertible typed field (say a non-numeric `queryCount`) also
+    * populates the corrupt-record field, but `response.json()` would accept
+    * it and load the data, so it must decode, not throw. (Residual
+    * strictness: a valid JSON object whose ONLY recognized fields are
+    * unconvertible still reads as corrupt — such a body carries no usable
+    * envelope fields at all.)
     */
-  def corruptEnvelopes(envelopes: DataFrame, jsonCol: String = "envelope"): DataFrame = {
-    val corruptCol = "_corrupt_envelope"
-    val schemaWithCorrupt = envelopeSchema.add(StructField(corruptCol, StringType))
-    envelopes.filter(
-      from_json(col(jsonCol), schemaWithCorrupt,
-        Map("columnNameOfCorruptRecord" -> corruptCol))
-        .getField(corruptCol).isNotNull)
+  def corruptFromParsed(parsed: DataFrame): DataFrame = {
+    val allTypedNull = envelopeSchema.fieldNames
+      .map(f => col("__env").getField(f).isNull).reduce(_ && _)
+    parsed.filter(col("__env").getField(CorruptCol).isNotNull && allTypedNull)
   }
+
+  def corruptEnvelopes(envelopes: DataFrame, jsonCol: String = "envelope"): DataFrame =
+    corruptFromParsed(parsedEnvelopes(envelopes, jsonCol))
 }
 
 /** [[MarketDataClient]] over a raw-JSON transport: the live-HTTP shape of
@@ -106,11 +134,13 @@ object JsonEnvelopeClient {
     */
   def decode(spark: SparkSession, date: LocalDate, body: String): Seq[ApiBar] = {
     import spark.implicits._
-    val envelopes = Seq(body).toDF("envelope")
-    if (!EnvelopeDecoder.corruptEnvelopes(envelopes).isEmpty)
+    // parse ONCE; the corruption check and the bar decode read the same
+    // parsed frame (each plan holds a single from_json node)
+    val parsed = EnvelopeDecoder.parsedEnvelopes(Seq(body).toDF("envelope"))
+    if (!EnvelopeDecoder.corruptFromParsed(parsed).isEmpty)
       throw new RuntimeException(
         s"unparseable grouped-daily envelope for $date (not a JSON object)")
-    EnvelopeDecoder.decodeBars(envelopes)
+    EnvelopeDecoder.barsFromParsed(parsed)
       .filter(col("T").isNotNull && col("t_ms").isNotNull)
       .collect().toSeq.map { r =>
         ApiBar(

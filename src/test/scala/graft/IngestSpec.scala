@@ -132,6 +132,26 @@ class IngestSpec extends SparkSpec {
       _ => "<html>502 Bad Gateway</html>").groupedDaily(d))
     assert(ex.getMessage.contains("unparseable"), ex.getMessage)
 
+    // but a VALID JSON envelope with one unconvertible typed field is NOT
+    // corrupt (reference response.json() succeeds and the data loads)
+    val lenient = s"""{"status":"OK","queryCount":"not-a-number","results":[""" +
+      s"""{"T":"ENV9","t":${d.toEpochDay * 86400000L}}]}"""
+    assert(new JsonEnvelopeClient(spark, _ => lenient).groupedDaily(d)
+      .map(_.ticker) == Seq("ENV9"))
+
+    // the corruption check and the bar decode share ONE parse: a single
+    // from_json node in the decode plan
+    locally {
+      import spark.implicits._
+      val probe = Seq("""{"status":"OK"}""").toDF("envelope")
+      // analyzed plan: the optimizer constant-folds a literal envelope away
+      for (df <- Seq(EnvelopeDecoder.decodeBars(probe),
+          EnvelopeDecoder.corruptEnvelopes(probe))) {
+        val plan = df.queryExecution.analyzed.toString
+        assert("from_json".r.findAllMatchIn(plan).size == 1, plan)
+      }
+    }
+
     // a resultless fetch writes NO checkpoint (reference load.py:21-23): the
     // date stays un-completed and is re-fetched next run
     val emptyLedger = new CheckpointLedger(spark, tmp("ledgerempty") + "/ledger")
