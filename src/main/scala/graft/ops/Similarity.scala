@@ -188,23 +188,30 @@ object Similarity {
 
   val NumLists = 16
   val NProbe = 2
+  /** Per-list cap in [[ivfTopK]]: a degenerate corpus (one dominant cluster)
+    * assigns everything to one list, and probing that list is a full corpus
+    * scan per query. Lists keep their `maxListOccupancy` lowest vec_ids for
+    * probing — deterministic, oracle-mirrored; the production fix for a
+    * persistently hot list is more lists / re-training, the cap is the
+    * guard that keeps probe cost bounded meanwhile.
+    */
+  val MaxListOccupancy = 1000
 
   /** Deterministic coarse quantizer: the [[NumLists]] lowest-vec_id vectors
-    * act as list leaders (a "sampled leaders" IVF — at production scale the
-    * leaders come from k-means, but assignment/probe mechanics are
-    * identical and this keeps the oracle deterministic).
+    * act as list leaders (a "sampled leaders" IVF — this keeps the oracle
+    * deterministic; [[kmeansLeaders]] is the quality-refined option).
     */
   private def leaders(emb: DataFrame): DataFrame =
     withNorm(emb.filter(col("vec_id") < NumLists))
       .select(col("vec_id").as("list_id"), col("embedding").as("lvec"),
         col("norm").as("lnorm"))
 
-  /** IVF assignment: each vector to its max-cosine leader (ties → lowest
-    * list id). One broadcast of the leaders, one linear scan — N×K dot
+  /** Assignment of each vector to its max-cosine centroid (ties → lowest
+    * list id). One broadcast of the centroids, one linear scan — N×K dot
     * products, no shuffle of the corpus.
     */
-  def ivfAssignments(emb: DataFrame): DataFrame =
-    withNorm(emb).crossJoin(broadcast(leaders(emb)))
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("list_id"),
         (expr(Dedup.dot("embedding", "lvec")) / (col("norm") * col("lnorm")))
           .as("list_cos"))
@@ -213,16 +220,70 @@ object Similarity {
       .filter(col("rnk") === 1)
       .select("vec_id", "list_id", "list_cos")
 
+  /** Lloyd-refined leaders from the deterministic seeds: `iters` rounds of
+    * assign-to-max-cosine + elementwise-mean recompute (spherical k-means;
+    * Jégou/Douze/Schmid train the IVF coarse quantizer exactly so). Each
+    * round's centroid set is collected to the driver and re-broadcast —
+    * O(NumLists × Dim) values by construction (MLlib's k-means does the
+    * same), which keeps every round ONE crossJoin against a local relation
+    * instead of an iters-deep nested plan. The mean runs through a
+    * posexplode + (list_id, pos) hash-aggregate: map-side partial combine,
+    * no array lambdas in the hot path. A list that loses all members keeps
+    * its previous centroid.
+    */
+  def kmeansLeaders(emb: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"kmeansLeaders: iters must be >= 0, got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = withNorm(emb)
+    var cents = leaders(emb)
+    for (_ <- 0 until iters) {
+      val means = assignTo(e, cents)
+        .join(e.select("vec_id", "embedding"), Seq("vec_id"))
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos").agg(avg("x").as("mx"))
+        .groupBy("list_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pm"))
+        .select(col("list_id"), expr("transform(pm, p -> CAST(p.mx AS FLOAT))").as("mvec"))
+      val next = cents
+        .join(means, Seq("list_id"), "left")
+        .select(col("list_id"), coalesce(col("mvec"), col("lvec")).as("lvec"))
+        .select($"list_id", $"lvec",
+          expr(s"sqrt(${Dedup.dot("lvec", "lvec")})").as("lnorm"))
+        .as[(Long, Array[Float], Double)].collect().toSeq
+      cents = next.toDF("list_id", "lvec", "lnorm")
+    }
+    cents
+  }
+
+  /** IVF assignment over the deterministic leaders (`kmeansIters` = 0, the
+    * oracle default) or the Lloyd-refined ones.
+    */
+  def ivfAssignments(emb: DataFrame, kmeansIters: Int = 0): DataFrame =
+    assignTo(withNorm(emb),
+      if (kmeansIters == 0) leaders(emb) else kmeansLeaders(emb, kmeansIters))
+
   /** IVF-flat top-k: probe the [[NProbe]] nearest lists per query, rank
     * only vectors assigned there. Candidate volume ≈ nprobe/nlists of the
-    * corpus per query; the probe join co-partitions on list_id.
+    * corpus per query; the probe join co-partitions on list_id. Lists are
+    * capped at `maxListOccupancy` members (see [[MaxListOccupancy]]) via a
+    * rank-limit the optimizer runs as WindowGroupLimit — bounded per-task
+    * state, not a full sort of a hot list.
     */
-  def ivfTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+  def ivfTopK(emb: DataFrame, k: Int = TopK, kmeansIters: Int = 0,
+      maxListOccupancy: Int = MaxListOccupancy): DataFrame = {
     val e = withNorm(emb)
-    val assign = ivfAssignments(emb).select("vec_id", "list_id").persist()
+    val cents =
+      if (kmeansIters == 0) leaders(emb) else kmeansLeaders(emb, kmeansIters)
+    val assign = ivfAssignments(emb, kmeansIters)
+      .withColumn("lrnk", row_number().over(Window.partitionBy("list_id")
+        .orderBy("vec_id")))
+      .filter(col("lrnk") <= maxListOccupancy)
+      .select("vec_id", "list_id")
+      .persist()
     assign.count() // eager: probed by both the query and candidate legs
     val probes = e.filter(col("vec_id") % QueryStride === 0)
-      .crossJoin(broadcast(leaders(emb)))
+      .crossJoin(broadcast(cents))
       .select(col("vec_id").as("query_id"), col("list_id"),
         (expr(Dedup.dot("embedding", "lvec")) / (col("norm") * col("lnorm")))
           .as("probe_cos"))

@@ -762,6 +762,12 @@ object OpsOracleSql {
 
   val SIM_IVF_TOPK: String =
     s"""WITH $ivfChain,
+       |iv_kept AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |           row_number() OVER (PARTITION BY list_id ORDER BY vec_id) AS lrnk
+       |    FROM iv_assign)
+       |  WHERE lrnk <= ${graft.ops.Similarity.MaxListOccupancy}),
        |iv_probe AS (
        |  SELECT query_id, list_id FROM (
        |    SELECT e.vec_id AS query_id, l.list_id,
@@ -773,7 +779,7 @@ object OpsOracleSql {
        |  WHERE rnk <= $NProbe),
        |iv_cand AS (
        |  SELECT DISTINCT p.query_id AS a_id, a.vec_id AS b_id
-       |  FROM iv_probe p JOIN iv_assign a USING (list_id)
+       |  FROM iv_probe p JOIN iv_kept a USING (list_id)
        |  WHERE p.query_id <> a.vec_id)
        |SELECT * FROM (
        |  SELECT c.a_id AS query_id, c.b_id AS neighbor_id,

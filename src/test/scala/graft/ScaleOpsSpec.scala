@@ -210,14 +210,45 @@ class ScaleOpsSpec extends SparkSpec {
     val emb = T.table(spark, sf, "embeddings")
     val brute = Similarity.bruteTopK(emb)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim").as("brute_cos"))
-    val ivf = Similarity.ivfTopK(emb)
-    val joined = ivf.join(brute, Seq("query_id", "neighbor_id"), "left").cache()
-    // any overlapping pair must carry the identical cosine
-    assert(joined.filter(col("brute_cos").isNotNull &&
-      col("cos_sim") =!= col("brute_cos")).count() == 0)
-    val recall = joined.filter(col("brute_cos").isNotNull).count().toDouble /
-      brute.count().toDouble
+      .cache()
+    def recallOf(ivf: org.apache.spark.sql.DataFrame): Double = {
+      val joined = ivf.join(brute, Seq("query_id", "neighbor_id"), "left").cache()
+      // any overlapping pair must carry the identical cosine
+      assert(joined.filter(col("brute_cos").isNotNull &&
+        col("cos_sim") =!= col("brute_cos")).count() == 0)
+      joined.filter(col("brute_cos").isNotNull).count().toDouble / brute.count().toDouble
+    }
+    val recall = recallOf(Similarity.ivfTopK(emb))
     assert(recall >= 0.2, s"IVF recall $recall collapsed (nprobe=2/16 lists)")
+    // Lloyd-refined leaders must keep recall in the same band (on this
+    // near-uniform synthetic corpus k-means mostly rebalances lists; the
+    // assertion pins that refinement never BREAKS the probe mechanics)
+    val kmRecall = recallOf(Similarity.ivfTopK(emb, kmeansIters = 3))
+    assert(kmRecall >= 0.2, s"k-means IVF recall $kmRecall collapsed")
+  }
+
+  test("IVF per-list occupancy cap bounds probe candidates on a one-cluster corpus") {
+    import spark.implicits._
+    // identical embeddings: every vector ties to every leader, so the
+    // tie-break assigns the WHOLE corpus to one list — probing it uncapped
+    // is a full corpus scan per query
+    val n = 60
+    val vec = Array.fill(Similarity.Dim)(0.5f)
+    val emb = (1 to n).map(i => (i.toLong, vec)).toDF("vec_id", "embedding")
+    assert(Similarity.ivfAssignments(emb)
+      .select("list_id").distinct().count() == 1)
+    // capped at 5 members, the only query (vec_id 50) sees exactly the
+    // 5 lowest-id members as candidates — not all 59
+    val capped = Similarity.ivfTopK(emb, maxListOccupancy = 5)
+    assert(capped.count() == 5)
+    assert(capped.select("neighbor_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+    // uncapped the same query ranks the full list and returns k rows
+    assert(Similarity.ivfTopK(emb).count() == Similarity.TopK)
+    // k-means on a one-cluster corpus converges without dropping lists
+    // (seeds = vec_id < NumLists; ids start at 1, so 15 seeds here)
+    assert(Similarity.kmeansLeaders(emb, 2).count() ==
+      emb.filter(col("vec_id") < Similarity.NumLists).count())
   }
 
   test("bucketed tables: co-located join plans without a shuffle exchange") {
