@@ -57,4 +57,29 @@ object RawLoader {
     df.write.mode(SaveMode.Append).partitionBy("DATE").parquet(rawPath)
     n
   }
+
+  /** Read-side self-heal for a legacy raw layout that predates `TS` — the
+    * reference's `ALTER TABLE ... ADD COLUMN IF NOT EXISTS TS TIMESTAMP_NTZ`
+    * safeguard (`src/snowflake_client.py:78-83`), re-expressed as a typed
+    * NULL projection (parquet files are immutable, so the heal happens at
+    * read, in canonical column order). ONLY the additive TS case heals;
+    * any other column missing from [[rawSchema]] throws here, named, and a
+    * type change still fails the declared pipeline contracts downstream —
+    * the repo's stricter-than-reference drift policy. A frame that already
+    * carries TS passes through untouched.
+    */
+  def heal(raw: DataFrame): DataFrame =
+    if (raw.columns.exists(_.equalsIgnoreCase("TS"))) raw
+    else {
+      val have = raw.columns.map(_.toLowerCase).toSet
+      val missing = rawSchema.fieldNames
+        .filter(f => f != "TS" && !have.contains(f.toLowerCase))
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"raw store is missing non-healable column(s): ${missing.mkString(", ")} " +
+            "(only the legacy TS-less layout self-heals)")
+      raw.select(rawSchema.fields.toSeq.map { f =>
+        if (f.name == "TS") lit(null).cast(f.dataType).as("TS") else col(f.name)
+      }: _*)
+    }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.ingest.RawLoader
 import graft.models.{IntRussellDaily, StgDailyStocks}
 import graft.pipeline.MergeWriter
 
@@ -72,16 +73,17 @@ object IncrementalMartStream {
           batch.write.mode("overwrite").partitionBy("DATE")
             .parquet(s"$rawPath/batch=$batchId")
           if (!exists(martPath)) {
-            // bootstrap is the one full-history scan (SURVEY ST3)
-            val staged = StgDailyStocks.build(
-              spark.read.parquet(rawPath).drop("batch"))
+            // bootstrap is the one full-history scan (SURVEY ST3); heal =
+            // the legacy TS-less raw layout reads with a typed NULL TS
+            val staged = StgDailyStocks.build(RawLoader.heal(
+              spark.read.parquet(rawPath).drop("batch")))
             IntRussellDaily.buildFull(staged, constituents)
               .write.partitionBy("trade_date").parquet(martPath)
           } else {
             val existing = spark.read.parquet(martPath)
             val martMax = existing.agg(max("trade_date")).head().getDate(0)
-            val staged = StgDailyStocks.build(
-              prunedRaw(spark, rawPath, martMax, lookbackDays))
+            val staged = StgDailyStocks.build(RawLoader.heal(
+              prunedRaw(spark, rawPath, martMax, lookbackDays)))
             val slice = IntRussellDaily.buildIncremental(
               staged, constituents, existing, lookbackDays,
               knownMaxDate = Some(martMax))

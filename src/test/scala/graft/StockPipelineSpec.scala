@@ -44,6 +44,33 @@ class StockPipelineSpec extends SparkSpec {
     assert(out("agg_daily_market_breadth").count() == dates)
   }
 
+  test("legacy TS-less raw layout self-heals at read; wider drift still refuses") {
+    import graft.ingest.RawLoader
+    val rawPath = Files.createTempDirectory("rawlegacy").toString + "/raw"
+    // a LEGACY raw store: the reference layout before TS existed (the case
+    // its ADD COLUMN IF NOT EXISTS safeguard repairs, snowflake_client.py)
+    val native = T.rawDaily(spark, sf)
+    native.drop("TS").write.partitionBy("DATE").parquet(rawPath)
+    val legacy = spark.read.parquet(rawPath)
+    assert(!legacy.columns.contains("TS"))
+    val healed = RawLoader.heal(legacy)
+    // canonical shape restored: TS typed, all-NULL, canonical column order
+    assert(healed.schema.fieldNames.toSeq == RawLoader.rawSchema.fieldNames.toSeq)
+    assert(healed.schema("TS").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(healed.count() == native.count())
+    assert(healed.filter(col("TS").isNotNull).count() == 0)
+    // healed raw flows through staging and the contracted DAG without drift
+    val store = Files.createTempDirectory("healstore").toString
+    val out = StockPipeline.run(spark, StgDailyStocks.build(healed),
+      T.constituents(spark, sf), store) // contracts pass: no throw
+    assert(out("int_russell_daily").count() > 0)
+    // a frame already carrying TS passes through untouched
+    assert(RawLoader.heal(native) eq native)
+    // anything beyond the TS case refuses to heal, named
+    val ex = intercept[IllegalStateException](RawLoader.heal(legacy.drop("VW")))
+    assert(ex.getMessage.contains("VW"), ex.getMessage)
+  }
+
   test("schema contract aborts the DAG at the drifted model, before any write") {
     val store = Files.createTempDirectory("driftstore").toString
     val stg = T.stagedBars(spark, sf)
