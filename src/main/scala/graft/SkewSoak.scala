@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, HashSplit}
+
+/** Skew soak harness: proves the document-frequency / band-occupancy caps
+  * keep the posting-list joins near-LINEAR on an adversarially skewed
+  * corpus — the property the caps exist for, measured instead of asserted
+  * from the armchair.
+  *
+  * Generates a documents table where 30% of docs share one boilerplate
+  * sentence (a hot shingle family whose df grows with the corpus — the
+  * uncapped blowup is df² candidate pairs from a single key) plus unique
+  * filler, runs `minhashPairs` / `simhashPairs` / `contaminatedTrainDocs`
+  * at N and 10N, and reports wall-clock growth and result cardinalities as
+  * one JSON line. A capped operator should grow ≈10× in time and output;
+  * quadratic behavior shows up as ≈100× time and an exploding pair count.
+  *
+  * Run: `sbt 'runMain graft.SkewSoak [baseN]'` (default 3000). The
+  * per-round numbers are committed as `SOAK_r{N}.json`.
+  */
+object SkewSoak {
+
+  /** 30%-hot corpus: ids ≡ 0,1,2 (mod 10) share an 8-token boilerplate
+    * sentence; every doc carries 6 unique filler tokens so signatures stay
+    * distinct within the family.
+    */
+  def skewedDocs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"),
+      concat(
+        when(col("id") % 10 < 3,
+          lit("the shared boiler plate sentence appears in every document "))
+          .otherwise(lit("")),
+        concat_ws(" ",
+          (0 until 6).map(j => concat(lit(s"u${j}x"), col("id"))): _*)).as("text"))
+
+  private def timed(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = f
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseN = if (args.nonEmpty) args(0).toLong else 3000L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-skew-soak")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ops: Seq[(String, DataFrame => Long)] = Seq(
+      ("minhash_pairs", d => Dedup.minhashPairs(d).count()),
+      ("simhash_pairs", d => Dedup.simhashPairs(d).count()),
+      ("contamination", d => HashSplit.contaminatedTrainDocs(d).count()))
+
+    // warmup: JIT + codegen caches, excluded from the measurements
+    val warm = skewedDocs(spark, 500L).cache()
+    warm.count()
+    ops.foreach { case (_, f) => f(warm) }
+    warm.unpersist()
+
+    val results = for ((label, mult) <- Seq(("base", 1L), ("x10", 10L))) yield {
+      val docs = skewedDocs(spark, baseN * mult).cache()
+      docs.count()
+      val runs = ops.map { case (name, f) =>
+        val (sec, rows) = timed(f(docs))
+        name -> (sec, rows)
+      }
+      docs.unpersist()
+      label -> runs
+    }
+
+    val base = results.head._2.toMap
+    val x10 = results.last._2.toMap
+    val perOp = ops.map { case (name, _) =>
+      val (bSec, bRows) = base(name)
+      val (xSec, xRows) = x10(name)
+      val growth = xSec / bSec
+      f""""$name":{"base_sec":$bSec%.2f,"x10_sec":$xSec%.2f,"time_growth":$growth%.1f,"base_rows":$bRows,"x10_rows":$xRows}"""
+    }
+    // 10x data through a capped (linear) join: time growth well under the
+    // ~100x a quadratic hot bucket would cost. 30x allows constant factors
+    // (scheduling, the occupancy windows) without admitting quadratic.
+    val verdicts = ops.map { case (name, _) =>
+      val growth = x10(name)._1 / base(name)._1
+      name -> (growth < 30.0)
+    }
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
+    spark.stop()
+    if (!verdicts.forall(_._2)) {
+      verdicts.filterNot(_._2).foreach { case (n, _) =>
+        System.err.println(s"SOAK FAIL: $n grew superlinearly") }
+      sys.exit(1)
+    }
+  }
+}

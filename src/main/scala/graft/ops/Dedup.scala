@@ -467,6 +467,7 @@ object Dedup {
     val joined = clusters.select("doc_id", "cluster_id")
       .join(quality.select("doc_id", "quality_score"), Seq("doc_id"), "left")
       .persist()
+    joined.count() // eager: two consumers race an unfilled cache (see minhashPairs)
     val winner = joined.groupBy("cluster_id")
       .agg(max_by(col("doc_id"),
         struct(col("quality_score").isNotNull.cast("int"),
