@@ -134,25 +134,28 @@ object JsonEnvelopeClient {
     */
   def decode(spark: SparkSession, date: LocalDate, body: String): Seq[ApiBar] = {
     import spark.implicits._
-    // parse ONCE; the corruption check and the bar decode read the same
-    // parsed frame (each plan holds a single from_json node)
-    val parsed = EnvelopeDecoder.parsedEnvelopes(Seq(body).toDF("envelope"))
-    if (!EnvelopeDecoder.corruptFromParsed(parsed).isEmpty)
-      throw new RuntimeException(
-        s"unparseable grouped-daily envelope for $date (not a JSON object)")
-    EnvelopeDecoder.barsFromParsed(parsed)
-      .filter(col("T").isNotNull && col("t_ms").isNotNull)
-      .collect().toSeq.map { r =>
-        ApiBar(
-          ticker = r.getAs[String]("T"),
-          volume = optD(r, "v"),
-          vwap = optD(r, "vw"),
-          open = optD(r, "o"),
-          close = optD(r, "c"),
-          high = optD(r, "h"),
-          low = optD(r, "l"),
-          numTransactions = optL(r, "n"),
-          epochMillis = r.getAs[Long]("t_ms"))
-      }
+    // parse ONCE — in the plan (single from_json node) AND at runtime: the
+    // corruption check and the bar collect are two actions, so without the
+    // persist the second would re-parse the ~10k-bar body
+    val parsed = EnvelopeDecoder.parsedEnvelopes(Seq(body).toDF("envelope")).persist()
+    try {
+      if (!EnvelopeDecoder.corruptFromParsed(parsed).isEmpty)
+        throw new RuntimeException(
+          s"unparseable grouped-daily envelope for $date (not a JSON object)")
+      EnvelopeDecoder.barsFromParsed(parsed)
+        .filter(col("T").isNotNull && col("t_ms").isNotNull)
+        .collect().toSeq.map { r =>
+          ApiBar(
+            ticker = r.getAs[String]("T"),
+            volume = optD(r, "v"),
+            vwap = optD(r, "vw"),
+            open = optD(r, "o"),
+            close = optD(r, "c"),
+            high = optD(r, "h"),
+            low = optD(r, "l"),
+            numTransactions = optL(r, "n"),
+            epochMillis = r.getAs[Long]("t_ms"))
+        }
+    } finally parsed.unpersist(blocking = false)
   }
 }

@@ -34,11 +34,16 @@ object HttpMarketData {
   val RequestTimeoutMs = 10000L
 
   /** The reference's URL construction (`src/extraction.py:24-29`), params
-    * inlined into the query string.
+    * inlined into the query string. The key is percent-encoded — the
+    * reference's `requests.get(params=...)` does this implicitly; a raw
+    * interpolation would corrupt keys holding `+`/`&`/`=` into a silent
+    * 401/403 (no retry: ClientError aborts).
     */
-  def groupedDailyUri(baseUrl: String, date: LocalDate, apiKey: String): URI =
+  def groupedDailyUri(baseUrl: String, date: LocalDate, apiKey: String): URI = {
+    val key = java.net.URLEncoder.encode(apiKey, java.nio.charset.StandardCharsets.UTF_8)
     URI.create(s"${baseUrl.stripSuffix("/")}/v2/aggs/grouped/locale/us/market/stocks/$date" +
-      s"?adjusted=true&apiKey=$apiKey")
+      s"?adjusted=true&apiKey=$key")
+  }
 
   /** One GET per date, mapped to the [[FetchResult]] the retry policy
     * dispatches on. Exposed for tests that drive the transport directly.

@@ -58,6 +58,19 @@ object RawLoader {
     n
   }
 
+  /** Raw-store read with the legacy-layout self-heal applied. `mergeSchema`
+    * is essential, not optional: a store that mixes legacy TS-less files
+    * with current ones would otherwise take its schema from ONE file footer
+    * — listing-order dependent — and a legacy footer winning would silently
+    * NULL the real TS values the newer files carry. Merging unions the file
+    * schemas (files lacking TS read NULL per-file, exactly the healed
+    * semantics), at the price of a footer read per file — a one-time,
+    * parallelized metadata pass, the correct trade for a mutation-free
+    * migration story. [[heal]] then only fires for an all-legacy store.
+    */
+  def readRaw(spark: SparkSession, rawPath: String): DataFrame =
+    heal(spark.read.option("mergeSchema", "true").parquet(rawPath))
+
   /** Read-side self-heal for a legacy raw layout that predates `TS` — the
     * reference's `ALTER TABLE ... ADD COLUMN IF NOT EXISTS TS TIMESTAMP_NTZ`
     * safeguard (`src/snowflake_client.py:78-83`), re-expressed as a typed
@@ -66,7 +79,9 @@ object RawLoader {
     * any other column missing from [[rawSchema]] throws here, named, and a
     * type change still fails the declared pipeline contracts downstream —
     * the repo's stricter-than-reference drift policy. A frame that already
-    * carries TS passes through untouched.
+    * carries TS passes through untouched. Store reads belong on [[readRaw]]
+    * (schema-merged) — healing a single-footer inferred schema cannot see a
+    * mixed store.
     */
   def heal(raw: DataFrame): DataFrame =
     if (raw.columns.exists(_.equalsIgnoreCase("TS"))) raw

@@ -275,7 +275,10 @@ object Similarity {
     val e = withNorm(emb)
     val cents =
       if (kmeansIters == 0) leaders(emb) else kmeansLeaders(emb, kmeansIters)
-    val assign = ivfAssignments(emb, kmeansIters)
+    // assign against the SAME centroid set the probes rank below: training
+    // twice would not only double the Lloyd cost, its order-dependent float
+    // means could disagree bitwise and misroute probes near list boundaries
+    val assign = assignTo(e, cents)
       .withColumn("lrnk", row_number().over(Window.partitionBy("list_id")
         .orderBy("vec_id")))
       .filter(col("lrnk") <= maxListOccupancy)

@@ -43,7 +43,7 @@ object IncrementalMartStream {
     */
   def prunedRaw(spark: SparkSession, rawPath: String,
       martMaxDate: java.sql.Date, lookbackDays: Int): DataFrame =
-    spark.read.parquet(rawPath)
+    RawLoader.readRaw(spark, rawPath)
       .filter(col("DATE") >= date_sub(lit(martMaxDate), lookbackDays))
       .drop("batch")
 
@@ -73,10 +73,10 @@ object IncrementalMartStream {
           batch.write.mode("overwrite").partitionBy("DATE")
             .parquet(s"$rawPath/batch=$batchId")
           if (!exists(martPath)) {
-            // bootstrap is the one full-history scan (SURVEY ST3); heal =
-            // the legacy TS-less raw layout reads with a typed NULL TS
-            val staged = StgDailyStocks.build(RawLoader.heal(
-              spark.read.parquet(rawPath).drop("batch")))
+            // bootstrap is the one full-history scan (SURVEY ST3); readRaw =
+            // schema-merged, legacy TS-less files read with typed NULL TS
+            val staged = StgDailyStocks.build(
+              RawLoader.readRaw(spark, rawPath).drop("batch"))
             IntRussellDaily.buildFull(staged, constituents)
               .write.partitionBy("trade_date").parquet(martPath)
           } else {

@@ -219,6 +219,9 @@ class IngestSpec extends SparkSpec {
       assert(bars.map(_.ticker) == Seq("HTT1") && bars.head.vwap.contains(10.5))
       assert(seen.poll() ==
         "/v2/aggs/grouped/locale/us/market/stocks/2024-07-08?adjusted=true&apiKey=k123")
+      // reserved characters in the key percent-encode (requests params parity)
+      assert(HttpMarketData.groupedDailyUri("http://h", d, "a+b&c=d").getRawQuery
+        == "adjusted=true&apiKey=a%2Bb%26c%3Dd")
 
       // 429 then success: one 60 s back-off
       sleeps = Vector.empty

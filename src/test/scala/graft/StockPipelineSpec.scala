@@ -69,6 +69,18 @@ class StockPipelineSpec extends SparkSpec {
     // anything beyond the TS case refuses to heal, named
     val ex = intercept[IllegalStateException](RawLoader.heal(legacy.drop("VW")))
     assert(ex.getMessage.contains("VW"), ex.getMessage)
+    // MIXED store: legacy TS-less files + newer files carrying real TS.
+    // A read trusting one inferred footer could hide TS and NULL the real
+    // values; readRaw schema-merges, so legacy rows read NULL TS while the
+    // newer rows keep theirs
+    native.filter(col("DATE").isNotNull).limit(50)
+      .write.mode("append").partitionBy("DATE").parquet(rawPath)
+    val mixed = RawLoader.readRaw(spark, rawPath)
+    assert(mixed.count() == native.count() + 50)
+    assert(mixed.filter(col("TS").isNotNull).count() == 50)
+    // an all-legacy store still heals through readRaw
+    assert(RawLoader.readRaw(spark,
+      rawPath).columns.contains("TS"))
   }
 
   test("schema contract aborts the DAG at the drifted model, before any write") {
