@@ -323,4 +323,47 @@ class IngestSpec extends SparkSpec {
       Model("y", Seq("x"), View, build = in => in("x")))
     intercept[IllegalArgumentException](topoOrder(cyclic))
   }
+
+  test("scheduler: weekday-noon-ET cron fires, skips weekends, strict next") {
+    import java.time.Duration
+    val et = Scheduler.Zone
+    def at(y: Int, m: Int, d: Int, h: Int, zone: ZoneId = et) =
+      ZonedDateTime.of(y, m, d, h, 0, 0, 0, zone)
+
+    // Wed 09:00 ET -> same-day noon; exactly noon -> Thu (strictly after)
+    assert(Scheduler.nextFire(at(2025, 8, 6, 9)) == at(2025, 8, 6, 12))
+    assert(Scheduler.nextFire(at(2025, 8, 6, 12)) == at(2025, 8, 7, 12))
+    // Fri 13:00 / Sat / Sun -> Monday noon
+    assert(Scheduler.nextFire(at(2025, 8, 8, 13)) == at(2025, 8, 11, 12))
+    assert(Scheduler.nextFire(at(2025, 8, 9, 0)) == at(2025, 8, 11, 12))
+    // foreign-zone clocks convert: Wed 15:00 UTC = 11:00 ET -> Wed noon ET
+    assert(Scheduler.nextFire(at(2025, 8, 6, 15, ZoneId.of("UTC")))
+      == at(2025, 8, 6, 12))
+
+    // loop: fake clock advanced by the sleeper; 3 ticks = Wed, Thu, Fri noon
+    var now = at(2025, 8, 6, 9)
+    var sleeps = Vector.empty[Duration]
+    val fired = Scheduler.runLoop(
+      () => now, d => { sleeps :+= d; now = now.plus(d) }, ticks = 3)(identity)
+    assert(fired.map(_._1) == Seq(at(2025, 8, 6, 12), at(2025, 8, 7, 12),
+      at(2025, 8, 8, 12)))
+    assert(sleeps == Vector(Duration.ofHours(3), Duration.ofHours(24),
+      Duration.ofHours(24)))
+  }
+
+  test("scheduler drives IngestJob: catchup-free ticks, ledger keeps replays no-op") {
+    import java.time.Duration
+    val ledger = new CheckpointLedger(spark, tmp("ledger") + "/ledger")
+    val job = new IngestJob(spark, new FixtureClient(5), ledger, tmp("raw"))
+    // Fri 2024-07-05 09:00 ET; two ticks land Fri noon + Mon noon
+    var now = ZonedDateTime.of(2024, 7, 5, 9, 0, 0, 0, Scheduler.Zone)
+    val runs = Scheduler.runLoop(
+      () => now, d => now = now.plus(d), ticks = 2)(fire => job.run(fire, daysBack = 1))
+    // Fri-noon fire ingests Wed July 3 (July 4 closed); Mon-noon fire ingests Fri July 5
+    assert(runs.map(_._2.map(o => (o.date.toString, o.status))) == Seq(
+      Seq(("2024-07-03", "completed")), Seq(("2024-07-05", "completed"))))
+    // a third tick covering already-ingested days is a ledger no-op
+    val replay = job.run(now, daysBack = 3)
+    assert(replay.isEmpty)
+  }
 }
