@@ -203,6 +203,20 @@ object SparkEntry {
     }),
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(T.table(s, dir, "documents"))),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(T.table(s, dir, "documents"))),
+    // pii over the in-query injected corpus (graft.ops.Portable.piiInject*):
+    // the synthetic docs carry no PII, so injection is what makes the
+    // oracle compare a real cross-engine regex-parity test
+    "text_pii" -> ((s, dir) =>
+      TextAnalysis.piiScan(T.table(s, dir, "documents")
+        .selectExpr("doc_id", s"${graft.ops.Portable.piiInjectSpark} AS text"))),
+    "sample_assign" -> ((s, dir) =>
+      Sampling.stratifiedAssign(T.table(s, dir, "documents"))),
+    "sample_corpus" -> ((s, dir) =>
+      Sampling.stratifiedSample(T.table(s, dir, "documents"))),
+    "sample_summary" -> ((s, dir) =>
+      Sampling.sampleSummary(T.table(s, dir, "documents"))),
     "split_assign" -> ((s, dir) =>
       HashSplit.split(T.table(s, dir, "documents"))),
     "split_summary" -> ((s, dir) =>
@@ -322,6 +336,11 @@ object SparkEntry {
     "events_value_quantiles_exact" -> OO.EVENTS_VALUE_QUANTILES_EXACT,
     "events_asof_attribution" -> OO.EVENTS_ASOF_ATTRIBUTION,
     "text_top_terms" -> OO.TEXT_TOP_TERMS,
+    "text_repetition" -> OO.TEXT_REPETITION,
+    "text_pii" -> OO.TEXT_PII,
+    "sample_assign" -> OO.SAMPLE_ASSIGN,
+    "sample_corpus" -> OO.SAMPLE_CORPUS,
+    "sample_summary" -> OO.SAMPLE_SUMMARY,
     "split_assign" -> OO.SPLIT_ASSIGN,
     "split_summary" -> OO.SPLIT_SUMMARY,
     "split_token_shards" -> OO.SPLIT_TOKEN_SHARDS,

@@ -107,4 +107,59 @@ object Portable {
     * decimal into BOTH dialects so each parses back the identical double.
     */
   val wilderAlpha: Double = 1.0 / 14
+
+  /** PII patterns, written in the regex subset Java (Spark) and RE2 (DuckDB)
+    * evaluate identically — character classes, bounded repetition, no
+    * lookaround, no backreferences. One raw spelling; each dialect helper
+    * escapes it for that engine's string literal (Spark SQL literals eat one
+    * level of backslash, DuckDB's do not).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ipv4", """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}""", "<IP>"),
+    ("phone", """[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}""", "<PHONE>"))
+
+  def regexLitSpark(pat: String): String = s"'${pat.replace("\\", "\\\\")}'"
+  def regexLitDuck(pat: String): String = s"'$pat'"
+
+  /** In-query PII fixture for the differential oracle: the synthetic corpus
+    * carries no PII (words only), so the oracle row would compare constant
+    * zeros and never exercise the regexes. Appending deterministic,
+    * doc_id-derived PII in BOTH dialects turns the driver's hash-compare
+    * into a real cross-engine regex-parity test. Visible fixture, not
+    * hidden data: the injection is part of the query text in both engines.
+    */
+  private def piiInject(castStr: String => String, iff: (String, String) => String): String =
+    "concat(text, " +
+      iff("doc_id % 7 = 0", s"concat(' user', ${castStr("doc_id")}, '@example.com')") + ", " +
+      iff("doc_id % 11 = 0", s"concat(' from 10.0.', ${castStr("doc_id % 256")}, '.7')") + ", " +
+      iff("doc_id % 13 = 0", "' call 555-867-5309'") + ")"
+
+  val piiInjectSpark: String =
+    piiInject(c => s"CAST($c AS STRING)", (p, v) => s"IF($p, $v, '')")
+  val piiInjectDuck: String =
+    piiInject(c => s"CAST($c AS VARCHAR)", (p, v) => s"CASE WHEN $p THEN $v ELSE '' END")
+
+  /** Per-stratum sampling thresholds: keep a row iff its 60-bit sample hash
+    * mod 1e6 falls under `round(rate * 1e6)`. Thresholds are integerized
+    * driver-side and splatted into BOTH dialects, so no float multiply can
+    * disagree at the boundary. Strata are the corpus languages (the classic
+    * low-resource up-/high-resource down-weighting mix).
+    */
+  val SampleMod: Long = 1000000L
+  val sampleRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "de" -> 0.8, "es" -> 0.9, "fr" -> 0.9, "zh" -> 1.0)
+  val sampleDefaultRate: Double = 0.25
+
+  def sampleThreshold(rate: Double): Long = math.round(rate * SampleMod)
+
+  /** CASE expression mapping the stratum column to its integer threshold —
+    * dialect-free SQL (shared verbatim by Spark and DuckDB).
+    */
+  def sampleThresholdCase(stratumCol: String): String = {
+    val whens = sampleRates
+      .map { case (s, r) => s"WHEN $stratumCol = '$s' THEN ${sampleThreshold(r)}" }
+      .mkString(" ")
+    s"CASE $whens ELSE ${sampleThreshold(sampleDefaultRate)} END"
+  }
 }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Portable._
+
+/** Deterministic stratified sampling — the corpus-mixing stage of a
+  * training-data pipeline (down-weight the over-represented stratum,
+  * up-weight the rare one; the CCNet/Brown-et-al. language-rebalancing
+  * shape). Membership is a pure function of the row key: the portable
+  * 60-bit md5 hash mod 1e6 compared against an integerized per-stratum
+  * threshold ([[Portable.sampleRates]]). No RNG, no state — the same row
+  * lands in the same side on every run, on any cluster, in any engine,
+  * which is what makes a 100 TB sample reproducible, resumable after
+  * partial failure, and auditable. A narrow projection: no shuffle for
+  * assignment; one hash aggregation for the summary.
+  */
+object Sampling {
+
+  /** Per-row assignment: stratum, hash bucket, threshold, and the keep flag.
+    * Emitting the bucket (not just the flag) keeps the decision auditable —
+    * a reader can verify `kept = bucket < threshold` row by row.
+    */
+  def stratifiedAssign(docs: DataFrame, stratumCol: String = "lang"): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      s"$stratumCol AS stratum",
+      s"${hexcastSpark(s"concat('sample:', $stratumCol, ':', CAST(doc_id AS STRING))")} % $SampleMod AS bucket",
+      s"CAST(${sampleThresholdCase(stratumCol)} AS BIGINT) AS threshold")
+      .withColumn("kept", col("bucket") < col("threshold"))
+
+  /** The sampled corpus itself: input rows whose hash falls under the
+    * stratum threshold.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String = "lang"): DataFrame =
+    docs.join(stratifiedAssign(docs, stratumCol).filter(col("kept"))
+      .select("doc_id"), Seq("doc_id"))
+
+  /** Realized-vs-target mix per stratum: total rows, kept rows, the target
+    * rate, and the realized rate. One hash agg; the realized/target gap is
+    * the binomial noise a reviewer checks before a 100 TB run.
+    */
+  def sampleSummary(docs: DataFrame, stratumCol: String = "lang"): DataFrame =
+    stratifiedAssign(docs, stratumCol)
+      .groupBy("stratum")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        (max("threshold").cast("double") / lit(SampleMod.toDouble)).as("target_rate"))
+      .withColumn("realized_rate",
+        col("n_kept").cast("double") / col("n_total"))
+      .orderBy("stratum")
+}

@@ -94,6 +94,67 @@ object TextAnalysis {
         "array_min(shingle_hashes) AS min_shingle_hash",
         "CAST(size(array_distinct(shingle_hashes)) AS BIGINT) AS n_distinct_shingles")
 
+  /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
+    * Models", Table A1): per document, the char coverage of the heaviest
+    * word 2-gram and 3-gram, and the char fraction occupied by duplicated
+    * 5-grams. Coverage is a documented proxy — `count × gram_length` over
+    * `length(text)`, overlapping occurrences counted fully — chosen because
+    * both engines compute it bit-identically (position-coverage dedup would
+    * need per-char bookkeeping for no extra discriminating power).
+    *
+    * Shape: explode n-grams → (doc, n, gram) counts → per-(doc, n) maxima →
+    * per-doc pivot. Every stage is a hash aggregation with map-side partial
+    * combine over the same doc-keyed distribution; no windows, no UDFs —
+    * linear in corpus size at 100 TB.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val base = docs.selectExpr("doc_id",
+      "CAST(length(text) AS DOUBLE) AS n_chars", s"$tokensSpark AS toks")
+    // sequence(1, 0) DESCENDS in Spark — the size guard is load-bearing
+    def gramRel(n: Int) = base.selectExpr("doc_id", s"$n AS n",
+      s"""explode(IF(size(toks) >= $n,
+         |  transform(sequence(1, size(toks) - ${n - 1}),
+         |            i -> array_join(slice(toks, i, $n), ' ')),
+         |  array())) AS gram""".stripMargin)
+    val counts = gramRel(2).unionAll(gramRel(3)).unionAll(gramRel(5))
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("cov", col("c") * length(col("gram")).cast("long"))
+    val perN = counts.groupBy("doc_id", "n").agg(
+      max("cov").as("top_cov"),
+      sum(when(col("c") > 1, col("cov"))).as("dup_cov"))
+    val piv = perN.groupBy("doc_id").agg(
+      max(when(col("n") === 2, col("top_cov"))).as("top2"),
+      max(when(col("n") === 3, col("top_cov"))).as("top3"),
+      max(when(col("n") === 5, col("dup_cov"))).as("dup5"))
+    base.select("doc_id", "n_chars").join(piv, Seq("doc_id"), "left")
+      .selectExpr(
+        "doc_id",
+        "COALESCE(top2 / nullif(n_chars, 0), 0.0) AS top_bigram_char_frac",
+        "COALESCE(top3 / nullif(n_chars, 0), 0.0) AS top_trigram_char_frac",
+        "COALESCE(dup5 / nullif(n_chars, 0), 0.0) AS dup_5gram_char_frac")
+      .withColumn("flagged_repetitive", expr(
+        """top_bigram_char_frac > 0.20 OR top_trigram_char_frac > 0.18
+          |OR dup_5gram_char_frac > 0.15""".stripMargin))
+  }
+
+  /** PII scan + redaction: counts and masks emails, IPv4 addresses, and
+    * NANP-style phone numbers ([[Portable.piiPatterns]] — the regex subset
+    * Java and RE2 agree on). A pure narrow projection: `regexp_extract_all`
+    * for counts, chained `regexp_replace` for the redacted text, no shuffle
+    * — embarrassingly parallel over document partitions at 100 TB.
+    */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      s"CAST(size(regexp_extract_all(text, ${regexLitSpark(pat)}, 0)) AS BIGINT) AS n_${name}s"
+    }
+    val redacted = piiPatterns.foldLeft("text") { case (acc, (_, pat, mask)) =>
+      s"regexp_replace($acc, ${regexLitSpark(pat)}, '$mask')"
+    }
+    docs.selectExpr(Seq("doc_id") ++ counts ++ Seq(s"$redacted AS redacted_text"): _*)
+      .withColumn("has_pii",
+        expr("n_emails > 0 OR n_ipv4s > 0 OR n_phones > 0"))
+  }
+
   /** Corpus-weighted top terms per document: term frequency × rarity
     * (tf / document-frequency — the TF-IDF shape with a rational weight
     * instead of a log, so the score is bit-identical across engines; libm

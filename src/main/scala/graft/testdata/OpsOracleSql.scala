@@ -792,6 +792,98 @@ object OpsOracleSql {
        |  JOIN de_e b ON c.b_id = b.vec_id)
        |WHERE "rank" <= $TopK""".stripMargin
 
+  /** Mirrors [[graft.ops.TextAnalysis.repetition]]: same n-gram explode →
+    * (doc, n, gram) counts → per-(doc, n) maxima → per-doc pivot. DuckDB
+    * list slices are 1-based inclusive; `generate_series(1, n)` is empty for
+    * n < 1, matching Spark's guarded `sequence`.
+    */
+  val TEXT_REPETITION: String = {
+    def gramSel(n: Int) =
+      s"""SELECT doc_id, $n AS n,
+         |  unnest(list_transform(generate_series(1, len(toks) - ${n - 1}),
+         |    i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + ${n - 1}], ' '))) AS gram
+         |FROM rep_base""".stripMargin
+    s"""WITH rep_base AS (
+       |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars,
+       |         $tokensDuck AS toks
+       |  FROM documents),
+       |rep_grams AS (
+       |${gramSel(2)}
+       |UNION ALL
+       |${gramSel(3)}
+       |UNION ALL
+       |${gramSel(5)}),
+       |rep_counts AS (
+       |  SELECT doc_id, n, gram, COUNT(*) AS c,
+       |         COUNT(*) * length(gram) AS cov
+       |  FROM rep_grams GROUP BY 1, 2, 3),
+       |rep_pern AS (
+       |  SELECT doc_id, n, MAX(cov) AS top_cov,
+       |         SUM(CASE WHEN c > 1 THEN cov END) AS dup_cov
+       |  FROM rep_counts GROUP BY 1, 2),
+       |rep_piv AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN n = 2 THEN top_cov END) AS top2,
+       |    MAX(CASE WHEN n = 3 THEN top_cov END) AS top3,
+       |    MAX(CASE WHEN n = 5 THEN dup_cov END) AS dup5
+       |  FROM rep_pern GROUP BY 1)
+       |SELECT doc_id, top_bigram_char_frac, top_trigram_char_frac,
+       |       dup_5gram_char_frac,
+       |       (top_bigram_char_frac > 0.20 OR top_trigram_char_frac > 0.18
+       |        OR dup_5gram_char_frac > 0.15) AS flagged_repetitive
+       |FROM (
+       |  SELECT b.doc_id,
+       |    CAST(COALESCE(top2 / nullif(b.n_chars, 0), 0.0) AS DOUBLE) AS top_bigram_char_frac,
+       |    CAST(COALESCE(top3 / nullif(b.n_chars, 0), 0.0) AS DOUBLE) AS top_trigram_char_frac,
+       |    CAST(COALESCE(dup5 / nullif(b.n_chars, 0), 0.0) AS DOUBLE) AS dup_5gram_char_frac
+       |  FROM rep_base b LEFT JOIN rep_piv USING (doc_id))""".stripMargin
+  }
+
+  /** Mirrors [[graft.ops.TextAnalysis.piiScan]] over the injected corpus
+    * ([[graft.ops.Portable.piiInjectDuck]]). DuckDB `regexp_replace` is
+    * first-match-only without the 'g' flag.
+    */
+  val TEXT_PII: String = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, ${regexLitDuck(pat)})) AS BIGINT) AS n_${name}s"
+    }
+    val redacted = piiPatterns.foldLeft("text") { case (acc, (_, pat, mask)) =>
+      s"regexp_replace($acc, ${regexLitDuck(pat)}, '$mask', 'g')"
+    }
+    s"""SELECT doc_id, ${piiPatterns.map { case (n, _, _) => s"n_${n}s" }.mkString(", ")},
+       |       redacted_text,
+       |       (n_emails > 0 OR n_ipv4s > 0 OR n_phones > 0) AS has_pii
+       |FROM (
+       |  SELECT doc_id,
+       |    ${counts.mkString(",\n    ")},
+       |    $redacted AS redacted_text
+       |  FROM (SELECT doc_id, $piiInjectDuck AS text FROM documents))""".stripMargin
+  }
+
+  /** Mirrors [[graft.ops.Sampling.stratifiedAssign]] — same portable hash,
+    * same integerized thresholds ([[graft.ops.Portable.sampleThresholdCase]]
+    * is dialect-free and splatted verbatim into both engines).
+    */
+  val SAMPLE_ASSIGN: String =
+    s"""SELECT doc_id, stratum, bucket, threshold, bucket < threshold AS kept
+       |FROM (
+       |  SELECT doc_id, lang AS stratum,
+       |    ${hexcastDuck("concat('sample:', lang, ':', CAST(doc_id AS VARCHAR))")} % $SampleMod AS bucket,
+       |    CAST(${sampleThresholdCase("lang")} AS BIGINT) AS threshold
+       |  FROM documents)""".stripMargin
+
+  val SAMPLE_CORPUS: String =
+    s"""SELECT d.* FROM documents d
+       |JOIN ($SAMPLE_ASSIGN) a ON d.doc_id = a.doc_id AND a.kept""".stripMargin
+
+  val SAMPLE_SUMMARY: String =
+    s"""SELECT stratum,
+       |  CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(MAX(threshold) AS DOUBLE) / CAST($SampleMod AS DOUBLE) AS target_rate,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS realized_rate
+       |FROM ($SAMPLE_ASSIGN) GROUP BY 1""".stripMargin
+
   val SIM_LSH_NEARDUP: String =
     s"""WITH $normedEmb, $simSig, $simBands, $simBandsX,
        |sim_cand AS (

@@ -117,4 +117,61 @@ class OpsSpec extends SparkSpec {
     assert(und.filter(col("score_en") > 0 || col("score_de") > 0 ||
       col("score_es") > 0 || col("score_fr") > 0 || col("score_zh") > 0).count() == 0)
   }
+
+  test("repetition: looped text flags, flat text passes, short docs keep rows") {
+    import spark.implicits._
+    val looped = ("spam ham " * 20).trim // "spam ham" covers ~89% of chars
+    val flat = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, looped), (2L, flat), (3L, ""), (4L, "single"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 4) // every doc keeps a row, gram-free ones included
+    assert(out(1L).getAs[Boolean]("flagged_repetitive"))
+    assert(out(1L).getAs[Double]("top_bigram_char_frac") > 0.5)
+    assert(out(1L).getAs[Double]("dup_5gram_char_frac") > 0.5)
+    assert(!out(2L).getAs[Boolean]("flagged_repetitive"))
+    assert(out(2L).getAs[Double]("dup_5gram_char_frac") == 0.0)
+    assert(out(3L).getAs[Double]("top_bigram_char_frac") == 0.0)
+    assert(out(4L).getAs[Double]("top_trigram_char_frac") == 0.0)
+  }
+
+  test("pii scan: counts each kind, redacts in place, clean docs untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a.b@x.org or c@d.io, host 10.0.0.1, call 555-123-4567 now"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScan(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 2L)
+    assert(out(1L).getAs[Long]("n_ipv4s") == 1L)
+    assert(out(1L).getAs[Long]("n_phones") == 1L)
+    assert(out(1L).getAs[Boolean]("has_pii"))
+    assert(out(1L).getAs[String]("redacted_text") ==
+      "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE> now")
+    assert(!out(2L).getAs[Boolean]("has_pii"))
+    assert(out(2L).getAs[String]("redacted_text") == "no pii here at all")
+  }
+
+  test("stratified sample: pure function of key, zh keeps all, audit holds") {
+    val a1 = Sampling.stratifiedAssign(docs)
+    val a2 = Sampling.stratifiedAssign(docs)
+    assert(a1.except(a2).isEmpty && a2.except(a1).isEmpty) // deterministic
+    // audit identity: kept == bucket < threshold, row by row
+    assert(a1.filter(col("kept") =!= (col("bucket") < col("threshold"))).count() == 0)
+    // the sampled corpus is exactly the kept ids
+    val corpusIds = Sampling.stratifiedSample(docs).select("doc_id")
+    val keptIds = a1.filter(col("kept")).select("doc_id")
+    assert(corpusIds.except(keptIds).isEmpty && keptIds.except(corpusIds).isEmpty)
+    // rate-1.0 stratum keeps everything; summary internally consistent
+    val sum = Sampling.sampleSummary(docs).collect()
+      .map(r => r.getAs[String]("stratum") -> r).toMap
+    sum.get("zh").foreach { r =>
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_total"))
+    }
+    sum.values.foreach { r =>
+      assert(r.getAs[Double]("realized_rate") ==
+        r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_total"))
+    }
+  }
 }
