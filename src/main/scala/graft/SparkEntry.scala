@@ -54,6 +54,14 @@ object SparkEntry {
     memo(s, dir, "dupclusters")(
       Dedup.minhashDupClusters(T.table(s, dir, "documents")))
 
+  /** The composed curation funnel's per-doc audit — shared by the audit,
+    * corpus, and funnel queries, and itself built over the memoized
+    * cluster resolution.
+    */
+  private def curationAudit(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "curateaudit")(
+      Curation.audit(T.table(s, dir, "documents"), dupClusters(s, dir)))
+
   /** Forces every memoized shared relation (the int→fct→dim mart chain and
     * the dup-cluster resolution) to materialize NOW, so callers timing
     * individual queries can report the shared build as its own line instead
@@ -63,6 +71,7 @@ object SparkEntry {
   def prewarmShared(s: SparkSession, dir: String): Unit = {
     dimSecurities(s, dir) // builds int + fct + dim (memo is eager)
     dupClusters(s, dir)
+    curationAudit(s, dir)
     ()
   }
 
@@ -217,6 +226,10 @@ object SparkEntry {
       Sampling.stratifiedSample(T.table(s, dir, "documents"))),
     "sample_summary" -> ((s, dir) =>
       Sampling.sampleSummary(T.table(s, dir, "documents"))),
+    "curate_audit" -> ((s, dir) => curationAudit(s, dir)),
+    "curate_corpus" -> ((s, dir) =>
+      Curation.corpus(T.table(s, dir, "documents"), curationAudit(s, dir))),
+    "curate_funnel" -> ((s, dir) => Curation.funnel(curationAudit(s, dir))),
     "split_assign" -> ((s, dir) =>
       HashSplit.split(T.table(s, dir, "documents"))),
     "split_summary" -> ((s, dir) =>
@@ -341,6 +354,9 @@ object SparkEntry {
     "sample_assign" -> OO.SAMPLE_ASSIGN,
     "sample_corpus" -> OO.SAMPLE_CORPUS,
     "sample_summary" -> OO.SAMPLE_SUMMARY,
+    "curate_audit" -> OO.CURATE_AUDIT,
+    "curate_corpus" -> OO.CURATE_CORPUS,
+    "curate_funnel" -> OO.CURATE_FUNNEL,
     "split_assign" -> OO.SPLIT_ASSIGN,
     "split_summary" -> OO.SPLIT_SUMMARY,
     "split_token_shards" -> OO.SPLIT_TOKEN_SHARDS,

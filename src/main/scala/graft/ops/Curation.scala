@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation funnel — the composition a training-data user
+  * actually runs over a raw corpus, wiring the individual operator families
+  * into one pipeline (the CCNet / Gopher / GPT-3 preprocessing shape:
+  * near-dup removal, quality filtering, repetition filtering, language
+  * rebalancing, deterministic splits):
+  *
+  *   1. near-dup keeper selection — MinHash-LSH clusters
+  *      ([[Dedup.minhashDupClusters]]) resolved to one survivor per cluster
+  *      by quality ([[Dedup.keeperByQuality]]);
+  *   2. quality gate — [[TextAnalysis.qualityScore]] ≥ [[QualityMin]];
+  *   3. repetition gate — not [[TextAnalysis.repetition]]-flagged
+  *      (Gopher Table A1 thresholds);
+  *   4. corpus mixing — [[Sampling.stratifiedAssign]] keep decision
+  *      (deterministic per-language Bernoulli);
+  *   5. split assignment — [[HashSplit.split]] train/val/test.
+  *
+  * Every stage decision is emitted per document ([[audit]]) rather than
+  * silently dropped: at 100 TB a curation run is judged by its funnel
+  * ("why did 40% of Spanish vanish?"), so the audit relation IS the
+  * product, and [[corpus]]/[[funnel]] are a filter and one hash
+  * aggregation over it. The stages are all doc_id-keyed narrow joins over
+  * relations that each shuffle once on doc_id; Catalyst plans the
+  * five-way join as successive sort-merge joins on the same key — no
+  * extra exchanges beyond each stage's own aggregation.
+  */
+object Curation {
+
+  /** Quality-gate threshold on [[TextAnalysis.qualityScore]]'s [0,1]
+    * score: 0.5 = passes at least two of the four Gopher/C4-style bands.
+    */
+  val QualityMin = 0.5
+
+  /** Per-document funnel audit: every stage's decision plus the final
+    * `curated` verdict. One row per input document.
+    *
+    * @param docs     the documents table (doc_id, text, lang, ...)
+    * @param clusters near-dup clusters (doc_id, cluster_id) — pass a
+    *                 memoized [[Dedup.minhashDupClusters]] so the LSH
+    *                 chain isn't re-run per consumer
+    */
+  def audit(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val keeper = Dedup.keeperByQuality(clusters,
+      TextAnalysis.qualityScore(docs))
+    val rep = TextAnalysis.repetition(docs)
+      .select("doc_id", "flagged_repetitive")
+    val samp = Sampling.stratifiedAssign(docs)
+      .select(col("doc_id"), col("stratum").as("lang"),
+        col("kept").as("sample_kept"))
+    val spl = HashSplit.split(docs).select("doc_id", "split")
+    keeper
+      .join(rep, Seq("doc_id"))
+      .join(samp, Seq("doc_id"))
+      .join(spl, Seq("doc_id"))
+      .withColumn("passes_quality", col("quality_score") >= QualityMin)
+      .withColumn("curated",
+        col("is_keeper") === 1 && col("passes_quality") &&
+          !col("flagged_repetitive") && col("sample_kept"))
+      .select("doc_id", "cluster_id", "quality_score", "is_keeper",
+        "passes_quality", "flagged_repetitive", "lang", "sample_kept",
+        "split", "curated")
+  }
+
+  /** The curated corpus: surviving documents with their split and quality
+    * score — what a training run would read.
+    */
+  def corpus(docs: DataFrame, audited: DataFrame): DataFrame =
+    docs.join(
+      audited.filter(col("curated"))
+        .select("doc_id", "quality_score", "split"),
+      Seq("doc_id"))
+      .select("doc_id", "lang", "source", "n_chars", "quality_score",
+        "split")
+
+  /** One-row funnel summary: documents surviving each cumulative stage,
+    * then the curated count per split. The review artifact of a curation
+    * run — one hash aggregation over [[audit]].
+    */
+  def funnel(audited: DataFrame): DataFrame = {
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    audited.agg(
+      count(lit(1)).as("n_total"),
+      cnt(col("is_keeper") === 1).as("n_after_dedup"),
+      cnt(col("is_keeper") === 1 && col("passes_quality"))
+        .as("n_after_quality"),
+      cnt(col("is_keeper") === 1 && col("passes_quality") &&
+        !col("flagged_repetitive")).as("n_after_repetition"),
+      cnt(col("curated")).as("n_curated"),
+      cnt(col("curated") && col("split") === "train").as("n_train"),
+      cnt(col("curated") && col("split") === "val").as("n_val"),
+      cnt(col("curated") && col("split") === "test").as("n_test"))
+  }
+}

@@ -904,4 +904,77 @@ object OpsOracleSql {
        |  JOIN de_e a ON c.a_id = a.vec_id
        |  JOIN de_e b ON c.b_id = b.vec_id)
        |WHERE cos_sim >= $NearDupCosine""".stripMargin
+
+  // ---- composed curation funnel (graft.ops.Curation) ----
+
+  private val curQualityMin = graft.ops.Curation.QualityMin
+
+  /** Mirrors [[graft.ops.Curation.audit]]: the keeper election of
+    * [[DEDUP_KEEPER_QUALITY]] joined with the repetition, sampling, and
+    * split stage decisions, all keyed on doc_id. The engine's `max_by`
+    * election over (has_score, score, −id) is value-identical to the
+    * window rank here (quality DESC nulls-last, doc_id ASC) — the same
+    * equivalence [[DEDUP_KEEPER_QUALITY]] verifies.
+    */
+  private val curAuditChain: String =
+    s"""cur_quality AS (SELECT doc_id, quality_score FROM ($TEXT_QUALITY)),
+       |cur_keeper AS (
+       |  SELECT doc_id, cluster_id, quality_score,
+       |         CASE WHEN row_number() OVER (
+       |                PARTITION BY cluster_id
+       |                ORDER BY quality_score DESC, doc_id) = 1
+       |              THEN 1 ELSE 0 END AS is_keeper
+       |  FROM dd_clusters JOIN cur_quality USING (doc_id)),
+       |cur_audit AS (
+       |  SELECT k.doc_id, k.cluster_id, k.quality_score, k.is_keeper,
+       |         k.quality_score >= $curQualityMin AS passes_quality,
+       |         r.flagged_repetitive, s.stratum AS lang,
+       |         s.kept AS sample_kept, p.split,
+       |         (k.is_keeper = 1 AND k.quality_score >= $curQualityMin
+       |          AND NOT r.flagged_repetitive AND s.kept) AS curated
+       |  FROM cur_keeper k
+       |  JOIN (SELECT doc_id, flagged_repetitive
+       |        FROM ($TEXT_REPETITION)) r USING (doc_id)
+       |  JOIN ($SAMPLE_ASSIGN) s USING (doc_id)
+       |  JOIN ($SPLIT_ASSIGN) p USING (doc_id))""".stripMargin
+
+  val CURATE_AUDIT: String =
+    s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},
+       |$ddClusterChain,
+       |$curAuditChain
+       |SELECT * FROM cur_audit""".stripMargin
+
+  /** Mirrors [[graft.ops.Curation.corpus]]. */
+  val CURATE_CORPUS: String =
+    s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},
+       |$ddClusterChain,
+       |$curAuditChain
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       |       a.quality_score, a.split
+       |FROM documents d
+       |JOIN (SELECT doc_id, quality_score, split FROM cur_audit
+       |      WHERE curated) a USING (doc_id)""".stripMargin
+
+  /** Mirrors [[graft.ops.Curation.funnel]]. */
+  val CURATE_FUNNEL: String =
+    s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},
+       |$ddClusterChain,
+       |$curAuditChain
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  CAST(SUM(CASE WHEN is_keeper = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_after_dedup,
+       |  CAST(SUM(CASE WHEN is_keeper = 1 AND passes_quality
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+       |  CAST(SUM(CASE WHEN is_keeper = 1 AND passes_quality
+       |                     AND NOT flagged_repetitive
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_after_repetition,
+       |  CAST(SUM(CASE WHEN curated THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_curated,
+       |  CAST(SUM(CASE WHEN curated AND split = 'train' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_train,
+       |  CAST(SUM(CASE WHEN curated AND split = 'val' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_val,
+       |  CAST(SUM(CASE WHEN curated AND split = 'test' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_test
+       |FROM cur_audit""".stripMargin
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.testdata.{TestFixtures => T}
+
+/** Invariants of the composed curation funnel beyond the DuckDB oracle. */
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = T.table(spark, sf, "documents").cache()
+  private lazy val audited =
+    Curation.audit(docs, Dedup.minhashDupClusters(docs)).cache()
+
+  test("audit covers every document exactly once") {
+    assert(audited.count() == docs.count())
+    assert(audited.select("doc_id").distinct().count() == docs.count())
+  }
+
+  test("curated implies every stage gate passed") {
+    val bad = audited.filter(col("curated") &&
+      !(col("is_keeper") === 1 && col("passes_quality") &&
+        !col("flagged_repetitive") && col("sample_kept")))
+    assert(bad.count() == 0)
+  }
+
+  test("corpus is exactly the curated audit rows joined back to docs") {
+    val corpus = Curation.corpus(docs, audited)
+    val expected = audited.filter(col("curated")).select("doc_id")
+    assert(corpus.count() == expected.count())
+    assert(corpus.select("doc_id").except(expected).count() == 0)
+    assert(corpus.columns.toSet ==
+      Set("doc_id", "lang", "source", "n_chars", "quality_score", "split"))
+  }
+
+  test("funnel stages are monotone and splits partition the curated set") {
+    val f = Curation.funnel(audited).collect().head
+    val total = f.getAs[Long]("n_total")
+    val dedup = f.getAs[Long]("n_after_dedup")
+    val qual = f.getAs[Long]("n_after_quality")
+    val rep = f.getAs[Long]("n_after_repetition")
+    val cur = f.getAs[Long]("n_curated")
+    assert(total >= dedup && dedup >= qual && qual >= rep && rep >= cur)
+    assert(cur == f.getAs[Long]("n_train") + f.getAs[Long]("n_val") +
+      f.getAs[Long]("n_test"))
+    assert(total == docs.count())
+    assert(cur > 0, "funnel should not curate everything away at test SF")
+  }
+
+  test("a near-dup family contributes exactly one (best-quality) doc") {
+    import spark.implicits._
+    // identical pair (1,2) → one cluster with one keeper; doc 3 shares no
+    // shingles with them and must stay a singleton
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"word$i").mkString(" ")
+    val d = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, other)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val a = Curation.audit(d, Dedup.minhashDupClusters(d))
+    val fam = a.filter(col("cluster_id") === 1L)
+    assert(fam.count() == 2)
+    assert(fam.filter(col("is_keeper") === 1).count() == 1)
+  }
+}
