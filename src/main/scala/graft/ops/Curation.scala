@@ -48,14 +48,18 @@ object Curation {
       TextAnalysis.qualityScore(docs))
     val rep = TextAnalysis.repetition(docs)
       .select("doc_id", "flagged_repetitive")
-    val samp = Sampling.stratifiedAssign(docs)
-      .select(col("doc_id"), col("stratum").as("lang"),
-        col("kept").as("sample_kept"))
-    val spl = HashSplit.split(docs).select("doc_id", "split")
+    // The sampling and split gates are pure row-level expressions — one
+    // scan computes both (vs joining their standalone relations, which
+    // would scan and shuffle the corpus twice more at 100 TB).
+    val rowGates = docs
+      .selectExpr("doc_id", "lang",
+        s"${Sampling.bucketExpr("lang")} < ${Sampling.thresholdExpr("lang")} AS sample_kept",
+        s"${HashSplit.bucketExpr} AS h_bucket")
+      .withColumn("split", HashSplit.splitFromBucket(col("h_bucket")))
+      .drop("h_bucket")
     keeper
       .join(rep, Seq("doc_id"))
-      .join(samp, Seq("doc_id"))
-      .join(spl, Seq("doc_id"))
+      .join(rowGates, Seq("doc_id"))
       .withColumn("passes_quality", col("quality_score") >= QualityMin)
       .withColumn("curated",
         col("is_keeper") === 1 && col("passes_quality") &&

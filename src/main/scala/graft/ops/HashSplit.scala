@@ -21,9 +21,16 @@ object HashSplit {
   val TrainUpper = 90
   val ValUpper = 95
 
-  /** Stable bucket in [0, [[Buckets]]) from the document content. */
-  private def bucketExpr: String =
+  /** Stable bucket in [0, [[Buckets]]) from the document content — exposed
+    * so composed pipelines ([[Curation]]) can evaluate the split in the
+    * same scan as other row-level stages.
+    */
+  private[ops] def bucketExpr: String =
     s"CAST(${hexcastSpark("text")} % $Buckets AS INT)"
+
+  /** train/val/test label from a content bucket column. */
+  private[ops] def splitFromBucket(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(b < TrainUpper, "train").when(b < ValUpper, "val").otherwise("test")
 
   /** Reproducible p-percent sample (buckets [0, pct)). */
   def sampleByHash(docs: DataFrame, pct: Int): DataFrame =
@@ -34,10 +41,7 @@ object HashSplit {
   /** Train/val/test assignment per document. */
   def split(docs: DataFrame): DataFrame =
     docs.withColumn("bucket", expr(bucketExpr))
-      .withColumn("split",
-        when(col("bucket") < TrainUpper, "train")
-          .when(col("bucket") < ValUpper, "val")
-          .otherwise("test"))
+      .withColumn("split", splitFromBucket(col("bucket")))
       .select("doc_id", "bucket", "split")
 
   /** Split-size audit: counts and fractions per split. */

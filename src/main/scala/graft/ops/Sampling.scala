@@ -18,6 +18,16 @@ import Portable._
   */
 object Sampling {
 
+  /** Hash bucket in [0, [[Portable.SampleMod]]) for the sampling decision —
+    * exposed so composed pipelines ([[Curation]]) can evaluate the gate in
+    * the same scan as other row-level stages.
+    */
+  private[ops] def bucketExpr(stratumCol: String): String =
+    s"${hexcastSpark(s"concat('sample:', $stratumCol, ':', CAST(doc_id AS STRING))")} % $SampleMod"
+
+  private[ops] def thresholdExpr(stratumCol: String): String =
+    s"CAST(${sampleThresholdCase(stratumCol)} AS BIGINT)"
+
   /** Per-row assignment: stratum, hash bucket, threshold, and the keep flag.
     * Emitting the bucket (not just the flag) keeps the decision auditable —
     * a reader can verify `kept = bucket < threshold` row by row.
@@ -26,8 +36,8 @@ object Sampling {
     docs.selectExpr(
       "doc_id",
       s"$stratumCol AS stratum",
-      s"${hexcastSpark(s"concat('sample:', $stratumCol, ':', CAST(doc_id AS STRING))")} % $SampleMod AS bucket",
-      s"CAST(${sampleThresholdCase(stratumCol)} AS BIGINT) AS threshold")
+      s"${bucketExpr(stratumCol)} AS bucket",
+      s"${thresholdExpr(stratumCol)} AS threshold")
       .withColumn("kept", col("bucket") < col("threshold"))
 
   /** The sampled corpus itself: input rows whose hash falls under the
