@@ -43,23 +43,26 @@ object Curation {
     *                 memoized [[Dedup.minhashDupClusters]] so the LSH
     *                 chain isn't re-run per consumer
     */
-  def audit(docs: DataFrame, clusters: DataFrame): DataFrame = {
-    val keeper = Dedup.keeperByQuality(clusters,
-      TextAnalysis.qualityScore(docs))
-    val rep = TextAnalysis.repetition(docs)
-      .select("doc_id", "flagged_repetitive")
-    // The sampling and split gates are pure row-level expressions — one
-    // scan computes both (vs joining their standalone relations, which
-    // would scan and shuffle the corpus twice more at 100 TB).
-    val rowGates = docs
+  /** The sampling and split gates are pure row-level expressions — one
+    * scan computes both (vs joining their standalone relations, which
+    * would scan and shuffle the corpus twice more at 100 TB).
+    */
+  private def rowGates(docs: DataFrame): DataFrame =
+    docs
       .selectExpr("doc_id", "lang",
         s"${Sampling.bucketExpr("lang")} < ${Sampling.thresholdExpr("lang")} AS sample_kept",
         s"${HashSplit.bucketExpr} AS h_bucket")
       .withColumn("split", HashSplit.splitFromBucket(col("h_bucket")))
       .drop("h_bucket")
+
+  def audit(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val keeper = Dedup.keeperByQuality(clusters,
+      TextAnalysis.qualityScore(docs))
+    val rep = TextAnalysis.repetition(docs)
+      .select("doc_id", "flagged_repetitive")
     keeper
       .join(rep, Seq("doc_id"))
-      .join(rowGates, Seq("doc_id"))
+      .join(rowGates(docs), Seq("doc_id"))
       .withColumn("passes_quality", col("quality_score") >= QualityMin)
       .withColumn("curated",
         col("is_keeper") === 1 && col("passes_quality") &&
@@ -68,6 +71,23 @@ object Curation {
         "passes_quality", "flagged_repetitive", "lang", "sample_kept",
         "split", "curated")
   }
+
+  /** The corpus-state-free stage gates — quality, repetition, sampling,
+    * split — for a batch whose dedup decision is made elsewhere (the
+    * incremental path: [[graft.streaming.IncrementalCuration]] dedups a
+    * micro-batch against the accumulated signature store, then applies
+    * exactly these gates to the survivors). `curated` here means "passes
+    * every per-document gate"; near-dup keeper status is the caller's.
+    */
+  def rowAudit(docs: DataFrame): DataFrame =
+    TextAnalysis.qualityScore(docs).select("doc_id", "quality_score")
+      .join(TextAnalysis.repetition(docs)
+        .select("doc_id", "flagged_repetitive"), Seq("doc_id"))
+      .join(rowGates(docs), Seq("doc_id"))
+      .withColumn("passes_quality", col("quality_score") >= QualityMin)
+      .withColumn("curated",
+        col("passes_quality") && !col("flagged_repetitive") &&
+          col("sample_kept"))
 
   /** The curated corpus: surviving documents with their split and quality
     * score — what a training run would read.
@@ -84,10 +104,10 @@ object Curation {
     * then the curated count per split. The review artifact of a curation
     * run — one hash aggregation over [[audit]].
     */
-  def funnel(audited: DataFrame): DataFrame = {
+  private def funnelCounters: Seq[org.apache.spark.sql.Column] = {
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
-    audited.agg(
+    Seq(
       count(lit(1)).as("n_total"),
       cnt(col("is_keeper") === 1).as("n_after_dedup"),
       cnt(col("is_keeper") === 1 && col("passes_quality"))
@@ -99,4 +119,17 @@ object Curation {
       cnt(col("curated") && col("split") === "val").as("n_val"),
       cnt(col("curated") && col("split") === "test").as("n_test"))
   }
+
+  def funnel(audited: DataFrame): DataFrame =
+    audited.agg(funnelCounters.head, funnelCounters.tail: _*)
+
+  /** The funnel broken out per language stratum — the first question a
+    * curation reviewer asks is which language the losses concentrate in
+    * (the CCNet rebalancing review). Same counters, one hash aggregation
+    * keyed on the stratum.
+    */
+  def funnelByLang(audited: DataFrame): DataFrame =
+    audited.groupBy("lang")
+      .agg(funnelCounters.head, funnelCounters.tail: _*)
+      .orderBy("lang")
 }

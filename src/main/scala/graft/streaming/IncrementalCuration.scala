@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.{Curation, Dedup}
+
+/** Incremental corpus curation — the ongoing-crawl shape of
+  * [[graft.ops.Curation]]: new documents arrive continuously, and
+  * re-clustering 100 TB of history per batch is not an option. Instead the
+  * pipeline maintains a SIGNATURE STORE (one MinHash signature row per
+  * admitted document, ~100 bytes/doc vs KBs for shingle sets) and, per
+  * micro-batch:
+  *
+  *   1. signatures for the new documents ([[Dedup.minhashSignatures]] —
+  *      batch-sized work);
+  *   2. near-dup candidates via the LSH band join of new-side bands
+  *      against store ∪ batch bands (only matching buckets materialize);
+  *   3. candidate verification by the MinHash Jaccard ESTIMATE (fraction
+  *      of agreeing signature components — Broder 1997's estimator). The
+  *      batch path verifies against exact shingle sets; storing those for
+  *      the whole corpus is what this path exists to avoid, and with
+  *      [[Dedup.NumHashes]] components the estimate is exact at 1.0
+  *      (identical docs) and unbiased elsewhere — the documented
+  *      incremental approximation;
+  *   4. survivors pass the corpus-state-free gates
+  *      ([[Curation.rowAudit]]); curated rows append to the corpus store,
+  *      and ALL non-duplicate signatures append to the signature store —
+  *      including gate-rejected docs, so a future copy of a rejected
+  *      document is recognized as a duplicate rather than re-admitted.
+  *
+  * Per-batch cost ∝ batch size + matched candidates, never ∝ corpus
+  * history (the store side of the band join is a broadcast-or-shuffle
+  * join on band value; at warehouse scale the store would be written
+  * bucketed by `band_val` so the probe co-locates). Hot buckets stay
+  * bounded because the store holds only near-dup SURVIVORS: an incoming
+  * duplicate family collapses against its stored keeper instead of
+  * accumulating.
+  *
+  * Exactly-once follows [[IncrementalMartStream]]: checkpointed file
+  * tracking dedupes landed files, and both stores write per-batch
+  * directories with overwrite, so an at-least-once replay rewrites
+  * identical rows.
+  */
+object IncrementalCuration {
+
+  /** Estimated Jaccard between two signature rows (prefixes `a`/`b`):
+    * the fraction of the [[Dedup.NumHashes]] minhash components that
+    * agree. Callers guarantee both sides have shingles (band rows exist
+    * only for n_shingles > 0), so the components are non-null.
+    */
+  private def estJaccard(a: String, b: String): Column =
+    (0 until Dedup.NumHashes)
+      .map(j => when(col(s"$a.mh_$j") === col(s"$b.mh_$j"), 1).otherwise(0))
+      .reduce(_ + _)
+      .cast("double") / Dedup.NumHashes
+
+  /** (doc_id, [extra...], band_idx, band_val) from stored signature rows —
+    * the signature-store counterpart of the batch path's band explode.
+    */
+  private def bandsOf(sigs: DataFrame, extra: Seq[String] = Nil): DataFrame =
+    sigs.filter(col("n_shingles") > 0)
+      .select((col("doc_id") +: extra.map(col)) :+ posexplode(
+        array((0 until Dedup.Bands).map(b => col(s"band_$b")): _*))
+        .as(Seq("band_idx", "band_val")): _*)
+
+  /** doc_ids of NEW documents that near-duplicate either a stored document
+    * or an earlier document of the same batch (earlier = lower doc_id —
+    * the same min-id keeper orientation as the batch path). One row per
+    * duplicate new doc with its matched keeper and the estimate.
+    */
+  def newDuplicates(newSigs: DataFrame, storeSigs: DataFrame): DataFrame = {
+    val ref = storeSigs.withColumn("prior", lit(true))
+      .unionByName(newSigs.withColumn("prior", lit(false)))
+    val cand = bandsOf(newSigs).as("n")
+      .join(bandsOf(ref, Seq("prior")).as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.band_val") === col("o.band_val") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      // keeper orientation: a stored doc always beats a new one; within
+      // the batch the lower doc_id survives
+      .filter(col("o.prior") || col("o.doc_id") < col("n.doc_id"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("ref_id"))
+      .distinct()
+    cand
+      .join(newSigs.as("a"), col("new_id") === col("a.doc_id"))
+      .join(ref.as("b"), col("ref_id") === col("b.doc_id"))
+      .select(col("new_id"), col("ref_id"),
+        estJaccard("a", "b").as("est_jaccard"))
+      .filter(col("est_jaccard") >= Dedup.JaccardDupThreshold)
+  }
+
+  /** Curate one batch against the stores. Returns
+    * (curated rows to append, signature rows to append) — separated from
+    * the streaming loop so the logic is testable without a stream.
+    */
+  def curateBatch(batch: DataFrame, storeSigs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val sigs = Dedup.minhashSignatures(batch)
+    val dupIds = newDuplicates(sigs, storeSigs)
+      .select(col("new_id").as("doc_id")).distinct()
+    val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    val gates = Curation.rowAudit(survivors)
+    val curated = survivors.join(
+      gates.filter(col("curated"))
+        .select("doc_id", "quality_score", "split"), Seq("doc_id"))
+      .select("doc_id", "lang", "source", "n_chars", "quality_score",
+        "split")
+    val keptSigs = sigs.join(dupIds, Seq("doc_id"), "left_anti")
+    (curated, keptSigs)
+  }
+
+  /** Drain the landing dir (Trigger.AvailableNow), curating each
+    * micro-batch against the accumulated stores. Returns the corpus store.
+    */
+  def run(
+      spark: SparkSession,
+      landingDir: String,
+      checkpointDir: String,
+      sigPath: String,
+      corpusPath: String,
+      docSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    def exists(p: String): Boolean = {
+      val hp = new Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+    }
+    val emptySigs = Dedup.minhashSignatures(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        docSchema))
+    val q = spark.readStream.schema(docSchema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // drop the discovered batch=N partition column so the store
+          // unions cleanly with fresh signature rows
+          val store =
+            if (exists(sigPath)) spark.read.parquet(sigPath).drop("batch")
+            else emptySigs
+          val (curated, keptSigs) = curateBatch(batch, store)
+          // per-batch overwrite = idempotent under foreachBatch replay
+          curated.write.mode("overwrite")
+            .parquet(s"$corpusPath/batch=$batchId")
+          keptSigs.write.mode("overwrite")
+            .parquet(s"$sigPath/batch=$batchId")
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(corpusPath).drop("batch")
+  }
+}

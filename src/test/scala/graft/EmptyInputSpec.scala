@@ -40,6 +40,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.simhashPairs(d).count() == 0)
     assert(HashSplit.split(d).count() == 0)
     assert(HashSplit.tokenShards(d).count() == 0)
+    assert(Curation.rowAudit(d).count() == 0)
+    val audited = Curation.audit(d, Dedup.minhashDupClusters(d))
+    assert(audited.count() == 0)
+    assert(Curation.corpus(d.withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(0L)), audited).count() == 0)
+    // the funnel is a global aggregate: one row of zero counts (sums are
+    // null on empty input in BOTH engines — the count is the contract)
+    assert(Curation.funnel(audited).head().getAs[Long]("n_total") == 0L)
   }
 
   test("cluster resolution on empty docs and empty pair graph is empty") {

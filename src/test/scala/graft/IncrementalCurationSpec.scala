@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.Curation
+import graft.streaming.IncrementalCuration
+
+/** Incremental curation against the accumulated signature store: new docs
+  * dedup against history without reprocessing it, survivors pass the same
+  * row gates as the batch path, replay is idempotent.
+  */
+class IncrementalCurationSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  // long enough to clear the quality gate's 20-token band, with stopwords
+  private def goodText(seed: Int): String =
+    (1 to 30).map(i => s"w${seed}x$i").mkString(" ") +
+      " the and for that with this from have were been"
+
+  private def row(id: Long, text: String): Row =
+    Row(id, text, "en", "crawl", text.length.toLong)
+
+  /** Land one parquet FILE (the file stream source does not recurse into
+    * the directory a DataFrame write produces).
+    */
+  private def land(landing: Path, name: String, rows: Seq[Row]): Unit = {
+    val stage = Files.createTempDirectory("cur-stage").resolve("d")
+    spark.createDataFrame(rows.asJava, docSchema)
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, landing.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("cross-batch duplicates collapse against the stored keeper") {
+    val landing = Files.createTempDirectory("cur-landing")
+    val ckpt = Files.createTempDirectory("cur-ckpt").toString + "/c"
+    val sigs = Files.createTempDirectory("cur-sigs").toString + "/sigs"
+    val corpus = Files.createTempDirectory("cur-corpus").toString + "/corpus"
+
+    // batch 1: two distinct docs plus a within-batch duplicate of doc 1
+    land(landing, "b1.parquet", Seq(
+      row(1L, goodText(1)), row(2L, goodText(2)), row(3L, goodText(1))))
+    val ids1 = ids(IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema))
+    assert(!ids1.contains(3L), "within-batch duplicate must be dropped")
+    assert(ids1.subsetOf(Set(1L, 2L)))
+
+    // batch 2: an exact copy of stored doc 1 (new id), plus a novel doc
+    land(landing, "b2.parquet", Seq(
+      row(10L, goodText(1)), row(11L, goodText(7))))
+    val ids2 = ids(IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema))
+    assert(!ids2.contains(10L),
+      "duplicate of a STORED doc must collapse without reprocessing history")
+
+    // the signature store accumulated exactly the non-duplicates
+    val sigIds = ids(spark.read.parquet(sigs))
+    assert(sigIds == Set(1L, 2L, 11L), s"signature store: $sigIds")
+
+    // survivors carry the batch path's gate decisions exactly
+    val survivors = spark.createDataFrame(
+      Seq(row(1L, goodText(1)), row(2L, goodText(2)),
+        row(11L, goodText(7))).asJava, docSchema)
+    val expected = ids(Curation.rowAudit(survivors).filter(col("curated")))
+    assert(ids2 == expected,
+      s"incremental corpus $ids2 != batch gate decisions $expected")
+
+    // no new files → drain is a no-op and the corpus is unchanged
+    val ids3 = ids(IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema))
+    assert(ids3 == ids2)
+  }
+
+  test("a rejected document's later copy is still recognized as duplicate") {
+    val landing = Files.createTempDirectory("cur2-landing")
+    val ckpt = Files.createTempDirectory("cur2-ckpt").toString + "/c"
+    val sigs = Files.createTempDirectory("cur2-sigs").toString + "/sigs"
+    val corpus = Files.createTempDirectory("cur2-corpus").toString + "/corpus"
+
+    // fails every quality band (short 2-char tokens, no stopwords) but has
+    // enough tokens to shingle, so it lands in the signature store
+    val junk = (1 to 10).map(i => ('a' + i % 26).toChar.toString + "q")
+      .mkString(" ")
+    land(landing, "b1.parquet", Seq(row(1L, junk), row(2L, goodText(2))))
+    val c1 = ids(IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema))
+    assert(!c1.contains(1L), "gate-rejected doc must not be curated")
+
+    // its signature persisted anyway, so a re-crawl copy is a duplicate,
+    // not a fresh admission candidate
+    land(landing, "b2.parquet", Seq(row(10L, junk)))
+    val c2 = ids(IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema))
+    assert(!c2.contains(10L))
+    val sigIds = ids(spark.read.parquet(sigs))
+    assert(sigIds.contains(1L) && !sigIds.contains(10L))
+  }
+}

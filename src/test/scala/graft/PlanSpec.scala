@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.Queries
 import graft.models.{FctTradingMomentum, IntRussellDaily}
-import graft.ops.{AsOfJoin, Relational, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Curation, Dedup, Relational, Similarity, TextAnalysis}
 import graft.testdata.{TestFixtures => T}
 
 /** Physical-plan assertions for the scale-critical operators: these pin the
@@ -115,6 +115,20 @@ class PlanSpec extends SparkSpec {
       }
     assert(offenders.isEmpty,
       s"unpartitioned windows over unbounded input:\n${offenders.mkString("\n")}")
+  }
+
+  test("curation audit stays within its corpus-scan budget") {
+    // Scan budget at 100 TB: the keeper leg arrives pre-materialized (flat
+    // checkpointed RDD — its dedup chain is shared and already bounded), so
+    // the audit itself may read the corpus at most 5 times: 4 inside the
+    // repetition metrics (the 2/3/5-gram union legs + the n_chars join —
+    // the documented explode-over-window trade) and ONE combined row-gates
+    // projection for sampling + split. A sixth scan means someone split the
+    // row-level gates back into separate joined relations.
+    val docs = T.table(spark, sf, "documents")
+    val audited = Curation.audit(docs, Dedup.minhashDupClusters(docs))
+    val scans = nodes(audited).count(_.startsWith("Scan parquet"))
+    assert(scans <= 5, s"audit reads the corpus $scans times (budget 5)")
   }
 
   test("brute-force ANN broadcasts the query side, streams the corpus") {
