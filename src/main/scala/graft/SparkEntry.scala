@@ -230,6 +230,8 @@ object SparkEntry {
     "curate_corpus" -> ((s, dir) =>
       Curation.corpus(T.table(s, dir, "documents"), curationAudit(s, dir))),
     "curate_funnel" -> ((s, dir) => Curation.funnel(curationAudit(s, dir))),
+    "curate_funnel_lang" -> ((s, dir) =>
+      Curation.funnelByLang(curationAudit(s, dir))),
     "split_assign" -> ((s, dir) =>
       HashSplit.split(T.table(s, dir, "documents"))),
     "split_summary" -> ((s, dir) =>
@@ -357,6 +359,7 @@ object SparkEntry {
     "curate_audit" -> OO.CURATE_AUDIT,
     "curate_corpus" -> OO.CURATE_CORPUS,
     "curate_funnel" -> OO.CURATE_FUNNEL,
+    "curate_funnel_lang" -> OO.CURATE_FUNNEL_LANG,
     "split_assign" -> OO.SPLIT_ASSIGN,
     "split_summary" -> OO.SPLIT_SUMMARY,
     "split_token_shards" -> OO.SPLIT_TOKEN_SHARDS,

@@ -955,12 +955,8 @@ object OpsOracleSql {
        |JOIN (SELECT doc_id, quality_score, split FROM cur_audit
        |      WHERE curated) a USING (doc_id)""".stripMargin
 
-  /** Mirrors [[graft.ops.Curation.funnel]]. */
-  val CURATE_FUNNEL: String =
-    s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},
-       |$ddClusterChain,
-       |$curAuditChain
-       |SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+  private val curFunnelCounters: String =
+    s"""CAST(COUNT(*) AS BIGINT) AS n_total,
        |  CAST(SUM(CASE WHEN is_keeper = 1 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_after_dedup,
        |  CAST(SUM(CASE WHEN is_keeper = 1 AND passes_quality
@@ -975,6 +971,21 @@ object OpsOracleSql {
        |  CAST(SUM(CASE WHEN curated AND split = 'val' THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_val,
        |  CAST(SUM(CASE WHEN curated AND split = 'test' THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_test
+       |    AS BIGINT) AS n_test""".stripMargin
+
+  /** Mirrors [[graft.ops.Curation.funnel]]. */
+  val CURATE_FUNNEL: String =
+    s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},
+       |$ddClusterChain,
+       |$curAuditChain
+       |SELECT $curFunnelCounters
        |FROM cur_audit""".stripMargin
+
+  /** Mirrors [[graft.ops.Curation.funnelByLang]]. */
+  val CURATE_FUNNEL_LANG: String =
+    s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},
+       |$ddClusterChain,
+       |$curAuditChain
+       |SELECT lang, $curFunnelCounters
+       |FROM cur_audit GROUP BY lang""".stripMargin
 }
