@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.ops.{Curation, Dedup}
 
@@ -70,12 +70,32 @@ object IncrementalCuration {
     * or an earlier document of the same batch (earlier = lower doc_id —
     * the same min-id keeper orientation as the batch path). One row per
     * duplicate new doc with its matched keeper and the estimate.
+    *
+    * Hot buckets: a borderline family (pairwise estimate just under the
+    * duplicate threshold) is never collapsed, so its signatures accumulate
+    * in the store and can concentrate in one band bucket across batches.
+    * A reference-side bucket holding more than `maxBandOccupancy` rows
+    * therefore degrades to its ROOT (min doc_id) — each new doc compares
+    * against one representative instead of every member, the same star
+    * trade as [[Dedup.MaxBandOccupancy]]: linear cost, and a true
+    * duplicate of a non-root member no longer links via THAT bucket (its
+    * other [[Dedup.Bands]]−1 buckets still can).
     */
-  def newDuplicates(newSigs: DataFrame, storeSigs: DataFrame): DataFrame = {
+  def newDuplicates(newSigs: DataFrame, storeSigs: DataFrame,
+      maxBandOccupancy: Int = Dedup.MaxBandOccupancy): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ref = storeSigs.withColumn("prior", lit(true))
       .unionByName(newSigs.withColumn("prior", lit(false)))
+    // occupancy count + root election ride the same (band_idx, band_val)
+    // partitioning the join shuffles on — no extra exchange
+    val wBucket = Window.partitionBy("band_idx", "band_val")
+    val refB = bandsOf(ref, Seq("prior"))
+      .withColumn("bdf", count(lit(1)).over(wBucket))
+      .withColumn("broot", min("doc_id").over(wBucket))
+    val refKept = refB.filter(
+      col("bdf") <= maxBandOccupancy || col("doc_id") === col("broot"))
     val cand = bandsOf(newSigs).as("n")
-      .join(bandsOf(ref, Seq("prior")).as("o"),
+      .join(refKept.as("o"),
         col("n.band_idx") === col("o.band_idx") &&
           col("n.band_val") === col("o.band_val") &&
           col("n.doc_id") =!= col("o.doc_id"))
@@ -98,9 +118,16 @@ object IncrementalCuration {
     */
   def curateBatch(batch: DataFrame, storeSigs: DataFrame)
       : (DataFrame, DataFrame) = {
-    val sigs = Dedup.minhashSignatures(batch)
+    // persist + eager fill: the signature relation feeds the band join,
+    // both estimate legs, and the kept-signature anti-join; dupIds (the
+    // whole LSH join) feeds both output writes. Without materialization
+    // every consumer would re-run tokenize→shingle→minhash from the raw
+    // batch (the same reasoning as Dedup.minhashPairs' eager fill).
+    val sigs = Dedup.minhashSignatures(batch).persist()
+    sigs.count()
     val dupIds = newDuplicates(sigs, storeSigs)
-      .select(col("new_id").as("doc_id")).distinct()
+      .select(col("new_id").as("doc_id")).distinct().persist()
+    dupIds.count()
     val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
     val gates = Curation.rowAudit(survivors)
     val curated = survivors.join(
@@ -109,7 +136,12 @@ object IncrementalCuration {
       .select("doc_id", "lang", "source", "n_chars", "quality_score",
         "split")
     val keptSigs = sigs.join(dupIds, Seq("doc_id"), "left_anti")
-    (curated, keptSigs)
+    // cut both results loose from the caches (batch-sized blocks, freed by
+    // the ContextCleaner once unreachable), then release the legs
+    val out = (curated.localCheckpoint(), keptSigs.localCheckpoint())
+    sigs.unpersist(blocking = false)
+    dupIds.unpersist(blocking = false)
+    out
   }
 
   /** Drain the landing dir (Trigger.AvailableNow), curating each
@@ -122,13 +154,9 @@ object IncrementalCuration {
       sigPath: String,
       corpusPath: String,
       docSchema: org.apache.spark.sql.types.StructType): DataFrame = {
-    def exists(p: String): Boolean = {
-      val hp = new Path(p)
-      hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
-    }
+    def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     val emptySigs = Dedup.minhashSignatures(
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        docSchema))
+      spark.createDataFrame(new java.util.ArrayList[Row](), docSchema))
     val q = spark.readStream.schema(docSchema).parquet(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -151,6 +179,18 @@ object IncrementalCuration {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(corpusPath).drop("batch")
+    // a drain that landed nothing never creates the store: a legitimate
+    // first run over an empty crawl returns an empty corpus, not a crash
+    if (exists(corpusPath)) spark.read.parquet(corpusPath).drop("batch")
+    else spark.createDataFrame(new java.util.ArrayList[Row](), CorpusSchema)
   }
+
+  /** Schema of the curated corpus store. */
+  val CorpusSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("quality_score", DoubleType),
+    StructField("split", StringType)))
 }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -59,10 +58,7 @@ object IncrementalMartStream {
       martPath: String,
       constituents: DataFrame,
       lookbackDays: Int = 4): DataFrame = {
-    def exists(p: String): Boolean = {
-      val hp = new Path(p)
-      hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
-    }
+    def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     val q = RawLanding.normalizedStream(spark, landingDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

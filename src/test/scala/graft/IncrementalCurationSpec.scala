@@ -87,6 +87,34 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(ids3 == ids2)
   }
 
+  test("an empty first drain returns an empty corpus, not a crash") {
+    val landing = Files.createTempDirectory("cur3-landing")
+    val ckpt = Files.createTempDirectory("cur3-ckpt").toString + "/c"
+    val sigs = Files.createTempDirectory("cur3-sigs").toString + "/sigs"
+    val corpus = Files.createTempDirectory("cur3-corpus").toString + "/corpus"
+    val out = IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema)
+    assert(out.count() == 0)
+    assert(out.schema == IncrementalCuration.CorpusSchema)
+  }
+
+  test("hot reference buckets degrade to their root, stay bounded") {
+    // five identical docs, cap of 2: every band bucket is hot, so each
+    // non-root doc compares against the bucket ROOT only — candidates are
+    // linear (one ref per new doc), yet the family still collapses because
+    // the root IS the keeper for identical texts (estimate 1.0)
+    val docs = spark.createDataFrame(
+      (1L to 5L).map(i => row(i, goodText(1))).asJava, docSchema)
+    val sigRows = graft.ops.Dedup.minhashSignatures(docs)
+    val dups = IncrementalCuration.newDuplicates(
+      sigRows, sigRows.limit(0), maxBandOccupancy = 2)
+    val pairs = dups.collect()
+    assert(pairs.forall(_.getAs[Long]("ref_id") == 1L),
+      s"star candidates must point at the root: ${pairs.mkString(",")}")
+    assert(pairs.map(_.getAs[Long]("new_id")).toSet == Set(2L, 3L, 4L, 5L))
+    assert(pairs.length == 4, "bounded: one candidate per non-root member")
+  }
+
   test("a rejected document's later copy is still recognized as duplicate") {
     val landing = Files.createTempDirectory("cur2-landing")
     val ckpt = Files.createTempDirectory("cur2-ckpt").toString + "/c"
