@@ -263,6 +263,22 @@ object Similarity {
     assignTo(withNorm(emb),
       if (kmeansIters == 0) leaders(emb) else kmeansLeaders(emb, kmeansIters))
 
+  /** Assignment of arbitrary vectors against an EXPLICIT centroid relation
+    * `(list_id, lvec, lnorm)` — the index-ADD seam: an incremental
+    * maintainer ([[graft.streaming.IncrementalAnnIndex]]) assigns each new
+    * batch against the FROZEN trained leaders instead of re-deriving
+    * leaders from the batch (which would silently re-train the quantizer
+    * on whatever arrived last).
+    */
+  def assignWithLeaders(emb: DataFrame, cents: DataFrame): DataFrame =
+    assignTo(withNorm(emb), cents)
+
+  /** The trained leader relation for [[assignWithLeaders]] — deterministic
+    * seeds at `kmeansIters` = 0, Lloyd-refined otherwise.
+    */
+  def trainLeaders(emb: DataFrame, kmeansIters: Int = 0): DataFrame =
+    if (kmeansIters == 0) leaders(emb) else kmeansLeaders(emb, kmeansIters)
+
   /** IVF-flat top-k: probe the [[NProbe]] nearest lists per query, rank
     * only vectors assigned there. Candidate volume ≈ nprobe/nlists of the
     * corpus per query; the probe join co-partitions on list_id. Lists are

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+import graft.streaming.IncrementalAnnIndex
+import graft.testdata.{TestFixtures => T}
+
+/** Incremental IVF maintenance: leaders train once on the bootstrap batch,
+  * later batches are pure index adds, and the accumulated store probes
+  * identically to a batch index over the union.
+  */
+class IncrementalAnnIndexSpec extends SparkSpec {
+
+  private lazy val emb = T.table(spark, sf, "embeddings").cache()
+
+  private def land(landing: Path, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val stage = Files.createTempDirectory("ann-stage").resolve("d")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, landing.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("two-batch index add matches the batch assignment and probe") {
+    val landing = Files.createTempDirectory("ann-landing")
+    val ckpt = Files.createTempDirectory("ann-ckpt").toString + "/c"
+    val leaders = Files.createTempDirectory("ann-l").toString + "/leaders"
+    val lists = Files.createTempDirectory("ann-lists").toString + "/lists"
+    val schema = emb.schema
+
+    // bootstrap batch contains the deterministic seed ids (vec_id < 16),
+    // so the frozen leaders equal the batch path's over the union
+    val cut = 300L
+    land(landing, "b1.parquet", emb.filter(col("vec_id") < cut))
+    IncrementalAnnIndex.run(
+      spark, landing.toString, ckpt, leaders, lists, schema)
+    land(landing, "b2.parquet", emb.filter(col("vec_id") >= cut))
+    val store = IncrementalAnnIndex.run(
+      spark, landing.toString, ckpt, leaders, lists, schema)
+
+    // every vector is in exactly one list, assigned as the batch path would
+    assert(store.count() == emb.count())
+    val batchAssign = Similarity.ivfAssignments(emb)
+    val diff = store.select("vec_id", "list_id")
+      .exceptAll(batchAssign.select("vec_id", "list_id")).count()
+    assert(diff == 0, s"$diff incremental assignments diverge from batch")
+
+    // probing the accumulated store == the batch ivfTopK over the union
+    val queries = emb.filter(col("vec_id") % Similarity.QueryStride === 0)
+    val incTopK = IncrementalAnnIndex.topKFromStore(
+      spark, leaders, lists, queries)
+    val batchTopK = Similarity.ivfTopK(emb)
+    val sym = incTopK.select("query_id", "neighbor_id", "rank")
+      .exceptAll(batchTopK.select("query_id", "neighbor_id", "rank")).count() +
+      batchTopK.select("query_id", "neighbor_id", "rank")
+        .exceptAll(incTopK.select("query_id", "neighbor_id", "rank")).count()
+    assert(sym == 0, s"store probe diverges from batch probe by $sym rows")
+  }
+
+  test("bootstrap without the seed vectors fails loudly, not silently") {
+    val landing = Files.createTempDirectory("ann2-landing")
+    val ckpt = Files.createTempDirectory("ann2-ckpt").toString + "/c"
+    val leaders = Files.createTempDirectory("ann2-l").toString + "/leaders"
+    val lists = Files.createTempDirectory("ann2-lists").toString + "/lists"
+    land(landing, "b1.parquet", emb.filter(col("vec_id") >= 100))
+    val e = intercept[Exception] {
+      IncrementalAnnIndex.run(
+        spark, landing.toString, ckpt, leaders, lists, emb.schema)
+    }
+    assert(e.getMessage != null)
+  }
+}
