@@ -207,18 +207,23 @@ object Similarity {
         col("norm").as("lnorm"))
 
   /** Assignment of each vector to its max-cosine centroid (ties → lowest
-    * list id). One broadcast of the centroids, one linear scan — N×K dot
-    * products, no shuffle of the corpus.
+    * list id), carrying the vector and its norm through the window. One
+    * broadcast of the centroids, one linear scan — N×K dot products, no
+    * shuffle of the corpus; consumers that don't need the carry select it
+    * away and Catalyst prunes it out of the scan.
     */
-  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+  private def assignFull(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("list_id"),
+      .select(col("vec_id"), col("embedding"), col("norm"), col("list_id"),
         (expr(Dedup.dot("embedding", "lvec")) / (col("norm") * col("lnorm")))
           .as("list_cos"))
       .withColumn("rnk", row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("list_cos").desc, col("list_id"))))
       .filter(col("rnk") === 1)
-      .select("vec_id", "list_id", "list_cos")
+      .drop("rnk")
+
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+    assignFull(e, cents).select("vec_id", "list_id", "list_cos")
 
   /** Lloyd-refined leaders from the deterministic seeds: `iters` rounds of
     * assign-to-max-cosine + elementwise-mean recompute (spherical k-means;
@@ -272,6 +277,20 @@ object Similarity {
     */
   def assignWithLeaders(emb: DataFrame, cents: DataFrame): DataFrame =
     assignTo(withNorm(emb), cents)
+
+  /** [[assignWithLeaders]] retaining `(embedding, norm)` alongside the
+    * assignment — the single-pass index ADD (list rows physically carry
+    * their vectors; recomputing norms and joining them back would shuffle
+    * the batch against itself every micro-batch).
+    */
+  def assignWithLeadersRetaining(emb: DataFrame, cents: DataFrame): DataFrame =
+    assignFull(withNorm(emb), cents)
+
+  /** `(vec_id, embedding, norm)` — the one place the norm formula lives;
+    * exposed so store probes compute query norms identically to the
+    * assignment path (the bit-identity contract rides on it).
+    */
+  def withNorms(emb: DataFrame): DataFrame = withNorm(emb)
 
   /** The trained leader relation for [[assignWithLeaders]] — deterministic
     * seeds at `kmeansIters` = 0, Lloyd-refined otherwise.

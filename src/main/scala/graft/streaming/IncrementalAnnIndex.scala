@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StructField, StructType}
 
 import graft.ops.{Dedup, Similarity}
 
@@ -14,22 +15,48 @@ import graft.ops.{Dedup, Similarity}
   *
   * Stores:
   *  - leader store: the trained `(list_id, lvec, lnorm)` centroids,
-  *    written ONCE by the bootstrap batch ([[Similarity.trainLeaders]])
-  *    and read-only afterwards — retraining on later data would silently
-  *    re-route earlier assignments;
+  *    written by the BOOTSTRAP batch (batchId 0, [[Similarity
+  *    .trainLeaders]]) with overwrite — a replay of the bootstrap epoch
+  *    retrains and rewrites the identical frame, so a crash mid-write
+  *    cannot leave a partial leader set behind; every read re-validates
+  *    the leader count. Frozen afterwards: retraining on later data would
+  *    silently re-route earlier assignments.
   *  - list store: `(vec_id, list_id, list_cos, embedding, norm)` rows,
-  *    appended per batch. The vector RIDES IN THE LIST ROW (how IVF lists
-  *    are physically laid out), so probes read one store instead of
-  *    joining a separate embedding table; at warehouse scale the store is
-  *    written partitioned by `list_id` so a probe prunes to its nprobe
-  *    lists.
+  *    appended per batch in one pass ([[Similarity
+  *    .assignWithLeadersRetaining]]). The vector RIDES IN THE LIST ROW
+  *    (how IVF lists are physically laid out), so probes read one store;
+  *    at warehouse scale the store is written partitioned by `list_id` so
+  *    a probe prunes to its nprobe lists.
+  *
+  * Re-landed vec_ids (a re-crawl) are IGNORED — first write wins, matching
+  * FAISS `add` (an updated embedding needs an explicit remove+add). The
+  * membership check is a vec_id anti-join against the store; at warehouse
+  * scale that column read is a Bloom-filter / primary-key probe.
   *
   * Per-batch cost: one broadcast of [[Similarity.NumLists]] centroids ×
-  * one linear scan of the batch — independent of index size.
+  * one linear scan of the batch, plus the membership probe.
   * Exactly-once follows the house pattern: checkpointed file tracking +
   * per-batch overwrite directories.
   */
 object IncrementalAnnIndex {
+
+  /** Schema of the list store. */
+  val ListSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("list_id", LongType),
+    StructField("list_cos", DoubleType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("norm", DoubleType)))
+
+  private def readLeaders(spark: SparkSession, leaderPath: String): DataFrame = {
+    val cents = spark.read.parquet(leaderPath)
+    val n = cents.count()
+    require(n == Similarity.NumLists.toLong,
+      s"IncrementalAnnIndex: leader store at $leaderPath holds $n " +
+        s"centroids, expected ${Similarity.NumLists} — partial or foreign " +
+        "write; rebuild the leader store")
+    cents
+  }
 
   /** One probe against the accumulated stores: for each query vector, rank
     * the `nprobe` nearest lists by leader cosine, then rank the kept
@@ -46,14 +73,13 @@ object IncrementalAnnIndex {
       k: Int = Similarity.TopK,
       nprobe: Int = Similarity.NProbe,
       maxListOccupancy: Int = Similarity.MaxListOccupancy): DataFrame = {
-    val cents = spark.read.parquet(leaderPath)
+    val cents = readLeaders(spark, leaderPath)
     val lists = spark.read.parquet(listPath).drop("batch")
       .withColumn("lrnk", row_number().over(
         Window.partitionBy("list_id").orderBy("vec_id")))
       .filter(col("lrnk") <= maxListOccupancy)
       .select("vec_id", "list_id", "embedding", "norm")
-    val q = queries.select(col("vec_id"), col("embedding"),
-      expr(s"sqrt(${Dedup.dot("embedding", "embedding")})").as("norm"))
+    val q = Similarity.withNorms(queries)
     val probes = q.crossJoin(broadcast(cents))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("list_id"),
@@ -63,13 +89,13 @@ object IncrementalAnnIndex {
         .orderBy(col("leader_cos").desc, col("list_id"))))
       .filter(col("prnk") <= nprobe)
       .select("query_id", "qvec", "qnorm", "list_id")
+    // each stored vector lives in exactly one list, so every
+    // (query, neighbor) pair joins at most once — no dedup needed
     probes.join(lists, Seq("list_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (expr(Dedup.dot("qvec", "embedding")) / (col("qnorm") * col("norm")))
           .as("cos_sim"))
-      // a neighbor reachable through BOTH probed lists would rank twice
-      .distinct()
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
@@ -85,7 +111,7 @@ object IncrementalAnnIndex {
       checkpointDir: String,
       leaderPath: String,
       listPath: String,
-      embSchema: org.apache.spark.sql.types.StructType,
+      embSchema: StructType,
       kmeansIters: Int = 0): DataFrame = {
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     val q = spark.readStream.schema(embSchema).parquet(landingDir)
@@ -93,22 +119,27 @@ object IncrementalAnnIndex {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          if (!exists(leaderPath)) {
-            // bootstrap: train once on the first batch; every later batch
-            // is an index ADD against these frozen centroids
+          if (batchId == 0L) {
+            // bootstrap keyed on the EPOCH, not on store existence: a
+            // replay of batch 0 after a crash mid-write retrains and
+            // OVERWRITES the identical frame instead of trusting (and
+            // silently using) a possibly partial leader directory
             val trained = Similarity.trainLeaders(batch, kmeansIters)
             val n = trained.count()
             require(n == Similarity.NumLists.toLong,
               s"IncrementalAnnIndex bootstrap: got $n leaders, need " +
                 s"${Similarity.NumLists} — the bootstrap batch must " +
                 s"contain the seed vec_ids (< ${Similarity.NumLists})")
-            trained.write.parquet(leaderPath)
+            trained.write.mode("overwrite").parquet(leaderPath)
           }
-          val cents = spark.read.parquet(leaderPath)
-          val norms = batch.select(col("vec_id"), col("embedding"),
-            expr(s"sqrt(${Dedup.dot("embedding", "embedding")})").as("norm"))
-          Similarity.assignWithLeaders(batch, cents)
-            .join(norms, Seq("vec_id"))
+          val cents = readLeaders(spark, leaderPath)
+          // first write wins for a re-landed vec_id (FAISS add semantics)
+          val fresh =
+            if (exists(listPath))
+              batch.join(spark.read.parquet(listPath).select("vec_id"),
+                Seq("vec_id"), "left_anti")
+            else batch
+          Similarity.assignWithLeadersRetaining(fresh, cents)
             .select("vec_id", "list_id", "list_cos", "embedding", "norm")
             .write.mode("overwrite").parquet(s"$listPath/batch=$batchId")
         }
@@ -117,6 +148,9 @@ object IncrementalAnnIndex {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(listPath).drop("batch")
+    // a drain that landed nothing never creates the store — return an
+    // empty index, not a crash
+    if (exists(listPath)) spark.read.parquet(listPath).drop("batch")
+    else spark.createDataFrame(new java.util.ArrayList[Row](), ListSchema)
   }
 }

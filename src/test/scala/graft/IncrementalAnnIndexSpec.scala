@@ -41,8 +41,15 @@ class IncrementalAnnIndexSpec extends SparkSpec {
     IncrementalAnnIndex.run(
       spark, landing.toString, ckpt, leaders, lists, schema)
     land(landing, "b2.parquet", emb.filter(col("vec_id") >= cut))
+    IncrementalAnnIndex.run(
+      spark, landing.toString, ckpt, leaders, lists, schema)
+    // a re-crawl batch re-lands already-indexed vec_ids: first write wins,
+    // the store must not grow duplicate rows
+    land(landing, "b3.parquet", emb.filter(col("vec_id") < 50L))
     val store = IncrementalAnnIndex.run(
       spark, landing.toString, ckpt, leaders, lists, schema)
+    assert(store.groupBy("vec_id").count().filter(col("count") > 1)
+      .count() == 0, "re-landed vec_ids must not duplicate list rows")
 
     // every vector is in exactly one list, assigned as the batch path would
     assert(store.count() == emb.count())
