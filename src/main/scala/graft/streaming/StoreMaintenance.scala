@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintenance for the growing per-batch stores ([[IncrementalCuration]],
+  * [[IncrementalAnnIndex]]): every micro-batch adds a `batch=N` directory,
+  * and a store that has been running for a year is thousands of small
+  * files — the classic warehouse small-files problem (each file costs a
+  * task, a footer read, and a namenode entry at 100 TB).
+  *
+  * Compaction rewrites the accumulated generations into a NEW directory
+  * and leaves the source untouched — the caller swaps paths when the new
+  * generation is verified (the only crash-safe contract without an atomic
+  * multi-directory commit; a failed compaction is simply re-run). The
+  * output drops the `batch` partition column: readers already drop it, and
+  * a compacted store re-entering service starts its batch numbering fresh.
+  */
+object StoreMaintenance {
+
+  /** Rewrite `srcPath` (all generations) into `destPath` as `numFiles`
+    * files, optionally partitioned — e.g. the ANN list store by `list_id`,
+    * so probes prune to their nprobe lists. Returns the row count written
+    * (callers verify it against the source before swapping).
+    */
+  def compact(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      numFiles: Int,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(numFiles > 0, s"compact: numFiles must be positive, got $numFiles")
+    val src = spark.read.parquet(srcPath).drop("batch")
+    val writer = src.repartition(numFiles).write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).parquet(destPath)
+    spark.read.parquet(destPath).count()
+  }
+
+  /** (files, bytes) under a store path — the signal that schedules
+    * compaction.
+    */
+  def fileStats(spark: SparkSession, path: String): (Long, Long) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var files = 0L
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !f.getPath.getName.startsWith("_")) {
+        files += 1
+        bytes += f.getLen
+      }
+    }
+    (files, bytes)
+  }
+
+  /** Index-health report for an ANN list store: occupancy per list plus
+    * the imbalance factor (max/mean occupancy — 1.0 is perfectly balanced;
+    * a high factor means hot lists and is the re-train / more-lists
+    * signal, see [[graft.ops.Similarity.MaxListOccupancy]]).
+    */
+  def listBalance(lists: DataFrame): DataFrame = {
+    val occ = lists.groupBy("list_id")
+      .agg(count(lit(1)).as("n_vectors"))
+    occ.crossJoin(broadcast(
+      occ.agg(avg("n_vectors").as("mean_occ"), max("n_vectors").as("max_occ"))))
+      .select(col("list_id"), col("n_vectors"),
+        (col("n_vectors") / col("mean_occ")).as("occ_ratio"),
+        (col("max_occ") / col("mean_occ")).as("imbalance_factor"))
+      .orderBy("list_id")
+  }
+}

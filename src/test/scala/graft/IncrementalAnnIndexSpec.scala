@@ -70,6 +70,44 @@ class IncrementalAnnIndexSpec extends SparkSpec {
     assert(sym == 0, s"store probe diverges from batch probe by $sym rows")
   }
 
+  test("compacted store probes identically with fewer files") {
+    val landing = Files.createTempDirectory("annc-landing")
+    val ckpt = Files.createTempDirectory("annc-ckpt").toString + "/c"
+    val leaders = Files.createTempDirectory("annc-l").toString + "/leaders"
+    val lists = Files.createTempDirectory("annc-lists").toString + "/lists"
+    val compacted = Files.createTempDirectory("annc-g1").toString + "/lists"
+    val cut = 300L
+    land(landing, "b1.parquet", emb.filter(col("vec_id") < cut))
+    IncrementalAnnIndex.run(
+      spark, landing.toString, ckpt, leaders, lists, emb.schema)
+    land(landing, "b2.parquet", emb.filter(col("vec_id") >= cut))
+    val store = IncrementalAnnIndex.run(
+      spark, landing.toString, ckpt, leaders, lists, emb.schema)
+
+    val written = graft.streaming.StoreMaintenance.compact(
+      spark, lists, compacted, numFiles = 1)
+    assert(written == store.count(), "compaction must preserve every row")
+    val (beforeFiles, _) =
+      graft.streaming.StoreMaintenance.fileStats(spark, lists)
+    val (afterFiles, _) =
+      graft.streaming.StoreMaintenance.fileStats(spark, compacted)
+    assert(afterFiles < beforeFiles,
+      s"compaction must shrink file count ($beforeFiles -> $afterFiles)")
+
+    val queries = emb.filter(col("vec_id") % Similarity.QueryStride === 0)
+    val a = IncrementalAnnIndex.topKFromStore(spark, leaders, lists, queries)
+      .select("query_id", "neighbor_id", "rank")
+    val b = IncrementalAnnIndex.topKFromStore(
+      spark, leaders, compacted, queries)
+      .select("query_id", "neighbor_id", "rank")
+    assert(a.exceptAll(b).count() + b.exceptAll(a).count() == 0,
+      "compacted store must probe identically")
+
+    val bal = graft.streaming.StoreMaintenance.listBalance(store).collect()
+    assert(bal.map(_.getAs[Long]("n_vectors")).sum == store.count())
+    assert(bal.forall(_.getAs[Double]("imbalance_factor") >= 1.0))
+  }
+
   test("bootstrap without the seed vectors fails loudly, not silently") {
     val landing = Files.createTempDirectory("ann2-landing")
     val ckpt = Files.createTempDirectory("ann2-ckpt").toString + "/c"
