@@ -119,12 +119,18 @@ object IncrementalAnnIndex {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          if (batchId == 0L) {
-            // bootstrap keyed on the EPOCH, not on store existence: a
-            // replay of batch 0 after a crash mid-write retrains and
-            // OVERWRITES the identical frame instead of trusting (and
-            // silently using) a possibly partial leader directory
-            val trained = Similarity.trainLeaders(batch, kmeansIters)
+          // one row per vec_id even within the drain (a file and its
+          // re-crawl can land in the same AvailableNow batch) — BEFORE
+          // bootstrap too, or duplicated seed rows double the leader set
+          val uniq = batch.dropDuplicates("vec_id")
+          if (batchId == 0L && !exists(leaderPath)) {
+            // bootstrap only when BOTH the epoch is first and no leaders
+            // exist: a store re-entering service under a fresh checkpoint
+            // (post-compaction) must keep its frozen leaders, not retrain
+            // and re-route every existing assignment. A partial leader
+            // write from a crashed bootstrap is not silently trusted —
+            // readLeaders fails loudly on a wrong centroid count.
+            val trained = Similarity.trainLeaders(uniq, kmeansIters)
             val n = trained.count()
             require(n == Similarity.NumLists.toLong,
               s"IncrementalAnnIndex bootstrap: got $n leaders, need " +
@@ -133,12 +139,20 @@ object IncrementalAnnIndex {
             trained.write.mode("overwrite").parquet(leaderPath)
           }
           val cents = readLeaders(spark, leaderPath)
-          // first write wins for a re-landed vec_id (FAISS add semantics)
+          // first write wins for a re-landed vec_id (FAISS add
+          // semantics). The membership read EXCLUDES this batch's own
+          // partition: foreachBatch is at-least-once, and a replay after
+          // a crash-post-write would otherwise anti-join the batch
+          // against its own previously written rows and overwrite
+          // batch=N with an empty directory — silent data loss.
           val fresh =
             if (exists(listPath))
-              batch.join(spark.read.parquet(listPath).select("vec_id"),
+              uniq.join(
+                spark.read.parquet(listPath)
+                  .filter(col("batch").cast("long") =!= batchId)
+                  .select("vec_id"),
                 Seq("vec_id"), "left_anti")
-            else batch
+            else uniq
           Similarity.assignWithLeadersRetaining(fresh, cents)
             .select("vec_id", "list_id", "list_cos", "embedding", "norm")
             .write.mode("overwrite").parquet(s"$listPath/batch=$batchId")

@@ -86,12 +86,26 @@ object IncrementalCuration {
     import org.apache.spark.sql.expressions.Window
     val ref = storeSigs.withColumn("prior", lit(true))
       .unionByName(newSigs.withColumn("prior", lit(false)))
+    // Only buckets the BATCH touches matter: occupancy of a bucket no new
+    // doc probes is never consumed, so the store's band rows are
+    // semi-joined to the batch's distinct bucket keys BEFORE the windows —
+    // per-batch cost scales with the touched slice of the store, not with
+    // total history.
+    val touched = bandsOf(newSigs).select("band_idx", "band_val").distinct()
     // occupancy count + root election ride the same (band_idx, band_val)
-    // partitioning the join shuffles on — no extra exchange
+    // partitioning the join shuffles on — no extra exchange. The root key
+    // leads with the prior flag (stored docs sort first): a new doc with a
+    // lower id than every stored member must NOT unseat the stored root,
+    // or the whole stored family would be filtered from the bucket and
+    // the new duplicate re-admitted.
     val wBucket = Window.partitionBy("band_idx", "band_val")
     val refB = bandsOf(ref, Seq("prior"))
+      .join(touched, Seq("band_idx", "band_val"))
       .withColumn("bdf", count(lit(1)).over(wBucket))
-      .withColumn("broot", min("doc_id").over(wBucket))
+      .withColumn("rk", min(struct(
+        when(col("prior"), 0).otherwise(1).as("np"),
+        col("doc_id"))).over(wBucket))
+      .withColumn("broot", col("rk.doc_id"))
     val refKept = refB.filter(
       col("bdf") <= maxBandOccupancy || col("doc_id") === col("broot"))
     val cand = bandsOf(newSigs).as("n")
@@ -118,17 +132,23 @@ object IncrementalCuration {
     */
   def curateBatch(batch: DataFrame, storeSigs: DataFrame)
       : (DataFrame, DataFrame) = {
+    // one row per doc_id even if a file and its re-crawl land in the SAME
+    // drain (AvailableNow can pull both into one micro-batch): the
+    // cross-batch anti-join can't see them, and the dedup self-join
+    // excludes same-id matches, so without this guard both copies would
+    // survive and multiply through the gate joins
+    val uniq = batch.dropDuplicates("doc_id")
     // persist + eager fill: the signature relation feeds the band join,
     // both estimate legs, and the kept-signature anti-join; dupIds (the
     // whole LSH join) feeds both output writes. Without materialization
     // every consumer would re-run tokenize→shingle→minhash from the raw
     // batch (the same reasoning as Dedup.minhashPairs' eager fill).
-    val sigs = Dedup.minhashSignatures(batch).persist()
+    val sigs = Dedup.minhashSignatures(uniq).persist()
     sigs.count()
     val dupIds = newDuplicates(sigs, storeSigs)
       .select(col("new_id").as("doc_id")).distinct().persist()
     dupIds.count()
-    val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    val survivors = uniq.join(dupIds, Seq("doc_id"), "left_anti")
     val gates = Curation.rowAudit(survivors)
     val curated = survivors.join(
       gates.filter(col("curated"))

@@ -13,28 +13,55 @@ import org.apache.spark.sql.functions._
   * Compaction rewrites the accumulated generations into a NEW directory
   * and leaves the source untouched — the caller swaps paths when the new
   * generation is verified (the only crash-safe contract without an atomic
-  * multi-directory commit; a failed compaction is simply re-run). The
-  * output drops the `batch` partition column: readers already drop it, and
-  * a compacted store re-entering service starts its batch numbering fresh.
+  * multi-directory commit; a failed compaction is simply re-run).
+  *
+  * The re-enterable output keeps the store's `batch=N` directory shape by
+  * landing everything under `batch=-1` (streaming epochs are ≥ 0, so no
+  * future drain — even one restarting from a FRESH checkpoint at epoch
+  * 0 — can collide with or overwrite the compacted generation, and
+  * partition discovery keeps one uniform leaf depth as new `batch=N`
+  * dirs appear beside it).
   */
 object StoreMaintenance {
 
-  /** Rewrite `srcPath` (all generations) into `destPath` as `numFiles`
-    * files, optionally partitioned — e.g. the ANN list store by `list_id`,
-    * so probes prune to their nprobe lists. Returns the row count written
-    * (callers verify it against the source before swapping).
+  /** Partition value the compacted generation lands under — below every
+    * possible streaming epoch.
+    */
+  val CompactedBatch = -1L
+
+  /** Rewrite `srcPath` (all generations) into `destPath/batch=-1` as
+    * `numFiles` files. Returns the row count written (callers verify it
+    * against the source before swapping the store path).
     */
   def compact(
       spark: SparkSession,
       srcPath: String,
       destPath: String,
-      numFiles: Int,
-      partitionBy: Seq[String] = Nil): Long = {
+      numFiles: Int): Long = {
     require(numFiles > 0, s"compact: numFiles must be positive, got $numFiles")
-    val src = spark.read.parquet(srcPath).drop("batch")
-    val writer = src.repartition(numFiles).write.mode("errorifexists")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-     else writer).parquet(destPath)
+    spark.read.parquet(srcPath).drop("batch")
+      .repartition(numFiles).write.mode("errorifexists")
+      .parquet(s"$destPath/batch=$CompactedBatch")
+    spark.read.parquet(destPath).count()
+  }
+
+  /** A SERVING snapshot: like [[compact]] but partitioned by the given
+    * columns (e.g. the ANN list store by `list_id`, so probes prune to
+    * their nprobe lists). NOT re-enterable — a partitioned layout cannot
+    * coexist with the flat `batch=N` directories a resumed stream writes;
+    * feed it to readers, never back to a maintainer.
+    */
+  def servingSnapshot(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      numFiles: Int,
+      partitionBy: Seq[String]): Long = {
+    require(numFiles > 0 && partitionBy.nonEmpty,
+      s"servingSnapshot: need positive numFiles and partition columns")
+    spark.read.parquet(srcPath).drop("batch")
+      .repartition(numFiles).write.mode("errorifexists")
+      .partitionBy(partitionBy: _*).parquet(destPath)
     spark.read.parquet(destPath).count()
   }
 

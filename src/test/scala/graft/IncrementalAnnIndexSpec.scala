@@ -19,13 +19,8 @@ class IncrementalAnnIndexSpec extends SparkSpec {
   private lazy val emb = T.table(spark, sf, "embeddings").cache()
 
   private def land(landing: Path, name: String,
-      df: org.apache.spark.sql.DataFrame): Unit = {
-    val stage = Files.createTempDirectory("ann-stage").resolve("d")
-    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = Files.list(stage).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
-    Files.copy(part, landing.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-  }
+      df: org.apache.spark.sql.DataFrame): Unit =
+    landParquet(landing, name, df)
 
   test("two-batch index add matches the batch assignment and probe") {
     val landing = Files.createTempDirectory("ann-landing")
@@ -70,7 +65,7 @@ class IncrementalAnnIndexSpec extends SparkSpec {
     assert(sym == 0, s"store probe diverges from batch probe by $sym rows")
   }
 
-  test("compacted store probes identically with fewer files") {
+  test("compacted store probes identically, shrinks files, re-enters service") {
     val landing = Files.createTempDirectory("annc-landing")
     val ckpt = Files.createTempDirectory("annc-ckpt").toString + "/c"
     val leaders = Files.createTempDirectory("annc-l").toString + "/leaders"
@@ -80,7 +75,8 @@ class IncrementalAnnIndexSpec extends SparkSpec {
     land(landing, "b1.parquet", emb.filter(col("vec_id") < cut))
     IncrementalAnnIndex.run(
       spark, landing.toString, ckpt, leaders, lists, emb.schema)
-    land(landing, "b2.parquet", emb.filter(col("vec_id") >= cut))
+    land(landing, "b2.parquet",
+      emb.filter(col("vec_id") >= cut && col("vec_id") < 400L))
     val store = IncrementalAnnIndex.run(
       spark, landing.toString, ckpt, leaders, lists, emb.schema)
 
@@ -106,6 +102,37 @@ class IncrementalAnnIndexSpec extends SparkSpec {
     val bal = graft.streaming.StoreMaintenance.listBalance(store).collect()
     assert(bal.map(_.getAs[Long]("n_vectors")).sum == store.count())
     assert(bal.forall(_.getAs[Double]("imbalance_factor") >= 1.0))
+
+    // re-entry: the compacted dir becomes the live store under a FRESH
+    // checkpoint — the bootstrap must keep the frozen leaders (not
+    // retrain at epoch 0), the batch layout must stay readable, and
+    // cross-store dedup must still see the compacted rows
+    val landing2 = Files.createTempDirectory("annc-landing2")
+    val ckpt2 = Files.createTempDirectory("annc-ckpt2").toString + "/c"
+    land(landing2, "b3.parquet", emb.filter(
+      col("vec_id") >= 400L || col("vec_id") < 10L)) // 10 re-lands
+    val grown = IncrementalAnnIndex.run(
+      spark, landing2.toString, ckpt2, leaders, compacted, emb.schema)
+    assert(grown.count() == emb.count(),
+      "re-entered store must grow by exactly the novel vectors")
+    assert(grown.groupBy("vec_id").count().filter(col("count") > 1)
+      .count() == 0, "re-landed ids must not duplicate after re-entry")
+  }
+
+  test("duplicate vec_ids within one drain produce one list row") {
+    val landing = Files.createTempDirectory("annd-landing")
+    val ckpt = Files.createTempDirectory("annd-ckpt").toString + "/c"
+    val leaders = Files.createTempDirectory("annd-l").toString + "/leaders"
+    val lists = Files.createTempDirectory("annd-lists").toString + "/lists"
+    val slice = emb.filter(col("vec_id") < 100L)
+    // the original and its re-crawl land BEFORE the drain → one batch
+    land(landing, "b1.parquet", slice)
+    land(landing, "b1dup.parquet", slice)
+    val store = IncrementalAnnIndex.run(
+      spark, landing.toString, ckpt, leaders, lists, emb.schema)
+    assert(store.count() == 100L)
+    assert(store.groupBy("vec_id").count().filter(col("count") > 1)
+      .count() == 0)
   }
 
   test("bootstrap without the seed vectors fails loudly, not silently") {

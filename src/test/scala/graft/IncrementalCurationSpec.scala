@@ -32,17 +32,8 @@ class IncrementalCurationSpec extends SparkSpec {
   private def row(id: Long, text: String): Row =
     Row(id, text, "en", "crawl", text.length.toLong)
 
-  /** Land one parquet FILE (the file stream source does not recurse into
-    * the directory a DataFrame write produces).
-    */
-  private def land(landing: Path, name: String, rows: Seq[Row]): Unit = {
-    val stage = Files.createTempDirectory("cur-stage").resolve("d")
-    spark.createDataFrame(rows.asJava, docSchema)
-      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = Files.list(stage).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
-    Files.copy(part, landing.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def land(landing: Path, name: String, rows: Seq[Row]): Unit =
+    landParquet(landing, name, spark.createDataFrame(rows.asJava, docSchema))
 
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select("doc_id").collect().map(_.getLong(0)).toSet
@@ -113,6 +104,42 @@ class IncrementalCurationSpec extends SparkSpec {
       s"star candidates must point at the root: ${pairs.mkString(",")}")
     assert(pairs.map(_.getAs[Long]("new_id")).toSet == Set(2L, 3L, 4L, 5L))
     assert(pairs.length == 4, "bounded: one candidate per non-root member")
+  }
+
+  test("duplicate doc_ids within one drain produce one corpus row") {
+    val landing = Files.createTempDirectory("cur4-landing")
+    val ckpt = Files.createTempDirectory("cur4-ckpt").toString + "/c"
+    val sigs = Files.createTempDirectory("cur4-sigs").toString + "/sigs"
+    val corpus = Files.createTempDirectory("cur4-corpus").toString + "/corpus"
+    // the original and its re-crawl land BEFORE the drain → one batch
+    land(landing, "b1.parquet", Seq(row(1L, goodText(1)), row(2L, goodText(2))))
+    land(landing, "b1dup.parquet", Seq(row(1L, goodText(1))))
+    val c = IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema)
+    assert(c.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    val sigIds = spark.read.parquet(sigs).groupBy("doc_id").count()
+    assert(sigIds.filter(col("count") > 1).count() == 0)
+  }
+
+  test("a new doc cannot unseat a stored hot-bucket root") {
+    import graft.ops.Dedup
+    // stored family: ids 100..104 identical; a new EXACT COPY arrives
+    // with id 50 — lower than every stored id. With a tiny occupancy cap
+    // the bucket is hot; the stored-first root key must keep a STORED doc
+    // as root so the newcomer still matches and is rejected as a dup.
+    val txt = goodText(9)
+    val stored = spark.createDataFrame(
+      (100L to 104L).map(i => row(i, txt)).asJava, docSchema)
+    val incoming = spark.createDataFrame(
+      Seq(row(50L, txt)).asJava, docSchema)
+    val dups = IncrementalCuration.newDuplicates(
+      Dedup.minhashSignatures(incoming),
+      Dedup.minhashSignatures(stored),
+      maxBandOccupancy = 2)
+    val hit = dups.filter(col("new_id") === 50L).collect()
+    assert(hit.nonEmpty,
+      "a stored doc must stay root: the low-id newcomer must be caught")
+    assert(hit.forall(_.getAs[Long]("ref_id") >= 100L))
   }
 
   test("a rejected document's later copy is still recognized as duplicate") {
