@@ -126,12 +126,22 @@ object IncrementalCuration {
       .filter(col("est_jaccard") >= Dedup.JaccardDupThreshold)
   }
 
-  /** Curate one batch against the stores. Returns
-    * (curated rows to append, signature rows to append) — separated from
-    * the streaming loop so the logic is testable without a stream.
+  /** One batch's outcome: the rows to append plus the funnel counts —
+    * captured from actions the batch already runs, so observability costs
+    * nothing extra.
     */
-  def curateBatch(batch: DataFrame, storeSigs: DataFrame)
-      : (DataFrame, DataFrame) = {
+  final case class BatchResult(
+      curated: DataFrame,
+      keptSigs: DataFrame,
+      nLanded: Long,
+      nUnique: Long,
+      nDuplicates: Long,
+      nCurated: Long)
+
+  /** Curate one batch against the stores — separated from the streaming
+    * loop so the logic is testable without a stream.
+    */
+  def curateBatch(batch: DataFrame, storeSigs: DataFrame): BatchResult = {
     // one row per doc_id even if a file and its re-crawl land in the SAME
     // drain (AvailableNow can pull both into one micro-batch): the
     // cross-batch anti-join can't see them, and the dedup self-join
@@ -144,10 +154,10 @@ object IncrementalCuration {
     // every consumer would re-run tokenize→shingle→minhash from the raw
     // batch (the same reasoning as Dedup.minhashPairs' eager fill).
     val sigs = Dedup.minhashSignatures(uniq).persist()
-    sigs.count()
+    val nUnique = sigs.count()
     val dupIds = newDuplicates(sigs, storeSigs)
       .select(col("new_id").as("doc_id")).distinct().persist()
-    dupIds.count()
+    val nDuplicates = dupIds.count()
     val survivors = uniq.join(dupIds, Seq("doc_id"), "left_anti")
     val gates = Curation.rowAudit(survivors)
     val curated = survivors.join(
@@ -158,14 +168,23 @@ object IncrementalCuration {
     val keptSigs = sigs.join(dupIds, Seq("doc_id"), "left_anti")
     // cut both results loose from the caches (batch-sized blocks, freed by
     // the ContextCleaner once unreachable), then release the legs
-    val out = (curated.localCheckpoint(), keptSigs.localCheckpoint())
+    val curatedOut = curated.localCheckpoint()
+    val keptOut = keptSigs.localCheckpoint()
     sigs.unpersist(blocking = false)
     dupIds.unpersist(blocking = false)
-    out
+    BatchResult(curatedOut, keptOut,
+      nLanded = batch.count(), nUnique = nUnique,
+      nDuplicates = nDuplicates, nCurated = curatedOut.count())
   }
 
   /** Drain the landing dir (Trigger.AvailableNow), curating each
     * micro-batch against the accumulated stores. Returns the corpus store.
+    *
+    * @param metricsPath optional per-batch funnel ledger — one row per
+    *                    drained batch (landed / unique / duplicate /
+    *                    curated counts), the record an operator reads
+    *                    before asking why a drain shrank; written with the
+    *                    same idempotent per-batch overwrite as the stores
     */
   def run(
       spark: SparkSession,
@@ -173,7 +192,8 @@ object IncrementalCuration {
       checkpointDir: String,
       sigPath: String,
       corpusPath: String,
-      docSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+      docSchema: org.apache.spark.sql.types.StructType,
+      metricsPath: Option[String] = None): DataFrame = {
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     val emptySigs = Dedup.minhashSignatures(
       spark.createDataFrame(new java.util.ArrayList[Row](), docSchema))
@@ -187,12 +207,20 @@ object IncrementalCuration {
           val store =
             if (exists(sigPath)) spark.read.parquet(sigPath).drop("batch")
             else emptySigs
-          val (curated, keptSigs) = curateBatch(batch, store)
+          val r = curateBatch(batch, store)
           // per-batch overwrite = idempotent under foreachBatch replay
-          curated.write.mode("overwrite")
+          r.curated.write.mode("overwrite")
             .parquet(s"$corpusPath/batch=$batchId")
-          keptSigs.write.mode("overwrite")
+          r.keptSigs.write.mode("overwrite")
             .parquet(s"$sigPath/batch=$batchId")
+          metricsPath.foreach { mp =>
+            import spark.implicits._
+            Seq((batchId, r.nLanded, r.nUnique, r.nDuplicates, r.nCurated))
+              .toDF("batch_id", "n_landed", "n_unique", "n_duplicates",
+                "n_curated")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$mp/batch=$batchId")
+          }
         }
         ()
       }

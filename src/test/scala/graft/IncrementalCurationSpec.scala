@@ -106,6 +106,24 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(pairs.length == 4, "bounded: one candidate per non-root member")
   }
 
+  test("per-batch metrics ledger records the funnel") {
+    val landing = Files.createTempDirectory("cur5-landing")
+    val ckpt = Files.createTempDirectory("cur5-ckpt").toString + "/c"
+    val sigs = Files.createTempDirectory("cur5-sigs").toString + "/sigs"
+    val corpus = Files.createTempDirectory("cur5-corpus").toString + "/corpus"
+    val metrics = Files.createTempDirectory("cur5-m").toString + "/metrics"
+    // 3 landed, 2 unique (1 re-crawled id), 1 near-dup pair → 1 dropped
+    land(landing, "b1.parquet", Seq(
+      row(1L, goodText(1)), row(1L, goodText(1)), row(2L, goodText(1))))
+    val c = IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema, Some(metrics))
+    val m = spark.read.parquet(metrics).collect().head
+    assert(m.getAs[Long]("n_landed") == 3L)
+    assert(m.getAs[Long]("n_unique") == 2L)
+    assert(m.getAs[Long]("n_duplicates") == 1L)
+    assert(m.getAs[Long]("n_curated") == c.count())
+  }
+
   test("duplicate doc_ids within one drain produce one corpus row") {
     val landing = Files.createTempDirectory("cur4-landing")
     val ckpt = Files.createTempDirectory("cur4-ckpt").toString + "/c"
