@@ -160,6 +160,40 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(hit.forall(_.getAs[Long]("ref_id") >= 100L))
   }
 
+  test("incremental curation reconciles with the batch path on a real corpus") {
+    import graft.ops.{Curation, Dedup}
+    import graft.testdata.{TestFixtures => T}
+    val docs = T.table(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars").cache()
+    val batchIds = ids(Curation.audit(docs, Dedup.minhashDupClusters(docs))
+      .filter(col("curated")))
+
+    val landing = Files.createTempDirectory("cur6-landing")
+    val ckpt = Files.createTempDirectory("cur6-ckpt").toString + "/c"
+    val sigs = Files.createTempDirectory("cur6-sigs").toString + "/sigs"
+    val corpus = Files.createTempDirectory("cur6-corpus").toString + "/corpus"
+    val mid = 250L
+    landParquet(landing, "b1.parquet", docs.filter(col("doc_id") < mid))
+    IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema)
+    landParquet(landing, "b2.parquet", docs.filter(col("doc_id") >= mid))
+    val incIds = ids(IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema))
+
+    // every incrementally curated doc passes the same row gates — the two
+    // paths may only disagree through the dedup stage (exact-Jaccard
+    // keeper-by-quality vs signature-estimate first-seen keeper)
+    val gateIds = ids(Curation.rowAudit(docs).filter(col("curated")))
+    assert(incIds.subsetOf(gateIds), "incremental must respect the gates")
+
+    val sym = (batchIds diff incIds).size + (incIds diff batchIds).size
+    val agreement = 1.0 - sym.toDouble / math.max(batchIds.size, 1)
+    assert(agreement >= 0.9,
+      s"batch/incremental curation agree on ${agreement * 100}%% " +
+        s"(batch ${batchIds.size}, incremental ${incIds.size}, " +
+        s"symmetric diff $sym) — the est-Jaccard approximation drifted")
+  }
+
   test("a rejected document's later copy is still recognized as duplicate") {
     val landing = Files.createTempDirectory("cur2-landing")
     val ckpt = Files.createTempDirectory("cur2-ckpt").toString + "/c"
