@@ -88,18 +88,20 @@ object SkewSoak {
 
     val base = results.head._2.toMap
     val x10 = results.last._2.toMap
+    // one growth derivation feeds BOTH the JSON line and the verdict, so
+    // the printed number and the pass/fail can't drift apart
+    val growths = ops.map { case (name, _) =>
+      name -> x10(name)._1 / base(name)._1 }.toMap
     val perOp = ops.map { case (name, _) =>
       val (bSec, bRows) = base(name)
       val (xSec, xRows) = x10(name)
-      val growth = xSec / bSec
-      f""""$name":{"base_sec":$bSec%.2f,"x10_sec":$xSec%.2f,"time_growth":$growth%.1f,"base_rows":$bRows,"x10_rows":$xRows}"""
+      f""""$name":{"base_sec":$bSec%.2f,"x10_sec":$xSec%.2f,"time_growth":${growths(name)}%.1f,"base_rows":$bRows,"x10_rows":$xRows}"""
     }
     // 10x data through a capped (linear) join: time growth well under the
     // ~100x a quadratic hot bucket would cost. 30x allows constant factors
     // (scheduling, the occupancy windows) without admitting quadratic.
     val verdicts = ops.map { case (name, _) =>
-      val growth = x10(name)._1 / base(name)._1
-      name -> (growth < 30.0)
+      name -> (growths(name) < 30.0)
     }
     println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
     spark.stop()

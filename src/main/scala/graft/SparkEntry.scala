@@ -29,12 +29,19 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private def memo(s: SparkSession, dir: String, key: String)
-      (build: => DataFrame): DataFrame =
+      (build: => DataFrame): DataFrame = {
+    // drop entries of stopped sessions: a long-lived JVM that restarts
+    // sessions (test suites) must not pin dead sessions' cached plans
+    martCache.filterInPlace { case ((sess, _, _), _) =>
+      !sess.sparkContext.isStopped }
+    // driver-side single-threaded access (Verify/Bench run queries
+    // sequentially); TrieMap only guards the map structure itself
     martCache.getOrElseUpdate((s, dir, key), {
       val df = build.persist()
       df.count() // eager: materialize once, before fan-out
       df
     })
+  }
 
   private def intDaily(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "int")(

@@ -31,7 +31,11 @@ object StoreMaintenance {
 
   /** Rewrite `srcPath` (all generations) into `destPath/batch=-1` as
     * `numFiles` files. Returns the row count written (callers verify it
-    * against the source before swapping the store path).
+    * against the source before swapping the store path). `destPath` must
+    * be fresh: an existing directory — including the partial leavings of
+    * a crashed compaction — fails fast rather than being clobbered
+    * (recovery = delete the partial destination or pick a new one; the
+    * source is never touched either way).
     */
   def compact(
       spark: SparkSession,
@@ -59,8 +63,12 @@ object StoreMaintenance {
       partitionBy: Seq[String]): Long = {
     require(numFiles > 0 && partitionBy.nonEmpty,
       s"servingSnapshot: need positive numFiles and partition columns")
+    // repartition ON the partition columns: a plain repartition(n) spreads
+    // every partition value across all n tasks and writes ~n files per
+    // partition directory — the small-files problem this module fixes
     spark.read.parquet(srcPath).drop("batch")
-      .repartition(numFiles).write.mode("errorifexists")
+      .repartition(numFiles, partitionBy.map(col): _*)
+      .write.mode("errorifexists")
       .partitionBy(partitionBy: _*).parquet(destPath)
     spark.read.parquet(destPath).count()
   }
@@ -76,7 +84,11 @@ object StoreMaintenance {
     var bytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && !f.getPath.getName.startsWith("_")) {
+      // Hadoop's hidden-file convention: skip both '_' (markers like
+      // _SUCCESS) and '.' (checksum siblings on ChecksumFileSystem —
+      // counting those would double the compaction-scheduling signal)
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
         files += 1
         bytes += f.getLen
       }
