@@ -237,6 +237,8 @@ object SparkEntry {
       Sampling.stratifiedSample(T.table(s, dir, "documents"))),
     "sample_summary" -> ((s, dir) =>
       Sampling.sampleSummary(T.table(s, dir, "documents"))),
+    "sample_target_assign" -> ((s, dir) =>
+      Sampling.targetAssign(T.table(s, dir, "documents"), 40L)),
     "curate_audit" -> ((s, dir) => curationAudit(s, dir)),
     "curate_corpus" -> ((s, dir) =>
       Curation.corpus(T.table(s, dir, "documents"), curationAudit(s, dir))),
@@ -367,6 +369,7 @@ object SparkEntry {
     "sample_assign" -> OO.SAMPLE_ASSIGN,
     "sample_corpus" -> OO.SAMPLE_CORPUS,
     "sample_summary" -> OO.SAMPLE_SUMMARY,
+    "sample_target_assign" -> OO.SAMPLE_TARGET_ASSIGN(40L),
     "curate_audit" -> OO.CURATE_AUDIT,
     "curate_corpus" -> OO.CURATE_CORPUS,
     "curate_funnel" -> OO.CURATE_FUNNEL,

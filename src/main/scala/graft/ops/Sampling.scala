@@ -61,4 +61,41 @@ object Sampling {
       .withColumn("realized_rate",
         col("n_kept").cast("double") / col("n_total"))
       .orderBy("stratum")
+
+  /** Thresholds DERIVED from a target size per stratum — the "give me N
+    * docs per language" mix, where the rate is a function of the observed
+    * stratum count instead of a fixed table. Integer ceiling division
+    * (`(target·mod + n − 1) div n`, capped at the modulus) keeps the
+    * boundary float-free in both engines; ceiling biases toward AT LEAST
+    * the expected target under hash-bucket noise. One tiny aggregate —
+    * [[Portable.SampleMod]] buckets mean the threshold relation is one row
+    * per stratum, broadcast back onto the corpus.
+    */
+  def targetThresholds(docs: DataFrame, targetPerStratum: Long,
+      stratumCol: String = "lang"): DataFrame = {
+    require(targetPerStratum > 0,
+      s"targetThresholds: target must be positive, got $targetPerStratum")
+    docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("threshold", least(lit(SampleMod), expr(
+        s"(${targetPerStratum * SampleMod}L + n_total - 1) div n_total")))
+      .select("stratum", "n_total", "threshold")
+  }
+
+  /** Per-row assignment against [[targetThresholds]] — same auditable
+    * (bucket, threshold, kept) contract as [[stratifiedAssign]], with the
+    * threshold joined from the derived per-stratum relation (broadcast: one
+    * row per stratum).
+    */
+  def targetAssign(docs: DataFrame, targetPerStratum: Long,
+      stratumCol: String = "lang"): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      s"$stratumCol AS stratum",
+      s"${bucketExpr(stratumCol)} AS bucket")
+      .join(broadcast(
+        targetThresholds(docs, targetPerStratum, stratumCol)
+          .select("stratum", "threshold")), Seq("stratum"))
+      .withColumn("kept", col("bucket") < col("threshold"))
+      .select("doc_id", "stratum", "bucket", "threshold", "kept")
 }

@@ -872,6 +872,22 @@ object OpsOracleSql {
        |    CAST(${sampleThresholdCase("lang")} AS BIGINT) AS threshold
        |  FROM documents)""".stripMargin
 
+  /** Mirrors [[graft.ops.Sampling.targetAssign]] at the spec'd fixture
+    * target — same integer ceiling division, `//` in DuckDB, `div` in
+    * Spark.
+    */
+  def SAMPLE_TARGET_ASSIGN(target: Long): String =
+    s"""SELECT doc_id, stratum, bucket, threshold, bucket < threshold AS kept
+       |FROM (
+       |  SELECT d.doc_id, d.lang AS stratum,
+       |    ${hexcastDuck("concat('sample:', lang, ':', CAST(doc_id AS VARCHAR))")} % $SampleMod AS bucket,
+       |    t.threshold
+       |  FROM documents d
+       |  JOIN (
+       |    SELECT lang AS stratum,
+       |           CAST(least($SampleMod, (${target * SampleMod} + COUNT(*) - 1) // COUNT(*)) AS BIGINT) AS threshold
+       |    FROM documents GROUP BY lang) t ON t.stratum = d.lang)""".stripMargin
+
   val SAMPLE_CORPUS: String =
     s"""SELECT d.* FROM documents d
        |JOIN ($SAMPLE_ASSIGN) a ON d.doc_id = a.doc_id AND a.kept""".stripMargin

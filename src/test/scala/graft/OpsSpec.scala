@@ -11,6 +11,31 @@ class OpsSpec extends SparkSpec {
   private lazy val docs = T.table(spark, sf, "documents").cache()
   private lazy val emb = T.table(spark, sf, "embeddings").cache()
 
+  test("target sampling derives ceiling thresholds and hits the mix") {
+    val t = Sampling.targetThresholds(docs, 40L).collect()
+      .map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("threshold"))).toMap
+    t.foreach { case (s, (n, th)) =>
+      val expected = math.min(graft.ops.Portable.SampleMod,
+        (40L * graft.ops.Portable.SampleMod + n - 1) / n)
+      assert(th == expected, s"stratum $s: threshold $th != $expected")
+    }
+    // a stratum at-or-under target keeps everything; realized counts land
+    // within hash-bucket noise of the target otherwise
+    val kept = Sampling.targetAssign(docs, 40L)
+      .filter(col("kept")).groupBy("stratum").count().collect()
+      .map(r => r.getAs[String]("stratum") -> r.getAs[Long]("count")).toMap
+    t.foreach { case (s, (n, _)) =>
+      if (n <= 40L) assert(kept.getOrElse(s, 0L) == n,
+        s"stratum $s under target must keep all $n")
+      else {
+        val k = kept.getOrElse(s, 0L).toDouble
+        assert(k >= 20 && k <= 80,
+          s"stratum $s kept $k, expected ≈40 within binomial noise")
+      }
+    }
+  }
+
   test("exact dedup: injected duplicate collapses to one keeper with n_copies=2") {
     import spark.implicits._
     val d = Seq(
