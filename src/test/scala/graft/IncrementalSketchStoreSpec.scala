@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Events
+import graft.streaming.IncrementalSketchStore
+import graft.testdata.{TestFixtures => T}
+
+/** Mergeable-partial aggregate maintenance: additive counters fold
+  * exactly across batches, HLL sketch unions stay within the sketch's
+  * error envelope of the exact distinct count — no history rescan.
+  */
+class IncrementalSketchStoreSpec extends SparkSpec {
+
+  private lazy val events = T.events(spark, sf).cache()
+
+  test("two-batch sketch store merges to the batch aggregates") {
+    val landing = Files.createTempDirectory("sk-landing")
+    val ckpt = Files.createTempDirectory("sk-ckpt").toString + "/c"
+    val store = Files.createTempDirectory("sk-store").toString + "/sketches"
+
+    // split mid-stream so most days span BOTH batches — the merge is
+    // genuinely exercised, not a concatenation of disjoint days
+    val mid = events.agg(expr("percentile_approx(event_id, 0.5)"))
+      .head().getLong(0)
+    landParquet(landing, "b1.parquet", events.filter(col("event_id") < mid))
+    IncrementalSketchStore.run(
+      spark, landing.toString, ckpt, store, events.schema)
+    landParquet(landing, "b2.parquet", events.filter(col("event_id") >= mid))
+    val report = IncrementalSketchStore.run(
+      spark, landing.toString, ckpt, store, events.schema).cache()
+
+    // additive partials merge EXACTLY
+    val expected = events.groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("e_events"), sum("value").as("e_sum"))
+    val joined = report.join(expected, Seq("day")).cache()
+    assert(joined.count() == report.count() &&
+      report.count() == expected.count())
+    assert(joined.filter(col("n_events") =!= col("e_events")).count() == 0)
+    assert(joined.filter(
+      abs(col("sum_value") - col("e_sum")) > 1e-6).count() == 0)
+
+    // the unioned sketch estimate stays inside the error envelope of the
+    // exact per-day distinct count (lgK 12 ⇒ ~2.5% RSE; allow 5×)
+    val exact = Events.dailyUsersExact(events)
+    val acc = report.join(exact, Seq("day"))
+      .withColumn("rel_err",
+        abs(col("n_users_approx") - col("n_users_exact")) /
+          col("n_users_exact"))
+    assert(acc.filter(col("rel_err") > 0.125).count() == 0,
+      "sketch estimate left its error envelope")
+  }
+}
