@@ -243,6 +243,13 @@ object SparkEntry {
     "curate_corpus" -> ((s, dir) =>
       Curation.corpus(T.table(s, dir, "documents"), curationAudit(s, dir))),
     "curate_funnel" -> ((s, dir) => Curation.funnel(curationAudit(s, dir))),
+    // the pipeline's output artifact: the CURATED corpus packed into
+    // token-budget training shards (composition of the funnel + the
+    // two-phase distributed prefix sum)
+    "curate_token_shards" -> ((s, dir) =>
+      HashSplit.tokenShards(T.table(s, dir, "documents").join(
+        curationAudit(s, dir).filter("curated").select("doc_id"),
+        Seq("doc_id")))),
     "curate_funnel_lang" -> ((s, dir) =>
       Curation.funnelByLang(curationAudit(s, dir))),
     "split_assign" -> ((s, dir) =>
@@ -373,6 +380,7 @@ object SparkEntry {
     "curate_audit" -> OO.CURATE_AUDIT,
     "curate_corpus" -> OO.CURATE_CORPUS,
     "curate_funnel" -> OO.CURATE_FUNNEL,
+    "curate_token_shards" -> OO.CURATE_TOKEN_SHARDS,
     "curate_funnel_lang" -> OO.CURATE_FUNNEL_LANG,
     "split_assign" -> OO.SPLIT_ASSIGN,
     "split_summary" -> OO.SPLIT_SUMMARY,

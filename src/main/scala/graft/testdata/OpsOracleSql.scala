@@ -997,6 +997,26 @@ object OpsOracleSql {
        |SELECT $curFunnelCounters
        |FROM cur_audit""".stripMargin
 
+  /** Mirrors the `curate_token_shards` composition: [[SPLIT_TOKEN_SHARDS]]
+    * over only the curated documents — the funnel's output artifact packed
+    * into training shards.
+    */
+  val CURATE_TOKEN_SHARDS: String = {
+    import graft.ops.HashSplit.ShardTokenBudget
+    s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},
+       |$ddClusterChain,
+       |$curAuditChain
+       |SELECT doc_id, n_tok,
+       |       CAST(sum(n_tok) OVER w AS BIGINT) AS cum_tokens,
+       |       CAST((sum(n_tok) OVER w - n_tok) // $ShardTokenBudget AS BIGINT)
+       |         AS shard_id
+       |FROM (SELECT doc_id, CAST(len($tokensDuck) AS BIGINT) AS n_tok
+       |      FROM documents
+       |      WHERE doc_id IN (SELECT doc_id FROM cur_audit WHERE curated))
+       |WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |             AND CURRENT ROW)""".stripMargin
+  }
+
   /** Mirrors [[graft.ops.Curation.funnelByLang]]. */
   val CURATE_FUNNEL_LANG: String =
     s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},

@@ -97,6 +97,8 @@ class PlanSpec extends SparkSpec {
       "api_breadth_trend" -> "same breadth relation (one row per day)",
       "split_token_shards" ->
         "offsets leg of the two-phase prefix sum: one row per range partition",
+      "curate_token_shards" ->
+        "same two-phase prefix sum over the curated subset",
       "stock_volume_deciles" ->
         "ntile(10) is a global rank over the per-ticker aggregate by definition")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
