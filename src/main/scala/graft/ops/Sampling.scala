@@ -41,11 +41,14 @@ object Sampling {
       .withColumn("kept", col("bucket") < col("threshold"))
 
   /** The sampled corpus itself: input rows whose hash falls under the
-    * stratum threshold.
+    * stratum threshold. The keep decision is row-local, so membership is a
+    * WHERE over one narrow scan — joining back through the assignment
+    * relation would shuffle the corpus on doc_id just to re-attach rows to
+    * their own flag.
     */
   def stratifiedSample(docs: DataFrame, stratumCol: String = "lang"): DataFrame =
-    docs.join(stratifiedAssign(docs, stratumCol).filter(col("kept"))
-      .select("doc_id"), Seq("doc_id"))
+    docs.where(expr(
+      s"${bucketExpr(stratumCol)} < ${thresholdExpr(stratumCol)}"))
 
   /** Realized-vs-target mix per stratum: total rows, kept rows, the target
     * rate, and the realized rate. One hash agg; the realized/target gap is
@@ -85,7 +88,10 @@ object Sampling {
   /** Per-row assignment against [[targetThresholds]] — same auditable
     * (bucket, threshold, kept) contract as [[stratifiedAssign]], with the
     * threshold joined from the derived per-stratum relation (broadcast: one
-    * row per stratum).
+    * row per stratum). LEFT join: a NULL stratum never equi-joins, and the
+    * one-row-per-input-doc audit invariant must survive it (such rows keep
+    * a NULL threshold and NULL kept, exactly like [[stratifiedAssign]]'s
+    * null-propagating bucket).
     */
   def targetAssign(docs: DataFrame, targetPerStratum: Long,
       stratumCol: String = "lang"): DataFrame =
@@ -95,7 +101,7 @@ object Sampling {
       s"${bucketExpr(stratumCol)} AS bucket")
       .join(broadcast(
         targetThresholds(docs, targetPerStratum, stratumCol)
-          .select("stratum", "threshold")), Seq("stratum"))
+          .select("stratum", "threshold")), Seq("stratum"), "left")
       .withColumn("kept", col("bucket") < col("threshold"))
       .select("doc_id", "stratum", "bucket", "threshold", "kept")
 }

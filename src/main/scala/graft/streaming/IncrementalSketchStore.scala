@@ -37,11 +37,28 @@ object IncrementalSketchStore {
         sum("value").as("sum_value"),
         expr("hll_sketch_agg(user_id, 12)").as("users_hll"))
 
+  /** Schema of the merged daily report. */
+  val ReportSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("n_users_approx",
+        org.apache.spark.sql.types.LongType)))
+
   /** The merged daily report: exact additive counters, sketch-estimated
-    * distinct users. One scan of day-grain partial rows.
+    * distinct users. One scan of day-grain partial rows. An empty stream
+    * (store never created) reports zero days, not a crash — the house
+    * pattern.
     */
   def dailyReport(spark: SparkSession, sketchPath: String): DataFrame =
-    spark.read.parquet(sketchPath).drop("batch")
+    if (!StoragePaths.exists(spark, sketchPath))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), ReportSchema)
+    else spark.read.parquet(sketchPath).drop("batch")
       .groupBy("day")
       .agg(
         sum("n_events").as("n_events"),

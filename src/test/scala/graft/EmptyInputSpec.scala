@@ -41,6 +41,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(HashSplit.split(d).count() == 0)
     assert(HashSplit.tokenShards(d).count() == 0)
     assert(Curation.rowAudit(d).count() == 0)
+    assert(Sampling.stratifiedSample(d).count() == 0)
+    assert(Sampling.targetAssign(d, 10L).count() == 0)
     val audited = Curation.audit(d, Dedup.minhashDupClusters(d))
     assert(audited.count() == 0)
     assert(Curation.corpus(d.withColumn("source", lit("s"))

@@ -16,6 +16,15 @@ class IncrementalSketchStoreSpec extends SparkSpec {
 
   private lazy val events = T.events(spark, sf).cache()
 
+  test("an empty first drain reports zero days, not a crash") {
+    val landing = Files.createTempDirectory("sk0-landing")
+    val ckpt = Files.createTempDirectory("sk0-ckpt").toString + "/c"
+    val store = Files.createTempDirectory("sk0-store").toString + "/sketches"
+    val out = IncrementalSketchStore.run(
+      spark, landing.toString, ckpt, store, events.schema)
+    assert(out.count() == 0)
+  }
+
   test("two-batch sketch store merges to the batch aggregates") {
     val landing = Files.createTempDirectory("sk-landing")
     val ckpt = Files.createTempDirectory("sk-ckpt").toString + "/c"
