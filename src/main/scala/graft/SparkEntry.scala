@@ -99,6 +99,33 @@ object SparkEntry {
     dimSecurities(s, dir).createOrReplaceTempView("dim_securities_current")
   }
 
+  /** The training-data world's SQL surface: the raw tables plus the
+    * resolved curation relations as temp views, so an analyst can ask
+    * plain-SQL questions of the funnel's output the way the dashboard
+    * pages query the stock marts. Lazy views over the memoized audit —
+    * registration costs nothing until queried.
+    */
+  def registerOpsViews(s: SparkSession, dir: String): Unit = {
+    T.table(s, dir, "documents").createOrReplaceTempView("documents")
+    T.table(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    curationAudit(s, dir).createOrReplaceTempView("curate_audit")
+    Curation.corpus(T.table(s, dir, "documents"), curationAudit(s, dir))
+      .createOrReplaceTempView("curated_corpus")
+  }
+
+  // order-independent aggregates only (counts, integer sums, min/max):
+  // a float avg re-associates differently per engine and can flip the
+  // 9-sig-digit hash — same discipline as sectorMomentumSql
+  private val curationBySourceSql =
+    """SELECT source, split,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(min(quality_score) AS DOUBLE) AS min_quality,
+      |       CAST(max(quality_score) AS DOUBLE) AS max_quality
+      |FROM curated_corpus
+      |GROUP BY source, split
+      |ORDER BY source, split""".stripMargin
+
   /** The ad-hoc SQL surface proof: plain ANSI SQL over the registered mart
     * views, oracle-checked like every DataFrame query. Aggregates are
     * order-independent (counts, integer sums, min/max) so the cross-engine
@@ -319,6 +346,10 @@ object SparkEntry {
       registerMartViews(s, dir)
       s.sql(sectorMomentumSql)
     }),
+    "sql_curation_by_source" -> ((s, dir) => {
+      registerOpsViews(s, dir)
+      s.sql(curationBySourceSql)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -381,6 +412,7 @@ object SparkEntry {
     "curate_corpus" -> OO.CURATE_CORPUS,
     "curate_funnel" -> OO.CURATE_FUNNEL,
     "curate_token_shards" -> OO.CURATE_TOKEN_SHARDS,
+    "sql_curation_by_source" -> OO.SQL_CURATION_BY_SOURCE,
     "curate_funnel_lang" -> OO.CURATE_FUNNEL_LANG,
     "split_assign" -> OO.SPLIT_ASSIGN,
     "split_summary" -> OO.SPLIT_SUMMARY,

@@ -1017,6 +1017,28 @@ object OpsOracleSql {
        |             AND CURRENT ROW)""".stripMargin
   }
 
+  /** Mirrors the `sql_curation_by_source` view query — plain SQL over the
+    * curated-corpus view, aggregated with order-independent functions
+    * only.
+    */
+  val SQL_CURATION_BY_SOURCE: String =
+    s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},
+       |$ddClusterChain,
+       |$curAuditChain,
+       |cur_corpus AS (
+       |  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       |         a.quality_score, a.split
+       |  FROM documents d
+       |  JOIN (SELECT doc_id, quality_score, split FROM cur_audit
+       |        WHERE curated) a USING (doc_id))
+       |SELECT source, split,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |       CAST(min(quality_score) AS DOUBLE) AS min_quality,
+       |       CAST(max(quality_score) AS DOUBLE) AS max_quality
+       |FROM cur_corpus
+       |GROUP BY source, split""".stripMargin
+
   /** Mirrors [[graft.ops.Curation.funnelByLang]]. */
   val CURATE_FUNNEL_LANG: String =
     s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},

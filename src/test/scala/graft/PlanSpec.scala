@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.Queries
 import graft.models.{FctTradingMomentum, IntRussellDaily}
-import graft.ops.{AsOfJoin, Curation, Dedup, Relational, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Curation, Dedup, Relational, Sampling, Similarity, TextAnalysis}
 import graft.testdata.{TestFixtures => T}
 
 /** Physical-plan assertions for the scale-critical operators: these pin the
@@ -117,6 +117,13 @@ class PlanSpec extends SparkSpec {
       }
     assert(offenders.isEmpty,
       s"unpartitioned windows over unbounded input:\n${offenders.mkString("\n")}")
+  }
+
+  test("stratified sampling is one narrow scan — no exchange, no join") {
+    // the keep decision is row-local; any Exchange here means someone
+    // reintroduced the assignment self-join
+    val ns = nodes(Sampling.stratifiedSample(T.table(spark, sf, "documents")))
+    assert(!ns.exists(n => n.contains("Exchange") || n.contains("Join")), ns)
   }
 
   test("curation audit stays within its corpus-scan budget") {
