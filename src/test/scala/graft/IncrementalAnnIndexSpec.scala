@@ -1,8 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Path, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.functions._
 
@@ -133,6 +131,17 @@ class IncrementalAnnIndexSpec extends SparkSpec {
     assert(store.count() == 100L)
     assert(store.groupBy("vec_id").count().filter(col("count") > 1)
       .count() == 0)
+  }
+
+  test("compact refuses an existing destination — no silent clobber") {
+    val src = Files.createTempDirectory("cmp-src").toString + "/s"
+    val dest = Files.createTempDirectory("cmp-dst").toString + "/d"
+    emb.limit(10).write.parquet(s"$src/batch=0")
+    assert(graft.streaming.StoreMaintenance.compact(
+      spark, src, dest, numFiles = 1) == 10L)
+    intercept[Exception] {
+      graft.streaming.StoreMaintenance.compact(spark, src, dest, numFiles = 1)
+    }
   }
 
   test("bootstrap without the seed vectors fails loudly, not silently") {

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Path}
 
 import scala.jdk.CollectionConverters._
 
