@@ -194,6 +194,32 @@ class IncrementalCurationSpec extends SparkSpec {
         s"symmetric diff $sym) — the est-Jaccard approximation drifted")
   }
 
+  test("a compacted signature store still catches re-crawled duplicates") {
+    val landing = Files.createTempDirectory("cur7-landing")
+    val ckpt = Files.createTempDirectory("cur7-ckpt").toString + "/c"
+    val sigs = Files.createTempDirectory("cur7-sigs").toString + "/sigs"
+    val corpus = Files.createTempDirectory("cur7-corpus").toString + "/corpus"
+    land(landing, "b1.parquet", Seq(row(1L, goodText(1)), row(2L, goodText(2))))
+    IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema)
+
+    // compact the signature store and swap it in as the live store under
+    // a FRESH checkpoint — the batch=-1 generation must coexist with the
+    // resumed stream's batch=0 and keep feeding the dedup join
+    val sigs2 = Files.createTempDirectory("cur7-sigs2").toString + "/sigs"
+    graft.streaming.StoreMaintenance.compact(spark, sigs, sigs2, numFiles = 1)
+    val landing2 = Files.createTempDirectory("cur7-landing2")
+    val ckpt2 = Files.createTempDirectory("cur7-ckpt2").toString + "/c"
+    val corpus2 = Files.createTempDirectory("cur7-corpus2").toString + "/c2"
+    land(landing2, "b2.parquet", Seq(row(10L, goodText(1)), row(11L, goodText(8))))
+    IncrementalCuration.run(
+      spark, landing2.toString, ckpt2, sigs2, corpus2, docSchema)
+    val sigIds = ids(spark.read.parquet(sigs2))
+    assert(!sigIds.contains(10L),
+      "re-crawl of a compacted-store doc must still be caught as duplicate")
+    assert(sigIds == Set(1L, 2L, 11L), s"store after re-entry: $sigIds")
+  }
+
   test("a rejected document's later copy is still recognized as duplicate") {
     val landing = Files.createTempDirectory("cur2-landing")
     val ckpt = Files.createTempDirectory("cur2-ckpt").toString + "/c"
