@@ -15,7 +15,7 @@ import graft.ops.{Dedup, Similarity}
   *
   * Stores:
   *  - leader store: the trained `(list_id, lvec, lnorm)` centroids,
-  *    written by the BOOTSTRAP batch (batchId 0, [[Similarity
+  *    written by the BOOTSTRAP batch (the first non-empty one, [[Similarity
   *    .trainLeaders]]) with overwrite — a replay of the bootstrap epoch
   *    retrains and rewrites the identical frame, so a crash mid-write
   *    cannot leave a partial leader set behind; every read re-validates
@@ -123,11 +123,16 @@ object IncrementalAnnIndex {
           // re-crawl can land in the same AvailableNow batch) — BEFORE
           // bootstrap too, or duplicated seed rows double the leader set
           val uniq = batch.dropDuplicates("vec_id")
-          if (batchId == 0L && !exists(leaderPath)) {
-            // bootstrap only when BOTH the epoch is first and no leaders
-            // exist: a store re-entering service under a fresh checkpoint
-            // (post-compaction) must keep its frozen leaders, not retrain
-            // and re-route every existing assignment. A partial leader
+          if (!exists(leaderPath)) {
+            // bootstrap exactly while no leaders exist — i.e. on the first
+            // NON-EMPTY batch. Keying on batchId == 0 as well would brick
+            // the stream if epoch 0 ever committed empty (a drain over a
+            // not-yet-populated landing dir): every later batch would die
+            // in readLeaders with no recovery short of deleting the
+            // checkpoint. The exists() guard alone already keeps a store
+            // re-entering service under a fresh checkpoint
+            // (post-compaction) on its frozen leaders — no retrain, no
+            // re-routing of existing assignments. A partial leader
             // write from a crashed bootstrap is not silently trusted —
             // readLeaders fails loudly on a wrong centroid count.
             val trained = Similarity.trainLeaders(uniq, kmeansIters)

@@ -140,14 +140,28 @@ object IncrementalCuration {
 
   /** Curate one batch against the stores — separated from the streaming
     * loop so the logic is testable without a stream.
+    *
+    * `priorIds` is the first-write-wins membership relation: doc_ids the
+    * store already owns, EXCLUDING the replaying batch's own partition
+    * (see [[run]]). Without it a re-crawled document landing in a LATER
+    * batch under its stored doc_id bypasses dedup entirely — the only
+    * stored row with matching content is its own prior copy, which the
+    * candidate join excludes via `n.doc_id =!= o.doc_id` (needed for
+    * replay idempotence) — and duplicate doc_id rows would accumulate in
+    * both stores, breaking the one-row-per-doc invariant.
     */
-  def curateBatch(batch: DataFrame, storeSigs: DataFrame): BatchResult = {
+  def curateBatch(batch: DataFrame, storeSigs: DataFrame,
+      priorIds: Option[DataFrame] = None): BatchResult = {
     // one row per doc_id even if a file and its re-crawl land in the SAME
     // drain (AvailableNow can pull both into one micro-batch): the
     // cross-batch anti-join can't see them, and the dedup self-join
     // excludes same-id matches, so without this guard both copies would
-    // survive and multiply through the gate joins
-    val uniq = batch.dropDuplicates("doc_id")
+    // survive and multiply through the gate joins. A doc_id the store
+    // already owns drops out at the same funnel stage (landed − unique),
+    // the ledger's "not novel" bucket.
+    val uniq0 = batch.dropDuplicates("doc_id")
+    val uniq = priorIds.fold(uniq0)(p =>
+      uniq0.join(p.select("doc_id"), Seq("doc_id"), "left_anti"))
     // persist + eager fill: the signature relation feeds the band join,
     // both estimate legs, and the kept-signature anti-join; dupIds (the
     // whole LSH join) feeds both output writes. Without materialization
@@ -203,11 +217,20 @@ object IncrementalCuration {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // drop the discovered batch=N partition column so the store
-          // unions cleanly with fresh signature rows
-          val store =
-            if (exists(sigPath)) spark.read.parquet(sigPath).drop("batch")
-            else emptySigs
-          val r = curateBatch(batch, store)
+          // unions cleanly with fresh signature rows. The membership
+          // relation EXCLUDES this batch's own partition (same reasoning
+          // as IncrementalAnnIndex.run): foreachBatch is at-least-once,
+          // and a replay after a crash-post-write must not anti-join the
+          // batch against its own previously written rows — that would
+          // overwrite batch=N with an empty directory, silent data loss.
+          val (store, priorIds) =
+            if (exists(sigPath)) {
+              val s = spark.read.parquet(sigPath)
+              (s.drop("batch"),
+                Some(s.filter(col("batch").cast("long") =!= batchId)
+                  .select("doc_id")))
+            } else (emptySigs, None)
+          val r = curateBatch(batch, store, priorIds)
           // per-batch overwrite = idempotent under foreachBatch replay
           r.curated.write.mode("overwrite")
             .parquet(s"$corpusPath/batch=$batchId")

@@ -874,7 +874,9 @@ object OpsOracleSql {
 
   /** Mirrors [[graft.ops.Sampling.targetAssign]] at the spec'd fixture
     * target — same integer ceiling division, `//` in DuckDB, `div` in
-    * Spark.
+    * Spark. LEFT join like the engine: a NULL-lang doc keeps its audit row
+    * (NULL threshold / kept) instead of being dropped — the engines must
+    * agree on NULL-stratum rows the moment the fixture grows one.
     */
   def SAMPLE_TARGET_ASSIGN(target: Long): String =
     s"""SELECT doc_id, stratum, bucket, threshold, bucket < threshold AS kept
@@ -883,7 +885,7 @@ object OpsOracleSql {
        |    ${hexcastDuck("concat('sample:', lang, ':', CAST(doc_id AS VARCHAR))")} % $SampleMod AS bucket,
        |    t.threshold
        |  FROM documents d
-       |  JOIN (
+       |  LEFT JOIN (
        |    SELECT lang AS stratum,
        |           CAST(least($SampleMod, (${target * SampleMod} + COUNT(*) - 1) // COUNT(*)) AS BIGINT) AS threshold
        |    FROM documents GROUP BY lang) t ON t.stratum = d.lang)""".stripMargin

@@ -144,6 +144,24 @@ class IncrementalAnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("an empty epoch 0 does not brick the stream — bootstrap on first data") {
+    val landing = Files.createTempDirectory("ann3-landing")
+    val ckpt = Files.createTempDirectory("ann3-ckpt").toString + "/c"
+    val leaders = Files.createTempDirectory("ann3-l").toString + "/leaders"
+    val lists = Files.createTempDirectory("ann3-lists").toString + "/lists"
+    // epoch 0 commits with a zero-row file: no leaders can be trained.
+    // The stream must stay recoverable — bootstrap keys on the leader
+    // store's absence, not on batchId == 0.
+    land(landing, "b0.parquet", emb.limit(0))
+    IncrementalAnnIndex.run(
+      spark, landing.toString, ckpt, leaders, lists, emb.schema)
+    land(landing, "b1.parquet", emb.filter(col("vec_id") < 200L))
+    val store = IncrementalAnnIndex.run(
+      spark, landing.toString, ckpt, leaders, lists, emb.schema)
+    assert(store.count() == 200L,
+      "the first non-empty batch must train leaders and index its vectors")
+  }
+
   test("bootstrap without the seed vectors fails loudly, not silently") {
     val landing = Files.createTempDirectory("ann2-landing")
     val ckpt = Files.createTempDirectory("ann2-ckpt").toString + "/c"

@@ -220,6 +220,34 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(sigIds == Set(1L, 2L, 11L), s"store after re-entry: $sigIds")
   }
 
+  test("a re-crawled doc_id landing in a LATER batch is not re-admitted") {
+    val landing = Files.createTempDirectory("cur8-landing")
+    val ckpt = Files.createTempDirectory("cur8-ckpt").toString + "/c"
+    val sigs = Files.createTempDirectory("cur8-sigs").toString + "/sigs"
+    val corpus = Files.createTempDirectory("cur8-corpus").toString + "/corpus"
+    land(landing, "b1.parquet", Seq(row(1L, goodText(1)), row(2L, goodText(2))))
+    val c1 = IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema)
+    val doc1Before = c1.filter(col("doc_id") === 1L).count()
+    // batch 2 re-lands doc 1 under its STORED id (a re-crawl): the only
+    // stored row with matching content is its own prior copy, which the
+    // candidate join excludes by doc_id — membership (first write wins)
+    // must catch it, or duplicate rows accumulate in both stores
+    land(landing, "b2.parquet", Seq(row(1L, goodText(1)), row(5L, goodText(5))))
+    val c = IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema)
+    assert(c.filter(col("doc_id") === 1L).count() == doc1Before,
+      "a re-crawled stored doc_id must not add corpus rows")
+    assert(c.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    val sigDup = spark.read.parquet(sigs).groupBy("doc_id").count()
+      .filter(col("count") > 1).count()
+    assert(sigDup == 0, "signature store must stay one row per doc_id")
+    assert(spark.read.parquet(s"$sigs/batch=1").filter(col("doc_id") === 1L)
+      .count() == 0, "the re-crawl batch must not re-write doc 1's signature")
+    assert(ids(spark.read.parquet(sigs)).contains(5L),
+      "the novel batch-mate must still be admitted to the store")
+  }
+
   test("a rejected document's later copy is still recognized as duplicate") {
     val landing = Files.createTempDirectory("cur2-landing")
     val ckpt = Files.createTempDirectory("cur2-ckpt").toString + "/c"
