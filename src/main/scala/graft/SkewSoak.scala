@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, HashSplit}
-import graft.streaming.IncrementalCuration
+import graft.streaming.{IncrementalAnnIndex, IncrementalCuration, StoreMaintenance}
 
 /** Skew soak harness: proves the document-frequency / band-occupancy caps
   * keep the posting-list joins near-LINEAR on an adversarially skewed
@@ -86,6 +86,38 @@ object SkewSoak {
       label -> runs
     }
 
+    // ANN membership-probe leg: per-batch add cost must be HISTORY-FREE,
+    // not merely linear — a fixed-size batch against a store grown 10×
+    // should cost the same, because the store's bucket COUNT scales with
+    // its size (the documented re-bucket-at-compaction policy) so bucket
+    // SIZE — the unit a probe reads — stays bounded. The probe reads
+    // ≤ batch-distinct-ids buckets either way.
+    val annBatch = 12
+    def annProbeSec(n: Long): Double = {
+      val root = java.nio.file.Files.createTempDirectory("soak-ann").toString
+      // flat landing → re-bucketed generation, the compaction path a real
+      // store takes as it grows; bucket size pinned at ~1500 ids
+      spark.range(n).select(col("id").as("vec_id"),
+          (col("id") % 16).as("list_id"), lit(1.0).as("list_cos"),
+          array(lit(0.1f), lit(0.2f)).as("embedding"), lit(1.0).as("norm"))
+        .write.parquet(s"$root/flat/batch=0")
+      val buckets = math.max(16, (n / 1500).toInt)
+      StoreMaintenance.compact(spark, s"$root/flat", s"$root/store",
+        numFiles = 32, bucketBy = Some(("vec_id", buckets)))
+      val batch = spark.range(annBatch.toLong)
+        .select((col("id") * (n / (annBatch + 1)) + 7).as("vec_id"))
+      def probe(): Long = batch.join(
+        IncrementalAnnIndex.priorIds(spark, s"$root/store", batch, -999L),
+        Seq("vec_id"), "left_anti").count()
+      probe() // warm: codegen + file-index caches, excluded
+      timed(probe())._1
+    }
+    val annBaseN = baseN * 30
+    val annSecs = Seq(annBaseN, annBaseN * 10).map(annProbeSec)
+    val annGrowth = annSecs(1) / annSecs(0)
+    val annJson =
+      f""""ann_membership":{"base_sec":${annSecs(0)}%.2f,"x10_sec":${annSecs(1)}%.2f,"time_growth":$annGrowth%.1f,"store_base":$annBaseN,"store_x10":${annBaseN * 10},"batch":$annBatch}"""
+
     val base = results.head._2.toMap
     val x10 = results.last._2.toMap
     // one growth derivation feeds BOTH the JSON line and the verdict, so
@@ -102,8 +134,12 @@ object SkewSoak {
     // (scheduling, the occupancy windows) without admitting quadratic.
     val verdicts = ops.map { case (name, _) =>
       name -> (growths(name) < 30.0)
-    }
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
+    } :+
+      // history-free, not just linear: 10× the store, flat probe time
+      // (4× admits scheduler/listing noise at these tiny absolute times
+      // without admitting store-proportional growth)
+      ("ann_membership" -> (annGrowth < 4.0))
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>

@@ -23,18 +23,27 @@ import graft.ops.{Dedup, Similarity}
   *    silently re-route earlier assignments.
   *  - list store: `(vec_id, list_id, list_cos, embedding, norm)` rows,
   *    appended per batch in one pass ([[Similarity
-  *    .assignWithLeadersRetaining]]). The vector RIDES IN THE LIST ROW
-  *    (how IVF lists are physically laid out), so probes read one store;
-  *    at warehouse scale the store is written partitioned by `list_id` so
-  *    a probe prunes to its nprobe lists.
+  *    .assignWithLeadersRetaining]]), laid out as
+  *    `batch=N/id_bucket=B/` with `B = pmod(xxhash64(vec_id), buckets)`.
+  *    The vector RIDES IN THE LIST ROW (how IVF lists are physically laid
+  *    out), so probes read one store; serving snapshots re-partition by
+  *    `list_id` so similarity probes prune to their nprobe lists.
   *
   * Re-landed vec_ids (a re-crawl) are IGNORED — first write wins, matching
   * FAISS `add` (an updated embedding needs an explicit remove+add). The
-  * membership check is a vec_id anti-join against the store; at warehouse
-  * scale that column read is a Bloom-filter / primary-key probe.
+  * membership check ([[priorIds]]) is a vec_id anti-join against ONLY the
+  * batch's touched id buckets: static partition pruning limits the read to
+  * `touched/buckets` of the store's files, and parquet column pruning to
+  * the `vec_id` column within them — the hash-index probe shape, the same
+  * touched-slice contract as [[IncrementalCuration.newDuplicates]]. The
+  * bucket count is a store property (`_id_buckets` marker, written when
+  * the store is created and preserved by compaction), so maintenance can
+  * RE-BUCKET a grown store ([[StoreMaintenance.compact]] with `bucketBy`)
+  * to keep bucket size bounded — per-batch membership I/O is then
+  * ∝ batch × bounded-bucket-size, independent of corpus history.
   *
   * Per-batch cost: one broadcast of [[Similarity.NumLists]] centroids ×
-  * one linear scan of the batch, plus the membership probe.
+  * one linear scan of the batch, plus the bucket-pruned membership probe.
   * Exactly-once follows the house pattern: checkpointed file tracking +
   * per-batch overwrite directories.
   */
@@ -47,6 +56,65 @@ object IncrementalAnnIndex {
     StructField("list_cos", DoubleType),
     StructField("embedding", ArrayType(FloatType)),
     StructField("norm", DoubleType)))
+
+  /** Default id-bucket count for a fresh store. A store property, not a
+    * session one: every batch of a store MUST bucket with the same count
+    * or membership probes would look in the wrong partitions and re-admit
+    * stored ids. The store's actual count lives in its [[IdBucketsMarker]]
+    * file; this default only seeds stores that don't exist yet. Sized so a
+    * maintenance batch touches a strict subset; compaction re-buckets as
+    * the store grows (bucket size, not bucket count, is the bounded
+    * quantity).
+    */
+  val NumIdBuckets = 64
+
+  /** Store-root marker file recording the id-bucket count (leading `_`
+    * keeps it out of partition discovery).
+    */
+  val IdBucketsMarker = "_id_buckets"
+
+  /** `pmod(xxhash64(vec_id), buckets)` — the bucket a vector's membership
+    * row lives under. Int-typed to round-trip exactly through partition
+    * directory discovery.
+    */
+  def idBucket(vecId: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(vecId), lit(buckets.toLong)).cast("int")
+
+  /** The store's id-bucket count, from its marker file. None = a store
+    * that doesn't exist yet, or a legacy flat layout.
+    */
+  def bucketCount(spark: SparkSession, listPath: String): Option[Int] =
+    StoragePaths.readSmallFile(spark, s"$listPath/$IdBucketsMarker")
+      .map(_.trim.toInt)
+
+  /** Stored vec_ids a batch could collide with, read with static partition
+    * pruning to the batch's TOUCHED id buckets (collecting at most
+    * `buckets` distinct bucket numbers to the driver — the same bounded
+    * collect as the k-means centroid fold). Excludes `excludeBatchId`'s
+    * own partition: foreachBatch is at-least-once, and a replay after a
+    * crash-post-write must not anti-join a batch against its own
+    * previously written rows (that would rewrite `batch=N` empty — silent
+    * data loss). A store without a bucket marker (legacy flat layout)
+    * falls back to the unpruned column scan — correct, just not
+    * history-free.
+    */
+  def priorIds(
+      spark: SparkSession,
+      listPath: String,
+      batchIds: DataFrame,
+      excludeBatchId: Long): DataFrame = {
+    val store = bucketCount(spark, listPath) match {
+      case Some(n) =>
+        val touched = batchIds
+          .select(idBucket(col("vec_id"), n).as("id_bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(listPath)
+          .filter(col("id_bucket").isin(touched: _*))
+      case None => spark.read.parquet(listPath)
+    }
+    store.filter(col("batch").cast("long") =!= excludeBatchId)
+      .select("vec_id")
+  }
 
   private def readLeaders(spark: SparkSession, leaderPath: String): DataFrame = {
     val cents = spark.read.parquet(leaderPath)
@@ -74,7 +142,7 @@ object IncrementalAnnIndex {
       nprobe: Int = Similarity.NProbe,
       maxListOccupancy: Int = Similarity.MaxListOccupancy): DataFrame = {
     val cents = readLeaders(spark, leaderPath)
-    val lists = spark.read.parquet(listPath).drop("batch")
+    val lists = spark.read.parquet(listPath).drop("batch", "id_bucket")
       .withColumn("lrnk", row_number().over(
         Window.partitionBy("list_id").orderBy("vec_id")))
       .filter(col("lrnk") <= maxListOccupancy)
@@ -112,7 +180,8 @@ object IncrementalAnnIndex {
       leaderPath: String,
       listPath: String,
       embSchema: StructType,
-      kmeansIters: Int = 0): DataFrame = {
+      kmeansIters: Int = 0,
+      numIdBuckets: Int = NumIdBuckets): DataFrame = {
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     val q = spark.readStream.schema(embSchema).parquet(landingDir)
       .writeStream
@@ -144,23 +213,45 @@ object IncrementalAnnIndex {
             trained.write.mode("overwrite").parquet(leaderPath)
           }
           val cents = readLeaders(spark, leaderPath)
+          // the STORE's bucket count governs both the probe and the
+          // write — a compacted store re-entering service keeps its
+          // marker's count even if the session default changed, or the
+          // probe would look in the wrong partitions and re-admit ids.
+          // The marker is written AFTER the first data write (below), so
+          // marker-present ⇒ data-present. A store that exists WITHOUT a
+          // marker (legacy flat layout, or a crash in the window between
+          // first data write and marker write) stays flat: batch layouts
+          // cannot mix under one root, and correctness only needs the
+          // unpruned fallback probe.
+          val storeBuckets = bucketCount(spark, listPath)
+          val legacyFlat = storeBuckets.isEmpty && exists(listPath)
           // first write wins for a re-landed vec_id (FAISS add
-          // semantics). The membership read EXCLUDES this batch's own
-          // partition: foreachBatch is at-least-once, and a replay after
-          // a crash-post-write would otherwise anti-join the batch
-          // against its own previously written rows and overwrite
-          // batch=N with an empty directory — silent data loss.
+          // semantics), checked against only the touched id buckets
+          // (see priorIds).
           val fresh =
-            if (exists(listPath))
-              uniq.join(
-                spark.read.parquet(listPath)
-                  .filter(col("batch").cast("long") =!= batchId)
-                  .select("vec_id"),
+            if (storeBuckets.isDefined || legacyFlat)
+              uniq.join(priorIds(spark, listPath, uniq, batchId),
                 Seq("vec_id"), "left_anti")
             else uniq
-          Similarity.assignWithLeadersRetaining(fresh, cents)
+          val assigned = Similarity.assignWithLeadersRetaining(fresh, cents)
             .select("vec_id", "list_id", "list_cos", "embedding", "norm")
-            .write.mode("overwrite").parquet(s"$listPath/batch=$batchId")
+          if (legacyFlat)
+            assigned.write.mode("overwrite")
+              .parquet(s"$listPath/batch=$batchId")
+          else {
+            val buckets = storeBuckets.getOrElse(numIdBuckets)
+            // repartition ON the bucket column: one file per touched
+            // bucket per batch (a bucket lives in exactly one task), not
+            // one per (task × bucket)
+            assigned
+              .withColumn("id_bucket", idBucket(col("vec_id"), buckets))
+              .repartition(col("id_bucket"))
+              .write.mode("overwrite").partitionBy("id_bucket")
+              .parquet(s"$listPath/batch=$batchId")
+            if (storeBuckets.isEmpty)
+              StoragePaths.writeSmallFile(
+                spark, s"$listPath/$IdBucketsMarker", buckets.toString)
+          }
         }
         ()
       }
@@ -169,7 +260,8 @@ object IncrementalAnnIndex {
     q.awaitTermination()
     // a drain that landed nothing never creates the store — return an
     // empty index, not a crash
-    if (exists(listPath)) spark.read.parquet(listPath).drop("batch")
+    if (exists(listPath))
+      spark.read.parquet(listPath).drop("batch", "id_bucket")
     else spark.createDataFrame(new java.util.ArrayList[Row](), ListSchema)
   }
 }

@@ -36,16 +36,44 @@ object StoreMaintenance {
     * a crashed compaction — fails fast rather than being clobbered
     * (recovery = delete the partial destination or pick a new one; the
     * source is never touched either way).
+    *
+    * `bucketBy = Some((idCol, buckets))` RE-BUCKETS an id-partitioned
+    * store ([[IncrementalAnnIndex]]'s membership layout): the bucket
+    * column is recomputed as `pmod(xxhash64(idCol), buckets)`, the
+    * output lands as `batch=-1/id_bucket=B/`, and the store's
+    * `_id_buckets` marker is rewritten LAST (marker-present ⇒
+    * data-present, the same ordering the streaming writer uses). This is
+    * how a grown store keeps its membership-probe I/O history-free:
+    * bucket COUNT scales with the store so bucket SIZE — the unit a
+    * probe reads — stays bounded.
     */
   def compact(
       spark: SparkSession,
       srcPath: String,
       destPath: String,
-      numFiles: Int): Long = {
+      numFiles: Int,
+      bucketBy: Option[(String, Int)] = None): Long = {
     require(numFiles > 0, s"compact: numFiles must be positive, got $numFiles")
-    spark.read.parquet(srcPath).drop("batch")
-      .repartition(numFiles).write.mode("errorifexists")
-      .parquet(s"$destPath/batch=$CompactedBatch")
+    // drop BOTH discovered partition columns: `batch` always, and any
+    // source `id_bucket` so a re-bucketing compaction recomputes it
+    // instead of carrying a stale assignment into the data files
+    val rows = spark.read.parquet(srcPath).drop("batch", "id_bucket")
+    bucketBy match {
+      case Some((idCol, buckets)) =>
+        require(buckets > 0, s"compact: bucket count must be positive")
+        rows
+          .withColumn("id_bucket",
+            IncrementalAnnIndex.idBucket(col(idCol), buckets))
+          .repartition(numFiles, col("id_bucket"))
+          .write.mode("errorifexists").partitionBy("id_bucket")
+          .parquet(s"$destPath/batch=$CompactedBatch")
+        StoragePaths.writeSmallFile(spark,
+          s"$destPath/${IncrementalAnnIndex.IdBucketsMarker}",
+          buckets.toString)
+      case None =>
+        rows.repartition(numFiles).write.mode("errorifexists")
+          .parquet(s"$destPath/batch=$CompactedBatch")
+    }
     spark.read.parquet(destPath).count()
   }
 
@@ -65,8 +93,9 @@ object StoreMaintenance {
       s"servingSnapshot: need positive numFiles and partition columns")
     // repartition ON the partition columns: a plain repartition(n) spreads
     // every partition value across all n tasks and writes ~n files per
-    // partition directory — the small-files problem this module fixes
-    spark.read.parquet(srcPath).drop("batch")
+    // partition directory — the small-files problem this module fixes.
+    // id_bucket is a maintenance-layout detail, not serving data.
+    spark.read.parquet(srcPath).drop("batch", "id_bucket")
       .repartition(numFiles, partitionBy.map(col): _*)
       .write.mode("errorifexists")
       .partitionBy(partitionBy: _*).parquet(destPath)

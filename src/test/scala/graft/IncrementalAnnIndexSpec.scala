@@ -63,6 +63,55 @@ class IncrementalAnnIndexSpec extends SparkSpec {
     assert(sym == 0, s"store probe diverges from batch probe by $sym rows")
   }
 
+  test("membership probe reads only the batch's touched id buckets") {
+    val landing = Files.createTempDirectory("annp-landing")
+    val ckpt = Files.createTempDirectory("annp-ckpt").toString + "/c"
+    val leaders = Files.createTempDirectory("annp-l").toString + "/leaders"
+    val lists = Files.createTempDirectory("annp-lists").toString + "/lists"
+    land(landing, "b1.parquet", emb.filter(col("vec_id") < 300L))
+    IncrementalAnnIndex.run(
+      spark, landing.toString, ckpt, leaders, lists, emb.schema)
+    land(landing, "b2.parquet",
+      emb.filter(col("vec_id") >= 300L && col("vec_id") < 400L))
+    IncrementalAnnIndex.run(
+      spark, landing.toString, ckpt, leaders, lists, emb.schema)
+
+    // a small maintenance batch: three already-stored ids
+    val batchIds = spark.range(3)
+      .select((col("id") * 111 + 5).as("vec_id")) // 5, 116, 227
+    val probe = IncrementalAnnIndex.priorIds(
+      spark, lists, batchIds, excludeBatchId = 99L)
+    val got = probe.collect().map(_.getLong(0)).toSet
+    assert(Set(5L, 116L, 227L).subsetOf(got),
+      "the pruned probe must still surface every stored batch id")
+
+    val n = IncrementalAnnIndex.bucketCount(spark, lists).get
+    val touched = batchIds
+      .select(IncrementalAnnIndex.idBucket(col("vec_id"), n).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    import scala.jdk.CollectionConverters._
+    val allFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(lists))
+      .iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val expected =
+      allFiles.count(f => touched.exists(b => f.contains(s"/id_bucket=$b/")))
+    assert(expected < allFiles.size,
+      "fixture too narrow: the touched slice must be a strict subset")
+    // the IO contract itself: the scan touches exactly the touched-bucket
+    // files — static partition pruning, not a post-scan filter
+    val scan = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metrics("numFiles").value == expected,
+      s"scan read ${scan.metrics("numFiles").value} files, " +
+        s"expected the $expected touched-bucket files of ${allFiles.size}")
+    // and column pruning: only the id column leaves the parquet reader —
+    // the vectors riding in the list rows are never materialized
+    assert(scan.toString.contains("ReadSchema: struct<vec_id:bigint>"),
+      scan.toString.take(1000))
+  }
+
   test("compacted store probes identically, shrinks files, re-enters service") {
     val landing = Files.createTempDirectory("annc-landing")
     val ckpt = Files.createTempDirectory("annc-ckpt").toString + "/c"
@@ -78,9 +127,16 @@ class IncrementalAnnIndexSpec extends SparkSpec {
     val store = IncrementalAnnIndex.run(
       spark, landing.toString, ckpt, leaders, lists, emb.schema)
 
+    // compaction RE-BUCKETS: the grown store gets a larger id-bucket
+    // count (bounding bucket size, the unit a membership probe reads)
+    // and its marker must follow, or re-entry probes would use the old
+    // modulus and look in the wrong partitions
     val written = graft.streaming.StoreMaintenance.compact(
-      spark, lists, compacted, numFiles = 1)
+      spark, lists, compacted, numFiles = 1,
+      bucketBy = Some(("vec_id", 16)))
     assert(written == store.count(), "compaction must preserve every row")
+    assert(IncrementalAnnIndex.bucketCount(spark, compacted).contains(16),
+      "re-bucketing compaction must rewrite the bucket-count marker")
     val (beforeFiles, _) =
       graft.streaming.StoreMaintenance.fileStats(spark, lists)
     val (afterFiles, _) =
