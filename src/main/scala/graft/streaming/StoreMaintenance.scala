@@ -102,6 +102,107 @@ object StoreMaintenance {
     spark.read.parquet(destPath).count()
   }
 
+  // ---------------------------------------------------------------- //
+  // Generation pointer: atomic swap for concurrent readers.          //
+  // ---------------------------------------------------------------- //
+
+  /** Generation directory prefix under a store ROOT. A generation is one
+    * complete, immutable-after-publish copy of the store; the live one is
+    * named by the [[CurrentManifest]] pointer file.
+    */
+  val GenPrefix = "gen-"
+
+  /** Pointer file at the store root naming the live generation directory.
+    * Written LAST, as one small file — the single atomic primitive plain
+    * filesystems offer (HDFS create/rename is atomic; object-store
+    * single-key PUTs are atomic). This is the indirection a dbt `table`
+    * materialization gets from the warehouse's atomic swap: readers
+    * resolve the pointer, then read a directory that nothing will mutate.
+    */
+  val CurrentManifest = "_current"
+
+  /** The live generation's directory name, from the pointer file. */
+  def currentGeneration(spark: SparkSession, root: String): Option[String] =
+    StoragePaths.readSmallFile(spark, s"$root/$CurrentManifest").map(_.trim)
+
+  /** The live generation's full path — what every reader opens. Fails
+    * loudly on an unpublished root rather than guessing at a directory.
+    */
+  def resolveCurrent(spark: SparkSession, root: String): String =
+    currentGeneration(spark, root) match {
+      case Some(gen) => s"$root/$gen"
+      case None => throw new IllegalStateException(
+        s"StoreMaintenance: no $CurrentManifest manifest under $root — " +
+          "publish a generation before reading")
+    }
+
+  /** Point readers at `gen` — the LAST step of building a generation.
+    * Refuses a directory that doesn't exist (publishing a typo would
+    * break every subsequent reader atomically).
+    */
+  def publishGeneration(spark: SparkSession, root: String, gen: String): Unit = {
+    require(StoragePaths.exists(spark, s"$root/$gen"),
+      s"publishGeneration: $root/$gen does not exist")
+    StoragePaths.writeSmallFile(spark, s"$root/$CurrentManifest", gen)
+  }
+
+  /** Next unused generation name: one past the highest existing `gen-N`,
+    * whether that N was published or is the partial leaving of a crashed
+    * compaction — crashed partials are ABANDONED, never reused, so a
+    * retry needs no manual cleanup first ([[staleGenerations]] lists the
+    * abandoned ones for a later vacuum).
+    */
+  def nextGeneration(spark: SparkSession, root: String): String = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val used =
+      if (!fs.exists(p)) Array.empty[Int]
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.matches(s"$GenPrefix\\d+"))
+        .map(_.stripPrefix(GenPrefix).toInt)
+    f"$GenPrefix${used.foldLeft(-1)(math.max) + 1}%05d"
+  }
+
+  /** Generations that are safe to vacuum: every `gen-N` directory that is
+    * not the published one — superseded generations and crashed partials.
+    * Listing, not deletion: the caller owns the grace period for readers
+    * still draining the previous generation.
+    */
+  def staleGenerations(spark: SparkSession, root: String): Seq[String] = {
+    val current = currentGeneration(spark, root)
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.matches(s"$GenPrefix\\d+")).toSeq.sorted
+      .filterNot(current.contains)
+  }
+
+  /** [[compact]] the LIVE generation into the next one and atomically
+    * repoint readers — the full maintenance cycle. The row count is
+    * verified against the source BEFORE the pointer moves, so a lossy
+    * compaction never publishes; a crash anywhere before the final
+    * pointer write leaves readers on the old generation and the next
+    * retry simply takes a fresh generation number. Returns the new
+    * generation's path.
+    */
+  def compactCurrent(
+      spark: SparkSession,
+      root: String,
+      numFiles: Int,
+      bucketBy: Option[(String, Int)] = None): String = {
+    val src = resolveCurrent(spark, root)
+    val srcRows = spark.read.parquet(src).count()
+    val gen = nextGeneration(spark, root)
+    val dest = s"$root/$gen"
+    val written = compact(spark, src, dest, numFiles, bucketBy)
+    require(written == srcRows,
+      s"compactCurrent: wrote $written rows from a $srcRows-row source — " +
+        s"not publishing $gen; readers stay on ${src.split('/').last}")
+    publishGeneration(spark, root, gen)
+    dest
+  }
+
   /** (files, bytes) under a store path — the signal that schedules
     * compaction.
     */
