@@ -236,12 +236,22 @@ object Similarity {
     * no array lambdas in the hot path. A list that loses all members keeps
     * its previous centroid.
     */
-  def kmeansLeaders(emb: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 0, s"kmeansLeaders: iters must be >= 0, got $iters")
+  def kmeansLeaders(emb: DataFrame, iters: Int): DataFrame =
+    kmeansFromSeeds(emb, leaders(emb), iters)
+
+  /** [[kmeansLeaders]] from an EXPLICIT seed relation `(list_id, lvec,
+    * lnorm)` — the RETRAIN seam: an index maintainer re-training a skewed
+    * store seeds from the store's own current spread (e.g.
+    * [[graft.streaming.IvfMaintenance.hashTileSeeds]]) instead of the
+    * low-vec_id bootstrap vectors, which by construction sit wherever the
+    * corpus STARTED, not where it has drifted.
+    */
+  def kmeansFromSeeds(emb: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"kmeansFromSeeds: iters must be >= 0, got $iters")
     val spark = emb.sparkSession
     import spark.implicits._
     val e = withNorm(emb)
-    var cents = leaders(emb)
+    var cents = seeds
     for (_ <- 0 until iters) {
       val means = assignTo(e, cents)
         .join(e.select("vec_id", "embedding"), Seq("vec_id"))

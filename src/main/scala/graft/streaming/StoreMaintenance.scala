@@ -53,11 +53,27 @@ object StoreMaintenance {
       destPath: String,
       numFiles: Int,
       bucketBy: Option[(String, Int)] = None): Long = {
-    require(numFiles > 0, s"compact: numFiles must be positive, got $numFiles")
     // drop BOTH discovered partition columns: `batch` always, and any
     // source `id_bucket` so a re-bucketing compaction recomputes it
     // instead of carrying a stale assignment into the data files
     val rows = spark.read.parquet(srcPath).drop("batch", "id_bucket")
+    writeStoreLayout(spark, rows, destPath, numFiles, bucketBy)
+    spark.read.parquet(destPath).count()
+  }
+
+  /** The physical generation write shared by [[compact]] and the IVF
+    * retrain path ([[IvfMaintenance]]): `rows` (already free of partition
+    * columns) land under `destPath/batch=-1`, optionally re-bucketed by id
+    * with the `_id_buckets` marker rewritten LAST (marker-present ⇒
+    * data-present, the streaming writer's ordering).
+    */
+  def writeStoreLayout(
+      spark: SparkSession,
+      rows: DataFrame,
+      destPath: String,
+      numFiles: Int,
+      bucketBy: Option[(String, Int)]): Unit = {
+    require(numFiles > 0, s"compact: numFiles must be positive, got $numFiles")
     bucketBy match {
       case Some((idCol, buckets)) =>
         require(buckets > 0, s"compact: bucket count must be positive")
@@ -74,7 +90,6 @@ object StoreMaintenance {
         rows.repartition(numFiles).write.mode("errorifexists")
           .parquet(s"$destPath/batch=$CompactedBatch")
     }
-    spark.read.parquet(destPath).count()
   }
 
   /** A SERVING snapshot: like [[compact]] but partitioned by the given
