@@ -25,13 +25,51 @@ import org.apache.spark.sql.SparkSession
   * 'completed' checkpoint is written, and the date is re-fetched on the
   * next run (see [[EnvelopeDecoder.corruptEnvelopes]]).
   *
-  * `baseUrl`/`apiKey` arrive as parameters — the reference reads them from
-  * `POLYGON_API_KEY`/`API_BASE_URL` config (`src/config.py`); wiring env
-  * vars to constructor args is the caller's concern.
+  * `baseUrl`/`apiKey` arrive as parameters; [[fromConfig]] wires them from
+  * `POLYGON_API_KEY`/`API_BASE_URL` the way the reference's config loader
+  * does (`src/config.py:16-26` — an injected lookup map standing in for
+  * Airflow Variables / `.env`, with the process environment beneath it).
   */
 object HttpMarketData {
 
   val RequestTimeoutMs = 10000L
+
+  /** Config keys the reference reads (`src/config.py:25-26`). */
+  val ApiKeyVar = "POLYGON_API_KEY"
+  val BaseUrlVar = "API_BASE_URL"
+
+  /** Default endpoint host — the reference's documented value
+    * (`src/extraction.py:23`: "Even if API_BASE_URL is just
+    * 'https://api.polygon.io'").
+    */
+  val DefaultBaseUrl = "https://api.polygon.io"
+
+  /** Resolve `(baseUrl, apiKey)` with the reference's precedence
+    * (`src/config.py:16-20`): the explicit config map first (its Airflow
+    * `Variable.get`), then the process environment (its `.env` fallback).
+    * The key is REQUIRED and fails loudly — the reference would send
+    * `apiKey=None` and surface an opaque 401 instead; the base URL
+    * defaults to the documented host.
+    */
+  def resolveConfig(config: Map[String, String],
+      env: Map[String, String] = sys.env): (String, String) = {
+    def get(k: String) = config.get(k).orElse(env.get(k)).filter(_.nonEmpty)
+    val key = get(ApiKeyVar).getOrElse(throw new IllegalStateException(
+      s"HttpMarketData: $ApiKeyVar is not set in config or environment"))
+    (get(BaseUrlVar).getOrElse(DefaultBaseUrl), key)
+  }
+
+  /** The live client wired from config/environment — [[resolveConfig]]
+    * feeding [[client]].
+    */
+  def fromConfig(spark: SparkSession,
+      config: Map[String, String] = Map.empty,
+      env: Map[String, String] = sys.env,
+      timeoutMs: Long = RequestTimeoutMs,
+      sleeper: Long => Unit = Thread.sleep): MarketDataClient = {
+    val (baseUrl, apiKey) = resolveConfig(config, env)
+    client(spark, baseUrl, apiKey, timeoutMs, sleeper)
+  }
 
   /** The reference's URL construction (`src/extraction.py:24-29`), params
     * inlined into the query string. The key is percent-encoded — the

@@ -262,6 +262,57 @@ class IngestSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("client wires from config: precedence, required key, default base URL") {
+    import graft.ingest.HttpMarketData.{resolveConfig, ApiKeyVar, BaseUrlVar}
+    // key from config, base URL defaulted (reference src/config.py:25-26)
+    assert(resolveConfig(Map(ApiKeyVar -> "k1"), Map.empty) ==
+      ("https://api.polygon.io", "k1"))
+    // explicit config beats the environment (Variable.get over os.getenv)
+    assert(resolveConfig(
+      Map(BaseUrlVar -> "http://cfg", ApiKeyVar -> "k1"),
+      Map(BaseUrlVar -> "http://env", ApiKeyVar -> "kenv")) ==
+      ("http://cfg", "k1"))
+    // environment alone suffices (.env local fallback)
+    assert(resolveConfig(Map.empty,
+      Map(BaseUrlVar -> "http://env", ApiKeyVar -> "k2")) ==
+      ("http://env", "k2"))
+    // a missing key fails loudly, naming the variable
+    val e = intercept[IllegalStateException](resolveConfig(Map.empty, Map.empty))
+    assert(e.getMessage.contains(ApiKeyVar))
+    // an empty value counts as unset, not as an empty api key
+    intercept[IllegalStateException](
+      resolveConfig(Map(ApiKeyVar -> ""), Map.empty))
+
+    // and the config-built client drives a real fetch end-to-end
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val d = LocalDate.parse("2024-07-08")
+    val good =
+      s"""{"status":"OK","queryCount":1,"resultsCount":1,"adjusted":true,"results":[""" +
+        s"""{"T":"CFG1","v":100.0,"vw":10.5,"o":10.0,"c":11.0,"h":11.5,"l":9.5,"n":7,""" +
+        s""""t":${d.toEpochDay * 86400000L}}]}"""
+    server.createContext("/", { exchange: HttpExchange =>
+      try {
+        seen.add(exchange.getRequestURI.toString)
+        val bytes = good.getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+      } finally exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = graft.ingest.HttpMarketData.fromConfig(spark,
+        config = Map(BaseUrlVar -> base, ApiKeyVar -> "kcfg"),
+        env = Map.empty)
+      assert(client.groupedDaily(d).map(_.ticker) == Seq("CFG1"))
+      assert(seen.poll() ==
+        "/v2/aggs/grouped/locale/us/market/stocks/2024-07-08?adjusted=true&apiKey=kcfg")
+    } finally server.stop(0)
+  }
+
   test("failed fetch writes a failed checkpoint and later retries") {
     import FetchResult._
     val rawPath = tmp("raw2")
