@@ -118,6 +118,40 @@ object SkewSoak {
     val annJson =
       f""""ann_membership":{"base_sec":${annSecs(0)}%.2f,"x10_sec":${annSecs(1)}%.2f,"time_growth":$annGrowth%.1f,"store_base":$annBaseN,"store_x10":${annBaseN * 10},"batch":$annBatch}"""
 
+    // Curation band-probe leg: the inverted band-index sidecar makes the
+    // LSH probe's STORE READ touched-bucket bounded, not just its compute
+    // — fixed probe batch, signature store grown 10×, flat probe time.
+    // Bucket count scales with the store (the re-bucket-at-maintenance
+    // policy) so bucket size — the unit a probe reads — stays bounded.
+    val curBatch = 12
+    def curProbeSec(n: Long): Double = {
+      val root = java.nio.file.Files.createTempDirectory("soak-cur").toString
+      val sigPath = s"$root/sigs"
+      Dedup.minhashSignatures(skewedDocs(spark, n))
+        .write.parquet(s"$sigPath/batch=0")
+      IncrementalCuration.rebuildBandIndex(spark, sigPath,
+        buckets = math.max(64, (n / 1500).toInt))
+      // re-crawled copies of stored docs — the dup-probe use case
+      val probeDocs = skewedDocs(spark, curBatch.toLong)
+        .withColumn("doc_id", col("doc_id") + lit(2000000000L))
+      val touched = IncrementalCuration.bandRowsOf(
+        Dedup.minhashSignatures(probeDocs))
+        .select("band_idx", "band_val").distinct().persist()
+      touched.count()
+      def probe(): Long = IncrementalCuration
+        .priorBandRows(spark, sigPath, touched, -999L)
+        .join(touched, Seq("band_idx", "band_val")).count()
+      probe() // warm: codegen + file-index caches, excluded
+      val sec = timed(probe())._1
+      touched.unpersist(blocking = false)
+      sec
+    }
+    val curBaseN = baseN * 10
+    val curSecs = Seq(curBaseN, curBaseN * 10).map(curProbeSec)
+    val curGrowth = curSecs(1) / curSecs(0)
+    val curJson =
+      f""""curation_band_probe":{"base_sec":${curSecs(0)}%.2f,"x10_sec":${curSecs(1)}%.2f,"time_growth":$curGrowth%.1f,"store_base":$curBaseN,"store_x10":${curBaseN * 10},"batch":$curBatch}"""
+
     val base = results.head._2.toMap
     val x10 = results.last._2.toMap
     // one growth derivation feeds BOTH the JSON line and the verdict, so
@@ -138,8 +172,9 @@ object SkewSoak {
       // history-free, not just linear: 10× the store, flat probe time
       // (4× admits scheduler/listing noise at these tiny absolute times
       // without admitting store-proportional growth)
-      ("ann_membership" -> (annGrowth < 4.0))
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,"linear":${verdicts.forall(_._2)}}""")
+      ("ann_membership" -> (annGrowth < 4.0)) :+
+      ("curation_band_probe" -> (curGrowth < 4.0))
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>

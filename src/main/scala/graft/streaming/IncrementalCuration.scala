@@ -31,20 +31,77 @@ import graft.ops.{Curation, Dedup}
   *      including gate-rejected docs, so a future copy of a rejected
   *      document is recognized as a duplicate rather than re-admitted.
   *
-  * Per-batch cost ∝ batch size + matched candidates, never ∝ corpus
-  * history (the store side of the band join is a broadcast-or-shuffle
-  * join on band value; at warehouse scale the store would be written
-  * bucketed by `band_val` so the probe co-locates). Hot buckets stay
-  * bounded because the store holds only near-dup SURVIVORS: an incoming
-  * duplicate family collapses against its stored keeper instead of
-  * accumulating.
+  * == Store layout: both compute AND I/O are touched-slice bounded ==
+  *
+  * The signature store is physically an LSH service's two relations:
+  *
+  * {{{
+  *   sigPath/batch=N/id_bucket=B/    signature rows; B = pmod(xxhash64(doc_id), SB)
+  *   sigPath/_id_buckets             SB marker (written last; compaction re-buckets)
+  *   sigPath.bands/batch=N/band_bucket=B/   inverted band index (doc_id, band_idx,
+  *                                          band_val); B = pmod(xxhash64(idx, val), BB)
+  *   sigPath.bands/_band_buckets     BB marker
+  * }}}
+  *
+  * Per batch, every store read is statically partition-pruned to the slice
+  * the batch can touch — the same contract as
+  * [[IncrementalAnnIndex.priorIds]]:
+  *   - membership (first-write-wins doc_ids): the batch ids' `id_bucket`s;
+  *   - the band join's reference side: the batch bands' `band_bucket`s via
+  *     the inverted sidecar (a signature-store partition keyed on any ONE
+  *     band could not prune soundly — a stored doc may match on a
+  *     DIFFERENT band than the partitioning one);
+  *   - the estimate leg's reference signatures: the candidate ref_ids'
+  *     `id_bucket`s (candidates are materialized anyway — the touched set
+  *     is a bounded collect, ≤ the bucket count).
+  *
+  * Per-batch cost ∝ batch size + matched candidates, and per-batch I/O ∝
+  * the touched buckets — never ∝ corpus history. Bucket COUNT scales with
+  * the store (compaction re-buckets, [[StoreMaintenance.compact]]) so
+  * bucket SIZE, the unit a probe reads, stays bounded. Hot band buckets
+  * stay bounded because the store holds only near-dup SURVIVORS: an
+  * incoming duplicate family collapses against its stored keeper instead
+  * of accumulating. A store WITHOUT markers (legacy flat layout, or one
+  * rewritten by a plain un-bucketed compaction) falls back to the unpruned
+  * column scan — correct, just not history-free; [[rebuildBandIndex]] (and
+  * a re-bucketing compaction) migrate it.
   *
   * Exactly-once follows [[IncrementalMartStream]]: checkpointed file
-  * tracking dedupes landed files, and both stores write per-batch
+  * tracking dedupes landed files, and all stores write per-batch
   * directories with overwrite, so an at-least-once replay rewrites
   * identical rows.
   */
 object IncrementalCuration {
+
+  /** Default doc-id bucket count for a fresh signature store (the
+    * [[IncrementalAnnIndex.IdBucketsMarker]] convention — same marker,
+    * same formula, so [[StoreMaintenance.compact]] re-buckets this store
+    * with `bucketBy = Some(("doc_id", n))` unchanged).
+    */
+  val NumSigIdBuckets = 64
+
+  /** Default band-bucket count for a fresh inverted band index. */
+  val NumBandBuckets = 64
+
+  /** Marker file recording the sidecar's bucket count. */
+  val BandBucketsMarker = "_band_buckets"
+
+  /** The inverted band index lives beside its signature store. */
+  def bandIndexPath(sigPath: String): String = sigPath + ".bands"
+
+  /** `pmod(xxhash64(band_idx, band_val), buckets)` — the sidecar partition
+    * a band row lives under. Int-typed to round-trip exactly through
+    * partition directory discovery.
+    */
+  def bandBucket(bandIdx: Column, bandVal: Column, buckets: Int): Column =
+    pmod(xxhash64(bandIdx, bandVal), lit(buckets.toLong)).cast("int")
+
+  /** The sidecar's band-bucket count, from its marker; None = no usable
+    * sidecar (absent, or mid-build).
+    */
+  def bandBucketCount(spark: SparkSession, bandPath: String): Option[Int] =
+    StoragePaths.readSmallFile(spark, s"$bandPath/$BandBucketsMarker")
+      .map(_.trim.toInt)
 
   /** Estimated Jaccard between two signature rows (prefixes `a`/`b`):
     * the fraction of the [[Dedup.NumHashes]] minhash components that
@@ -57,14 +114,118 @@ object IncrementalCuration {
       .reduce(_ + _)
       .cast("double") / Dedup.NumHashes
 
-  /** (doc_id, [extra...], band_idx, band_val) from stored signature rows —
-    * the signature-store counterpart of the batch path's band explode.
+  /** (doc_id, [extra...], band_idx, band_val) from signature rows — the
+    * signature-relation counterpart of the batch path's band explode.
+    * Public so callers can derive the touched-band frame the pruned
+    * readers take.
     */
-  private def bandsOf(sigs: DataFrame, extra: Seq[String] = Nil): DataFrame =
+  def bandRowsOf(sigs: DataFrame, extra: Seq[String] = Nil): DataFrame =
     sigs.filter(col("n_shingles") > 0)
       .select((col("doc_id") +: extra.map(col)) :+ posexplode(
         array((0 until Dedup.Bands).map(b => col(s"band_$b")): _*))
         .as(Seq("band_idx", "band_val")): _*)
+
+  // ------------------------------------------------------------------ //
+  // Pruned store readers — each limits its scan to the touched slice.  //
+  // All exclude `excludeBatchId`'s own partition: foreachBatch is       //
+  // at-least-once, and a replay after a crash-post-write must not       //
+  // compare a batch against its own previously written rows.            //
+  // ------------------------------------------------------------------ //
+
+  /** Stored doc_ids a batch could collide with (first-write-wins
+    * membership), read with static partition pruning to the batch ids'
+    * touched `id_bucket`s. Falls back to the unpruned column scan on a
+    * legacy flat store.
+    */
+  def priorDocIds(
+      spark: SparkSession,
+      sigPath: String,
+      batchIds: DataFrame,
+      excludeBatchId: Long): DataFrame = {
+    val store = IncrementalAnnIndex.bucketCount(spark, sigPath) match {
+      case Some(n) =>
+        val touched = batchIds
+          .select(IncrementalAnnIndex.idBucket(col("doc_id"), n)
+            .as("id_bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(sigPath)
+          .filter(col("id_bucket").isin(touched: _*))
+      case None => spark.read.parquet(sigPath)
+    }
+    store.filter(col("batch").cast("long") =!= excludeBatchId)
+      .select("doc_id")
+  }
+
+  /** Stored band rows matching the batch's touched bands, read with
+    * static partition pruning to the touched `band_bucket`s of the
+    * inverted sidecar (the exact-key semi-join inside
+    * [[duplicatesAgainst]] narrows the bucket superset to the touched
+    * (band_idx, band_val) pairs). Falls back to deriving band rows from
+    * the full signature store when no sidecar exists.
+    */
+  def priorBandRows(
+      spark: SparkSession,
+      sigPath: String,
+      touched: DataFrame,
+      excludeBatchId: Long): DataFrame = {
+    val bandPath = bandIndexPath(sigPath)
+    bandBucketCount(spark, bandPath) match {
+      case Some(n) =>
+        val tb = touched
+          .select(bandBucket(col("band_idx"), col("band_val"), n)
+            .as("band_bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(bandPath)
+          .filter(col("band_bucket").isin(tb: _*))
+          .filter(col("batch").cast("long") =!= excludeBatchId)
+          .select("doc_id", "band_idx", "band_val")
+      case None =>
+        bandRowsOf(spark.read.parquet(sigPath)
+          .filter(col("batch").cast("long") =!= excludeBatchId)
+          .drop("batch", "id_bucket"))
+    }
+  }
+
+  /** Stored signature rows for candidate ref ids (the estimate leg), read
+    * with static partition pruning to the ids' touched `id_bucket`s; the
+    * estimate join itself narrows the bucket superset to the exact ids.
+    */
+  def priorSigRows(
+      spark: SparkSession,
+      sigPath: String,
+      refIds: DataFrame,
+      excludeBatchId: Long): DataFrame = {
+    val store = IncrementalAnnIndex.bucketCount(spark, sigPath) match {
+      case Some(n) =>
+        val touched = refIds
+          .select(IncrementalAnnIndex.idBucket(col("doc_id"), n)
+            .as("id_bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(sigPath)
+          .filter(col("id_bucket").isin(touched: _*))
+      case None => spark.read.parquet(sigPath)
+    }
+    store.filter(col("batch").cast("long") =!= excludeBatchId)
+      .drop("batch", "id_bucket")
+  }
+
+  /** How one batch sees the accumulated store: the membership relation
+    * plus two demand-driven readers (they take the touched-band / ref-id
+    * frames because those are only known mid-computation). The relation
+    * view ([[StoreView.ofSigs]]) serves tests and small corpora; [[run]]
+    * wires the pruned path readers.
+    */
+  final case class StoreView(
+      priorIds: Option[DataFrame],
+      priorBandsOf: DataFrame => DataFrame,
+      priorSigsOf: DataFrame => DataFrame)
+
+  object StoreView {
+    /** The whole store as one in-memory relation — no pruning. */
+    def ofSigs(storeSigs: DataFrame,
+        priorIds: Option[DataFrame] = None): StoreView =
+      StoreView(priorIds, _ => bandRowsOf(storeSigs), _ => storeSigs)
+  }
 
   /** doc_ids of NEW documents that near-duplicate either a stored document
     * or an earlier document of the same batch (earlier = lower doc_id —
@@ -82,16 +243,26 @@ object IncrementalCuration {
     * other [[Dedup.Bands]]−1 buckets still can).
     */
   def newDuplicates(newSigs: DataFrame, storeSigs: DataFrame,
+      maxBandOccupancy: Int = Dedup.MaxBandOccupancy): DataFrame =
+    duplicatesAgainst(newSigs, StoreView.ofSigs(storeSigs), maxBandOccupancy)
+
+  /** [[newDuplicates]] against a [[StoreView]] — the shared core, so the
+    * pruned and relation-backed paths cannot diverge.
+    */
+  def duplicatesAgainst(newSigs: DataFrame, store: StoreView,
       maxBandOccupancy: Int = Dedup.MaxBandOccupancy): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ref = storeSigs.withColumn("prior", lit(true))
-      .unionByName(newSigs.withColumn("prior", lit(false)))
+    val newBands = bandRowsOf(newSigs)
     // Only buckets the BATCH touches matter: occupancy of a bucket no new
     // doc probes is never consumed, so the store's band rows are
     // semi-joined to the batch's distinct bucket keys BEFORE the windows —
     // per-batch cost scales with the touched slice of the store, not with
-    // total history.
-    val touched = bandsOf(newSigs).select("band_idx", "band_val").distinct()
+    // total history (and the pruned reader bounds the I/O the same way).
+    val touched = newBands.select("band_idx", "band_val").distinct()
+    val ref = store.priorBandsOf(touched)
+      .select("doc_id", "band_idx", "band_val")
+      .withColumn("prior", lit(true))
+      .unionByName(newBands.withColumn("prior", lit(false)))
     // occupancy count + root election ride the same (band_idx, band_val)
     // partitioning the join shuffles on — no extra exchange. The root key
     // leads with the prior flag (stored docs sort first): a new doc with a
@@ -99,8 +270,7 @@ object IncrementalCuration {
     // or the whole stored family would be filtered from the bucket and
     // the new duplicate re-admitted.
     val wBucket = Window.partitionBy("band_idx", "band_val")
-    val refB = bandsOf(ref, Seq("prior"))
-      .join(touched, Seq("band_idx", "band_val"))
+    val refB = ref.join(touched, Seq("band_idx", "band_val"))
       .withColumn("bdf", count(lit(1)).over(wBucket))
       .withColumn("rk", min(struct(
         when(col("prior"), 0).otherwise(1).as("np"),
@@ -108,7 +278,7 @@ object IncrementalCuration {
       .withColumn("broot", col("rk.doc_id"))
     val refKept = refB.filter(
       col("bdf") <= maxBandOccupancy || col("doc_id") === col("broot"))
-    val cand = bandsOf(newSigs).as("n")
+    val cand = newBands.as("n")
       .join(refKept.as("o"),
         col("n.band_idx") === col("o.band_idx") &&
           col("n.band_val") === col("o.band_val") &&
@@ -118,12 +288,23 @@ object IncrementalCuration {
       .filter(col("o.prior") || col("o.doc_id") < col("n.doc_id"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("ref_id"))
       .distinct()
-    cand
+      .persist()
+    // materialize candidates: the frame feeds both estimate legs, and the
+    // pruned sig reader needs the candidate ids to know its buckets
+    cand.count()
+    val refSigs = store
+      .priorSigsOf(cand.select(col("ref_id").as("doc_id")).distinct())
+      .unionByName(newSigs)
+    val est = cand
       .join(newSigs.as("a"), col("new_id") === col("a.doc_id"))
-      .join(ref.as("b"), col("ref_id") === col("b.doc_id"))
+      .join(refSigs.as("b"), col("ref_id") === col("b.doc_id"))
       .select(col("new_id"), col("ref_id"),
         estJaccard("a", "b").as("est_jaccard"))
       .filter(col("est_jaccard") >= Dedup.JaccardDupThreshold)
+    // cut the result loose, then free the candidate cache (batch-sized)
+    val out = est.localCheckpoint()
+    cand.unpersist(blocking = false)
+    out
   }
 
   /** One batch's outcome: the rows to append plus the funnel counts —
@@ -141,8 +322,8 @@ object IncrementalCuration {
   /** Curate one batch against the stores — separated from the streaming
     * loop so the logic is testable without a stream.
     *
-    * `priorIds` is the first-write-wins membership relation: doc_ids the
-    * store already owns, EXCLUDING the replaying batch's own partition
+    * `store.priorIds` is the first-write-wins membership relation: doc_ids
+    * the store already owns, EXCLUDING the replaying batch's own partition
     * (see [[run]]). Without it a re-crawled document landing in a LATER
     * batch under its stored doc_id bypasses dedup entirely — the only
     * stored row with matching content is its own prior copy, which the
@@ -150,8 +331,7 @@ object IncrementalCuration {
     * replay idempotence) — and duplicate doc_id rows would accumulate in
     * both stores, breaking the one-row-per-doc invariant.
     */
-  def curateBatch(batch: DataFrame, storeSigs: DataFrame,
-      priorIds: Option[DataFrame] = None): BatchResult = {
+  def curateBatch(batch: DataFrame, store: StoreView): BatchResult = {
     // one row per doc_id even if a file and its re-crawl land in the SAME
     // drain (AvailableNow can pull both into one micro-batch): the
     // cross-batch anti-join can't see them, and the dedup self-join
@@ -160,7 +340,7 @@ object IncrementalCuration {
     // already owns drops out at the same funnel stage (landed − unique),
     // the ledger's "not novel" bucket.
     val uniq0 = batch.dropDuplicates("doc_id")
-    val uniq = priorIds.fold(uniq0)(p =>
+    val uniq = store.priorIds.fold(uniq0)(p =>
       uniq0.join(p.select("doc_id"), Seq("doc_id"), "left_anti"))
     // persist + eager fill: the signature relation feeds the band join,
     // both estimate legs, and the kept-signature anti-join; dupIds (the
@@ -169,7 +349,7 @@ object IncrementalCuration {
     // batch (the same reasoning as Dedup.minhashPairs' eager fill).
     val sigs = Dedup.minhashSignatures(uniq).persist()
     val nUnique = sigs.count()
-    val dupIds = newDuplicates(sigs, storeSigs)
+    val dupIds = duplicatesAgainst(sigs, store)
       .select(col("new_id").as("doc_id")).distinct().persist()
     val nDuplicates = dupIds.count()
     val survivors = uniq.join(dupIds, Seq("doc_id"), "left_anti")
@@ -191,6 +371,42 @@ object IncrementalCuration {
       nDuplicates = nDuplicates, nCurated = curatedOut.count())
   }
 
+  /** Build (or rebuild) the inverted band index beside an EXISTING
+    * signature store whose sidecar is absent — the migration path for a
+    * legacy flat store, and the follow-up step after compacting a store to
+    * a fresh root (the compaction rewrite carries signature rows, not
+    * sidecar batches). Lands under `batch=-1` (below every streaming
+    * epoch, the [[StoreMaintenance.CompactedBatch]] convention), marker
+    * written last.
+    */
+  def rebuildBandIndex(
+      spark: SparkSession,
+      sigPath: String,
+      buckets: Int = NumBandBuckets): Unit = {
+    val bandPath = bandIndexPath(sigPath)
+    require(bandBucketCount(spark, bandPath).isEmpty,
+      s"rebuildBandIndex: $bandPath already has a complete sidecar — " +
+        "rebuilding would duplicate its band rows")
+    writeBandIndexBatch(
+      spark.read.parquet(sigPath).drop("batch", "id_bucket"),
+      bandPath, StoreMaintenance.CompactedBatch, buckets)
+    StoragePaths.writeSmallFile(
+      spark, s"$bandPath/$BandBucketsMarker", buckets.toString)
+  }
+
+  /** One batch's band rows into the sidecar — repartitioned ON the bucket
+    * column (one file per touched bucket per batch, not one per
+    * task × bucket), per-batch overwrite for replay idempotence.
+    */
+  private def writeBandIndexBatch(sigs: DataFrame, bandPath: String,
+      batchId: Long, buckets: Int): Unit =
+    bandRowsOf(sigs)
+      .withColumn("band_bucket",
+        bandBucket(col("band_idx"), col("band_val"), buckets))
+      .repartition(col("band_bucket"))
+      .write.mode("overwrite").partitionBy("band_bucket")
+      .parquet(s"$bandPath/batch=$batchId")
+
   /** Drain the landing dir (Trigger.AvailableNow), curating each
     * micro-batch against the accumulated stores. Returns the corpus store.
     *
@@ -209,6 +425,7 @@ object IncrementalCuration {
       docSchema: org.apache.spark.sql.types.StructType,
       metricsPath: Option[String] = None): DataFrame = {
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
+    val bandPath = bandIndexPath(sigPath)
     val emptySigs = Dedup.minhashSignatures(
       spark.createDataFrame(new java.util.ArrayList[Row](), docSchema))
     val q = spark.readStream.schema(docSchema).parquet(landingDir)
@@ -216,26 +433,59 @@ object IncrementalCuration {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          // drop the discovered batch=N partition column so the store
-          // unions cleanly with fresh signature rows. The membership
-          // relation EXCLUDES this batch's own partition (same reasoning
-          // as IncrementalAnnIndex.run): foreachBatch is at-least-once,
-          // and a replay after a crash-post-write must not anti-join the
-          // batch against its own previously written rows — that would
-          // overwrite batch=N with an empty directory, silent data loss.
-          val (store, priorIds) =
-            if (exists(sigPath)) {
-              val s = spark.read.parquet(sigPath)
-              (s.drop("batch"),
-                Some(s.filter(col("batch").cast("long") =!= batchId)
-                  .select("doc_id")))
-            } else (emptySigs, None)
-          val r = curateBatch(batch, store, priorIds)
+          val storeExists = exists(sigPath)
+          val sigBuckets = IncrementalAnnIndex.bucketCount(spark, sigPath)
+          // every store reader excludes this batch's own partition (same
+          // reasoning as IncrementalAnnIndex.run): foreachBatch is
+          // at-least-once, and a replay after a crash-post-write must not
+          // compare the batch against its own previously written rows —
+          // that would overwrite batch=N with an empty directory, silent
+          // data loss.
+          val view =
+            if (!storeExists) StoreView.ofSigs(emptySigs)
+            else StoreView(
+              Some(priorDocIds(spark, sigPath,
+                batch.select("doc_id"), batchId)),
+              touched => priorBandRows(spark, sigPath, touched, batchId),
+              refIds => priorSigRows(spark, sigPath, refIds, batchId))
+          val r = curateBatch(batch, view)
           // per-batch overwrite = idempotent under foreachBatch replay
           r.curated.write.mode("overwrite")
             .parquet(s"$corpusPath/batch=$batchId")
-          r.keptSigs.write.mode("overwrite")
-            .parquet(s"$sigPath/batch=$batchId")
+          // a store that exists WITHOUT a bucket marker stays flat — batch
+          // layouts cannot mix under one root, and correctness only needs
+          // the unpruned fallback readers. Its sidecar (if a rebuild
+          // created one) still receives every batch, or the pruned band
+          // probe would go blind to post-rebuild history.
+          val legacyFlat = storeExists && sigBuckets.isEmpty
+          if (legacyFlat) {
+            if (bandBucketCount(spark, bandPath).isDefined)
+              writeBandIndexBatch(r.keptSigs, bandPath, batchId,
+                bandBucketCount(spark, bandPath).get)
+            r.keptSigs.write.mode("overwrite")
+              .parquet(s"$sigPath/batch=$batchId")
+          } else {
+            val sb = sigBuckets.getOrElse(NumSigIdBuckets)
+            val bb = bandBucketCount(spark, bandPath)
+              .getOrElse(NumBandBuckets)
+            writeBandIndexBatch(r.keptSigs, bandPath, batchId, bb)
+            r.keptSigs
+              .withColumn("id_bucket",
+                IncrementalAnnIndex.idBucket(col("doc_id"), sb))
+              .repartition(col("id_bucket"))
+              .write.mode("overwrite").partitionBy("id_bucket")
+              .parquet(s"$sigPath/batch=$batchId")
+            // markers AFTER the first data writes: marker-present ⇒
+            // data-present (a crash in the window self-heals because the
+            // replay overwrites the same batch directories)
+            if (bandBucketCount(spark, bandPath).isEmpty)
+              StoragePaths.writeSmallFile(
+                spark, s"$bandPath/$BandBucketsMarker", bb.toString)
+            if (sigBuckets.isEmpty)
+              StoragePaths.writeSmallFile(spark,
+                s"$sigPath/${IncrementalAnnIndex.IdBucketsMarker}",
+                sb.toString)
+          }
           metricsPath.foreach { mp =>
             import spark.implicits._
             Seq((batchId, r.nLanded, r.nUnique, r.nDuplicates, r.nCurated))

@@ -248,6 +248,123 @@ class IncrementalCurationSpec extends SparkSpec {
       "the novel batch-mate must still be admitted to the store")
   }
 
+  test("store probes read only the touched band and id buckets") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val landing = Files.createTempDirectory("cur9-landing")
+    val ckpt = Files.createTempDirectory("cur9-ckpt").toString + "/c"
+    val sigs = Files.createTempDirectory("cur9-sigs").toString + "/sigs"
+    val corpus = Files.createTempDirectory("cur9-corpus").toString + "/corpus"
+    land(landing, "b1.parquet", (1L to 8L).map(i => row(i, goodText(i.toInt))))
+    IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema)
+    land(landing, "b2.parquet", (11L to 18L).map(i => row(i, goodText(100 + i.toInt))))
+    IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema)
+
+    def parquetFiles(path: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        .iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    }
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+      df.collect() // populate the scan metrics
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s }.head
+    }
+
+    // the band probe: a re-crawl of doc 1's text shares all its buckets
+    val probeSigs = Dedup.minhashSignatures(spark.createDataFrame(
+      Seq(row(100L, goodText(1))).asJava, docSchema))
+    val touched = IncrementalCuration.bandRowsOf(probeSigs)
+      .select("band_idx", "band_val").distinct()
+    val bandPath = IncrementalCuration.bandIndexPath(sigs)
+    val bb = IncrementalCuration.bandBucketCount(spark, bandPath).get
+    val touchedBuckets = touched.select(
+      IncrementalCuration.bandBucket(col("band_idx"), col("band_val"), bb)
+        .as("b")).distinct().collect().map(_.getInt(0)).toSet
+    val bandFiles = parquetFiles(bandPath)
+    val expectedBand = bandFiles.count(f =>
+      touchedBuckets.exists(b => f.contains(s"/band_bucket=$b/")))
+    assert(expectedBand < bandFiles.size,
+      "fixture too narrow: the touched slice must be a strict subset")
+    // the probe still surfaces the stored duplicate's band rows...
+    assert(IncrementalCuration.priorBandRows(spark, sigs, touched, -999L)
+      .filter(col("doc_id") === 1L).count() > 0)
+    val bandScan = scanOf(
+      IncrementalCuration.priorBandRows(spark, sigs, touched, -999L))
+    // ...while the scan touches exactly the touched-bucket files (static
+    // partition pruning, not a post-scan filter) and reads only the three
+    // index columns — no minhash payload
+    assert(bandScan.metrics("numFiles").value == expectedBand,
+      s"band scan read ${bandScan.metrics("numFiles").value} files, " +
+        s"expected $expectedBand of ${bandFiles.size}")
+    assert(bandScan.toString.contains(
+      "ReadSchema: struct<doc_id:bigint,band_idx:int,band_val:string>"),
+      bandScan.toString.take(800))
+
+    // the membership probe: only the batch ids' id buckets are scanned
+    val probeIds = spark.range(1).select((col("id") + 1).as("doc_id"))
+    val sb = graft.streaming.IncrementalAnnIndex.bucketCount(spark, sigs).get
+    val touchedIdBuckets = probeIds.select(
+      graft.streaming.IncrementalAnnIndex.idBucket(col("doc_id"), sb)
+        .as("b")).distinct().collect().map(_.getInt(0)).toSet
+    val sigFiles = parquetFiles(sigs)
+    val expectedSig = sigFiles.count(f =>
+      touchedIdBuckets.exists(b => f.contains(s"/id_bucket=$b/")))
+    assert(expectedSig < sigFiles.size)
+    // content on a fresh instance: a second collect on the same plan
+    // resets the driver-side scan metrics the assertion below reads
+    assert(IncrementalCuration.priorDocIds(spark, sigs, probeIds, -999L)
+      .collect().map(_.getLong(0)).toSet.contains(1L))
+    val idScan = scanOf(
+      IncrementalCuration.priorDocIds(spark, sigs, probeIds, -999L))
+    assert(idScan.metrics("numFiles").value == expectedSig,
+      s"membership scan read ${idScan.metrics("numFiles").value} files, " +
+        s"expected $expectedSig of ${sigFiles.size}\n${idScan.toString.take(1200)}\n" +
+        idScan.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", "))
+    assert(idScan.toString.contains("ReadSchema: struct<doc_id:bigint>"),
+      idScan.toString.take(800))
+  }
+
+  test("a legacy flat store migrates via rebuildBandIndex and stays complete") {
+    val landing = Files.createTempDirectory("cur10-landing")
+    val ckpt = Files.createTempDirectory("cur10-ckpt").toString + "/c"
+    val sigs = Files.createTempDirectory("cur10-sigs").toString + "/sigs"
+    val corpus = Files.createTempDirectory("cur10-corpus").toString + "/corpus"
+    // a LEGACY flat store: signature rows under batch=N, no markers — the
+    // layout a plain (un-bucketed) compaction leaves behind
+    land(landing, "b1.parquet", Seq(row(1L, goodText(1)), row(2L, goodText(2))))
+    IncrementalCuration.run(
+      spark, landing.toString, ckpt, sigs, corpus, docSchema)
+    val flat = Files.createTempDirectory("cur10-flat").toString + "/sigs"
+    graft.streaming.StoreMaintenance.compact(spark, sigs, flat, numFiles = 1)
+    // migrate: rebuild the inverted sidecar beside the flat store
+    IncrementalCuration.rebuildBandIndex(spark, flat)
+    intercept[IllegalArgumentException] { // no double-build
+      IncrementalCuration.rebuildBandIndex(spark, flat)
+    }
+    // the flat store keeps ingesting: batches append flat, the sidecar
+    // stays complete, and BOTH pre- and post-migration content still
+    // catches re-crawled duplicates through the pruned band probe
+    val landing2 = Files.createTempDirectory("cur10-landing2")
+    val ckpt2 = Files.createTempDirectory("cur10-ckpt2").toString + "/c"
+    val corpus2 = Files.createTempDirectory("cur10-corpus2").toString + "/c2"
+    land(landing2, "b2.parquet", Seq(row(5L, goodText(5))))
+    IncrementalCuration.run(
+      spark, landing2.toString, ckpt2, flat, corpus2, docSchema)
+    land(landing2, "b3.parquet", Seq(
+      row(10L, goodText(1)), // re-crawl of pre-migration doc 1
+      row(11L, goodText(5)), // re-crawl of post-migration doc 5
+      row(12L, goodText(9))))
+    IncrementalCuration.run(
+      spark, landing2.toString, ckpt2, flat, corpus2, docSchema)
+    val sigIds = ids(spark.read.parquet(flat))
+    assert(sigIds == Set(1L, 2L, 5L, 12L), s"store after migration: $sigIds")
+  }
+
   test("a rejected document's later copy is still recognized as duplicate") {
     val landing = Files.createTempDirectory("cur2-landing")
     val ckpt = Files.createTempDirectory("cur2-ckpt").toString + "/c"
