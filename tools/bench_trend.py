@@ -2,10 +2,12 @@
 """Build the per-query bench trend table (BASELINE.md appendix) from the
 driver's BENCH_r{N}.json snapshots plus a local current-round run.
 
-Usage: tools/bench_trend.py BENCH_r04.json BENCH_r05.json /tmp/bench_r06_local.json
-The driver snapshots store a front-truncated "tail" of the bench JSON line;
-per-query entries are recovered by regex, so a round may be missing its
-first few queries (rendered as "-").
+Usage: tools/bench_trend.py BENCH_r05.json BENCH_r06.json bench/r7.json
+Committed bench artifacts (bench/r{N}.json, written by graft.Bench itself)
+are full JSON lines and parse directly. The driver's BENCH_r{N}.json
+snapshots store a front-truncated "tail" of the same line; per-query
+entries are recovered by regex, so such a round may be missing its first
+few queries (rendered as "-").
 """
 import json
 import re
@@ -35,8 +37,8 @@ def load(path):
 
 def main():
     paths = sys.argv[1:]
-    rounds = [(re.sub(r".*BENCH_|\.json|.*bench_|_local", "", p) or p, load(p))
-              for p in paths]
+    rounds = [(re.sub(r".*BENCH_|.*bench_|.*/|\.json|_local", "", p) or p,
+               load(p)) for p in paths]
     names = sorted({n for _, qs in rounds for n in qs},
                    key=lambda n: -rounds[-1][1].get(n, 0.0))
     header = "| query | " + " | ".join(label for label, _ in rounds) + " |"
