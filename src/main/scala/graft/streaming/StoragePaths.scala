@@ -28,6 +28,54 @@ private[streaming] object StoragePaths {
     finally out.close()
   }
 
+  /** Concrete `batch=* / <bucketCol>=<v>` leaf directories that EXIST for
+    * the touched bucket values — the LISTING half of the touched-slice
+    * contract. `spark.read.parquet(storeRoot)` builds its file index by
+    * listing EVERY leaf file under the root before partition pruning runs,
+    * so planning cost grows with the store even when the scan itself is
+    * pruned. Enumerating the touched leaves driver-side instead costs one
+    * `listStatus` of the root (O(#batch dirs, bounded by compaction
+    * folding history into `batch=-1`)) plus #batchDirs × #touched
+    * existence probes — never a listing of untouched buckets' files.
+    */
+  def touchedBucketDirs(
+      spark: SparkSession,
+      root: String,
+      bucketCol: String,
+      touched: Seq[Int]): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) Seq.empty
+    else {
+      val batchDirs = fs.listStatus(rootPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      for {
+        b <- batchDirs
+        t <- touched
+        leaf = new Path(b.getPath, s"$bucketCol=$t")
+        if fs.exists(leaf)
+      } yield leaf.toString
+    }
+  }
+
+  /** The touched slice of a bucket-partitioned store, read from ONLY the
+    * enumerated leaf directories (with `basePath` so the `batch` and
+    * bucket partition columns are still recovered). None = no touched leaf
+    * exists anywhere in the store, which is a SOUND empty answer for a
+    * hash-bucketed probe: any stored row colliding with the batch would
+    * live in a touched bucket, so no leaf ⇒ no collision candidates —
+    * callers return their typed empty frame, never a full-store fallback.
+    */
+  def readTouchedBuckets(
+      spark: SparkSession,
+      root: String,
+      bucketCol: String,
+      touched: Seq[Int]): Option[org.apache.spark.sql.DataFrame] = {
+    val dirs = touchedBucketDirs(spark, root, bucketCol, touched)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", root).parquet(dirs: _*))
+  }
+
   /** Read a small metadata file written by [[writeSmallFile]]; None when
     * absent.
     */
