@@ -199,6 +199,12 @@ object SparkEntry {
       Dedup.simhashPairs(T.table(s, dir, "documents"))),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDup(T.table(s, dir, "embeddings"))),
+    "dedup_chunks" -> ((s, dir) =>
+      Dedup.chunkDedup(T.table(s, dir, "documents"))),
+    "dedup_chunk_docs" -> ((s, dir) =>
+      Dedup.chunkDedupDocs(T.table(s, dir, "documents"))),
+    "sim_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(T.table(s, dir, "embeddings"))),
     "dedup_clusters" -> ((s, dir) => dupClusters(s, dir)),
     // the memoized curation audit embeds the keeper election verbatim
     // (same Dedup.keeperByQuality call) — read the stored columns instead
@@ -382,6 +388,9 @@ object SparkEntry {
     "dedup_simhash" -> OO.DEDUP_SIMHASH,
     "dedup_simhash_pairs" -> OO.DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine" -> OO.DEDUP_EMB_COSINE,
+    "dedup_chunks" -> OO.DEDUP_CHUNKS,
+    "dedup_chunk_docs" -> OO.DEDUP_CHUNK_DOCS,
+    "sim_semdedup" -> OO.SIM_SEMDEDUP,
     "dedup_clusters" -> OO.DEDUP_CLUSTERS,
     "dedup_keeper_quality" -> OO.DEDUP_KEEPER_QUALITY,
     "sim_signatures" -> OO.SIM_SIGNATURES,

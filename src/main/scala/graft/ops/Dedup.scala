@@ -504,4 +504,82 @@ object Dedup {
           (col("a.norm") * col("b.norm"))).as("cos_sim"))
       .filter(col("cos_sim") >= CosineDupThreshold)
   }
+
+  // ---- fixed-width chunk dedup (exact substring dedup at chunk granularity) ----
+
+  /** Tokens per chunk in [[chunkRows]]. 8 tokens ≈ the reference corpus's
+    * sentence length; real crawls use 50-token windows (Lee et al. below).
+    */
+  val ChunkTokens = 8
+
+  /** `(doc_id, chunk_idx, chunk_text, chunk_hash)` — each document's token
+    * stream cut into consecutive `w`-token chunks (last chunk may be
+    * shorter). The chunk list is built per-row with
+    * `sequence`/`slice`/`concat_ws` — a NARROW projection, zero shuffle;
+    * the 60-bit portable digest is computed before any downstream exchange
+    * so consumers that don't need `chunk_text` (the dedup audit) shuffle
+    * `(long, long, long)` rows only, and Catalyst prunes the text column
+    * out of their scans. Token-free documents contribute no rows.
+    */
+  def chunkRows(docs: DataFrame, w: Int = ChunkTokens): DataFrame = {
+    require(w > 0, s"chunkRows: chunk width must be positive, got $w")
+    docs
+      .select(col("doc_id"), expr(tokensSpark).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(toks) - 1) div $w),
+           |  i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"), expr(hexcastSpark("chunk_text")).as("chunk_hash"))
+  }
+
+  /** Corpus-wide duplicate-chunk audit — exact substring dedup approximated
+    * at fixed chunk granularity (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022, uses suffix arrays for exact
+    * 50-token spans; C4 drops repeated three-sentence spans the same
+    * keep-first way). A chunk occurrence is `kept` iff it is the FIRST
+    * occurrence of its content corpus-wide (lowest `(doc_id, chunk_idx)`),
+    * so boilerplate repeated across documents survives exactly once.
+    *
+    * Scale shape: first-occurrence is `groupBy(chunk_hash).agg(min(struct))`
+    * — map-side partial combine folds a corpus-wide boilerplate chunk (the
+    * hot key) locally per task before ONE row per distinct chunk crosses
+    * the wire, so a 10⁶-copy chunk costs its copy count in comparisons,
+    * never in shuffled bytes. The flag-back join fans the hot key's single
+    * first-row out to its occurrences — AQE skew-split territory, carrying
+    * id-width rows.
+    */
+  def chunkDedup(docs: DataFrame, w: Int = ChunkTokens): DataFrame =
+    flaggedChunks(chunkRows(docs, w).drop("chunk_text"))
+      .select("doc_id", "chunk_idx", "chunk_hash", "n_copies", "kept")
+
+  private def flaggedChunks(rows: DataFrame): DataFrame = {
+    val firsts = rows.groupBy("chunk_hash")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"),
+        count(lit(1)).as("n_copies"))
+    rows.join(firsts, Seq("chunk_hash"))
+      .withColumn("kept", col("first.doc_id") === col("doc_id") &&
+        col("first.chunk_idx") === col("chunk_idx"))
+  }
+
+  /** Documents re-assembled from their surviving chunks: `(doc_id,
+    * clean_text, n_chunks, n_kept)`. A document whose every chunk was seen
+    * earlier keeps its row with an empty `clean_text` — the downstream
+    * length/quality gates ([[Curation]]) are the right place to drop it,
+    * not the dedup pass. Reassembly is one hash-aggregate per document over
+    * chunk-width rows (`collect_list` of kept `(chunk_idx, chunk_text)`
+    * structs, array-sorted — per-doc cardinality is the doc's own chunk
+    * count, bounded by doc length, not by the corpus).
+    */
+  def chunkDedupDocs(docs: DataFrame, w: Int = ChunkTokens): DataFrame =
+    flaggedChunks(chunkRows(docs, w))
+      .groupBy("doc_id")
+      .agg(
+        expr("""concat_ws(' ', transform(
+          |  array_sort(collect_list(CASE WHEN kept
+          |    THEN struct(chunk_idx, chunk_text) END)),
+          |  s -> s.chunk_text))""".stripMargin).as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
 }

@@ -383,4 +383,56 @@ object Similarity {
       scorePairs(cand, emb).filter(col("cos_sim") >= NearDupCosine),
       bands)
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster-then-pairwise semantic dedup. Vectors are coarse-assigned to
+    * their max-cosine IVF list (the same quantizer as [[ivfTopK]] — the
+    * paper clusters precisely so the O(n²) cosine check runs within
+    * clusters, never across the corpus); within a list a vector is DROPPED
+    * iff some LOWER-vec_id vector among the list's `maxListOccupancy`
+    * lowest ids is `tau`-similar, and `dup_of` records the lowest such id
+    * (the paper keeps one exemplar per duplicate group; lowest-id-wins is
+    * the deterministic keeper policy every dedup operator here uses, and
+    * it lets the DuckDB oracle replay the decision bit-for-bit).
+    *
+    * Scale shape: one broadcast centroid assignment (linear scan), then a
+    * within-list join whose EARLIER-ID side is capped at
+    * `maxListOccupancy` — candidate volume per list is members × cap, not
+    * members², so a degenerate corpus that lands in one list stays linear.
+    * Vectors beyond a hot list's head are still checked against that head
+    * (where the list's first-seen exemplars live); the production fix for
+    * a persistently hot list is retraining ([[kmeansFromSeeds]]), the cap
+    * is the guard that bounds the pass meanwhile. Output is one audit row
+    * per vector: `(vec_id, list_id, dup_of, kept)`.
+    */
+  def semDedup(emb: DataFrame, tau: Double = NearDupCosine,
+      kmeansIters: Int = 0,
+      maxListOccupancy: Int = MaxListOccupancy): DataFrame = {
+    val e = withNorm(emb)
+    val cents =
+      if (kmeansIters == 0) leaders(emb) else kmeansLeaders(emb, kmeansIters)
+    val assign = assignFull(e, cents).persist()
+    assign.count() // eager: read by the head leg, the probe leg, the output
+    val head = assign
+      .withColumn("lrnk", row_number().over(Window.partitionBy("list_id")
+        .orderBy("vec_id")))
+      .filter(col("lrnk") <= maxListOccupancy)
+      .select(col("list_id"), col("vec_id").as("h_id"),
+        col("embedding").as("h_emb"), col("norm").as("h_norm"))
+    val dupOf = assign.as("a")
+      .join(head.as("h"),
+        col("a.list_id") === col("h.list_id") &&
+          col("h.h_id") < col("a.vec_id") &&
+          (expr(Dedup.dot("a.embedding", "h.h_emb")) /
+            (col("a.norm") * col("h.h_norm"))) >= tau)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("h.h_id")).as("dup_of"))
+    Dedup.materializeFreeing(
+      assign.select("vec_id", "list_id")
+        .join(dupOf, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("list_id"), col("dup_of"),
+          col("dup_of").isNull.as("kept")),
+      assign)
+  }
 }

@@ -80,10 +80,10 @@ object OpsOracleSql {
 
   // ---- dedup over documents/embeddings (graft.ops.Dedup) ----
 
-  import graft.ops.Dedup.{BandBits, BandMask, Bands, CosineDupThreshold,
-    HammingThreshold, JaccardDupThreshold, JaccardReportThreshold,
-    MaxBandOccupancy, MaxShingleDf, NumHashes, RowsPerBand, SimhashBands,
-    SimhashBits}
+  import graft.ops.Dedup.{BandBits, BandMask, Bands, ChunkTokens,
+    CosineDupThreshold, HammingThreshold, JaccardDupThreshold,
+    JaccardReportThreshold, MaxBandOccupancy, MaxShingleDf, NumHashes,
+    RowsPerBand, SimhashBands, SimhashBits}
 
   val DEDUP_EXACT =
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
@@ -295,6 +295,51 @@ object OpsOracleSql {
        |         ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim
        |  FROM de_e a JOIN de_e b ON a.vec_id < b.vec_id)
        |WHERE cos_sim >= $CosineDupThreshold""".stripMargin
+
+  /** Mirrors [[graft.ops.Dedup.chunkRows]] + first-occurrence flagging:
+    * DuckDB's 1-based inclusive list slice `toks[a : a+w-1]` ≡ Spark's
+    * `slice(toks, a, w)` (both clamp past the end), and `generate_series`
+    * is endpoint-inclusive like Spark's `sequence`. First occurrence via
+    * a window rank; the Spark side uses min-struct aggregation — same
+    * relation, skew-safe plan.
+    */
+  private val chunkChain: String = {
+    val W = ChunkTokens
+    s"""ck_tok AS (
+       |  SELECT doc_id, $tokensDuck AS toks FROM documents
+       |  WHERE len($tokensDuck) > 0),
+       |ck_chunk AS (
+       |  SELECT doc_id, chunk_idx,
+       |         array_to_string(
+       |           toks[CAST(chunk_idx * $W + 1 AS INT)
+       |                : CAST(chunk_idx * $W + $W AS INT)], ' ') AS chunk_text
+       |  FROM (
+       |    SELECT doc_id, toks,
+       |           CAST(unnest(generate_series(0, (len(toks) - 1) // $W)) AS BIGINT)
+       |             AS chunk_idx
+       |    FROM ck_tok)),
+       |ck_flag AS (
+       |  SELECT doc_id, chunk_idx, chunk_text,
+       |         ${hexcastDuck("chunk_text")} AS chunk_hash,
+       |         row_number() OVER (PARTITION BY ${hexcastDuck("chunk_text")}
+       |           ORDER BY doc_id, chunk_idx) = 1 AS kept,
+       |         CAST(count(*) OVER (PARTITION BY ${hexcastDuck("chunk_text")})
+       |           AS BIGINT) AS n_copies
+       |  FROM ck_chunk)""".stripMargin
+  }
+
+  val DEDUP_CHUNKS: String =
+    s"""WITH $chunkChain
+       |SELECT doc_id, chunk_idx, chunk_hash, n_copies, kept FROM ck_flag""".stripMargin
+
+  val DEDUP_CHUNK_DOCS: String =
+    s"""WITH $chunkChain
+       |SELECT doc_id,
+       |       coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+       |                  FILTER (WHERE kept), '') AS clean_text,
+       |       CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept
+       |FROM ck_flag GROUP BY doc_id""".stripMargin
 
   /** Connected components by transitive closure (recursive CTE) — cluster
     * id = min reachable doc_id; mirrors Dedup.dupClusters' fixpoint.
@@ -791,6 +836,31 @@ object OpsOracleSql {
        |  JOIN de_e a ON c.a_id = a.vec_id
        |  JOIN de_e b ON c.b_id = b.vec_id)
        |WHERE "rank" <= $TopK""".stripMargin
+
+  /** Mirrors [[graft.ops.Similarity.semDedup]]: same iv_assign quantizer,
+    * head side capped at MaxListOccupancy by vec_id rank, drop iff an
+    * earlier-id head vector in the list clears the cosine threshold,
+    * keeper = lowest such id.
+    */
+  val SIM_SEMDEDUP: String =
+    s"""WITH $ivfChain,
+       |sd_head AS (
+       |  SELECT list_id, vec_id AS h_id, embedding AS h_emb, norm AS h_norm
+       |  FROM (
+       |    SELECT a.vec_id, a.list_id, e.embedding, e.norm,
+       |           row_number() OVER (PARTITION BY a.list_id ORDER BY a.vec_id) AS lrnk
+       |    FROM iv_assign a JOIN de_e e USING (vec_id))
+       |  WHERE lrnk <= ${graft.ops.Similarity.MaxListOccupancy}),
+       |sd_dup AS (
+       |  SELECT a.vec_id, min(h.h_id) AS dup_of
+       |  FROM iv_assign a
+       |  JOIN de_e e ON e.vec_id = a.vec_id
+       |  JOIN sd_head h ON h.list_id = a.list_id AND h.h_id < a.vec_id
+       |    AND ${dotDuck("e.embedding", "h.h_emb")} / (e.norm * h.h_norm)
+       |          >= $CosineDupThreshold
+       |  GROUP BY a.vec_id)
+       |SELECT a.vec_id, a.list_id, d.dup_of, d.dup_of IS NULL AS kept
+       |FROM iv_assign a LEFT JOIN sd_dup d ON d.vec_id = a.vec_id""".stripMargin
 
   /** Mirrors [[graft.ops.TextAnalysis.repetition]]: same n-gram explode →
     * (doc, n, gram) counts → per-(doc, n) maxima → per-doc pivot. DuckDB

@@ -11,6 +11,59 @@ class OpsSpec extends SparkSpec {
   private lazy val docs = T.table(spark, sf, "documents").cache()
   private lazy val emb = T.table(spark, sf, "embeddings").cache()
 
+  test("chunk dedup: keep-first across docs, shorter tail chunk, reassembly") {
+    import spark.implicits._
+    val boiler = "b0 b1 b2 b3 b4 b5 b6 b7" // one exact 8-token chunk
+    val d = Seq(
+      (1L, s"$boiler u1a u1b u1c u1d u1e u1f u1g u1h tail1 tail2"),
+      (2L, s"$boiler u2a u2b u2c u2d u2e u2f u2g u2h"),
+      (3L, "solo1 solo2"),
+      (4L, "")).toDF("doc_id", "text")
+    val audit = Dedup.chunkDedup(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) -> r).toMap
+    // doc 1 owns the first occurrence; doc 2's copy is dropped, multiplicity 2
+    assert(audit((1L, 0L)).getAs[Boolean]("kept"))
+    assert(!audit((2L, 0L)).getAs[Boolean]("kept"))
+    assert(audit((2L, 0L)).getAs[Long]("n_copies") == 2L)
+    // unique chunks all survive, including doc 1's short 2-token tail chunk
+    assert(audit((1L, 2L)).getAs[Boolean]("kept"))
+    assert(audit.keys.count(_._1 == 1L) == 3 && audit.keys.count(_._1 == 2L) == 2)
+    // token-free docs contribute no chunk rows
+    assert(!audit.keys.exists(_._1 == 4L))
+    val out = Dedup.chunkDedupDocs(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") ==
+      s"$boiler u1a u1b u1c u1d u1e u1f u1g u1h tail1 tail2")
+    assert(out(2L).getAs[String]("clean_text") == "u2a u2b u2c u2d u2e u2f u2g u2h")
+    assert(out(2L).getAs[Long]("n_chunks") == 2L && out(2L).getAs[Long]("n_kept") == 1L)
+    assert(out(3L).getAs[String]("clean_text") == "solo1 solo2")
+    assert(!out.contains(4L))
+  }
+
+  test("semdedup: within-list lowest-id keeper, orthogonal vectors survive") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val e = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0)),
+      (2L, v(0, 0, 1, 0)), (3L, v(0, 0, 0, 1)),
+      (20L, v(0, 0, 0, 2)),      // same direction as 3 → dup_of 3
+      (21L, v(1, 1, 0, 0)),      // cos .707 with leader 0 → dup_of 0
+      (22L, v(-1, 0.01, 0, 0))   // lands in list 1 at cos ~.01 → kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(e).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.size == 7)
+    for (id <- Seq(0L, 1L, 2L, 3L, 22L)) {
+      assert(out(id).getAs[Boolean]("kept"), s"vec $id should survive")
+      assert(out(id).isNullAt(out(id).fieldIndex("dup_of")))
+    }
+    assert(!out(20L).getAs[Boolean]("kept") && out(20L).getAs[Long]("dup_of") == 3L)
+    assert(!out(21L).getAs[Boolean]("kept") && out(21L).getAs[Long]("dup_of") == 0L)
+    // audit is total: one row per input vector, kept ⇔ dup_of is null
+    assert(out.values.forall(r =>
+      r.getAs[Boolean]("kept") == r.isNullAt(r.fieldIndex("dup_of"))))
+  }
+
   test("target sampling derives ceiling thresholds and hits the mix") {
     val t = Sampling.targetThresholds(docs, 40L).collect()
       .map(r => r.getAs[String]("stratum") ->
