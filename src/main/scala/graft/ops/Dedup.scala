@@ -554,7 +554,12 @@ object Dedup {
     flaggedChunks(chunkRows(docs, w).drop("chunk_text"))
       .select("doc_id", "chunk_idx", "chunk_hash", "n_copies", "kept")
 
-  private def flaggedChunks(rows: DataFrame): DataFrame = {
+  /** First-occurrence flagging over a chunk-occurrence relation — shared by
+    * the batch operator and the incremental path
+    * ([[graft.streaming.IncrementalChunkDedup]]), so the keep-first
+    * election cannot diverge between them.
+    */
+  private[graft] def flaggedChunks(rows: DataFrame): DataFrame = {
     val firsts = rows.groupBy("chunk_hash")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"),
         count(lit(1)).as("n_copies"))
@@ -562,6 +567,20 @@ object Dedup {
       .withColumn("kept", col("first.doc_id") === col("doc_id") &&
         col("first.chunk_idx") === col("chunk_idx"))
   }
+
+  /** Reassemble flagged occurrence rows `(doc_id, chunk_idx, chunk_text,
+    * kept)` into `(doc_id, clean_text, n_chunks, n_kept)` — the shared
+    * tail of [[chunkDedupDocs]] and the incremental per-batch path.
+    */
+  private[graft] def reassembleChunks(occ: DataFrame): DataFrame =
+    occ.groupBy("doc_id")
+      .agg(
+        expr("""concat_ws(' ', transform(
+          |  array_sort(collect_list(CASE WHEN kept
+          |    THEN struct(chunk_idx, chunk_text) END)),
+          |  s -> s.chunk_text))""".stripMargin).as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
 
   /** Documents re-assembled from their surviving chunks: `(doc_id,
     * clean_text, n_chunks, n_kept)`. A document whose every chunk was seen
@@ -573,13 +592,5 @@ object Dedup {
     * count, bounded by doc length, not by the corpus).
     */
   def chunkDedupDocs(docs: DataFrame, w: Int = ChunkTokens): DataFrame =
-    flaggedChunks(chunkRows(docs, w))
-      .groupBy("doc_id")
-      .agg(
-        expr("""concat_ws(' ', transform(
-          |  array_sort(collect_list(CASE WHEN kept
-          |    THEN struct(chunk_idx, chunk_text) END)),
-          |  s -> s.chunk_text))""".stripMargin).as("clean_text"),
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+    reassembleChunks(flaggedChunks(chunkRows(docs, w)))
 }
