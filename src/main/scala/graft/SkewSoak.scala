@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, HashSplit}
-import graft.streaming.{IncrementalAnnIndex, IncrementalCuration, StoreMaintenance}
+import graft.streaming.{IncrementalAnnIndex, IncrementalChunkDedup,
+  IncrementalCuration, StoragePaths, StoreMaintenance}
 
 /** Skew soak harness: proves the document-frequency / band-occupancy caps
   * keep the posting-list joins near-LINEAR on an adversarially skewed
@@ -152,6 +153,41 @@ object SkewSoak {
     val curJson =
       f""""curation_band_probe":{"base_sec":${curSecs(0)}%.2f,"x10_sec":${curSecs(1)}%.2f,"time_growth":$curGrowth%.1f,"store_base":$curBaseN,"store_x10":${curBaseN * 10},"batch":$curBatch}"""
 
+    // Chunk-store membership leg: fixed probe batch of re-keyed docs,
+    // chunk-hash store grown 10×, flat probe time — the same
+    // history-free contract as ann_membership (bucket count scales with
+    // the store, so bucket size — the unit a probe reads — is pinned).
+    val chunkBatch = 12
+    def chunkProbeSec(n: Long): Double = {
+      val root = java.nio.file.Files.createTempDirectory("soak-chunk").toString
+      val store = s"$root/chunks"
+      val buckets = math.max(64, (n / 1500).toInt)
+      Dedup.chunkRows(skewedDocs(spark, n)).select("chunk_hash").distinct()
+        .withColumn("id_bucket",
+          IncrementalAnnIndex.idBucket(col("chunk_hash"), buckets))
+        .repartition(col("id_bucket"))
+        .write.partitionBy("id_bucket").parquet(s"$store/batch=0")
+      StoragePaths.writeSmallFile(spark,
+        s"$store/${IncrementalAnnIndex.IdBucketsMarker}", buckets.toString)
+      val probe = Dedup.chunkRows(skewedDocs(spark, chunkBatch.toLong)
+          .withColumn("doc_id", col("doc_id") + lit(3000000000L)))
+        .select("doc_id", "chunk_idx", "chunk_hash").persist()
+      probe.count()
+      def go(): Long = probe.join(
+        IncrementalChunkDedup.priorChunkHashes(
+          spark, store, probe.select("chunk_hash"), -999L),
+        Seq("chunk_hash"), "left_anti").count()
+      go() // warm: codegen + file-index caches, excluded
+      val sec = timed(go())._1
+      probe.unpersist(blocking = false)
+      sec
+    }
+    val chunkBaseN = baseN * 10
+    val chunkSecs = Seq(chunkBaseN, chunkBaseN * 10).map(chunkProbeSec)
+    val chunkGrowth = chunkSecs(1) / chunkSecs(0)
+    val chunkJson =
+      f""""chunk_membership":{"base_sec":${chunkSecs(0)}%.2f,"x10_sec":${chunkSecs(1)}%.2f,"time_growth":$chunkGrowth%.1f,"store_base":$chunkBaseN,"store_x10":${chunkBaseN * 10},"batch":$chunkBatch}"""
+
     val base = results.head._2.toMap
     val x10 = results.last._2.toMap
     // one growth derivation feeds BOTH the JSON line and the verdict, so
@@ -173,8 +209,9 @@ object SkewSoak {
       // (4× admits scheduler/listing noise at these tiny absolute times
       // without admitting store-proportional growth)
       ("ann_membership" -> (annGrowth < 4.0)) :+
-      ("curation_band_probe" -> (curGrowth < 4.0))
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,"linear":${verdicts.forall(_._2)}}""")
+      ("curation_band_probe" -> (curGrowth < 4.0)) :+
+      ("chunk_membership" -> (chunkGrowth < 4.0))
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>

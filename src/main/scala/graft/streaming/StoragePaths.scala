@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * ([[IncrementalMartStream]], [[IncrementalCuration]]) — one place to fix
   * scheme handling for every bootstrap-vs-increment branch.
   */
-private[streaming] object StoragePaths {
+private[graft] object StoragePaths {
   def exists(spark: SparkSession, p: String): Boolean = {
     val hp = new Path(p)
     hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
