@@ -126,6 +126,41 @@ class IncrementalChunkDedupSpec extends SparkSpec {
     assert(later.count() == 2L)
   }
 
+  test("a compacted, re-bucketed chunk store still drops stored chunks") {
+    val (landing, ckpt, store, corpus) = dirs()
+    land(landing, "b1.parquet", Seq(
+      row(1L, s"$boiler ${uniqText(1)}"), row(2L, uniqText(2))))
+    IncrementalChunkDedup.run(
+      spark, landing.toString, ckpt, store, corpus, docSchema)
+
+    // compact into a fresh root with a DIFFERENT bucket count (the grown-
+    // store maintenance move) and resume the stream against it: batch=-1
+    // must coexist with the resumed stream's batch=0 and keep feeding the
+    // membership anti-join under the new bucketing
+    val store2 = Files.createTempDirectory("ckd7-store2").toString + "/chunks"
+    graft.streaming.StoreMaintenance.compact(spark, store, store2,
+      numFiles = 1, bucketBy = Some(("chunk_hash", 16)))
+    val landing2 = Files.createTempDirectory("ckd7-landing2")
+    val ckpt2 = Files.createTempDirectory("ckd7-ckpt2").toString + "/c"
+    val corpus2 = Files.createTempDirectory("ckd7-corpus2").toString + "/c2"
+    land(landing2, "b2.parquet", Seq(
+      row(10L, s"$boiler ${uniqText(10)}"), row(11L, uniqText(11))))
+    val out = IncrementalChunkDedup.run(
+      spark, landing2.toString, ckpt2, store2, corpus2, docSchema)
+    // doc 10's boilerplate chunk is stored (under the new bucketing) →
+    // only its unique tail survives
+    assert(out.filter(col("doc_id") === 10L).head()
+      .getAs[String]("clean_text") == uniqText(10))
+    // the re-entered store accumulated exactly the novel hashes
+    val storeHashes = spark.read.parquet(store2)
+      .select("chunk_hash").collect().map(_.getLong(0)).toSet
+    val expected = Dedup.chunkRows(spark.createDataFrame(Seq(
+      row(1L, s"$boiler ${uniqText(1)}"), row(2L, uniqText(2)),
+      row(10L, s"$boiler ${uniqText(10)}"), row(11L, uniqText(11))).asJava,
+      docSchema)).select("chunk_hash").collect().map(_.getLong(0)).toSet
+    assert(storeHashes == expected)
+  }
+
   test("store probes read only the touched hash buckets") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val (landing, ckpt, store, corpus) = dirs()
