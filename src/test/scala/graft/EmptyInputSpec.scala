@@ -38,6 +38,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.minhashPairs(d).count() == 0)
     assert(Dedup.ngramJaccardPairs(d).count() == 0)
     assert(Dedup.simhashPairs(d).count() == 0)
+    assert(Dedup.chunkDedup(d).count() == 0)
+    assert(Dedup.chunkDedupDocs(d).count() == 0)
     assert(HashSplit.split(d).count() == 0)
     assert(HashSplit.tokenShards(d).count() == 0)
     assert(Curation.rowAudit(d).count() == 0)
@@ -69,5 +71,6 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.lshTopK(e).count() == 0)
     assert(Similarity.lshNearDup(e).count() == 0)
     assert(Similarity.ivfTopK(e).count() == 0)
+    assert(Similarity.semDedup(e).count() == 0)
   }
 }
