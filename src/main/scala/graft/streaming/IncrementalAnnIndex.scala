@@ -124,7 +124,7 @@ object IncrementalAnnIndex {
           .select("vec_id")
     }
 
-  private def readLeaders(spark: SparkSession, leaderPath: String): DataFrame = {
+  private[streaming] def readLeaders(spark: SparkSession, leaderPath: String): DataFrame = {
     val cents = spark.read.parquet(leaderPath)
     val n = cents.count()
     require(n == Similarity.NumLists.toLong,
