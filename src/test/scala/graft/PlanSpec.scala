@@ -165,4 +165,39 @@ class PlanSpec extends SparkSpec {
     assert(ns.count(_ == "Exchange") == 2, ns)
     assert(!ns.contains("SortMergeJoin") && !ns.contains("CartesianProduct"), ns)
   }
+
+  test("chunk dedup audit scans (doc_id, text) only and sheds chunk_text") {
+    val q = Dedup.chunkDedup(T.table(spark, sf, "documents"))
+    val p = plan(q)
+    // column pruning reaches the parquet scan: the audit never reads
+    // lang/source/n_chars
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // the first-occurrence shuffle carries digests, not chunk text — the
+    // documented id-width-exchange property. chunk_text must not appear in
+    // any Exchange's output schema (it would multiply shuffle bytes by the
+    // chunk width)
+    val unwrapped = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    val exchanges = unwrapped.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("chunk_text")),
+      exchanges.toString)
+  }
+
+  test("IVF assignment (semdedup/ivf leg) broadcasts centroids, streams the corpus") {
+    // the shared coarse-quantize leg of semDedup / ivfTopK / the
+    // incremental index add: crossJoin(broadcast(cents)) — the corpus
+    // streams once; no shuffle-join against the 16-row centroid relation
+    // (semDedup's own output plan is checkpoint-flattened, so the leg is
+    // asserted here)
+    val e = T.table(spark, sf, "embeddings")
+    val ns = nodes(Similarity.ivfAssignments(e))
+    assert(ns.contains("BroadcastNestedLoopJoin"), ns)
+    assert(!ns.contains("SortMergeJoin"), ns)
+  }
 }
