@@ -111,6 +111,11 @@ object SparkEntry {
     curationAudit(s, dir).createOrReplaceTempView("curate_audit")
     Curation.corpus(T.table(s, dir, "documents"), curationAudit(s, dir))
       .createOrReplaceTempView("curated_corpus")
+    // lazy plan — registration costs nothing until queried (semDedup is
+    // deliberately NOT registered here: its operator materializes eagerly,
+    // so a view would execute it on every registration)
+    Dedup.chunkDedupDocs(T.table(s, dir, "documents"))
+      .createOrReplaceTempView("chunk_deduped_docs")
   }
 
   // order-independent aggregates only (counts, integer sums, min/max):

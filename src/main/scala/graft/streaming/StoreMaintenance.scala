@@ -256,4 +256,37 @@ object StoreMaintenance {
         (col("max_occ") / col("mean_occ")).as("imbalance_factor"))
       .orderBy("list_id")
   }
+
+  /** Vacuum a SUPERSEDING-generation store — one whose readers only ever
+    * resolve the NEWEST `batch=N` directory
+    * ([[IncrementalSemDedup]]'s head store: each batch's write fully
+    * re-elects the relation, so older generations are dead weight that
+    * grows the per-batch root listing forever). Deletes all but the
+    * newest `keep` generations and returns the batch ids removed.
+    *
+    * `keep` must be ≥ 2: a crash-replay of the newest batch resolves its
+    * PREDECESSOR generation (own-partition exclusion), so vacuuming down
+    * to one generation would hand a replay an empty head and corrupt its
+    * re-decision. NOT for accumulating stores ([[IncrementalCuration]] /
+    * [[IncrementalAnnIndex]] layouts, where every batch=N holds live
+    * rows) — those compact via [[compact]], which rewrites instead of
+    * deleting.
+    */
+  def pruneSupersededGenerations(
+      spark: SparkSession, path: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 2,
+      s"pruneSupersededGenerations: keep must be >= 2 (replay of the " +
+        s"newest batch reads its predecessor), got $keep")
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) Seq.empty
+    else {
+      val gens = fs.listStatus(hp).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .sortBy(_.getName.stripPrefix("batch=").toLong)
+      val drop = gens.dropRight(keep)
+      drop.foreach(p => fs.delete(p, true))
+      drop.map(_.getName.stripPrefix("batch=").toLong)
+    }
+  }
 }

@@ -128,6 +128,32 @@ class IncrementalSemDedupSpec extends SparkSpec {
     assert(replayed == committed, s"$replayed != $committed")
   }
 
+  test("superseded head generations vacuum; the newest and its replay predecessor survive") {
+    val (landing, ckpt, root) = dirs()
+    land(landing, "b1.parquet", b1)
+    IncrementalSemDedup.run(spark, landing.toString, ckpt, root, embSchema)
+    land(landing, "b2.parquet", b2)
+    IncrementalSemDedup.run(spark, landing.toString, ckpt, root, embSchema)
+    land(landing, "b3.parquet", Seq(row(30L, vec(0, -0.4))))
+    IncrementalSemDedup.run(spark, landing.toString, ckpt, root, embSchema)
+    val heads = IncrementalSemDedup.headsPath(root)
+    val headBefore = IncrementalSemDedup.readHeads(spark, root, -999L).get
+      .collect().map(_.getLong(0)).toSet
+    val removed = graft.streaming.StoreMaintenance
+      .pruneSupersededGenerations(spark, heads)
+    assert(removed == Seq(0L), s"oldest generation only, got $removed")
+    // the newest head is untouched, and a replay of batch 2 still
+    // resolves generation 1
+    assert(IncrementalSemDedup.readHeads(spark, root, -999L).get
+      .collect().map(_.getLong(0)).toSet == headBefore)
+    assert(IncrementalSemDedup.readHeads(spark, root, excludeBatchId = 2L)
+      .isDefined)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StoreMaintenance
+        .pruneSupersededGenerations(spark, heads, keep = 1)
+    }
+  }
+
   test("the head store stays bounded at cap x lists as batches accumulate") {
     val (landing, ckpt, root) = dirs()
     val cap = 2
