@@ -53,6 +53,14 @@ import graft.ops.{Dedup, Similarity}
   * the replaying batch's own partition (head generations are per-batch
   * directories, so a replay of batch N re-reads the pre-N head), and all
   * writes are per-batch overwrites.
+  *
+  * Resuming under a FRESH checkpoint (epoch ids restart at 0) requires
+  * [[StoreMaintenance.reenterSuperseded]] on the heads store first — it
+  * carries the newest head to `batch=-1` so the new era's generations
+  * supersede it; without the re-entry the new era's low batch ids sort
+  * under the old era's and the head silently freezes. The accumulating
+  * stores (lists / decided / ledger) follow the ordinary
+  * [[StoreMaintenance.compact]] re-entry convention.
   */
 object IncrementalSemDedup {
 

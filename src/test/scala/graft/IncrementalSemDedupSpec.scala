@@ -154,6 +154,37 @@ class IncrementalSemDedupSpec extends SparkSpec {
     }
   }
 
+  test("fresh-checkpoint re-entry carries the head to batch=-1 and resumes") {
+    val (landing, ckpt, root) = dirs()
+    land(landing, "b1.parquet", b1)
+    IncrementalSemDedup.run(spark, landing.toString, ckpt, root, embSchema)
+    land(landing, "b2.parquet", b2)
+    IncrementalSemDedup.run(spark, landing.toString, ckpt, root, embSchema)
+    val heads = IncrementalSemDedup.headsPath(root)
+    val headBefore = IncrementalSemDedup.readHeads(spark, root, -999L).get
+      .collect().map(_.getLong(0)).toSet
+    graft.streaming.StoreMaintenance.reenterSuperseded(spark, heads)
+    // one generation left, below every epoch, content carried intact
+    assert(IncrementalSemDedup.readHeads(spark, root, -999L).get
+      .collect().map(_.getLong(0)).toSet == headBefore)
+    // resume under a FRESH checkpoint: the new era's batch 0 must resolve
+    // the carried head (a dup of a pre-restart member is caught), and its
+    // own generation must supersede batch=-1
+    val landing2 = Files.createTempDirectory("sd-landing2")
+    val ckpt2 = Files.createTempDirectory("sd-ckpt2").toString + "/c"
+    land(landing2, "b3.parquet", Seq(
+      row(40L, vec(1, 0.5).map(x => x * 3f)), // same direction family as 13
+      row(41L, vec(3, -0.85))))
+    val ledger = IncrementalSemDedup.run(
+      spark, landing2.toString, ckpt2, root, embSchema)
+    val d40 = ledger.filter(col("vec_id") === 40L).head()
+    assert(!d40.getAs[Boolean]("kept") && d40.getAs[Long]("dup_of") == 13L,
+      "post-re-entry batch must dedup against the carried head")
+    val newest = IncrementalSemDedup.readHeads(spark, root, -999L).get
+    assert(newest.filter(col("vec_id") === 41L).count() == 1,
+      "the new era's generation must supersede the carried one")
+  }
+
   test("the head store stays bounded at cap x lists as batches accumulate") {
     val (landing, ckpt, root) = dirs()
     val cap = 2
