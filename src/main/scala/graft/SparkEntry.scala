@@ -208,6 +208,8 @@ object SparkEntry {
       Dedup.chunkDedup(T.table(s, dir, "documents"))),
     "dedup_chunk_docs" -> ((s, dir) =>
       Dedup.chunkDedupDocs(T.table(s, dir, "documents"))),
+    "dedup_chunk_stats" -> ((s, dir) =>
+      Dedup.chunkDedupStats(T.table(s, dir, "documents"))),
     "sim_semdedup" -> ((s, dir) =>
       Similarity.semDedup(T.table(s, dir, "embeddings"))),
     "dedup_clusters" -> ((s, dir) => dupClusters(s, dir)),
@@ -395,6 +397,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> OO.DEDUP_EMB_COSINE,
     "dedup_chunks" -> OO.DEDUP_CHUNKS,
     "dedup_chunk_docs" -> OO.DEDUP_CHUNK_DOCS,
+    "dedup_chunk_stats" -> OO.DEDUP_CHUNK_STATS,
     "sim_semdedup" -> OO.SIM_SEMDEDUP,
     "dedup_clusters" -> OO.DEDUP_CLUSTERS,
     "dedup_keeper_quality" -> OO.DEDUP_KEEPER_QUALITY,

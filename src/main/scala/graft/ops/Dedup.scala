@@ -593,4 +593,20 @@ object Dedup {
     */
   def chunkDedupDocs(docs: DataFrame, w: Int = ChunkTokens): DataFrame =
     reassembleChunks(flaggedChunks(chunkRows(docs, w)))
+
+  /** Corpus-level dedup yield — the one-row report an operator reads to
+    * decide whether chunk dedup pays for itself on a corpus: occurrence /
+    * distinct / dropped counts and the characters removed. Integer
+    * aggregates only, so the cross-engine hash compare is exact.
+    */
+  def chunkDedupStats(docs: DataFrame, w: Int = ChunkTokens): DataFrame =
+    flaggedChunks(chunkRows(docs, w))
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        countDistinct("chunk_hash").as("n_distinct_chunks"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(!col("kept"),
+          length(col("chunk_text")).cast("long")).otherwise(0L)), lit(0L))
+          .as("chars_dropped"))
 }

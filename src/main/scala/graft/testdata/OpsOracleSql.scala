@@ -332,6 +332,16 @@ object OpsOracleSql {
     s"""WITH $chunkChain
        |SELECT doc_id, chunk_idx, chunk_hash, n_copies, kept FROM ck_flag""".stripMargin
 
+  val DEDUP_CHUNK_STATS: String =
+    s"""WITH $chunkChain
+       |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_occurrences,
+       |       CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+       |       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped,
+       |       CAST(coalesce(sum(length(chunk_text))
+       |              FILTER (WHERE NOT kept), 0) AS BIGINT) AS chars_dropped
+       |FROM ck_flag""".stripMargin
+
   val DEDUP_CHUNK_DOCS: String =
     s"""WITH $chunkChain
        |SELECT doc_id,
