@@ -97,6 +97,26 @@ class IncrementalChunkDedupSpec extends SparkSpec {
       == uniqText(1))
   }
 
+  test("per-batch metrics ledger records the chunk funnel") {
+    val (landing, ckpt, store, corpus) = dirs()
+    val metrics = Files.createTempDirectory("ckd-metrics").toString + "/m"
+    land(landing, "b1.parquet", Seq(
+      row(1L, s"$boiler ${uniqText(1)}"), row(2L, uniqText(2))))
+    IncrementalChunkDedup.run(spark, landing.toString, ckpt, store, corpus,
+      docSchema, metricsPath = Some(metrics))
+    land(landing, "b2.parquet", Seq(row(10L, s"$boiler ${uniqText(10)}")))
+    IncrementalChunkDedup.run(spark, landing.toString, ckpt, store, corpus,
+      docSchema, metricsPath = Some(metrics))
+    val m = spark.read.parquet(metrics).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences"),
+          r.getAs[Long]("n_kept_chunks"))).toMap
+    // batch 0: 2 docs, 3 occurrences (boiler + 2 unique tails), all kept
+    assert(m(0L) == ((2L, 3L, 3L)), m.toString)
+    // batch 1: 1 doc, 2 occurrences, boiler already stored -> 1 kept
+    assert(m(1L) == ((1L, 2L, 1L)), m.toString)
+  }
+
   test("an empty first drain returns an empty corpus, not a crash") {
     val (landing, ckpt, store, corpus) = dirs()
     val out = IncrementalChunkDedup.run(

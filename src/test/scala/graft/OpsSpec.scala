@@ -64,6 +64,30 @@ class OpsSpec extends SparkSpec {
       r.getAs[Boolean]("kept") == r.isNullAt(r.fieldIndex("dup_of"))))
   }
 
+  test("semdedup head cap: dups of head members drop, beyond-head dups keep (documented)") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // list 3 members by id: 3 (head under cap=1), 20, 30; 20 dups 3; 30
+    // is orthogonal to 3 but identical in direction to 20
+    val e = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0)),
+      (2L, v(0, 0, 1, 0)), (3L, v(0, 0, 0, 1)),
+      (20L, v(0, 0, 0, 3)),
+      (30L, v(0, 0, 0, 2))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(e, maxListOccupancy = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(!out(20L).getAs[Boolean]("kept") && out(20L).getAs[Long]("dup_of") == 3L)
+    // 30 also dups 3 via the head — the cap still catches family members
+    // through the head exemplar
+    assert(!out(30L).getAs[Boolean]("kept") && out(30L).getAs[Long]("dup_of") == 3L)
+    // stats invariants on the real corpus: kept occurrences == distinct
+    // chunks, occurrences == kept + dropped
+    val st = Dedup.chunkDedupStats(docs).head()
+    assert(st.getAs[Long]("n_occurrences") ==
+      st.getAs[Long]("n_distinct_chunks") + st.getAs[Long]("n_dropped"))
+  }
+
   test("target sampling derives ceiling thresholds and hits the mix") {
     val t = Sampling.targetThresholds(docs, 40L).collect()
       .map(r => r.getAs[String]("stratum") ->
