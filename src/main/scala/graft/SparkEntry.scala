@@ -210,6 +210,13 @@ object SparkEntry {
       Dedup.chunkDedupDocs(T.table(s, dir, "documents"))),
     "dedup_chunk_stats" -> ((s, dir) =>
       Dedup.chunkDedupStats(T.table(s, dir, "documents"))),
+    // composition: document-level curation first, then cross-document
+    // chunk dedup over the survivors (the C4 ordering) — the keep-first
+    // election runs on the curated subset only
+    "curate_chunk_corpus" -> ((s, dir) =>
+      Dedup.chunkDedupDocs(T.table(s, dir, "documents").join(
+        curationAudit(s, dir).filter("curated").select("doc_id"),
+        Seq("doc_id")))),
     "sim_semdedup" -> ((s, dir) =>
       Similarity.semDedup(T.table(s, dir, "embeddings"))),
     "dedup_clusters" -> ((s, dir) => dupClusters(s, dir)),
@@ -398,6 +405,7 @@ object SparkEntry {
     "dedup_chunks" -> OO.DEDUP_CHUNKS,
     "dedup_chunk_docs" -> OO.DEDUP_CHUNK_DOCS,
     "dedup_chunk_stats" -> OO.DEDUP_CHUNK_STATS,
+    "curate_chunk_corpus" -> OO.CURATE_CHUNK_CORPUS,
     "sim_semdedup" -> OO.SIM_SEMDEDUP,
     "dedup_clusters" -> OO.DEDUP_CLUSTERS,
     "dedup_keeper_quality" -> OO.DEDUP_KEEPER_QUALITY,

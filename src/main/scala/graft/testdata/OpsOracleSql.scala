@@ -303,10 +303,10 @@ object OpsOracleSql {
     * a window rank; the Spark side uses min-struct aggregation — same
     * relation, skew-safe plan.
     */
-  private val chunkChain: String = {
+  private def chunkChainFrom(src: String): String = {
     val W = ChunkTokens
     s"""ck_tok AS (
-       |  SELECT doc_id, $tokensDuck AS toks FROM documents
+       |  SELECT doc_id, $tokensDuck AS toks FROM $src
        |  WHERE len($tokensDuck) > 0),
        |ck_chunk AS (
        |  SELECT doc_id, chunk_idx,
@@ -327,6 +327,8 @@ object OpsOracleSql {
        |           AS BIGINT) AS n_copies
        |  FROM ck_chunk)""".stripMargin
   }
+
+  private val chunkChain: String = chunkChainFrom("documents")
 
   val DEDUP_CHUNKS: String =
     s"""WITH $chunkChain
@@ -1052,6 +1054,27 @@ object OpsOracleSql {
        |FROM documents d
        |JOIN (SELECT doc_id, quality_score, split FROM cur_audit
        |      WHERE curated) a USING (doc_id)""".stripMargin
+
+  /** Composition: chunk dedup over the CURATED corpus — the C4 ordering
+    * (document-level curation, then cross-document span dedup). The
+    * keep-first election runs on the curated subset only, mirroring the
+    * Spark side's curated-ids join, so a chunk whose first occurrence was
+    * in a REJECTED document survives in its first curated holder.
+    */
+  val CURATE_CHUNK_CORPUS: String =
+    s"""WITH RECURSIVE ${ddShingleChain.mkString(",\n")},
+       |$ddClusterChain,
+       |$curAuditChain,
+       |cur_docs AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN (SELECT doc_id FROM cur_audit WHERE curated) c USING (doc_id)),
+       |${chunkChainFrom("cur_docs")}
+       |SELECT doc_id,
+       |       coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+       |                  FILTER (WHERE kept), '') AS clean_text,
+       |       CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept
+       |FROM ck_flag GROUP BY doc_id""".stripMargin
 
   private val curFunnelCounters: String =
     s"""CAST(COUNT(*) AS BIGINT) AS n_total,
