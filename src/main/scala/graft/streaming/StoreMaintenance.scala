@@ -257,6 +257,37 @@ object StoreMaintenance {
       .orderBy("list_id")
   }
 
+  /** Re-enter a superseding-generation store under a FRESH checkpoint:
+    * rewrite the newest generation as `batch=-1` ([[CompactedBatch]],
+    * below every streaming epoch) and delete the rest. A stream
+    * restarting at epoch 0 then resolves the carried relation as
+    * "newest ≠ own", and its first write (`batch=0`) supersedes it.
+    * Without this, generations written by the new checkpoint era land
+    * at LOW batch ids underneath the old era's high ids and are never
+    * resolved again — the store silently freezes at the old era's
+    * newest. Crash-safe by ordering: the `batch=-1` rewrite lands
+    * before any deletion, so an interrupted re-entry leaves the old
+    * newest in place and a re-run converges. On a SECOND re-entry (a
+    * prior `batch=-1` exists under newer-era generations) the listing
+    * includes that `batch=-1` path — it must be excluded from the
+    * deletion pass, or the freshly carried generation is wiped and the
+    * next era dedups against an empty head.
+    */
+  def reenterSuperseded(spark: SparkSession, path: String): Unit = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) return
+    val gens = fs.listStatus(hp).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .sortBy(_.getName.stripPrefix("batch=").toLong)
+    val newest = gens.lastOption.getOrElse(return)
+    if (newest.getName == s"batch=$CompactedBatch") return // already re-entered
+    spark.read.parquet(newest.toString)
+      .write.mode("overwrite").parquet(s"$path/batch=$CompactedBatch")
+    gens.filterNot(_.getName == s"batch=$CompactedBatch")
+      .foreach(p => fs.delete(p, true))
+  }
+
   /** Vacuum a SUPERSEDING-generation store — one whose readers only ever
     * resolve the NEWEST `batch=N` directory
     * ([[IncrementalSemDedup]]'s head store: each batch's write fully
@@ -272,32 +303,6 @@ object StoreMaintenance {
     * rows) — those compact via [[compact]], which rewrites instead of
     * deleting.
     */
-  /** Re-enter a superseding-generation store under a FRESH checkpoint:
-    * rewrite the newest generation as `batch=-1` ([[CompactedBatch]],
-    * below every streaming epoch) and delete the rest. A stream
-    * restarting at epoch 0 then resolves the carried relation as
-    * "newest ≠ own", and its first write (`batch=0`) supersedes it.
-    * Without this, generations written by the new checkpoint era land
-    * at LOW batch ids underneath the old era's high ids and are never
-    * resolved again — the store silently freezes at the old era's
-    * newest. Crash-safe by ordering: the `batch=-1` rewrite lands
-    * before any deletion, so an interrupted re-entry leaves the old
-    * newest in place and a re-run converges.
-    */
-  def reenterSuperseded(spark: SparkSession, path: String): Unit = {
-    val hp = new Path(path)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(hp)) return
-    val gens = fs.listStatus(hp).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("batch="))
-      .sortBy(_.getName.stripPrefix("batch=").toLong)
-    val newest = gens.lastOption.getOrElse(return)
-    if (newest.getName == s"batch=$CompactedBatch") return // already re-entered
-    spark.read.parquet(newest.toString)
-      .write.mode("overwrite").parquet(s"$path/batch=$CompactedBatch")
-    gens.foreach(p => fs.delete(p, true))
-  }
-
   def pruneSupersededGenerations(
       spark: SparkSession, path: String, keep: Int = 2): Seq[Long] = {
     require(keep >= 2,

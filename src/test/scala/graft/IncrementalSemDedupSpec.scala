@@ -185,6 +185,41 @@ class IncrementalSemDedupSpec extends SparkSpec {
       "the new era's generation must supersede the carried one")
   }
 
+  test("a SECOND re-entry (prior batch=-1 plus new-era generations) keeps the carried head") {
+    val (landing, ckpt, root) = dirs()
+    land(landing, "b1.parquet", b1)
+    IncrementalSemDedup.run(spark, landing.toString, ckpt, root, embSchema)
+    val heads = IncrementalSemDedup.headsPath(root)
+    // first checkpoint loss: carry to batch=-1, run one new-era batch
+    graft.streaming.StoreMaintenance.reenterSuperseded(spark, heads)
+    val landing2 = Files.createTempDirectory("sd-landing2b")
+    val ckpt2 = Files.createTempDirectory("sd-ckpt2b").toString + "/c"
+    land(landing2, "b2.parquet", b2)
+    IncrementalSemDedup.run(spark, landing2.toString, ckpt2, root, embSchema)
+    val headBefore = IncrementalSemDedup.readHeads(spark, root, -999L).get
+      .collect().map(_.getLong(0)).toSet
+    assert(headBefore.nonEmpty)
+    // SECOND checkpoint loss: the store now holds the stale batch=-1 AND
+    // the new era's batch=0 — re-entry must carry batch=0's relation into
+    // batch=-1 without wiping it (the listing includes the old batch=-1,
+    // which must not be deleted after being overwritten)
+    graft.streaming.StoreMaintenance.reenterSuperseded(spark, heads)
+    val carried = IncrementalSemDedup.readHeads(spark, root, -999L)
+    assert(carried.isDefined, "second re-entry must not leave an empty store")
+    assert(carried.get.collect().map(_.getLong(0)).toSet == headBefore,
+      "second re-entry must carry the newest generation intact")
+    // and a third era still dedups against it
+    val landing3 = Files.createTempDirectory("sd-landing3b")
+    val ckpt3 = Files.createTempDirectory("sd-ckpt3b").toString + "/c"
+    land(landing3, "b3.parquet", Seq(
+      row(50L, vec(1, 0.5).map(x => x * 4f)))) // direction family of seed 13
+    val ledger = IncrementalSemDedup.run(
+      spark, landing3.toString, ckpt3, root, embSchema)
+    val d50 = ledger.filter(col("vec_id") === 50L).head()
+    assert(!d50.getAs[Boolean]("kept") && d50.getAs[Long]("dup_of") == 13L,
+      "third-era batch must dedup against the twice-carried head")
+  }
+
   test("the head store stays bounded at cap x lists as batches accumulate") {
     val (landing, ckpt, root) = dirs()
     val cap = 2
