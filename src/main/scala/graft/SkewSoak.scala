@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, HashSplit}
+import graft.ops.{Dedup, HashSplit, Similarity}
 import graft.streaming.{IncrementalAnnIndex, IncrementalChunkDedup,
   IncrementalCuration, StoragePaths, StoreMaintenance}
 
@@ -68,7 +68,16 @@ object SkewSoak {
         IncrementalCuration.newDuplicates(
           Dedup.minhashSignatures(batch),
           Dedup.minhashSignatures(d)).count()
-      }))
+      }),
+      // chunk-dedup flag-back join under a CORPUS-WIDE hot chunk: prepend
+      // the same boilerplate to EVERY doc, so one chunk_hash has df = n and
+      // the first-occurrence row fans out to all n occurrences — the AQE
+      // skew-split territory the operator documents. Linear growth means
+      // the hot key costs its copy count, not a quadratic reducer stall.
+      ("chunk_flagback", d => Dedup.chunkDedup(
+        d.select(col("doc_id"), concat(
+          lit("the shared boiler plate sentence appears in every document "),
+          col("text")).as("text"))).count()))
 
     // warmup: JIT + codegen caches, excluded from the measurements
     val warm = skewedDocs(spark, 500L).cache()
@@ -188,6 +197,31 @@ object SkewSoak {
     val chunkJson =
       f""""chunk_membership":{"base_sec":${chunkSecs(0)}%.2f,"x10_sec":${chunkSecs(1)}%.2f,"time_growth":$chunkGrowth%.1f,"store_base":$chunkBaseN,"store_x10":${chunkBaseN * 10},"batch":$chunkBatch}"""
 
+    // SemDeDup hot-list leg: every vector points near one axis, so the
+    // whole corpus lands in ONE IVF list — the degenerate corpus the
+    // occupancy cap and the id-width two-phase head election exist for.
+    // Candidate volume is members × cap (linear), and the election never
+    // sorts vectors in one task, so time must grow ≈10×, not ≈100×.
+    def hotListVecs(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        array(lit(1.0f),
+          ((col("id") % 97).cast("float") / lit(1000f)),
+          ((col("id") % 89).cast("float") / lit(1000f)),
+          lit(0.0f)).as("embedding"))
+    def semDedupSec(n: Long): Double = {
+      val vecs = hotListVecs(n).cache()
+      vecs.count()
+      val sec = timed(Similarity.semDedup(vecs).count())._1
+      vecs.unpersist(blocking = false)
+      sec
+    }
+    semDedupSec(500L) // warm: JIT + codegen caches, excluded
+    val sdBaseN = baseN * 3
+    val sdSecs = Seq(sdBaseN, sdBaseN * 10).map(semDedupSec)
+    val sdGrowth = sdSecs(1) / sdSecs(0)
+    val sdJson =
+      f""""semdedup_hotlist":{"base_sec":${sdSecs(0)}%.2f,"x10_sec":${sdSecs(1)}%.2f,"time_growth":$sdGrowth%.1f,"base_n":$sdBaseN,"x10_n":${sdBaseN * 10}}"""
+
     val base = results.head._2.toMap
     val x10 = results.last._2.toMap
     // one growth derivation feeds BOTH the JSON line and the verdict, so
@@ -210,8 +244,11 @@ object SkewSoak {
       // without admitting store-proportional growth)
       ("ann_membership" -> (annGrowth < 4.0)) :+
       ("curation_band_probe" -> (curGrowth < 4.0)) :+
-      ("chunk_membership" -> (chunkGrowth < 4.0))
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,"linear":${verdicts.forall(_._2)}}""")
+      ("chunk_membership" -> (chunkGrowth < 4.0)) :+
+      // linear bar, same rationale as the capped pair joins: the one-list
+      // corpus is 10× the members through a members × cap candidate join
+      ("semdedup_hotlist" -> (sdGrowth < 30.0))
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$sdJson,"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>

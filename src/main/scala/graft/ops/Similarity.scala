@@ -409,15 +409,39 @@ object Similarity {
   def semDedup(emb: DataFrame, tau: Double = NearDupCosine,
       kmeansIters: Int = 0,
       maxListOccupancy: Int = MaxListOccupancy): DataFrame = {
+    val (out, assign) = semDedupPlan(emb, tau, kmeansIters, maxListOccupancy)
+    // caching is logical-plan-keyed, so persisting the assignment fragment
+    // here substitutes it into every leg of the already-built plan
+    assign.persist()
+    assign.count() // eager: read by the head leg, the probe leg, the output
+    Dedup.materializeFreeing(out, assign)
+  }
+
+  /** The un-materialized [[semDedup]] plan plus its shared assignment leg —
+    * split out so plan tests can assert the election shape before the
+    * localCheckpoint flattens it.
+    */
+  private[graft] def semDedupPlan(emb: DataFrame, tau: Double,
+      kmeansIters: Int, maxListOccupancy: Int): (DataFrame, DataFrame) = {
     val e = withNorm(emb)
     val cents =
       if (kmeansIters == 0) leaders(emb) else kmeansLeaders(emb, kmeansIters)
-    val assign = assignFull(e, cents).persist()
-    assign.count() // eager: read by the head leg, the probe leg, the output
-    val head = assign
+    val assign = assignFull(e, cents)
+    // Head election runs on ID-WIDTH rows: ranking the full assignment
+    // relation would sort every member's embedding of a hot list through
+    // one task (the vector payload rides the sort). On (list_id, vec_id)
+    // the rank-limit plans as a partial-then-final WindowGroupLimit — each
+    // input partition sheds all but its local `maxListOccupancy` lowest
+    // ids before the shuffle, so the per-list final pass sorts id pairs,
+    // never vectors — and the elected head (≤ cap × lists rows by
+    // construction) broadcasts back against the assignment to fetch
+    // embeddings for the head only.
+    val headIds = assign.select("list_id", "vec_id")
       .withColumn("lrnk", row_number().over(Window.partitionBy("list_id")
         .orderBy("vec_id")))
       .filter(col("lrnk") <= maxListOccupancy)
+      .select("list_id", "vec_id")
+    val head = assign.join(broadcast(headIds), Seq("list_id", "vec_id"))
       .select(col("list_id"), col("vec_id").as("h_id"),
         col("embedding").as("h_emb"), col("norm").as("h_norm"))
     val dupOf = assign.as("a")
@@ -428,11 +452,10 @@ object Similarity {
             (col("a.norm") * col("h.h_norm"))) >= tau)
       .groupBy(col("a.vec_id").as("vec_id"))
       .agg(min(col("h.h_id")).as("dup_of"))
-    Dedup.materializeFreeing(
-      assign.select("vec_id", "list_id")
-        .join(dupOf, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("list_id"), col("dup_of"),
-          col("dup_of").isNull.as("kept")),
-      assign)
+    val out = assign.select("vec_id", "list_id")
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+    (out, assign)
   }
 }

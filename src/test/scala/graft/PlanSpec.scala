@@ -189,6 +189,40 @@ class PlanSpec extends SparkSpec {
       exchanges.toString)
   }
 
+  test("semDedup head election ranks id-width rows — no vector-carrying window") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.types.ArrayType
+    // the un-checkpointed plan (semDedup's public output is localCheckpoint-
+    // flattened, which would hide the election shape)
+    val (out, _) = Similarity.semDedupPlan(T.table(spark, sf, "embeddings"),
+      Similarity.NearDupCosine, 0, Similarity.MaxListOccupancy)
+    spark.catalog.clearCache()
+    val unwrapped = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    // the hot-list guard: no per-list window (election or rank) may carry
+    // an array (vector) column through its sort — a degenerate corpus that
+    // lands in one IVF list would funnel every embedding through one task
+    def perListWithVectors(part: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        child: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      part.exists(_.references.exists(_.name == "list_id")) &&
+        child.output.exists(_.dataType.isInstanceOf[ArrayType])
+    val offenders = unwrapped.collectWithSubqueries {
+      case w: WindowExec if perListWithVectors(w.partitionSpec, w.child) =>
+        s"Window[${w.child.output.map(_.name).mkString(",")}]"
+      case w: WindowGroupLimitExec if perListWithVectors(w.partitionSpec, w.child) =>
+        s"WindowGroupLimit[${w.child.output.map(_.name).mkString(",")}]"
+    }
+    assert(offenders.isEmpty, s"vector-carrying per-list windows: $offenders")
+    // and the rank-limit actually runs two-phase: a Partial WindowGroupLimit
+    // sheds beyond-cap ids per input partition BEFORE the election shuffle
+    val modes = unwrapped.collectWithSubqueries {
+      case w: WindowGroupLimitExec => w.mode.toString }
+    assert(modes.contains("Partial"), s"WindowGroupLimit modes: $modes")
+  }
+
   test("IVF assignment (semdedup/ivf leg) broadcasts centroids, streams the corpus") {
     // the shared coarse-quantize leg of semDedup / ivfTopK / the
     // incremental index add: crossJoin(broadcast(cents)) — the corpus
