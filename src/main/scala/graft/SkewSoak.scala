@@ -171,7 +171,8 @@ object SkewSoak {
       val root = java.nio.file.Files.createTempDirectory("soak-chunk").toString
       val store = s"$root/chunks"
       val buckets = math.max(64, (n / 1500).toInt)
-      Dedup.chunkRows(skewedDocs(spark, n)).select("chunk_hash").distinct()
+      Dedup.chunkRows(skewedDocs(spark, n))
+        .select("chunk_hash", "chunk_hash2").distinct()
         .withColumn("id_bucket",
           IncrementalAnnIndex.idBucket(col("chunk_hash"), buckets))
         .repartition(col("id_bucket"))

@@ -512,14 +512,22 @@ object Dedup {
     */
   val ChunkTokens = 8
 
-  /** `(doc_id, chunk_idx, chunk_text, chunk_hash)` — each document's token
-    * stream cut into consecutive `w`-token chunks (last chunk may be
-    * shorter). The chunk list is built per-row with
+  /** `(doc_id, chunk_idx, chunk_text, chunk_hash, chunk_hash2)` — each
+    * document's token stream cut into consecutive `w`-token chunks (last
+    * chunk may be shorter). The chunk list is built per-row with
     * `sequence`/`slice`/`concat_ws` — a NARROW projection, zero shuffle;
-    * the 60-bit portable digest is computed before any downstream exchange
-    * so consumers that don't need `chunk_text` (the dedup audit) shuffle
-    * `(long, long, long)` rows only, and Catalyst prunes the text column
-    * out of their scans. Token-free documents contribute no rows.
+    * the digests are computed before any downstream exchange so consumers
+    * that don't need `chunk_text` (the dedup audit) shuffle integer-width
+    * rows only, and Catalyst prunes the text column out of their scans.
+    * Token-free documents contribute no rows.
+    *
+    * Chunk IDENTITY is the digest PAIR `(chunk_hash, chunk_hash2)` — two
+    * disjoint 60-bit halves of one md5 ([[Portable.hexcastSpark2]]), 120
+    * bits total. A single 60-bit digest collides with ~50% probability by
+    * ~2^30 distinct chunks — real web-crawl scale — and here a collision
+    * LOSES the later chunk's content from the reassembled corpus
+    * unrecoverably (unlike the similarity sketches, where a collision
+    * only perturbs an estimate). 120 bits pushes the bound to ~2^60.
     */
   def chunkRows(docs: DataFrame, w: Int = ChunkTokens): DataFrame = {
     require(w > 0, s"chunkRows: chunk width must be positive, got $w")
@@ -531,7 +539,8 @@ object Dedup {
            |  i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))""".stripMargin))
         .as(Seq("chunk_idx", "chunk_text")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        col("chunk_text"), expr(hexcastSpark("chunk_text")).as("chunk_hash"))
+        col("chunk_text"), expr(hexcastSpark("chunk_text")).as("chunk_hash"),
+        expr(hexcastSpark2("chunk_text")).as("chunk_hash2"))
   }
 
   /** Corpus-wide duplicate-chunk audit — exact substring dedup approximated
@@ -542,7 +551,8 @@ object Dedup {
     * occurrence of its content corpus-wide (lowest `(doc_id, chunk_idx)`),
     * so boilerplate repeated across documents survives exactly once.
     *
-    * Scale shape: first-occurrence is `groupBy(chunk_hash).agg(min(struct))`
+    * Scale shape: first-occurrence is a digest-pair hash-aggregate
+    * (`groupBy(chunk_hash, chunk_hash2).agg(min(struct))`)
     * — map-side partial combine folds a corpus-wide boilerplate chunk (the
     * hot key) locally per task before ONE row per distinct chunk crosses
     * the wire, so a 10⁶-copy chunk costs its copy count in comparisons,
@@ -560,10 +570,13 @@ object Dedup {
     * election cannot diverge between them.
     */
   private[graft] def flaggedChunks(rows: DataFrame): DataFrame = {
-    val firsts = rows.groupBy("chunk_hash")
+    // identity = the 120-bit digest pair (see chunkRows) — grouping on the
+    // pair costs nothing extra (same shuffle, 8 more bytes per row) and
+    // removes the silent-content-loss collision mode
+    val firsts = rows.groupBy("chunk_hash", "chunk_hash2")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"),
         count(lit(1)).as("n_copies"))
-    rows.join(firsts, Seq("chunk_hash"))
+    rows.join(firsts, Seq("chunk_hash", "chunk_hash2"))
       .withColumn("kept", col("first.doc_id") === col("doc_id") &&
         col("first.chunk_idx") === col("chunk_idx"))
   }
@@ -604,7 +617,8 @@ object Dedup {
       .agg(
         countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_occurrences"),
-        countDistinct("chunk_hash").as("n_distinct_chunks"),
+        countDistinct(col("chunk_hash"), col("chunk_hash2"))
+          .as("n_distinct_chunks"),
         sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
         coalesce(sum(when(!col("kept"),
           length(col("chunk_text")).cast("long")).otherwise(0L)), lit(0L))

@@ -26,6 +26,18 @@ object Portable {
   def hexcastDuck(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
+  /** Companion 60-bit hash from the OTHER end of the same md5 (hex chars
+    * 17–31 — disjoint from [[hexcastSpark]]'s 1–15), for identities that
+    * need more than 60 bits without leaving integer width: the digest
+    * PAIR is 120 bits, pushing the birthday bound from ~2^30 items (real
+    * web-crawl chunk counts) to ~2^60, at one md5 per row total.
+    */
+  def hexcastSpark2(x: String): String =
+    s"CAST(conv(substr(md5($x), 17, 15), 16, 10) AS BIGINT)"
+
+  def hexcastDuck2(x: String): String =
+    s"CAST('0x' || substr(md5($x), 17, 15) AS BIGINT)"
+
   /** Whitespace tokenization — `\S+` runs (not split, which emits empty
     * strings on doubled separators). Spark string literals escape the
     * backslash; DuckDB's do not.

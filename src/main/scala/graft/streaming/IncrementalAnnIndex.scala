@@ -226,13 +226,16 @@ object IncrementalAnnIndex {
           // marker's count even if the session default changed, or the
           // probe would look in the wrong partitions and re-admit ids.
           // The marker is written AFTER the first data write (below), so
-          // marker-present ⇒ data-present. A store that exists WITHOUT a
-          // marker (legacy flat layout, or a crash in the window between
-          // first data write and marker write) stays flat: batch layouts
-          // cannot mix under one root, and correctness only needs the
-          // unpruned fallback probe.
+          // marker-present ⇒ data-present. Flatness is a STRUCTURAL probe
+          // (data files directly under batch=N), not marker absence: a
+          // genuine legacy store stays flat (batch layouts cannot mix
+          // under one root, and correctness only needs the unpruned
+          // fallback probe), while a bucketed store whose marker write
+          // was lost to a crash replays into the bucketed branch and
+          // self-heals instead of being demoted to flat forever.
           val storeBuckets = bucketCount(spark, listPath)
-          val legacyFlat = storeBuckets.isEmpty && exists(listPath)
+          val legacyFlat = storeBuckets.isEmpty &&
+            StoragePaths.isFlatLayout(spark, listPath)
           // first write wins for a re-landed vec_id (FAISS add
           // semantics), checked against only the touched id buckets
           // (see priorIds).

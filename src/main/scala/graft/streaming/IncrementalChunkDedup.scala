@@ -10,9 +10,9 @@ import graft.ops.Dedup
 /** Incremental fixed-width chunk dedup — the ongoing-crawl shape of
   * [[graft.ops.Dedup.chunkDedup]]: new documents arrive continuously, and
   * re-chunking 100 TB of history per batch is not an option. The pipeline
-  * maintains a CHUNK STORE (one ~8-byte hash row per distinct admitted
-  * chunk — the set of all chunk contents the corpus has ever seen) and,
-  * per micro-batch:
+  * maintains a CHUNK STORE (one 16-byte digest-pair row per distinct
+  * admitted chunk — the set of all chunk contents the corpus has ever
+  * seen) and, per micro-batch:
   *
   *   1. re-crawl guard: doc_ids the corpus already admitted are dropped
   *      whole (first write wins — the same membership contract as
@@ -52,9 +52,16 @@ object IncrementalChunkDedup {
   /** Default chunk-hash bucket count for a fresh store. */
   val NumChunkBuckets = 64
 
-  /** Schema of the chunk store: one row per distinct admitted chunk. */
+  /** Schema of the chunk store: one row per distinct admitted chunk,
+    * identified by the 120-bit digest pair (see [[Dedup.chunkRows]] — a
+    * single 60-bit digest collides at real web-crawl chunk counts, and a
+    * store collision silently drops a distinct chunk's content forever).
+    * Bucket ROUTING stays on `chunk_hash` alone: a routing collision just
+    * co-locates two chunks, it never merges their identities.
+    */
   val ChunkStoreSchema: StructType = StructType(Seq(
-    StructField("chunk_hash", LongType)))
+    StructField("chunk_hash", LongType),
+    StructField("chunk_hash2", LongType)))
 
   /** Schema of the clean-document corpus store. */
   val CorpusSchema: StructType = StructType(Seq(
@@ -93,14 +100,14 @@ object IncrementalChunkDedup {
           .collect().map(_.getInt(0)).toSeq
         StoragePaths.readTouchedBuckets(spark, chunkPath, "id_bucket", touched)
           .map(_.filter(col("batch").cast("long") =!= excludeBatchId)
-            .select("chunk_hash"))
+            .select("chunk_hash", "chunk_hash2"))
           .getOrElse(emptyOf(spark, ChunkStoreSchema))
       case None =>
         if (!StoragePaths.exists(spark, chunkPath))
           emptyOf(spark, ChunkStoreSchema)
         else spark.read.parquet(chunkPath)
           .filter(col("batch").cast("long") =!= excludeBatchId)
-          .select("chunk_hash")
+          .select("chunk_hash", "chunk_hash2")
     }
 
   /** doc_ids the corpus already admitted, bucket-pruned to the batch's
@@ -154,13 +161,28 @@ object IncrementalChunkDedup {
     // the survivor anti-join, and the reassembly — recomputing it means
     // re-tokenizing the raw batch once per consumer
     val rows = Dedup.chunkRows(uniq, w).persist()
+    rows.count()
+    dedupChunkedBatch(uniq, rows, priorHashes)
+  }
+
+  /** [[dedupBatch]] over an ALREADY-CHUNKED occurrence relation: `rows`
+    * must be `Dedup.chunkRows(uniq)` for a doc_id-unique `uniq`, persisted
+    * and eagerly filled by the caller (ownership transfers — this method
+    * unpersists it). The streaming loop chunks each batch ONCE and derives
+    * both the touched-bucket probe and this election from the same
+    * relation; tokenizing per consumer would double the hot per-batch
+    * path of the ongoing-crawl story.
+    */
+  def dedupChunkedBatch(uniq: DataFrame, rows: DataFrame,
+      priorHashes: DataFrame): BatchResult = {
     val nOcc = rows.count()
     // within-batch keep-first (shared election), then first-write-wins
     // against the store: an occurrence survives iff it is the batch's
     // first occurrence of its content AND no earlier batch admitted it
     val survivors = Dedup.flaggedChunks(rows).filter(col("kept"))
-      .join(priorHashes.select("chunk_hash"), Seq("chunk_hash"), "left_anti")
-      .select("doc_id", "chunk_idx", "chunk_hash")
+      .join(priorHashes.select("chunk_hash", "chunk_hash2"),
+        Seq("chunk_hash", "chunk_hash2"), "left_anti")
+      .select("doc_id", "chunk_idx", "chunk_hash", "chunk_hash2")
       .persist()
     val nKept = survivors.count()
     val occ = rows
@@ -170,7 +192,8 @@ object IncrementalChunkDedup {
     // cut results loose, then free the batch-sized caches (the same
     // no-leak contract as Dedup.materializeFreeing)
     val cleanOut = Dedup.reassembleChunks(occ).localCheckpoint()
-    val hashesOut = survivors.select("chunk_hash").localCheckpoint()
+    val hashesOut = survivors.select("chunk_hash", "chunk_hash2")
+      .localCheckpoint()
     rows.unpersist(blocking = false)
     survivors.unpersist(blocking = false)
     BatchResult(cleanOut, hashesOut,
@@ -205,12 +228,23 @@ object IncrementalChunkDedup {
           val guarded = batch.join(
             priorDocIds(spark, corpusPath, batch.select("doc_id"), batchId),
             Seq("doc_id"), "left_anti")
+          // chunk ONCE per batch: the persisted occurrence relation feeds
+          // the touched-bucket probe AND the election/reassembly inside
+          // dedupChunkedBatch (which takes ownership and unpersists it)
+          val uniq = guarded.dropDuplicates("doc_id")
+          val rows = Dedup.chunkRows(uniq).persist()
+          rows.count()
           val prior = priorChunkHashes(spark, chunkPath,
-            Dedup.chunkRows(guarded).select("chunk_hash"), batchId)
-          val r = dedupBatch(guarded, prior)
+            rows.select("chunk_hash"), batchId)
+          val r = dedupChunkedBatch(uniq, rows, prior)
           val chunkBuckets = IncrementalAnnIndex.bucketCount(spark, chunkPath)
           val idBuckets = IncrementalAnnIndex.bucketCount(spark, idPath)
-          val legacyFlat = exists(chunkPath) && chunkBuckets.isEmpty
+          // structural flat probe, NOT marker absence: a crash between the
+          // first bucketed data write and the marker write must replay
+          // into the bucketed branch (rewriting the same batch dir and the
+          // marker — self-healing), not demote the store to flat forever
+          val legacyFlat = chunkBuckets.isEmpty &&
+            StoragePaths.isFlatLayout(spark, chunkPath)
           r.cleanDocs.write.mode("overwrite")
             .parquet(s"$corpusPath/batch=$batchId")
           if (legacyFlat) {
@@ -226,6 +260,8 @@ object IncrementalChunkDedup {
               .parquet(s"$chunkPath/batch=$batchId")
             // marker AFTER the first data write: marker-present ⇒
             // data-present; a crash in the window self-heals on replay
+            // because the structural probe above routes the replay back
+            // here to overwrite the batch dir and land the marker
             if (chunkBuckets.isEmpty)
               StoragePaths.writeSmallFile(spark,
                 s"$chunkPath/${IncrementalAnnIndex.IdBucketsMarker}",

@@ -452,12 +452,16 @@ object IncrementalCuration {
           // per-batch overwrite = idempotent under foreachBatch replay
           r.curated.write.mode("overwrite")
             .parquet(s"$corpusPath/batch=$batchId")
-          // a store that exists WITHOUT a bucket marker stays flat — batch
-          // layouts cannot mix under one root, and correctness only needs
-          // the unpruned fallback readers. Its sidecar (if a rebuild
-          // created one) still receives every batch, or the pruned band
-          // probe would go blind to post-rebuild history.
-          val legacyFlat = storeExists && sigBuckets.isEmpty
+          // a GENUINELY flat store (data files directly under batch=N, the
+          // structural probe — not marker absence, which a crash between
+          // first bucketed write and marker write also produces) stays
+          // flat: batch layouts cannot mix under one root, and correctness
+          // only needs the unpruned fallback readers. Its sidecar (if a
+          // rebuild created one) still receives every batch, or the pruned
+          // band probe would go blind to post-rebuild history. A bucketed
+          // store missing only its marker replays bucketed and self-heals.
+          val legacyFlat = sigBuckets.isEmpty &&
+            StoragePaths.isFlatLayout(spark, sigPath)
           if (legacyFlat) {
             if (bandBucketCount(spark, bandPath).isDefined)
               writeBandIndexBatch(r.keptSigs, bandPath, batchId,

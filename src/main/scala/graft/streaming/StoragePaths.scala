@@ -76,6 +76,32 @@ private[graft] object StoragePaths {
     else Some(spark.read.option("basePath", root).parquet(dirs: _*))
   }
 
+  /** Structural layout probe: does the store hold data files DIRECTLY
+    * under some `batch=N` directory (the genuine legacy flat layout), as
+    * opposed to `batch=N/<bucketCol>=B` subdirectories? The bucket-store
+    * maintainers must not infer "flat" from marker absence alone: the
+    * marker is written AFTER the first data write, so a crash in that
+    * window leaves a BUCKETED store without a marker, and a marker-based
+    * inference would permanently demote it to flat — correct reads, but
+    * the touched-bucket pruning (the bounded-probe contract) lost
+    * forever. With the structural probe the replay takes the bucketed
+    * branch, overwrites the same batch directory, and writes the marker:
+    * the crash self-heals. Hidden (`_`/`.`) files are ignored; an absent
+    * or empty store is NOT flat (the bucketed branch bootstraps it).
+    */
+  def isFlatLayout(spark: SparkSession, root: String): Boolean = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(rootPath) && fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .exists { b =>
+        fs.listStatus(b.getPath).exists { c =>
+          val n = c.getPath.getName
+          c.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      }
+  }
+
   /** Read a small metadata file written by [[writeSmallFile]]; None when
     * absent.
     */

@@ -319,11 +319,14 @@ object OpsOracleSql {
        |             AS chunk_idx
        |    FROM ck_tok)),
        |ck_flag AS (
+       |  -- identity = the 120-bit digest pair, mirroring Dedup.chunkRows
        |  SELECT doc_id, chunk_idx, chunk_text,
        |         ${hexcastDuck("chunk_text")} AS chunk_hash,
-       |         row_number() OVER (PARTITION BY ${hexcastDuck("chunk_text")}
+       |         row_number() OVER (PARTITION BY ${hexcastDuck("chunk_text")},
+       |             ${hexcastDuck2("chunk_text")}
        |           ORDER BY doc_id, chunk_idx) = 1 AS kept,
-       |         CAST(count(*) OVER (PARTITION BY ${hexcastDuck("chunk_text")})
+       |         CAST(count(*) OVER (PARTITION BY ${hexcastDuck("chunk_text")},
+       |             ${hexcastDuck2("chunk_text")})
        |           AS BIGINT) AS n_copies
        |  FROM ck_chunk)""".stripMargin
   }
@@ -338,7 +341,8 @@ object OpsOracleSql {
     s"""WITH $chunkChain
        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |       CAST(count(*) AS BIGINT) AS n_occurrences,
-       |       CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+       |       CAST(count(DISTINCT (chunk_hash, ${hexcastDuck2("chunk_text")}))
+       |              AS BIGINT) AS n_distinct_chunks,
        |       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped,
        |       CAST(coalesce(sum(length(chunk_text))
        |              FILTER (WHERE NOT kept), 0) AS BIGINT) AS chars_dropped

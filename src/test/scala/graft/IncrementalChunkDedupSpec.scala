@@ -181,6 +181,46 @@ class IncrementalChunkDedupSpec extends SparkSpec {
     assert(storeHashes == expected)
   }
 
+  test("a crash between first bucketed write and marker write heals bucketed on replay") {
+    val (landing, ckpt, store, corpus) = dirs()
+    val b1 = Seq(row(1L, s"$boiler ${uniqText(1)}"), row(2L, uniqText(2)))
+    land(landing, "b1.parquet", b1)
+    IncrementalChunkDedup.run(
+      spark, landing.toString, ckpt, store, corpus, docSchema)
+    // rewind to the crash point: batch=0's bucketed data landed, but the
+    // marker — and everything the loop writes after it (the doc-id
+    // sidecar, whose own marker trails its data the same way) — did not
+    val marker = java.nio.file.Paths.get(store,
+      graft.streaming.IncrementalAnnIndex.IdBucketsMarker)
+    java.nio.file.Files.delete(marker)
+    def rmTree(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(IncrementalChunkDedup.docIdIndexPath(corpus))
+    // the replay (same landing, fresh checkpoint → batch id 0 again) must
+    // take the BUCKETED branch: before the structural layout probe, the
+    // missing marker demoted the store to flat forever, silently losing
+    // the touched-bucket pruning contract on batch 0's worst-timed crash
+    val ckpt2 = Files.createTempDirectory("ckd-heal-ckpt2").toString + "/c"
+    IncrementalChunkDedup.run(
+      spark, landing.toString, ckpt2, store, corpus, docSchema)
+    assert(java.nio.file.Files.exists(marker),
+      "replay must restore the bucket marker")
+    assert(!graft.streaming.StoragePaths.isFlatLayout(spark, store),
+      "replay must rewrite bucketed, not demote the store to flat")
+    // and the healed store's pruned probe still drops stored chunks: the
+    // ORIGINAL checkpoint carries on at batch 1 (own-partition exclusion
+    // leaves batch=0 visible), reading through the restored marker
+    land(landing, "b2.parquet", Seq(row(10L, s"$boiler ${uniqText(10)}")))
+    val out = IncrementalChunkDedup.run(
+      spark, landing.toString, ckpt, store, corpus, docSchema)
+    assert(out.filter(col("doc_id") === 10L).head()
+      .getAs[String]("clean_text") == uniqText(10))
+  }
+
   test("store probes read only the touched hash buckets") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val (landing, ckpt, store, corpus) = dirs()
@@ -219,7 +259,8 @@ class IncrementalChunkDedupSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value == expected,
       s"scan read ${scan.metrics("numFiles").value} files, " +
         s"expected $expected of ${files.size}")
-    assert(scan.toString.contains("ReadSchema: struct<chunk_hash:bigint>"),
+    assert(scan.toString.contains(
+      "ReadSchema: struct<chunk_hash:bigint,chunk_hash2:bigint>"),
       scan.toString.take(800))
   }
 }
