@@ -1,0 +1,188 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** The retrain loop for [[IncrementalSemDedup]]'s stores — the missing
+  * half of the [[IvfMaintenance]] circle: the incremental semantic dedup
+  * freezes its IVF leaders at bootstrap, so a drifted embedding stream
+  * crowds into a few lists and the bounded head (the per-list
+  * `maxListOccupancy` lowest ids) stops covering the region where new
+  * vectors actually land — duplicate families planted after the drift
+  * sail past a head that was elected from where the corpus STARTED. The
+  * hot-list occupancy cap keeps the per-batch cost bounded through all of
+  * this; what decays is the CATCH RATE, and the remedy is the same one
+  * FAISS documents for a drifted IVF index: retrain the coarse quantizer
+  * on the current corpus and re-elect, never in place.
+  *
+  * Generations make the swap safe (same contract as [[IvfMaintenance]]):
+  * a generation directory holds one CONSISTENT retrained copy of the
+  * ENTIRE semdedup root — leaders, reassigned admitted lists, re-elected
+  * heads, and the carried decided/ledger history —
+  *
+  * {{{
+  *   genRoot/_current          → "gen-00001"        (pointer, written last)
+  *   genRoot/gen-00001/leaders | lists | heads | decided | ledger
+  * }}}
+  *
+  * — so the published path IS a valid [[IncrementalSemDedup]] root: the
+  * stream re-enters service on it under a fresh checkpoint (heads land at
+  * `batch=-1`, below every epoch; the bucketed stores carry their
+  * markers; the bootstrap guard sees the retrained leaders and adopts
+  * them).
+  *
+  * One documented semantic shift: the re-elected head draws from the
+  * ADMITTED corpus only — dropped vectors' embeddings are not stored
+  * (storing them would grow a second corpus-sized vector store purely
+  * for head candidacy), so a dropped id that sat in the pre-retrain head
+  * is represented by its tau-similar keeper instead. Decisions already
+  * made are carried in the decided store and stay made; only FUTURE
+  * comparisons see the new head.
+  */
+object SemDedupMaintenance {
+
+  /** The live generation's path — a full [[IncrementalSemDedup]] root. */
+  def currentRoot(spark: SparkSession, genRoot: String): String =
+    StoreMaintenance.resolveCurrent(spark, genRoot)
+
+  /** Adopt a flat [[IncrementalSemDedup]] root into the generation layout,
+    * publishing generation 0 atomically. One-time migration; thereafter
+    * the stream drains into the live generation's paths and [[maintain]]
+    * owns the swaps.
+    */
+  def adopt(
+      spark: SparkSession,
+      genRoot: String,
+      flatRoot: String,
+      numFiles: Int): String = {
+    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
+    val dest = s"$genRoot/$gen"
+    spark.read.parquet(IncrementalSemDedup.leaderPath(flatRoot))
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(IncrementalSemDedup.leaderPath(dest))
+    val lb = IncrementalAnnIndex
+      .bucketCount(spark, IncrementalSemDedup.listPath(flatRoot))
+      .getOrElse(IncrementalAnnIndex.NumIdBuckets)
+    StoreMaintenance.compact(spark,
+      IncrementalSemDedup.listPath(flatRoot),
+      IncrementalSemDedup.listPath(dest),
+      numFiles, bucketBy = Some(("vec_id", lb)))
+    val db = IncrementalAnnIndex
+      .bucketCount(spark, IncrementalSemDedup.decidedPath(flatRoot))
+      .getOrElse(IncrementalAnnIndex.NumIdBuckets)
+    StoreMaintenance.compact(spark,
+      IncrementalSemDedup.decidedPath(flatRoot),
+      IncrementalSemDedup.decidedPath(dest),
+      numFiles, bucketBy = Some(("vec_id", db)))
+    StoreMaintenance.compact(spark,
+      IncrementalSemDedup.ledgerPath(flatRoot),
+      IncrementalSemDedup.ledgerPath(dest), numFiles)
+    // the heads store is SUPERSEDING (readers resolve the newest batch
+    // only) — carry that one relation to batch=-1, the re-entry position
+    IncrementalSemDedup.readHeads(spark, flatRoot, Long.MinValue)
+      .getOrElse(throw new IllegalStateException(
+        s"SemDedupMaintenance.adopt: no head generations under $flatRoot"))
+      .coalesce(numFiles).write.mode("errorifexists")
+      .parquet(s"${IncrementalSemDedup.headsPath(dest)}/" +
+        s"batch=${StoreMaintenance.CompactedBatch}")
+    StoreMaintenance.publishGeneration(spark, genRoot, gen)
+    dest
+  }
+
+  /** Retrain the live generation's quantizer on its CURRENT admitted
+    * corpus ([[IvfMaintenance.hashTileSeeds]] →
+    * [[Similarity.kmeansFromSeeds]]), reassign every admitted vector,
+    * re-elect the bounded head under the new assignment (the same
+    * id-width two-phase election as [[Similarity.semDedup]] — rank on
+    * `(list_id, vec_id)`, embeddings joined back for the elected head
+    * only), and carry the decided/ledger history — all into the next
+    * generation, published only after the row counts verify. Returns the
+    * new generation's path.
+    */
+  def retrain(
+      spark: SparkSession,
+      genRoot: String,
+      kmeansIters: Int = IvfMaintenance.DefaultKmeansIters,
+      numFiles: Int = 1,
+      maxListOccupancy: Int = Similarity.MaxListOccupancy): String = {
+    val cur = currentRoot(spark, genRoot)
+    val stored = spark.read.parquet(IncrementalSemDedup.listPath(cur))
+      .drop("batch", "id_bucket")
+    val srcRows = stored.count()
+    val emb = stored.select("vec_id", "embedding")
+    val seeds = IvfMaintenance.hashTileSeeds(emb, Similarity.NumLists)
+    require(seeds.count() == Similarity.NumLists.toLong,
+      s"SemDedupMaintenance.retrain: seed election underfilled — corpus " +
+        s"too small to retrain")
+    val cents = Similarity.kmeansFromSeeds(emb, seeds, kmeansIters)
+    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
+    val dest = s"$genRoot/$gen"
+    cents.coalesce(1).write.mode("errorifexists")
+      .parquet(IncrementalSemDedup.leaderPath(dest))
+    // reassign against the WRITTEN leaders: the stored floats are the
+    // contract every later batch assigns against
+    val reassigned = Similarity.assignWithLeadersRetaining(emb,
+        spark.read.parquet(IncrementalSemDedup.leaderPath(dest)))
+      .select("vec_id", "list_id", "list_cos", "embedding", "norm")
+      .persist()
+    reassigned.count() // eager: feeds the store write AND the election
+    val buckets = IncrementalAnnIndex
+      .bucketCount(spark, IncrementalSemDedup.listPath(cur))
+      .getOrElse(IncrementalAnnIndex.NumIdBuckets)
+    StoreMaintenance.writeStoreLayout(spark, reassigned,
+      IncrementalSemDedup.listPath(dest), numFiles,
+      bucketBy = Some(("vec_id", buckets)))
+    // id-width head election (no vector rides the rank — the hot-list
+    // guard pinned for the batch operator in PlanSpec)
+    val headIds = reassigned.select("list_id", "vec_id")
+      .withColumn("lrnk", row_number().over(Window.partitionBy("list_id")
+        .orderBy("vec_id")))
+      .filter(col("lrnk") <= maxListOccupancy)
+      .select("list_id", "vec_id")
+    reassigned.join(broadcast(headIds), Seq("list_id", "vec_id"))
+      .select("vec_id", "list_id", "embedding", "norm")
+      .coalesce(numFiles).write.mode("errorifexists")
+      .parquet(s"${IncrementalSemDedup.headsPath(dest)}/" +
+        s"batch=${StoreMaintenance.CompactedBatch}")
+    reassigned.unpersist(blocking = false)
+    val db = IncrementalAnnIndex
+      .bucketCount(spark, IncrementalSemDedup.decidedPath(cur))
+      .getOrElse(IncrementalAnnIndex.NumIdBuckets)
+    StoreMaintenance.compact(spark, IncrementalSemDedup.decidedPath(cur),
+      IncrementalSemDedup.decidedPath(dest), numFiles,
+      bucketBy = Some(("vec_id", db)))
+    StoreMaintenance.compact(spark, IncrementalSemDedup.ledgerPath(cur),
+      IncrementalSemDedup.ledgerPath(dest), numFiles)
+    val written = spark.read
+      .parquet(IncrementalSemDedup.listPath(dest)).count()
+    require(written == srcRows,
+      s"SemDedupMaintenance.retrain: reassigned $written of $srcRows " +
+        s"rows — not publishing $gen; readers stay on the current " +
+        s"generation")
+    StoreMaintenance.publishGeneration(spark, genRoot, gen)
+    dest
+  }
+
+  /** Measure-then-act, the [[IvfMaintenance.maintain]] policy applied to
+    * the semdedup store: read the live generation's imbalance factor
+    * (cheap — parquet prunes to `list_id`), retrain iff it exceeds
+    * `threshold`.
+    */
+  def maintain(
+      spark: SparkSession,
+      genRoot: String,
+      threshold: Double = IvfMaintenance.DefaultImbalanceThreshold,
+      kmeansIters: Int = IvfMaintenance.DefaultKmeansIters,
+      numFiles: Int = 1,
+      maxListOccupancy: Int = Similarity.MaxListOccupancy): IvfMaintenance.Report = {
+    val cur = currentRoot(spark, genRoot)
+    val imb = IvfMaintenance.imbalanceFactor(
+      spark.read.parquet(IncrementalSemDedup.listPath(cur)).select("list_id"))
+    if (imb <= threshold) IvfMaintenance.Report(imb, retrained = false, None)
+    else IvfMaintenance.Report(imb, retrained = true,
+      Some(retrain(spark, genRoot, kmeansIters, numFiles, maxListOccupancy)))
+  }
+}
