@@ -34,8 +34,9 @@ object SparkEntry {
     // sessions (test suites) must not pin dead sessions' cached plans
     martCache.filterInPlace { case ((sess, _, _), _) =>
       !sess.sparkContext.isStopped }
-    // driver-side single-threaded access (Verify/Bench run queries
-    // sequentially); TrieMap only guards the map structure itself
+    // TrieMap guards the map structure; prewarmShared's two legs build
+    // DISJOINT keys concurrently (getOrElseUpdate is atomic per key), and
+    // the per-query fan-out afterwards is read-only
     martCache.getOrElseUpdate((s, dir, key), {
       val df = build.persist()
       df.count() // eager: materialize once, before fan-out
@@ -74,12 +75,28 @@ object SparkEntry {
     * individual queries can report the shared build as its own line instead
     * of charging it to whichever query happens to run first (the reference
     * materializes models once per dbt run in exactly this way).
+    *
+    * The two legs are INDEPENDENT — the stock mart chain reads the market
+    * tables, the dupClusters→curationAudit chain reads `documents` — so
+    * they are submitted as concurrent Spark jobs from two driver threads
+    * (the reference runs dbt with `threads: 4`,
+    * `dbt/stock_analytics/profiles.yml:15` — model-level build parallelism
+    * for independent DAG legs is exactly this). Within each leg the
+    * dependency order is preserved by the memo chain itself. Failures
+    * propagate: Await rethrows the first leg's exception.
     */
   def prewarmShared(s: SparkSession, dir: String): Unit = {
-    dimSecurities(s, dir) // builds int + fct + dim (memo is eager)
-    dupClusters(s, dir)
-    curationAudit(s, dir)
-    ()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val marts = Future { dimSecurities(s, dir) } // int → fct → dim
+      val curation = Future { curationAudit(s, dir) } // dupClusters → audit
+      Await.result(marts, Duration.Inf)
+      Await.result(curation, Duration.Inf)
+      ()
+    } finally pool.shutdown()
   }
 
   /** Registers the resolved model layers as temp views, so ad-hoc
