@@ -264,13 +264,15 @@ object SparkEntry {
     "events_daily_topk" -> ((s, dir) => Events.dailyTypeTopK(T.events(s, dir))),
     "events_json" -> ((s, dir) => Events.jsonProps(T.events(s, dir))),
     "events_retention" -> ((s, dir) => Events.retention(T.events(s, dir))),
-    // sketch estimates are implementation-defined → no DuckDB oracle
-    // (driver records the weaker rows-only check; accuracy is spec-tested
-    // against the oracle-checked exact twins below)
-    "events_daily_users_approx" -> ((s, dir) =>
-      Events.dailyUsersApprox(T.events(s, dir))),
-    "events_value_quantiles_approx" -> ((s, dir) =>
-      Events.valueQuantilesApprox(T.events(s, dir))),
+    // sketch estimates are implementation-defined, so the sketches enter
+    // the battery as their ACCURACY GATES: each _err query compares the
+    // sketch against its exact twin in-engine and returns the violation
+    // count — a deterministic constant-zero row DuckDB oracles directly,
+    // making sketch accuracy driver-checked instead of rows-only
+    "events_daily_users_approx_err" -> ((s, dir) =>
+      Events.dailyUsersApproxErr(T.events(s, dir))),
+    "events_value_quantiles_approx_err" -> ((s, dir) =>
+      Events.valueQuantilesApproxErr(T.events(s, dir))),
     "events_daily_users_exact" -> ((s, dir) =>
       Events.dailyUsersExact(T.events(s, dir))),
     "events_value_quantiles_exact" -> ((s, dir) =>
@@ -442,6 +444,8 @@ object SparkEntry {
     "events_retention" -> OO.EVENTS_RETENTION,
     "events_daily_users_exact" -> OO.EVENTS_DAILY_USERS_EXACT,
     "events_value_quantiles_exact" -> OO.EVENTS_VALUE_QUANTILES_EXACT,
+    "events_daily_users_approx_err" -> OO.EVENTS_APPROX_ERR_ZERO,
+    "events_value_quantiles_approx_err" -> OO.EVENTS_APPROX_ERR_ZERO,
     "events_asof_attribution" -> OO.EVENTS_ASOF_ATTRIBUTION,
     "text_top_terms" -> OO.TEXT_TOP_TERMS,
     "text_repetition" -> OO.TEXT_REPETITION,

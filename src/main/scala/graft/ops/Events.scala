@@ -152,6 +152,50 @@ object Events {
         .as("q"))
       .select(col("event_type") +: quantileCols("exact"): _*)
 
+  /** Driver-checkable accuracy gate for [[dailyUsersApprox]]: the number
+    * of days whose HLL estimate misses the exact count by more than
+    * `bound` relative error (5× the 0.02 rsd — a hard ceiling that still
+    * catches a broken sketch). Both sides are deterministic aggregations
+    * of the same input, so the result is a CONSTANT zero row and the
+    * DuckDB oracle is that constant — which turns the driver's
+    * hash-compare into a real accuracy assertion at the driver's own
+    * scale, where the sketch estimate itself is implementation-defined
+    * and cannot be oracle'd directly.
+    */
+  def dailyUsersApproxErr(events: DataFrame, rsd: Double = 0.02,
+      bound: Double = 0.10): DataFrame =
+    dailyUsersApprox(events, rsd)
+      .join(dailyUsersExact(events), Seq("day"))
+      .agg(coalesce(sum(when(
+        abs(col("n_users_approx") - col("n_users_exact")) /
+          col("n_users_exact") > bound, 1L).otherwise(0L)), lit(0L))
+        .as("n_violations"))
+
+  /** Driver-checkable accuracy gate for [[valueQuantilesApprox]]: the
+    * number of (event_type, quantile) outputs whose returned value sits
+    * more than `tol` away in RANK from the requested quantile —
+    * Greenwald-Khanna's guarantee is rank error, not value error (value
+    * distance to the interpolated exact percentile is unbounded on sparse
+    * tails). Rank is computed against the full value multiset with one
+    * aggregate per (type, point) — a 3-point gate query, one extra pass
+    * over events. Constant zero row; oracle'd as the constant (see
+    * [[dailyUsersApproxErr]]).
+    */
+  def valueQuantilesApproxErr(events: DataFrame,
+      tol: Double = 0.02): DataFrame = {
+    val long = valueQuantilesApprox(events)
+      .select(col("event_type"), explode(array(QuantilePoints.map(q =>
+        struct(lit(q).as("q"),
+          col(s"p${(q * 100).toInt}_approx").as("a"))): _*)).as("qa"))
+      .select(col("event_type"), col("qa.q").as("q"), col("qa.a").as("a"))
+    long.join(events.select("event_type", "value"), Seq("event_type"))
+      .groupBy("event_type", "q", "a")
+      .agg((sum(when(col("value") <= col("a"), 1L).otherwise(0L)) /
+        count(lit(1))).as("rank"))
+      .agg(coalesce(sum(when(abs(col("rank") - col("q")) > tol, 1L)
+        .otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
   /** Cohort retention: users grouped by first-activity day; for each
     * (cohort, day-offset) the distinct active users and the retention
     * rate. Two shuffles (per-user first day, then cohort × day counts);

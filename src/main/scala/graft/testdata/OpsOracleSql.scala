@@ -761,6 +761,16 @@ object OpsOracleSql {
        |FROM ev GROUP BY event_type""".stripMargin
   }
 
+  /** Oracle for the sketch accuracy gates: the gate queries compare a
+    * sketch against its exact twin IN-ENGINE and emit the violation
+    * count, which is deterministically zero when the sketch honors its
+    * bound — so the oracle is the constant, and the driver's hash-compare
+    * becomes the accuracy assertion (DuckDB cannot reproduce the sketch
+    * estimates themselves; they are implementation-defined).
+    */
+  val EVENTS_APPROX_ERR_ZERO: String =
+    "SELECT CAST(0 AS BIGINT) AS n_violations"
+
   val EVENTS_RETENTION: String =
     s"""WITH $evBase,
        |rt_first AS (
