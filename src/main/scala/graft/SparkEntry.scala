@@ -305,6 +305,8 @@ object SparkEntry {
       Sampling.sampleSummary(T.table(s, dir, "documents"))),
     "sample_target_assign" -> ((s, dir) =>
       Sampling.targetAssign(T.table(s, dir, "documents"), 40L)),
+    "sample_source_cap" -> ((s, dir) =>
+      Sampling.sourceCap(T.table(s, dir, "documents"))),
     "curate_audit" -> ((s, dir) => curationAudit(s, dir)),
     "curate_corpus" -> ((s, dir) =>
       Curation.corpus(T.table(s, dir, "documents"), curationAudit(s, dir))),
@@ -454,6 +456,7 @@ object SparkEntry {
     "sample_corpus" -> OO.SAMPLE_CORPUS,
     "sample_summary" -> OO.SAMPLE_SUMMARY,
     "sample_target_assign" -> OO.SAMPLE_TARGET_ASSIGN(40L),
+    "sample_source_cap" -> OO.SAMPLE_SOURCE_CAP,
     "curate_audit" -> OO.CURATE_AUDIT,
     "curate_corpus" -> OO.CURATE_CORPUS,
     "curate_funnel" -> OO.CURATE_FUNNEL,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Portable._
@@ -83,6 +84,40 @@ object Sampling {
       .withColumn("threshold", least(lit(SampleMod), expr(
         s"(${targetPerStratum * SampleMod}L + n_total - 1) div n_total")))
       .select("stratum", "n_total", "threshold")
+  }
+
+  /** Per-source document cap in [[sourceCap]]: 10 fits the driver corpus
+    * (20 sources × 25 docs at sf0.01 — a real cut); production crawls run
+    * thousands per domain.
+    */
+  val SourceCapK = 10
+
+  /** Per-source document cap (the RefinedWeb/Dolma domain-cap stage): keep
+    * at most `cap` documents per source, elected in deterministic
+    * pseudo-random order — the portable hash of `cap:<source>:<doc_id>`,
+    * ties broken by doc_id — so the SAME documents survive on every run
+    * and engine: a hash-ordered reservoir with no RNG and no state. This
+    * runs before corpus assembly so a single hot domain (a boilerplate
+    * mill, a link farm) cannot dominate the training mix regardless of
+    * how many documents it contributes.
+    *
+    * Scale shape: the rank input is a narrow `(doc_id, source, hash)`
+    * projection (the scan prunes to two columns) and the rank-limit plans
+    * as a partial-then-final WindowGroupLimit — each partition sheds
+    * beyond-cap rows locally before the shuffle, so a 10⁹-document
+    * domain crosses the wire as ~`cap` rows per input partition, never
+    * 10⁹. The emitted `cap_hash` keeps the election auditable row by row
+    * (same contract as [[stratifiedAssign]]'s bucket).
+    */
+  def sourceCap(docs: DataFrame, cap: Int = SourceCapK): DataFrame = {
+    require(cap > 0, s"sourceCap: cap must be positive, got $cap")
+    docs.selectExpr("doc_id", "source",
+        s"${hexcastSpark("concat('cap:', source, ':', CAST(doc_id AS STRING))")} AS cap_hash")
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy("source").orderBy("cap_hash", "doc_id")))
+      .filter(col("src_rank") <= cap)
+      .select(col("doc_id"), col("source"), col("cap_hash"),
+        col("src_rank").cast("long").as("src_rank"))
   }
 
   /** Per-row assignment against [[targetThresholds]] — same auditable

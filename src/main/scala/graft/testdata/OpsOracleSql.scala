@@ -998,6 +998,21 @@ object OpsOracleSql {
        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS realized_rate
        |FROM ($SAMPLE_ASSIGN) GROUP BY 1""".stripMargin
 
+  /** Mirrors [[graft.ops.Sampling.sourceCap]]: same salted portable hash,
+    * same (hash, doc_id) election order, same cap constant.
+    */
+  val SAMPLE_SOURCE_CAP: String =
+    s"""SELECT doc_id, source, cap_hash, CAST(src_rank AS BIGINT) AS src_rank
+       |FROM (
+       |  SELECT doc_id, source, cap_hash,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY cap_hash, doc_id) AS src_rank
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      ${hexcastDuck("'cap:' || source || ':' || CAST(doc_id AS VARCHAR)")} AS cap_hash
+       |    FROM documents))
+       |WHERE src_rank <= ${graft.ops.Sampling.SourceCapK}""".stripMargin
+
   val SIM_LSH_NEARDUP: String =
     s"""WITH $normedEmb, $simSig, $simBands, $simBandsX,
        |sim_cand AS (

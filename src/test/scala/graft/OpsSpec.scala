@@ -276,4 +276,36 @@ class OpsSpec extends SparkSpec {
         r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_total"))
     }
   }
+
+  test("source cap: deterministic hash-ordered keep-K per source") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val c1 = rows(Sampling.sourceCap(docs, cap = 2))
+    assert(c1 == rows(Sampling.sourceCap(docs, cap = 2))) // deterministic
+    // the cap binds per source, and a source with <= cap docs keeps all
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSource = c1.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    totals.foreach { case (src, n) =>
+      assert(perSource(src) == math.min(n, 2L),
+        s"$src: kept ${perSource(src)} of $n at cap 2")
+    }
+    // survivors are elected by the lowest salted hashes: every kept row's
+    // hash is <= every dropped same-source row's hash
+    val all = rows(Sampling.sourceCap(docs, cap = Int.MaxValue))
+    val keptIds = c1.map(_._1)
+    val maxKept = c1.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val outRanked = all.filter(r =>
+      !keptIds.contains(r._1) && r._3 < maxKept(r._2))
+    assert(outRanked.isEmpty,
+      s"a dropped row must never out-rank a kept row of its source: $outRanked")
+    // the election is hash-shuffled, not doc_id order: at cap 2 some
+    // source must keep a doc that is not among its two lowest ids
+    // (guards against the hash silently degrading to identity)
+    val lowestTwo = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.flatMap(_.map(_._1).sorted.take(2)).toSet
+    assert(keptIds.exists(!lowestTwo.contains(_)))
+  }
 }

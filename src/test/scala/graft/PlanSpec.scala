@@ -126,6 +126,24 @@ class PlanSpec extends SparkSpec {
     assert(!ns.exists(n => n.contains("Exchange") || n.contains("Join")), ns)
   }
 
+  test("source cap is a two-phase rank-limit over a two-column scan") {
+    val q = Sampling.sourceCap(T.table(spark, sf, "documents"))
+    // the election reads (doc_id, source) only — never text
+    assert(plan(q).contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      plan(q))
+    // and sheds beyond-cap rows per partition BEFORE the shuffle: a
+    // billion-document domain crosses the wire as ~cap rows per partition
+    val unwrapped = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    val modes = unwrapped.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        w.mode.toString }
+    assert(modes.contains("Partial"), s"WindowGroupLimit modes: $modes")
+  }
+
   test("curation audit stays within its corpus-scan budget") {
     // Scan budget at 100 TB: the keeper leg arrives pre-materialized (flat
     // checkpointed RDD — its dedup chain is shared and already bounded), so
