@@ -188,7 +188,10 @@ object Events {
         struct(lit(q).as("q"),
           col(s"p${(q * 100).toInt}_approx").as("a"))): _*)).as("qa"))
       .select(col("event_type"), col("qa.q").as("q"), col("qa.a").as("a"))
-    long.join(events.select("event_type", "value"), Seq("event_type"))
+    // broadcast the 3-rows-per-type side explicitly: event_type has FEW
+    // distinct values, so a stats-misestimated shuffle join here would
+    // funnel each type through one reducer
+    events.select("event_type", "value").join(broadcast(long), Seq("event_type"))
       .groupBy("event_type", "q", "a")
       .agg((sum(when(col("value") <= col("a"), 1L).otherwise(0L)) /
         count(lit(1))).as("rank"))

@@ -157,11 +157,11 @@ object IncrementalChunkDedup {
     // one row per doc_id even when a file and its re-crawl land in the
     // same drain — without this both copies' chunks fight over firsts
     val uniq = batch.dropDuplicates("doc_id")
-    // persist + eager fill: the occurrence relation feeds the election,
-    // the survivor anti-join, and the reassembly — recomputing it means
-    // re-tokenizing the raw batch once per consumer
+    // persist: the occurrence relation feeds the election, the survivor
+    // anti-join, and the reassembly — recomputing it means re-tokenizing
+    // the raw batch once per consumer. dedupChunkedBatch's own count
+    // fills the cache eagerly.
     val rows = Dedup.chunkRows(uniq, w).persist()
-    rows.count()
     dedupChunkedBatch(uniq, rows, priorHashes)
   }
 

@@ -151,11 +151,26 @@ object SemDedupMaintenance {
     val db = IncrementalAnnIndex
       .bucketCount(spark, IncrementalSemDedup.decidedPath(cur))
       .getOrElse(IncrementalAnnIndex.NumIdBuckets)
-    StoreMaintenance.compact(spark, IncrementalSemDedup.decidedPath(cur),
+    // verify every carried store before the pointer moves: a lossy carry
+    // of the DECIDED store would re-decide old ids in the next era, and a
+    // lossy ledger carry silently truncates the audit history
+    val decidedSrc = spark.read
+      .parquet(IncrementalSemDedup.decidedPath(cur)).count()
+    val decidedDst = StoreMaintenance.compact(spark,
+      IncrementalSemDedup.decidedPath(cur),
       IncrementalSemDedup.decidedPath(dest), numFiles,
       bucketBy = Some(("vec_id", db)))
-    StoreMaintenance.compact(spark, IncrementalSemDedup.ledgerPath(cur),
+    require(decidedDst == decidedSrc,
+      s"SemDedupMaintenance.retrain: carried $decidedDst of $decidedSrc " +
+        s"decided rows — not publishing $gen")
+    val ledgerSrc = spark.read
+      .parquet(IncrementalSemDedup.ledgerPath(cur)).count()
+    val ledgerDst = StoreMaintenance.compact(spark,
+      IncrementalSemDedup.ledgerPath(cur),
       IncrementalSemDedup.ledgerPath(dest), numFiles)
+    require(ledgerDst == ledgerSrc,
+      s"SemDedupMaintenance.retrain: carried $ledgerDst of $ledgerSrc " +
+        s"ledger rows — not publishing $gen")
     val written = spark.read
       .parquet(IncrementalSemDedup.listPath(dest)).count()
     require(written == srcRows,
