@@ -256,6 +256,10 @@ object SparkEntry {
       Similarity.ivfAssignments(T.table(s, dir, "embeddings"))),
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(T.table(s, dir, "embeddings"))),
+    "sim_pq_codes" -> ((s, dir) =>
+      Pq.codes(T.table(s, dir, "embeddings"))),
+    "sim_pq_topk" -> ((s, dir) =>
+      Pq.adcTopK(T.table(s, dir, "embeddings"))),
     "events_hourly" -> ((s, dir) => Events.hourly(T.events(s, dir))),
     "events_hopping" -> ((s, dir) => Events.hopping(T.events(s, dir))),
     "events_sessions" -> ((s, dir) => Events.sessionize(T.events(s, dir))),
@@ -436,6 +440,8 @@ object SparkEntry {
     "sim_lsh_neardup" -> OO.SIM_LSH_NEARDUP,
     "sim_ivf_assign" -> OO.SIM_IVF_ASSIGN,
     "sim_ivf_topk" -> OO.SIM_IVF_TOPK,
+    "sim_pq_codes" -> OO.SIM_PQ_CODES,
+    "sim_pq_topk" -> OO.SIM_PQ_TOPK,
     "events_hourly" -> OO.EVENTS_HOURLY,
     "events_hopping" -> OO.EVENTS_HOPPING,
     "events_sessions" -> OO.EVENTS_SESSIONS,

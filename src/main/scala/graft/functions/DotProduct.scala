@@ -106,5 +106,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_ewma"),
       new ExpressionInfo(classOf[Ewma].getName, "graft_ewma"),
       Ewma.fromChildren _))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      PqEncode.fromChildren _))
   }
 }

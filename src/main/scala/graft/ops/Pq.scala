@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — compressed-vector approximate nearest
+  * neighbor search, the MEMORY-scale path of the ANN stack.
+  *
+  * [[Similarity]]'s IVF/LSH paths prune *candidates* but still store and
+  * score full vectors. At 100 TB the vectors themselves are the problem:
+  * 10^10 × 64 float32 dims = 2.5 TB of raw embeddings, too big to keep hot.
+  * PQ (Jégou, Douze, Schmid — "Product quantization for nearest neighbor
+  * search", TPAMI 2011; the FAISS `PQ`/`IVFPQ` core) splits each vector
+  * into [[NumSubspaces]] sub-vectors, quantizes each against a per-subspace
+  * [[CodebookSize]]-entry codebook, and stores only the code indices: here
+  * 64 float dims (256 B) become 8 six-bit codes (6 B) — ~42× compression —
+  * while asymmetric-distance (ADC) search scans CODES with per-query lookup
+  * tables and never touches the stored vectors.
+  *
+  * Scale shape, deliberately:
+  *
+  *  - **The codebook is bounded by construction**: [[NumSubspaces]] ×
+  *    [[CodebookSize]] × [[SubDim]] values, collected once to the driver
+  *    and splatted back as expression literals (the centroid-handling
+  *    convention of [[Similarity.kmeansFromSeeds]] and MLlib k-means).
+  *    Deterministic "sampled leaders" codebooks (sub-vectors of the
+  *    [[CodebookSize]] lowest vec_ids) keep the DuckDB oracle able to
+  *    replay every code bit-for-bit; [[codebookFrom]] is the training
+  *    seam — a Lloyd-refined or re-trained quantizer plugs in there
+  *    without touching the encode/search shapes.
+  *  - **Encoding is shuffle-free.** Each row's codes are one codegen'd
+  *    projection (argmin over the splatted codebook) — no explode, no
+  *    join, no aggregation: encoding 10^10 vectors on 1000 executors is an
+  *    embarrassingly-parallel scan writing id + 6 bytes of codes.
+  *  - **ADC search never shuffles the corpus.** The per-query distance
+  *    table (queries × [[NumSubspaces]] × [[CodebookSize]] rows) is
+  *    broadcast; the code relation streams through broadcast hash joins,
+  *    and the only shuffle is the final per-query top-k over id-width
+  *    rows — the same tail as [[Similarity.bruteTopK]].
+  *
+  * Both distance forms drop nothing from the math: encode ranks by
+  * ‖c‖² − 2⟨x_m, c⟩ (the ‖x_m‖² term is constant within a row's argmin and
+  * cancels), while ADC reports the full ‖q_m‖² − 2⟨q_m, c⟩ + ‖c‖², summed
+  * in fixed subspace order so both engines produce the identical double.
+  * Ties break toward the lower index (code k, then neighbor vec_id) in
+  * both engines.
+  */
+object Pq {
+
+  /** Sub-vector count M: 8 × 8-dim subspaces over the 64-dim testdata;
+    * production configs (e.g. FAISS PQ64 over 1024-dim) scale M with the
+    * dimension — the shapes below only assume `Dim % NumSubspaces == 0`.
+    */
+  val NumSubspaces = 8
+  val SubDim: Int = Similarity.Dim / NumSubspaces
+  /** Codebook entries per subspace (6-bit codes here; real deployments use
+    * 256 = one byte per subspace). Entries are the [[CodebookSize]] lowest
+    * vec_ids' sub-vectors — deterministic, oracle-replayable. Sizing note:
+    * the synthetic testdata is i.i.d. near-orthogonal (unit-norm random) —
+    * PQ's WORST case, no manifold to exploit — so granularity is chosen for
+    * a recall the spec can gate (~0.3 at 8×6 bits) while keeping ~42×
+    * compression; structured real-corpus embeddings recall far higher at
+    * the same bit budget.
+    */
+  val CodebookSize = 64
+  /** Bits per code (log2 [[CodebookSize]]) — the [[codes]] pack shift. */
+  val CodeBits = 6
+
+  /** One sub-quantizer entry: subspace `m`, code `k`, centroid sub-vector,
+    * and its precomputed self-dot ‖c‖².
+    */
+  final case class CodebookEntry(m: Int, k: Int, cvec: Array[Float], cnorm2: Double)
+
+  /** Left-fold self-dot replicating `graft_dot`'s accumulation order, so
+    * the driver-side ‖c‖² literals stay bit-identical with the oracle's
+    * `list_reduce` over the same floats.
+    */
+  private def selfDot(v: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** The deterministic "sampled leaders" codebook: sub-vectors of the
+    * [[CodebookSize]] lowest vec_ids. O(M × K × SubDim) values — one
+    * bounded collect, like a trained quantizer loaded from its store.
+    */
+  def codebook(emb: DataFrame): Seq[CodebookEntry] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val seeds = emb.filter(col("vec_id") < CodebookSize)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    codebookFrom(seeds.map { case (k, v) => (k.toInt, v) })
+  }
+
+  /** Codebook from EXPLICIT full-width seed vectors `(k, vector)` — the
+    * training seam.
+    */
+  def codebookFrom(seeds: Seq[(Int, Array[Float])]): Seq[CodebookEntry] =
+    for {
+      (k, v) <- seeds
+      m <- 0 until NumSubspaces
+    } yield {
+      val sub = v.slice(m * SubDim, (m + 1) * SubDim)
+      CodebookEntry(m, k, sub, selfDot(sub))
+    }
+
+  /** Shortest-round-trip double SQL literal: `graft_dot` (and the oracle's
+    * `list_reduce`) widen floats to double before multiplying, so splatting
+    * the exact double value keeps both engines bit-identical.
+    */
+  private def d(x: Double): String = s"${x}D"
+
+  /** 1-based `slice` of subspace `m` from an embedding column. */
+  private def subSql(m: Int, embCol: String = "embedding"): String =
+    s"slice($embCol, ${m * SubDim + 1}, $SubDim)"
+
+  /** Per-row PQ codes, WIDE: `(vec_id, code_0 … code_{M−1}, pq_code)` with
+    * `pq_code` the bit-packed single-BIGINT form (M·CodeBits = 48 bits) — the
+    * 6-bytes-per-vector payload a code store persists at this config.
+    *
+    * One codegen'd projection per row through the native
+    * [[graft.functions.PqEncode]] kernel, whose strict-less argmin update
+    * keeps the FIRST (lowest-k) minimum — matching the oracle's
+    * `row_number() ORDER BY (dist, k)` tie rule.
+    */
+  def codes(emb: DataFrame): DataFrame = codesWith(emb, codebook(emb))
+
+  private[graft] def codesWith(emb: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
+    if (book.isEmpty) return emptyResult(emb, codesSchema)
+    // codebook flattened [m][k][i] + self-dots [m][k], splatted as the
+    // foldable literal arguments of the native encode kernel
+    // (graft.functions.PqEncode) — one constant fold at plan build, then a
+    // bare per-row argmin loop inside whole-stage codegen. The obvious
+    // array_position(array_min(...)) formulation inlines the K distance
+    // expansions twice per subspace and blows codegen past the JVM's 64 KB
+    // method limit — the kernel keeps the loop as data, not code.
+    val sorted = book.sortBy(c => (c.m, c.k))
+    val cbFlat = sorted.flatMap(_.cvec.map(f => s"${f.toDouble}D"))
+      .mkString("array(", ", ", ")")
+    val cn2 = sorted.map(c => d(c.cnorm2)).mkString("array(", ", ", ")")
+    val codeCols = (0 until NumSubspaces).map(m =>
+      expr(s"pq_codes_arr[$m]").as(s"code_$m"))
+    val packed = (0 until NumSubspaces)
+      .map(m => col(s"code_$m") * lit(1L << (CodeBits * m)))
+      .reduce(_ + _)
+    emb.select(col("vec_id"),
+        expr(s"graft_pq_encode(embedding, $cbFlat, $cn2)").as("pq_codes_arr"))
+      .select(col("vec_id") +: codeCols: _*)
+      .withColumn("pq_code", packed)
+  }
+
+  /** The codebook as a 64-row local relation `(m, k, cvec, cnorm2)` — the
+    * broadcast side of the ADC distance-table build.
+    */
+  private def codebookDf(emb: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    book.map(c => (c.m, c.k.toLong, c.cvec, c.cnorm2))
+      .toDF("m", "k", "cvec", "cnorm2")
+  }
+
+  /** Asymmetric-distance top-k: queries (vec_id % [[Similarity.QueryStride]]
+    * = 0) keep their EXACT sub-vectors; corpus vectors are represented by
+    * codes only. `adc_dist` = Σ_m ‖q_m − c_{m,code_m}‖², the classic ADC
+    * estimate. Approximate by design — [[PqSpec]] gates its recall against
+    * [[Similarity.bruteTopK]]; the driver oracle replays it exactly.
+    */
+  def adcTopK(emb: DataFrame, k: Int = Similarity.TopK): DataFrame = {
+    val book = codebook(emb)
+    if (book.isEmpty) return emptyResult(emb, adcSchema)
+    // per-query distance table: Q × M × K rows — queries exploded to M
+    // sub-vector rows, then one broadcast join against the 64-row codebook
+    // relation (ONE graft_dot per output row; ‖q_m‖² computed once per
+    // (query, m) and shared across that subspace's K entries).
+    val subStructs = (0 until NumSubspaces)
+      .map(m => s"struct($m AS m, ${subSql(m)} AS qsub)").mkString(", ")
+    val dtab = emb.filter(col("vec_id") % Similarity.QueryStride === 0)
+      .select(col("vec_id").as("query_id"),
+        expr(s"inline(array($subStructs))"))
+      .withColumn("qsub2", expr("graft_dot(qsub, qsub)"))
+      .join(broadcast(codebookDf(emb, book)), Seq("m"))
+      .select(col("query_id"), col("m"), col("k"),
+        ((col("qsub2") - lit(2.0) * expr("graft_dot(qsub, cvec)")) +
+          col("cnorm2")).as("d"))
+    // corpus side: codes only. Each join leg is a broadcast hash join of
+    // the (Q × K)-row slice of the distance table for one subspace; the
+    // first leg fans each code row out to the Q queries, the rest are 1:1.
+    var joined = codesWith(emb, book)
+    for (m <- 0 until NumSubspaces) {
+      val dm = broadcast(dtab.filter(col("m") === m)
+        .select(col("query_id").as(s"q_$m"), col("k").as(s"k_$m"),
+          col("d").as(s"d_$m")))
+      val cond =
+        if (m == 0) col("k_0") === col("code_0")
+        else col(s"q_$m") === col("q_0") && col(s"k_$m") === col(s"code_$m")
+      joined = joined.join(dm, cond)
+    }
+    val adc = (1 until NumSubspaces)
+      .foldLeft(col("d_0"))((acc, m) => acc + col(s"d_$m"))
+    joined
+      .filter(col("vec_id") =!= col("q_0"))
+      .select(col("q_0").as("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc_dist"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc_dist").asc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  private def emptyResult(emb: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    emb.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  private def codesSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      StructField("vec_id", LongType) +:
+        ((0 until NumSubspaces).map(m => StructField(s"code_$m", LongType)) :+
+          StructField("pq_code", LongType)))
+  }
+
+  private def adcSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField("adc_dist", DoubleType), StructField("rank", IntegerType)))
+  }
+}

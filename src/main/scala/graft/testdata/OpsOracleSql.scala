@@ -888,6 +888,94 @@ object OpsOracleSql {
        |SELECT a.vec_id, a.list_id, d.dup_of, d.dup_of IS NULL AS kept
        |FROM iv_assign a LEFT JOIN sd_dup d ON d.vec_id = a.vec_id""".stripMargin
 
+  // ---- product quantization (graft.ops.Pq) ----
+
+  import graft.ops.Pq.{CodeBits, CodebookSize, NumSubspaces, SubDim}
+
+  private val pqSubspaces: String =
+    s"(VALUES ${(0 until NumSubspaces).map(m => s"($m)").mkString(", ")}) t(m)"
+
+  /** 1-based inclusive DuckDB slice of subspace `m` (a column). */
+  private def pqSliceDuck(embCol: String): String =
+    s"$embCol[(m * $SubDim + 1):((m + 1) * $SubDim)]"
+
+  /** Mirrors [[graft.ops.Pq.codes]]: sampled-leaders codebook (sub-vectors
+    * of the [[CodebookSize]] lowest vec_ids), per-(vector, subspace) argmin
+    * by the rank key ‖c‖² − 2⟨x_m, c⟩ with ties to the lowest code, then
+    * pivot wide + nibble-pack. The engine's `array_position(array_min)`
+    * first-match is value-identical to `row_number() ORDER BY (edist, k)`.
+    */
+  private val pqChain: String =
+    s"""pq_cb AS (
+       |  SELECT m, vec_id AS k, ${pqSliceDuck("embedding")} AS cvec
+       |  FROM embeddings, $pqSubspaces
+       |  WHERE vec_id < $CodebookSize),
+       |pq_cb2 AS (
+       |  SELECT m, k, cvec, ${dotDuck("cvec", "cvec")} AS cnorm2 FROM pq_cb),
+       |pq_sub AS (
+       |  SELECT vec_id, m, ${pqSliceDuck("embedding")} AS sub
+       |  FROM embeddings, $pqSubspaces),
+       |pq_enc AS (
+       |  SELECT vec_id, m, k,
+       |         cnorm2 - 2 * ${dotDuck("sub", "cvec")} AS edist
+       |  FROM pq_sub JOIN pq_cb2 USING (m)),
+       |pq_code AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |             ORDER BY edist, k) AS rn
+       |    FROM pq_enc)
+       |  WHERE rn = 1),
+       |pq_wide AS (
+       |  SELECT vec_id,
+       |         ${(0 until NumSubspaces).map(m =>
+              s"max(CASE WHEN m = $m THEN code END) AS code_$m").mkString(",\n       |         ")}
+       |  FROM pq_code GROUP BY vec_id)""".stripMargin
+
+  private val pqPacked: String =
+    (0 until NumSubspaces).map(m => s"code_$m * ${1L << (CodeBits * m)}").mkString(" + ")
+
+  val SIM_PQ_CODES: String =
+    s"""WITH $pqChain
+       |SELECT vec_id, ${(0 until NumSubspaces).map(m => s"code_$m").mkString(", ")},
+       |       $pqPacked AS pq_code
+       |FROM pq_wide""".stripMargin
+
+  /** Mirrors [[graft.ops.Pq.adcTopK]]: per-query subspace distance table
+    * (full ‖q_m‖² − 2⟨q_m, c⟩ + ‖c‖²), ADC sum in fixed subspace order
+    * ((d0 + d1) + d2) + d3, rank by (adc, neighbor_id), self excluded.
+    */
+  val SIM_PQ_TOPK: String = {
+    val djoins = (0 until NumSubspaces).map { m =>
+      val extra = if (m == 0) "" else s" AND d$m.query_id = d0.query_id"
+      s"JOIN pq_dtab d$m ON d$m.m = $m AND d$m.k = w.code_$m$extra"
+    }
+    val adcSum = (1 until NumSubspaces)
+      .foldLeft("d0.dd")((acc, m) => s"($acc + d$m.dd)")
+    s"""WITH $pqChain,
+       |pq_q AS (
+       |  SELECT vec_id AS query_id, m, ${pqSliceDuck("embedding")} AS qsub
+       |  FROM embeddings, $pqSubspaces
+       |  WHERE vec_id % $QueryStride = 0),
+       |pq_q2 AS (
+       |  SELECT query_id, m, qsub, ${dotDuck("qsub", "qsub")} AS qsub2 FROM pq_q),
+       |pq_dtab AS (
+       |  SELECT query_id, m, k,
+       |         (qsub2 - 2 * ${dotDuck("qsub", "cvec")}) + cnorm2 AS dd
+       |  FROM pq_q2 JOIN pq_cb2 USING (m)),
+       |pq_adc AS (
+       |  SELECT d0.query_id, w.vec_id AS neighbor_id, $adcSum AS adc_dist
+       |  FROM pq_wide w
+       |  ${djoins.mkString("\n       |  ")}
+       |  WHERE w.vec_id <> d0.query_id)
+       |SELECT query_id, neighbor_id, adc_dist, "rank" FROM (
+       |  SELECT query_id, neighbor_id, adc_dist,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc_dist, neighbor_id) AS "rank"
+       |  FROM pq_adc)
+       |WHERE "rank" <= $TopK""".stripMargin
+  }
+
   /** Mirrors [[graft.ops.TextAnalysis.repetition]]: same n-gram explode →
     * (doc, n, gram) counts → per-(doc, n) maxima → per-doc pivot. DuckDB
     * list slices are 1-based inclusive; `generate_series(1, n)` is empty for

@@ -72,5 +72,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.lshNearDup(e).count() == 0)
     assert(Similarity.ivfTopK(e).count() == 0)
     assert(Similarity.semDedup(e).count() == 0)
+    assert(Pq.codes(e).count() == 0)
+    assert(Pq.adcTopK(e).count() == 0)
   }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Pq, Similarity}
+import graft.testdata.{TestFixtures => T}
+
+/** Product-quantization (graft.ops.Pq) behavior the sf oracle can't see:
+  * self-encoding of codebook vectors, pack/unpack consistency, ADC recall
+  * against the exact baseline, and the training seam.
+  */
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = T.table(spark, sf, "embeddings")
+
+  test("codebook vectors encode to their own code in every subspace") {
+    // centroid k IS vec k's sub-vector, so ‖x_m − c_k‖² = 0 — any other
+    // centroid at distance 0 would be bit-identical, which the synthetic
+    // corpus doesn't contain
+    val own = Pq.codes(emb).filter(col("vec_id") < Pq.CodebookSize)
+      .filter((0 until Pq.NumSubspaces)
+        .map(m => col(s"code_$m") === col("vec_id"))
+        .reduce(_ && _))
+    assert(own.count() == Pq.CodebookSize.min(emb.count().toInt))
+  }
+
+  test("pq_code bit-pack round-trips the per-subspace codes") {
+    val bad = Pq.codes(emb).filter(
+      (0 until Pq.NumSubspaces)
+        .map(m => expr(s"(pq_code >> ${Pq.CodeBits * m}) & ${Pq.CodebookSize - 1}") =!= col(s"code_$m"))
+        .reduce(_ || _))
+    assert(bad.count() == 0)
+    val range = Pq.codes(emb).filter(
+      (0 until Pq.NumSubspaces)
+        .map(m => col(s"code_$m") < 0 || col(s"code_$m") >= Pq.CodebookSize)
+        .reduce(_ || _))
+    assert(range.count() == 0)
+  }
+
+  test("ADC top-k recalls the exact cosine top-k above the floor") {
+    // the corpus is unit-norm, so the exact-cosine and exact-L2 rankings
+    // coincide and recall@10 measures pure quantization loss. The synthetic
+    // vectors are i.i.d. near-orthogonal — PQ's worst case — so the floor
+    // is loose: it catches broken encode/ADC math (recall would drop to
+    // chance ≈ k/N = 0.02), not quantization noise.
+    val exact = Similarity.bruteTopK(emb)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Pq.adcTopK(emb)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.15, s"ADC recall@10 $recall below floor")
+  }
+
+  test("adcTopK returns exactly k ranked rows per query, self excluded") {
+    val perQuery = Pq.adcTopK(emb)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("maxr"),
+        sum(when(col("neighbor_id") === col("query_id"), 1)
+          .otherwise(0)).as("selfs"))
+      .collect()
+    assert(perQuery.nonEmpty)
+    perQuery.foreach { r =>
+      assert(r.getAs[Long]("n") == Similarity.TopK)
+      assert(r.getAs[Int]("maxr") == Similarity.TopK)
+      assert(r.getAs[Long]("selfs") == 0L)
+    }
+  }
+
+  test("codebookFrom is the training seam: explicit seeds change the codes") {
+    import spark.implicits._
+    val seeds = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + Pq.CodebookSize)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }.toSeq
+    val book = Pq.codebookFrom(seeds)
+    assert(book.size == Pq.NumSubspaces * Pq.CodebookSize)
+    val retrained = Pq.codesWith(emb, book)
+    // retrained codebook's own seed vectors (ids 100..115) self-encode
+    val own = retrained.filter(col("vec_id") >= 100 && col("vec_id") < 100 + Pq.CodebookSize)
+      .filter((0 until Pq.NumSubspaces)
+        .map(m => col(s"code_$m") === col("vec_id") - 100)
+        .reduce(_ && _))
+    assert(own.count() == Pq.CodebookSize)
+  }
+}
