@@ -293,6 +293,8 @@ object SparkEntry {
     }),
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(T.table(s, dir, "documents"))),
+    "text_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(T.table(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(T.table(s, dir, "documents"))),
     // pii over the in-query injected corpus (graft.ops.Portable.piiInject*):
@@ -456,6 +458,7 @@ object SparkEntry {
     "events_value_quantiles_approx_err" -> OO.EVENTS_APPROX_ERR_ZERO,
     "events_asof_attribution" -> OO.EVENTS_ASOF_ATTRIBUTION,
     "text_top_terms" -> OO.TEXT_TOP_TERMS,
+    "text_bm25_topk" -> OO.TEXT_BM25_TOPK,
     "text_repetition" -> OO.TEXT_REPETITION,
     "text_pii" -> OO.TEXT_PII,
     "sample_assign" -> OO.SAMPLE_ASSIGN,

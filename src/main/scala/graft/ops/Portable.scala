@@ -152,6 +152,54 @@ object Portable {
   val piiInjectDuck: String =
     piiInject(c => s"CAST($c AS VARCHAR)", (p, v) => s"CASE WHEN $p THEN $v ELSE '' END")
 
+  /** BM25 retrieval (Robertson/Spärck Jones probabilistic relevance — the
+    * Okapi BM25 ranking function, as spelled in Lucene: idf = ln(1 + (N −
+    * df + 0.5)/(df + 0.5))). Parameters are EXACTLY-REPRESENTABLE doubles
+    * (k1 = 1.25 in the standard 1.2–2.0 range, b = 0.75 the classic
+    * default): any parse path in either engine yields the identical bits,
+    * so no decimal-literal semantics can drift the scores.
+    *
+    * The query batch is fixed and splatted into both dialects — the
+    * corpus-scoring use-case of a data pipeline (rank 10^10 documents
+    * against a target query set), not an interactive search box.
+    */
+  val Bm25K1 = "CAST(1.25 AS DOUBLE)"
+  val Bm25B = "CAST(0.75 AS DOUBLE)"
+  val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("join", "hash"),
+    1 -> Seq("spark", "stream", "window"),
+    2 -> Seq("vector", "scan", "merge"))
+  val Bm25MaxTerms: Int = bm25Queries.map(_._2.size).max
+  val Bm25TopK = 10
+  /** Micro-integerization scale for the ranking key: ranking on
+    * `floor(score × 1e6)` makes the top-k deterministic across engines even
+    * if `ln` differs in the last ulp.
+    */
+  val Bm25Micro = 1000000L
+
+  /** `(query_id, pos, term)` VALUES relation — dialect-free. */
+  val bm25QueryValues: String = {
+    val rows = for ((qid, terms) <- bm25Queries; (t, pos) <- terms.zipWithIndex)
+      yield s"($qid, $pos, '$t')"
+    s"(VALUES ${rows.mkString(", ")}) bq(query_id, pos, term)"
+  }
+
+  val bm25AllTerms: Seq[String] = bm25Queries.flatMap(_._2).distinct
+
+  /** One term's BM25 contribution — dialect-free arithmetic over BIGINT
+    * `tf`/`df`/`dl`, BIGINT `n`, DOUBLE `avgdl` columns. Parenthesized
+    * fully so both engines associate identically.
+    */
+  def bm25TermScore(tf: String, df: String, dl: String, n: String,
+      avgdl: String): String = {
+    // 0.5 forced to DOUBLE: a bare decimal literal would pull the BIGINT
+    // df/n into DECIMAL arithmetic, whose precision/rounding rules differ
+    // between the engines; in pure double space both are IEEE-identical
+    val half = "CAST(0.5 AS DOUBLE)"
+    s"(ln(1 + ((($n - $df) + $half) / ($df + $half))) * " +
+      s"(($tf * ($Bm25K1 + 1)) / ($tf + ($Bm25K1 * ((1 - $Bm25B) + ($Bm25B * ($dl / $avgdl)))))))"
+  }
+
   /** Per-stratum sampling thresholds: keep a row iff its 60-bit sample hash
     * mod 1e6 falls under `round(rate * 1e6)`. Thresholds are integerized
     * driver-side and splatted into BOTH dialects, so no float multiply can

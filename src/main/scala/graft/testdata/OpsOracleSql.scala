@@ -902,8 +902,9 @@ object OpsOracleSql {
   /** Mirrors [[graft.ops.Pq.codes]]: sampled-leaders codebook (sub-vectors
     * of the [[CodebookSize]] lowest vec_ids), per-(vector, subspace) argmin
     * by the rank key ‖c‖² − 2⟨x_m, c⟩ with ties to the lowest code, then
-    * pivot wide + nibble-pack. The engine's `array_position(array_min)`
-    * first-match is value-identical to `row_number() ORDER BY (edist, k)`.
+    * pivot wide + bit-pack. The engine kernel's strict-less argmin keeps
+    * the first minimum — value-identical to `row_number() ORDER BY
+    * (edist, k)`.
     */
   private val pqChain: String =
     s"""pq_cb AS (
@@ -974,6 +975,58 @@ object OpsOracleSql {
        |           ORDER BY adc_dist, neighbor_id) AS "rank"
        |  FROM pq_adc)
        |WHERE "rank" <= $TopK""".stripMargin
+  }
+
+  // ---- BM25 retrieval (graft.ops.Retrieval) ----
+
+  /** Mirrors [[graft.ops.Retrieval.bm25TopK]]: query-vocabulary postings,
+    * broadcast-shaped df/query relations, the SHARED dialect-free term
+    * formula ([[Portable.bm25TermScore]]), fixed-order pivot-sum, and the
+    * integerized `floor(score × 1e6)` ranking key.
+    */
+  val TEXT_BM25_TOPK: String = {
+    val termList = bm25AllTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val pivs = (0 until Bm25MaxTerms)
+      .map(p => s"max(CASE WHEN pos = $p THEN tscore END) AS s_$p")
+      .mkString(",\n       |         ")
+    val total = (0 until Bm25MaxTerms)
+      .map(p => s"COALESCE(s_$p, CAST(0 AS DOUBLE))")
+      .reduce((a, b) => s"($a + $b)")
+    s"""WITH bm_dl AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+       |  FROM (SELECT doc_id, $tokensDuck AS toks FROM documents)),
+       |bm_stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM bm_dl),
+       |bm_tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM bm_dl)
+       |  WHERE term IN $termList
+       |  GROUP BY 1, 2, 3),
+       |bm_df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM bm_tf GROUP BY 1),
+       |bm_scored AS (
+       |  SELECT bq.query_id, bq.pos, t.doc_id,
+       |         ${bm25TermScore("tf", "df", "dl", "n_docs", "avgdl")} AS tscore
+       |  FROM bm_tf t
+       |  JOIN bm_df USING (term)
+       |  JOIN $bm25QueryValues ON bq.term = t.term
+       |  CROSS JOIN bm_stats),
+       |bm_piv AS (
+       |  SELECT query_id, doc_id,
+       |         $pivs,
+       |         CAST(count(*) AS BIGINT) AS n_hit_terms
+       |  FROM bm_scored GROUP BY 1, 2)
+       |SELECT query_id, doc_id, n_hit_terms, score_micro, "rank" FROM (
+       |  SELECT query_id, doc_id, n_hit_terms, score_micro,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score_micro DESC, doc_id) AS "rank"
+       |  FROM (
+       |    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_hit_terms,
+       |           CAST(floor(($total) * $Bm25Micro) AS BIGINT) AS score_micro
+       |    FROM bm_piv))
+       |WHERE "rank" <= $Bm25TopK""".stripMargin
   }
 
   /** Mirrors [[graft.ops.TextAnalysis.repetition]]: same n-gram explode →
