@@ -326,6 +326,12 @@ object SparkEntry {
         Seq("doc_id")))),
     "curate_funnel_lang" -> ((s, dir) =>
       Curation.funnelByLang(curationAudit(s, dir))),
+    "curate_dsir_weights" -> ((s, dir) =>
+      Dsir.weights(T.table(s, dir, "documents"))),
+    "curate_dsir_select" -> ((s, dir) =>
+      Dsir.select(T.table(s, dir, "documents"))),
+    "curate_dsir_summary" -> ((s, dir) =>
+      Dsir.summary(T.table(s, dir, "documents"))),
     "split_assign" -> ((s, dir) =>
       HashSplit.split(T.table(s, dir, "documents"))),
     "split_summary" -> ((s, dir) =>
@@ -472,6 +478,9 @@ object SparkEntry {
     "curate_token_shards" -> OO.CURATE_TOKEN_SHARDS,
     "sql_curation_by_source" -> OO.SQL_CURATION_BY_SOURCE,
     "curate_funnel_lang" -> OO.CURATE_FUNNEL_LANG,
+    "curate_dsir_weights" -> OO.CURATE_DSIR_WEIGHTS,
+    "curate_dsir_select" -> OO.CURATE_DSIR_SELECT,
+    "curate_dsir_summary" -> OO.CURATE_DSIR_SUMMARY,
     "split_assign" -> OO.SPLIT_ASSIGN,
     "split_summary" -> OO.SPLIT_SUMMARY,
     "split_token_shards" -> OO.SPLIT_TOKEN_SHARDS,

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Portable._
+
+/** DSIR — data selection with importance resampling (Xie, Santurkar, Ma,
+  * Liang; NeurIPS 2023): select raw-corpus documents whose hashed n-gram
+  * distribution resembles a TARGET distribution, by scoring each document
+  * with the log importance weight
+  *
+  *   log w(d) = Σ_f n_f(d) · (log p_target(f) − log p_raw(f))
+  *
+  * over hashed unigram+bigram features f with add-1 smoothing. Here the
+  * target is the corpus' own `lang = 'en'` slice (the "looks like the
+  * high-resource target domain" selection); the raw distribution is the
+  * whole corpus. [[select]] applies the paper's Gumbel perturbation, so
+  * selection is importance *resampling*, not a hard top-cut.
+  *
+  * Determinism/scale choices:
+  *
+  *  - Per-feature log-ratios are integerized ONCE in the ≤[[Buckets]]-row
+  *    ratio table (`floor(lr × 1e6)`), so every per-document weight is an
+  *    exact integer sum — order-independent, hash-comparable across
+  *    engines, and safe under any aggregation tree. (A float Σ over
+  *    hundreds of ±log-ratios re-associates differently per engine and can
+  *    cancel catastrophically.)
+  *  - The ratio table is a broadcast constant (the feature space is hashed
+  *    into [[Buckets]] buckets precisely so this is true at ANY corpus
+  *    size — Xie et al. hash into 10^4 buckets for the same reason); the
+  *    corpus-side cost is one gram explode + two hash aggregates.
+  *  - Selection is a PER-ROW threshold on the Gumbel-perturbed weight —
+  *    no global sort/rank anywhere (an exact global top-fraction would
+  *    funnel 10^10 id-width rows through one ranking task). The threshold
+  *    [[SelectTauMicro]] is the calibration knob; [[summary]] reports the
+  *    achieved fraction, which is how a 100 TB run tunes τ offline.
+  */
+object Dsir {
+
+  /** Hashed feature buckets (unigram+bigram space → 2^10). */
+  val Buckets = 1024
+  /** The target slice: documents whose lang marks them as the domain to
+    * resemble.
+    */
+  val TargetLang = "en"
+  /** Additive-smoothing pseudo-count (add-1 / Laplace). */
+  val Alpha = 1
+  /** Selection threshold on `logweight_micro + gumbel_micro` — calibrated
+    * on the sf corpora to admit roughly the en-like quarter of documents.
+    */
+  val SelectTauMicro: Long = 0L
+  /** Micro fixed-point scale shared by the ratio table and the Gumbel
+    * perturbation.
+    */
+  val Micro: Long = 1000000L
+
+  /** `(doc_id, lang, bucket, n)` hashed n-gram counts per document.
+    * Bucket = 60-bit md5 of the `<n>:`-prefixed gram, mod [[Buckets]] —
+    * the literal prefix keeps unigram and bigram spaces disjoint without
+    * any dialect-specific integer→string cast.
+    */
+  private[graft] def featureCounts(docs: DataFrame): DataFrame = {
+    val base = docs.selectExpr("doc_id", "lang", s"$tokensSpark AS toks")
+    val uni = base.selectExpr("doc_id", "lang",
+      "explode(toks) AS gram").selectExpr("doc_id", "lang",
+      s"${hexcastSpark("concat('1:', gram)")} % $Buckets AS bucket")
+    // sequence(1, 0) DESCENDS in Spark — the size guard is load-bearing
+    // (the graft.ops.TextAnalysis.repetition convention)
+    val bi = base.selectExpr("doc_id", "lang",
+      s"""explode(IF(size(toks) >= 2,
+         |  transform(sequence(1, size(toks) - 1),
+         |            i -> array_join(slice(toks, i, 2), ' ')),
+         |  array())) AS gram""".stripMargin)
+      .selectExpr("doc_id", "lang",
+        s"${hexcastSpark("concat('2:', gram)")} % $Buckets AS bucket")
+    uni.unionAll(bi)
+      .groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The ≤[[Buckets]]-row integerized log-ratio table
+    * `(bucket, ct, cr, lr_micro)`: raw and target occurrence totals plus
+    * `floor((ln p_target − ln p_raw) × 1e6)` with add-[[Alpha]] smoothing.
+    */
+  private[graft] def ratioTable(feats: DataFrame): DataFrame = {
+    val perBucket = feats.groupBy("bucket").agg(
+      sum("n").as("cr"),
+      coalesce(sum(when(col("lang") === TargetLang, col("n"))), lit(0L))
+        .as("ct"))
+    val totals = perBucket.agg(
+      sum("cr").as("tot_cr"), sum("ct").as("tot_ct"))
+    perBucket.crossJoin(broadcast(totals))
+      .selectExpr("bucket", "ct", "cr",
+        s"""CAST(floor((ln(CAST(ct + $Alpha AS DOUBLE) / (tot_ct + ${Alpha * Buckets}))
+           |  - ln(CAST(cr + $Alpha AS DOUBLE) / (tot_cr + ${Alpha * Buckets}))) * $Micro) AS BIGINT)
+           |  AS lr_micro""".stripMargin)
+  }
+
+  /** Per-document DSIR log importance weight:
+    * `(doc_id, n_grams, logweight_micro)` — an exact integer Σ n·lr over
+    * the broadcast ratio table; documents with no grams weight 0.
+    */
+  def weights(docs: DataFrame): DataFrame = {
+    val feats = featureCounts(docs)
+    val lr = ratioTable(feats).select("bucket", "lr_micro")
+    val perDoc = feats
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_grams"),
+        sum(col("n") * col("lr_micro")).as("logweight_micro"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("logweight_micro"), lit(0L)).as("logweight_micro"))
+  }
+
+  /** Deterministic per-document Gumbel noise in micro fixed-point:
+    * `g = −ln(−ln(u))` with `u = (md5₆₀("dsir:" + doc_id) mod 1e6 + 0.5) /
+    * 1e6` — the hashed stand-in for the i.i.d. Gumbel draw of the paper's
+    * top-k sampling, reproducible across engines and re-runs.
+    */
+  private def gumbelMicroSql(castStr: String => String): String =
+    s"""CAST(floor(-ln(-ln(
+       |  (CAST(${hexcastSpark(s"concat('dsir:', ${castStr("doc_id")})")} % $Micro AS DOUBLE)
+       |    + CAST(0.5 AS DOUBLE)) / $Micro)) * $Micro) AS BIGINT)""".stripMargin
+
+  /** Importance-resampled selection: documents whose Gumbel-perturbed
+    * log-weight clears [[SelectTauMicro]] —
+    * `(doc_id, logweight_micro, gumbel_micro, key_micro)`.
+    */
+  def select(docs: DataFrame): DataFrame =
+    weights(docs)
+      .withColumn("gumbel_micro",
+        expr(gumbelMicroSql(c => s"CAST($c AS STRING)")))
+      .withColumn("key_micro", col("logweight_micro") + col("gumbel_micro"))
+      .filter(col("key_micro") >= SelectTauMicro)
+      .select("doc_id", "logweight_micro", "gumbel_micro", "key_micro")
+
+  /** Calibration surface: corpus size, selected count, and the weight
+    * envelope — order-independent aggregates only.
+    */
+  def summary(docs: DataFrame): DataFrame = {
+    val w = weights(docs)
+      .withColumn("gumbel_micro",
+        expr(gumbelMicroSql(c => s"CAST($c AS STRING)")))
+      .withColumn("key_micro", col("logweight_micro") + col("gumbel_micro"))
+    w.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("key_micro") >= SelectTauMicro, 1L).otherwise(0L))
+        .as("n_selected"),
+      min("logweight_micro").as("min_logweight_micro"),
+      max("logweight_micro").as("max_logweight_micro"))
+  }
+}

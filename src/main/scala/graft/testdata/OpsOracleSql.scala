@@ -977,6 +977,84 @@ object OpsOracleSql {
        |WHERE "rank" <= $TopK""".stripMargin
   }
 
+  // ---- DSIR importance weighting (graft.ops.Dsir) ----
+
+  private val DsirB = graft.ops.Dsir.Buckets
+  private val DsirMicro = graft.ops.Dsir.Micro
+  private val DsirTau = graft.ops.Dsir.SelectTauMicro
+  private val DsirLang = graft.ops.Dsir.TargetLang
+
+  /** Mirrors [[graft.ops.Dsir.weights]]: hashed `<n>:`-prefixed
+    * unigram+bigram buckets, add-1-smoothed target/raw log-ratio table
+    * integerized at 1e6, exact integer Σ n·lr per document.
+    */
+  private val dsirChain: String =
+    s"""ds_base AS (SELECT doc_id, lang, $tokensDuck AS toks FROM documents),
+       |ds_gram AS (
+       |  SELECT doc_id, lang, ${hexcastDuck("'1:' || gram")} % $DsirB AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(toks) AS gram FROM ds_base)
+       |  UNION ALL
+       |  SELECT doc_id, lang, ${hexcastDuck("'2:' || gram")} % $DsirB AS bucket
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |           unnest(list_transform(generate_series(1, len(toks) - 1),
+       |             i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 1], ' '))) AS gram
+       |    FROM ds_base)),
+       |ds_feat AS (
+       |  SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM ds_gram GROUP BY 1, 2, 3),
+       |ds_pb AS (
+       |  SELECT bucket, CAST(sum(n) AS BIGINT) AS cr,
+       |         CAST(COALESCE(sum(CASE WHEN lang = '$DsirLang' THEN n END), 0) AS BIGINT) AS ct
+       |  FROM ds_feat GROUP BY 1),
+       |ds_tot AS (
+       |  SELECT CAST(sum(cr) AS BIGINT) AS tot_cr,
+       |         CAST(sum(ct) AS BIGINT) AS tot_ct
+       |  FROM ds_pb),
+       |ds_lr AS (
+       |  SELECT bucket,
+       |         CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / (tot_ct + $DsirB))
+       |           - ln(CAST(cr + 1 AS DOUBLE) / (tot_cr + $DsirB))) * $DsirMicro) AS BIGINT) AS lr_micro
+       |  FROM ds_pb CROSS JOIN ds_tot),
+       |ds_w AS (
+       |  SELECT d.doc_id,
+       |         CAST(COALESCE(f.n_grams, 0) AS BIGINT) AS n_grams,
+       |         CAST(COALESCE(f.lw, 0) AS BIGINT) AS logweight_micro
+       |  FROM documents d
+       |  LEFT JOIN (
+       |    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+       |           CAST(sum(n * lr_micro) AS BIGINT) AS lw
+       |    FROM ds_feat JOIN ds_lr USING (bucket) GROUP BY 1) f
+       |  USING (doc_id))""".stripMargin
+
+  val CURATE_DSIR_WEIGHTS: String =
+    s"WITH $dsirChain\nSELECT doc_id, n_grams, logweight_micro FROM ds_w"
+
+  /** Mirrors the hashed-Gumbel perturbation of [[graft.ops.Dsir.select]]. */
+  private val dsirKeyed: String =
+    s"""ds_key AS (
+       |  SELECT doc_id, logweight_micro, gumbel_micro,
+       |         logweight_micro + gumbel_micro AS key_micro
+       |  FROM (
+       |    SELECT doc_id, logweight_micro,
+       |           CAST(floor(-ln(-ln(
+       |             (CAST(${hexcastDuck("'dsir:' || CAST(doc_id AS VARCHAR)")} % $DsirMicro AS DOUBLE)
+       |               + CAST(0.5 AS DOUBLE)) / $DsirMicro)) * $DsirMicro) AS BIGINT) AS gumbel_micro
+       |    FROM ds_w))""".stripMargin
+
+  val CURATE_DSIR_SELECT: String =
+    s"""WITH $dsirChain, $dsirKeyed
+       |SELECT doc_id, logweight_micro, gumbel_micro, key_micro
+       |FROM ds_key WHERE key_micro >= $DsirTau""".stripMargin
+
+  val CURATE_DSIR_SUMMARY: String =
+    s"""WITH $dsirChain, $dsirKeyed
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN key_micro >= $DsirTau THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |       CAST(min(logweight_micro) AS BIGINT) AS min_logweight_micro,
+       |       CAST(max(logweight_micro) AS BIGINT) AS max_logweight_micro
+       |FROM ds_key""".stripMargin
+
   // ---- BM25 retrieval (graft.ops.Retrieval) ----
 
   /** Mirrors [[graft.ops.Retrieval.bm25TopK]]: query-vocabulary postings,

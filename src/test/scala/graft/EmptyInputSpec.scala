@@ -34,6 +34,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.qualityScore(d).count() == 0)
     assert(TextAnalysis.topTerms(d).count() == 0)
     assert(Retrieval.bm25TopK(d).count() == 0)
+    assert(Dsir.weights(d).count() == 0)
+    assert(Dsir.select(d).count() == 0)
     assert(Dedup.exact(d).count() == 0)
     assert(Dedup.minhashSignatures(d).count() == 0)
     assert(Dedup.minhashPairs(d).count() == 0)
