@@ -340,6 +340,9 @@ object SparkEntry {
       HashSplit.tokenShards(T.table(s, dir, "documents"))),
     "split_contamination" -> ((s, dir) =>
       HashSplit.contaminatedTrainDocs(T.table(s, dir, "documents"))),
+    "split_semantic_decontam" -> ((s, dir) =>
+      HashSplit.semanticContamination(T.table(s, dir, "documents"),
+        T.table(s, dir, "embeddings"))),
     "media_catalog" -> ((s, dir) =>
       Multimodal.catalog(T.table(s, dir, "documents"))),
     "media_byte_stats" -> ((s, dir) =>
@@ -485,6 +488,7 @@ object SparkEntry {
     "split_summary" -> OO.SPLIT_SUMMARY,
     "split_token_shards" -> OO.SPLIT_TOKEN_SHARDS,
     "split_contamination" -> OO.SPLIT_CONTAMINATION,
+    "split_semantic_decontam" -> OO.SPLIT_SEMANTIC_DECONTAM,
     "media_catalog" -> OO.MEDIA_CATALOG,
     "media_byte_stats" -> OO.MEDIA_BYTE_STATS,
     "media_decode_mappartitions" -> OO.MEDIA_BYTE_STATS,

@@ -94,6 +94,28 @@ object HashSplit {
       sh)
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of
+    * [[contaminatedTrainDocs]]: a paraphrased or translated copy of a test
+    * document shares no 3-gram shingles but sits next to it in embedding
+    * space, so n-gram decontamination alone misses it (the eval-leakage
+    * mode motivating cosine-based contamination checks). Flags TRAIN-split
+    * documents whose embedding cosine against ANY test-split document
+    * clears the near-dup threshold, via the banded cross-set probe of
+    * [[Similarity.crossSetContamination]] (test side broadcast — eval sets
+    * are orders of magnitude smaller than the corpus).
+    *
+    * `(doc_id, n_test_hits, max_cos)`, one row per contaminated train doc.
+    */
+  def semanticContamination(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val sp = split(docs).select("doc_id", "split")
+    def side(name: String) = emb
+      .join(sp.filter(col("split") === name), col("vec_id") === col("doc_id"))
+      .select("vec_id", "embedding")
+    Similarity.crossSetContamination(side("train"), side("test"))
+      .select(col("vec_id").as("doc_id"),
+        col("n_probe_hits").as("n_test_hits"), col("max_cos"))
+  }
+
   val ShardTokenBudget = 20000L
   /** Floor on the range-partition width for the distributed prefix sum. */
   val ShardRangeParts = 32

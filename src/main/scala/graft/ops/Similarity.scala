@@ -458,4 +458,47 @@ object Similarity {
         col("dup_of").isNull.as("kept"))
     (out, assign)
   }
+
+  /** Cross-set semantic contamination: corpus vectors whose cosine against
+    * ANY probe-set vector clears `threshold`, with hit count and max
+    * similarity as evidence — `(vec_id, n_probe_hits, max_cos)`.
+    *
+    * Built for the asymmetric real case (corpus = a 10^10-vector train
+    * set, probe = a benchmark/eval set orders of magnitude smaller): the
+    * PROBE side's band rows broadcast, so the corpus streams through one
+    * broadcast hash join of id-width rows — no corpus shuffle until the
+    * candidate dedup, which is bounded by genuine band collisions. A probe
+    * band bucket hotter than `maxBandOccupancy` (boilerplate signature)
+    * degrades to its bucket-min STAR probe — the [[lshTopK]] convention —
+    * keeping candidates ≤ corpus-bands × cap. Candidates are then
+    * exact-cosine verified with the probe embeddings broadcast.
+    *
+    * Sign-LSH candidate recall has the usual banded guarantee (hamming ≤
+    * planes − planes/bands ⇒ some band equal); the [[graft.streaming]]
+    * incremental variant probes a FROZEN eval set per arriving batch.
+    */
+  def crossSetContamination(corpusEmb: DataFrame, probeEmb: DataFrame,
+      threshold: Double = NearDupCosine, planes: Int = Planes,
+      nBands: Int = NibbleBands,
+      maxBandOccupancy: Int = Dedup.MaxBandOccupancy): DataFrame = {
+    val wB = Window.partitionBy("q", "nib")
+    val px = bandRows(probeEmb, planes, nBands)
+      .withColumn("bdf", count(lit(1)).over(wB))
+      .withColumn("broot", min("vec_id").over(wB))
+    val cold = px.filter(col("bdf") <= maxBandOccupancy)
+      .select(col("vec_id").as("b_id"), col("q"), col("nib"))
+    val hot = px.filter(col("bdf") > maxBandOccupancy)
+      .select(col("broot").as("b_id"), col("q"), col("nib")).distinct()
+    val cand = bandRows(corpusEmb, planes, nBands)
+      .join(broadcast(cold.unionByName(hot)), Seq("q", "nib"))
+      .select(col("vec_id").as("a_id"), col("b_id")).distinct()
+    cand
+      .join(withNorm(corpusEmb).as("a"), col("a_id") === col("a.vec_id"))
+      .join(broadcast(withNorm(probeEmb)).as("b"), col("b_id") === col("b.vec_id"))
+      .select(col("a_id"), col("b_id"), cosine("a", "b"))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy("a_id")
+      .agg(count(lit(1)).as("n_probe_hits"), max("cos_sim").as("max_cos"))
+      .select(col("a_id").as("vec_id"), col("n_probe_hits"), col("max_cos"))
+  }
 }

@@ -566,6 +566,50 @@ object OpsOracleSql {
        |FROM pairs WHERE n_shared >= 1
        |GROUP BY 1""".stripMargin
 
+  /** Mirrors [[graft.ops.HashSplit.semanticContamination]]: the same
+    * sign-LSH signatures as the sim_* family (band values depend only on
+    * the vector, so per-side band relations are FILTERS of the shared
+    * sim_bands CTE), test-side occupancy cap with bucket-min star
+    * degradation, exact-cosine verify, per-train-doc evidence aggregate.
+    */
+  val SPLIT_SEMANTIC_DECONTAM: String =
+    s"""WITH $normedEmb, $simSig, $simBands,
+       |sp AS (SELECT doc_id,
+       |         CASE WHEN $hsBucket < $TrainUpper THEN 'train'
+       |              WHEN $hsBucket < $ValUpper THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM documents),
+       |sd_tr AS (
+       |  SELECT b.vec_id, q, nib FROM sim_bands b
+       |  JOIN sp ON sp.doc_id = b.vec_id AND sp.split = 'train'),
+       |sd_tex AS (
+       |  SELECT vec_id, q, nib,
+       |         count(*) OVER (PARTITION BY q, nib) AS bdf,
+       |         min(vec_id) OVER (PARTITION BY q, nib) AS broot
+       |  FROM (SELECT b.vec_id, q, nib FROM sim_bands b
+       |        JOIN sp ON sp.doc_id = b.vec_id AND sp.split = 'test')),
+       |sd_cand AS (
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT t.vec_id AS a_id, p.vec_id AS b_id
+       |    FROM sd_tr t
+       |    JOIN (SELECT vec_id, q, nib FROM sd_tex
+       |          WHERE bdf <= $MaxBandOccupancy) p USING (q, nib)
+       |    UNION ALL
+       |    SELECT t.vec_id AS a_id, x.broot AS b_id
+       |    FROM sd_tr t
+       |    JOIN (SELECT DISTINCT q, nib, broot FROM sd_tex
+       |          WHERE bdf > $MaxBandOccupancy) x USING (q, nib)))
+       |SELECT a_id AS doc_id, CAST(count(*) AS BIGINT) AS n_test_hits,
+       |       CAST(max(cos_sim) AS DOUBLE) AS max_cos
+       |FROM (
+       |  SELECT c.a_id, c.b_id,
+       |         ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim
+       |  FROM sd_cand c
+       |  JOIN de_e a ON c.a_id = a.vec_id
+       |  JOIN de_e b ON c.b_id = b.vec_id)
+       |WHERE cos_sim >= $NearDupCosine
+       |GROUP BY 1""".stripMargin
+
   // ---- multimodal media plumbing (graft.ops.Multimodal) ----
 
   import graft.ops.Multimodal.{ChunkHexChars, FrameStride, MaxChunks}
