@@ -223,6 +223,32 @@ object SkewSoak {
     val sdJson =
       f""""semdedup_hotlist":{"base_sec":${sdSecs(0)}%.2f,"x10_sec":${sdSecs(1)}%.2f,"time_growth":$sdGrowth%.1f,"base_n":$sdBaseN,"x10_n":${sdBaseN * 10}}"""
 
+    // Cross-set decontamination leg: FIXED eval set, corpus grown 10×,
+    // every vector (both sides) near one axis so all band buckets collide
+    // and every candidate passes the cosine verify — the densest the
+    // probe join can get. Cost must stay ∝ corpus × eval (linear in the
+    // corpus), because the eval side broadcasts and candidates are
+    // per-corpus-row bounded by the eval bucket occupancy.
+    val dcEval = 200L
+    def decontamSec(n: Long): Double = {
+      val corpus = hotListVecs(n).cache()
+      corpus.count()
+      val probe = hotListVecs(dcEval)
+        .withColumn("vec_id", col("vec_id") + lit(5000000000L)).cache()
+      probe.count()
+      val sec = timed(
+        Similarity.crossSetContamination(corpus, probe).count())._1
+      corpus.unpersist(blocking = false)
+      probe.unpersist(blocking = false)
+      sec
+    }
+    decontamSec(500L) // warm: JIT + codegen caches, excluded
+    val dcBaseN = baseN * 3
+    val dcSecs = Seq(dcBaseN, dcBaseN * 10).map(decontamSec)
+    val dcGrowth = dcSecs(1) / dcSecs(0)
+    val dcJson =
+      f""""decontam_probe":{"base_sec":${dcSecs(0)}%.2f,"x10_sec":${dcSecs(1)}%.2f,"time_growth":$dcGrowth%.1f,"base_n":$dcBaseN,"x10_n":${dcBaseN * 10},"eval_n":$dcEval}"""
+
     val base = results.head._2.toMap
     val x10 = results.last._2.toMap
     // one growth derivation feeds BOTH the JSON line and the verdict, so
@@ -248,8 +274,12 @@ object SkewSoak {
       ("chunk_membership" -> (chunkGrowth < 4.0)) :+
       // linear bar, same rationale as the capped pair joins: the one-list
       // corpus is 10× the members through a members × cap candidate join
-      ("semdedup_hotlist" -> (sdGrowth < 30.0))
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$sdJson,"linear":${verdicts.forall(_._2)}}""")
+      ("semdedup_hotlist" -> (sdGrowth < 30.0)) :+
+      // linear bar: 10× the corpus through a broadcast probe of a fixed
+      // eval set — superlinear growth means the probe side stopped
+      // broadcasting or candidates stopped being per-row bounded
+      ("decontam_probe" -> (dcGrowth < 30.0))
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$sdJson,$dcJson,"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>

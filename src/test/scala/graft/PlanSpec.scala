@@ -252,4 +252,52 @@ class PlanSpec extends SparkSpec {
     assert(ns.contains("BroadcastNestedLoopJoin"), ns)
     assert(!ns.contains("SortMergeJoin"), ns)
   }
+
+  test("PQ encode is a shuffle-free pruned projection") {
+    // the whole selling point of the code store: encoding 10^10 vectors is
+    // ONE embarrassingly-parallel scan — any Exchange here means the
+    // encode kernel regressed into a join/aggregate formulation
+    val q = graft.ops.Pq.codes(T.table(spark, sf, "embeddings"))
+    val ns = nodes(q)
+    assert(!ns.exists(_.contains("Exchange")), ns)
+    assert(!ns.exists(_.contains("Join")), ns)
+    assert(plan(q).contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
+  }
+
+  test("PQ ADC search joins only through broadcasts") {
+    // distance tables and codebook broadcast; the code relation must
+    // stream — a SortMergeJoin would shuffle the (at scale 10^10-row)
+    // code store once per subspace
+    val ns = nodes(graft.ops.Pq.adcTopK(T.table(spark, sf, "embeddings")))
+    assert(ns.count(_ == "BroadcastHashJoin") >= 4, ns)
+    assert(!ns.contains("SortMergeJoin"), ns)
+  }
+
+  test("cross-set contamination broadcasts the probe side") {
+    // corpus bands stream through broadcast joins of the (small) eval
+    // side — band candidates and the exact verify both; shuffling the
+    // corpus against an eval set thousands of times smaller is the wrong
+    // build side at any scale
+    val e = T.table(spark, sf, "embeddings")
+    val probe = e.filter(col("vec_id") >= 450)
+    val ns = nodes(Similarity.crossSetContamination(e, probe))
+    assert(ns.count(_ == "BroadcastHashJoin") >= 2, ns)
+    assert(!ns.contains("SortMergeJoin"), ns)
+  }
+
+  test("BM25 joins df/query/stats relations as broadcasts") {
+    // the posting relation is the only large side; df (≤ vocabulary),
+    // the query VALUES, and the 1-row stats aggregate all broadcast
+    val ns = nodes(graft.ops.Retrieval.bm25TopK(T.table(spark, sf, "documents")))
+    assert(ns.count(_ == "BroadcastHashJoin") >= 2, ns)
+    assert(ns.contains("BroadcastNestedLoopJoin"), ns) // 1-row stats cross join
+    assert(!ns.contains("SortMergeJoin"), ns)
+  }
+
+  test("DSIR weights join the ratio table as a broadcast") {
+    // the ≤1024-row integerized log-ratio table is the broadcast constant
+    // that makes per-document weighting a single pass at any corpus size
+    val ns = nodes(graft.ops.Dsir.weights(T.table(spark, sf, "documents")))
+    assert(ns.contains("BroadcastHashJoin"), ns)
+  }
 }
