@@ -260,6 +260,8 @@ object SparkEntry {
       Pq.codes(T.table(s, dir, "embeddings"))),
     "sim_pq_topk" -> ((s, dir) =>
       Pq.adcTopK(T.table(s, dir, "embeddings"))),
+    "sim_ivfpq_topk" -> ((s, dir) =>
+      Pq.ivfpqTopK(T.table(s, dir, "embeddings"))),
     "events_hourly" -> ((s, dir) => Events.hourly(T.events(s, dir))),
     "events_hopping" -> ((s, dir) => Events.hopping(T.events(s, dir))),
     "events_sessions" -> ((s, dir) => Events.sessionize(T.events(s, dir))),
@@ -453,6 +455,7 @@ object SparkEntry {
     "sim_ivf_topk" -> OO.SIM_IVF_TOPK,
     "sim_pq_codes" -> OO.SIM_PQ_CODES,
     "sim_pq_topk" -> OO.SIM_PQ_TOPK,
+    "sim_ivfpq_topk" -> OO.SIM_IVFPQ_TOPK,
     "events_hourly" -> OO.EVENTS_HOURLY,
     "events_hopping" -> OO.EVENTS_HOPPING,
     "events_sessions" -> OO.EVENTS_SESSIONS,

@@ -169,16 +169,16 @@ object Pq {
     * estimate. Approximate by design — [[PqSpec]] gates its recall against
     * [[Similarity.bruteTopK]]; the driver oracle replays it exactly.
     */
-  def adcTopK(emb: DataFrame, k: Int = Similarity.TopK): DataFrame = {
-    val book = codebook(emb)
-    if (book.isEmpty) return emptyResult(emb, adcSchema)
-    // per-query distance table: Q × M × K rows — queries exploded to M
-    // sub-vector rows, then one broadcast join against the 64-row codebook
-    // relation (ONE graft_dot per output row; ‖q_m‖² computed once per
-    // (query, m) and shared across that subspace's K entries).
+  /** Per-query ADC distance table `(query_id, m, k, d)` — Q × M × K rows:
+    * queries exploded to M sub-vector rows, then one broadcast join
+    * against the codebook relation (ONE graft_dot per output row; ‖q_m‖²
+    * computed once per (query, m) and shared across that subspace's K
+    * entries).
+    */
+  private def distanceTable(emb: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
     val subStructs = (0 until NumSubspaces)
       .map(m => s"struct($m AS m, ${subSql(m)} AS qsub)").mkString(", ")
-    val dtab = emb.filter(col("vec_id") % Similarity.QueryStride === 0)
+    emb.filter(col("vec_id") % Similarity.QueryStride === 0)
       .select(col("vec_id").as("query_id"),
         expr(s"inline(array($subStructs))"))
       .withColumn("qsub2", expr("graft_dot(qsub, qsub)"))
@@ -186,6 +186,12 @@ object Pq {
       .select(col("query_id"), col("m"), col("k"),
         ((col("qsub2") - lit(2.0) * expr("graft_dot(qsub, cvec)")) +
           col("cnorm2")).as("d"))
+  }
+
+  def adcTopK(emb: DataFrame, k: Int = Similarity.TopK): DataFrame = {
+    val book = codebook(emb)
+    if (book.isEmpty) return emptyResult(emb, adcSchema)
+    val dtab = distanceTable(emb, book)
     // corpus side: codes only. Each join leg is a broadcast hash join of
     // the (Q × K)-row slice of the distance table for one subspace; the
     // first leg fans each code row out to the Q queries, the rest are 1:1.
@@ -204,6 +210,64 @@ object Pq {
     joined
       .filter(col("vec_id") =!= col("q_0"))
       .select(col("q_0").as("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc_dist"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc_dist").asc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVFPQ search — the composition FAISS ships as its default
+    * billion-scale index: the IVF coarse quantizer prunes candidates to
+    * the query's [[Similarity.NProbe]] nearest (occupancy-capped) lists,
+    * and PQ codes score ONLY those candidates by ADC. Per query the work
+    * is `nprobe/nlists` of the corpus in code arithmetic instead of a
+    * full-corpus code scan ([[adcTopK]]) or a full-vector probe
+    * ([[Similarity.ivfTopK]]) — at 10^10 vectors: probe ~10^8 codes
+    * (2 bytes each) per query, no vector I/O at all.
+    *
+    * Non-residual encoding (codes quantize raw vectors, not list
+    * residuals — FAISS `by_residual=false`): the code relation is shared
+    * verbatim with [[codes]], and the oracle replays it bit-for-bit.
+    */
+  def ivfpqTopK(emb: DataFrame, k: Int = Similarity.TopK,
+      maxListOccupancy: Int = Similarity.MaxListOccupancy): DataFrame = {
+    val book = codebook(emb)
+    if (book.isEmpty) return emptyResult(emb, adcSchema)
+    // IVF side: capped list membership + per-query probes (the ivfTopK
+    // shapes — rank-limit runs as WindowGroupLimit, leaders broadcast)
+    val kept = Similarity.ivfAssignments(emb)
+      .withColumn("lrnk", row_number().over(Window.partitionBy("list_id")
+        .orderBy("vec_id")))
+      .filter(col("lrnk") <= maxListOccupancy)
+      .select("vec_id", "list_id")
+    val leaders = Similarity.trainLeaders(emb)
+    val probes = Similarity.withNorms(emb)
+      .filter(col("vec_id") % Similarity.QueryStride === 0)
+      .crossJoin(broadcast(leaders))
+      .select(col("vec_id").as("query_id"), col("list_id"),
+        (expr(Dedup.dot("embedding", "lvec")) / (col("norm") * col("lnorm")))
+          .as("probe_cos"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("probe_cos").desc, col("list_id"))))
+      .filter(col("rnk") <= Similarity.NProbe)
+      .select("query_id", "list_id")
+    val cand = probes.join(kept, Seq("list_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id").distinct()
+    // PQ side: score the pruned candidates only
+    val dtab = distanceTable(emb, book)
+    var joined = cand.join(codesWith(emb, book), Seq("vec_id"))
+    for (m <- 0 until NumSubspaces) {
+      val dm = broadcast(dtab.filter(col("m") === m)
+        .select(col("query_id").as(s"q_$m"), col("k").as(s"k_$m"),
+          col("d").as(s"d_$m")))
+      joined = joined.join(dm,
+        col(s"q_$m") === col("query_id") && col(s"k_$m") === col(s"code_$m"))
+    }
+    val adc = (1 until NumSubspaces)
+      .foldLeft(col("d_0"))((acc, m) => acc + col(s"d_$m"))
+    joined
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
         adc.as("adc_dist"))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("adc_dist").asc, col("neighbor_id"))))

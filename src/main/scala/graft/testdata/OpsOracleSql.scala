@@ -875,9 +875,12 @@ object OpsOracleSql {
   val SIM_IVF_ASSIGN: String =
     s"WITH $ivfChain\nSELECT vec_id, list_id, list_cos FROM iv_assign"
 
-  val SIM_IVF_TOPK: String =
-    s"""WITH $ivfChain,
-       |iv_kept AS (
+  /** Capped-list + probe CTEs shared by [[SIM_IVF_TOPK]] and
+    * [[SIM_IVFPQ_TOPK]]: lists keep their `MaxListOccupancy` lowest
+    * vec_ids; queries probe their `NProbe` max-cosine lists.
+    */
+  private val ivfSearchChain: String =
+    s"""iv_kept AS (
        |  SELECT vec_id, list_id FROM (
        |    SELECT vec_id, list_id,
        |           row_number() OVER (PARTITION BY list_id ORDER BY vec_id) AS lrnk
@@ -895,7 +898,11 @@ object OpsOracleSql {
        |iv_cand AS (
        |  SELECT DISTINCT p.query_id AS a_id, a.vec_id AS b_id
        |  FROM iv_probe p JOIN iv_kept a USING (list_id)
-       |  WHERE p.query_id <> a.vec_id)
+       |  WHERE p.query_id <> a.vec_id)""".stripMargin
+
+  val SIM_IVF_TOPK: String =
+    s"""WITH $ivfChain,
+       |$ivfSearchChain
        |SELECT * FROM (
        |  SELECT c.a_id AS query_id, c.b_id AS neighbor_id,
        |         ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim,
@@ -990,15 +997,11 @@ object OpsOracleSql {
     * (full ‖q_m‖² − 2⟨q_m, c⟩ + ‖c‖²), ADC sum in fixed subspace order
     * ((d0 + d1) + d2) + d3, rank by (adc, neighbor_id), self excluded.
     */
-  val SIM_PQ_TOPK: String = {
-    val djoins = (0 until NumSubspaces).map { m =>
-      val extra = if (m == 0) "" else s" AND d$m.query_id = d0.query_id"
-      s"JOIN pq_dtab d$m ON d$m.m = $m AND d$m.k = w.code_$m$extra"
-    }
-    val adcSum = (1 until NumSubspaces)
-      .foldLeft("d0.dd")((acc, m) => s"($acc + d$m.dd)")
-    s"""WITH $pqChain,
-       |pq_q AS (
+  /** Per-query ADC distance-table CTEs shared by [[SIM_PQ_TOPK]] and
+    * [[SIM_IVFPQ_TOPK]].
+    */
+  private val pqDtabChain: String =
+    s"""pq_q AS (
        |  SELECT vec_id AS query_id, m, ${pqSliceDuck("embedding")} AS qsub
        |  FROM embeddings, $pqSubspaces
        |  WHERE vec_id % $QueryStride = 0),
@@ -1007,9 +1010,20 @@ object OpsOracleSql {
        |pq_dtab AS (
        |  SELECT query_id, m, k,
        |         (qsub2 - 2 * ${dotDuck("qsub", "cvec")}) + cnorm2 AS dd
-       |  FROM pq_q2 JOIN pq_cb2 USING (m)),
+       |  FROM pq_q2 JOIN pq_cb2 USING (m))""".stripMargin
+
+  private val pqAdcSum: String = (1 until NumSubspaces)
+    .foldLeft("d0.dd")((acc, m) => s"($acc + d$m.dd)")
+
+  val SIM_PQ_TOPK: String = {
+    val djoins = (0 until NumSubspaces).map { m =>
+      val extra = if (m == 0) "" else s" AND d$m.query_id = d0.query_id"
+      s"JOIN pq_dtab d$m ON d$m.m = $m AND d$m.k = w.code_$m$extra"
+    }
+    s"""WITH $pqChain,
+       |$pqDtabChain,
        |pq_adc AS (
-       |  SELECT d0.query_id, w.vec_id AS neighbor_id, $adcSum AS adc_dist
+       |  SELECT d0.query_id, w.vec_id AS neighbor_id, $pqAdcSum AS adc_dist
        |  FROM pq_wide w
        |  ${djoins.mkString("\n       |  ")}
        |  WHERE w.vec_id <> d0.query_id)
@@ -1018,6 +1032,33 @@ object OpsOracleSql {
        |         row_number() OVER (PARTITION BY query_id
        |           ORDER BY adc_dist, neighbor_id) AS "rank"
        |  FROM pq_adc)
+       |WHERE "rank" <= $TopK""".stripMargin
+  }
+
+  /** Mirrors [[graft.ops.Pq.ivfpqTopK]] — the IVFPQ composition: the IVF
+    * coarse quantizer prunes candidates to the probed (capped) lists, PQ
+    * codes score them by ADC. Non-residual encoding (codes quantize the
+    * raw vectors, not list residuals), so the code relation is shared
+    * verbatim with [[SIM_PQ_CODES]].
+    */
+  val SIM_IVFPQ_TOPK: String = {
+    val djoins = (0 until NumSubspaces).map { m =>
+      s"JOIN pq_dtab d$m ON d$m.query_id = c.a_id AND d$m.m = $m AND d$m.k = w.code_$m"
+    }
+    s"""WITH $ivfChain,
+       |$ivfSearchChain,
+       |$pqChain,
+       |$pqDtabChain,
+       |ipq_adc AS (
+       |  SELECT c.a_id AS query_id, c.b_id AS neighbor_id, $pqAdcSum AS adc_dist
+       |  FROM iv_cand c
+       |  JOIN pq_wide w ON w.vec_id = c.b_id
+       |  ${djoins.mkString("\n       |  ")})
+       |SELECT query_id, neighbor_id, adc_dist, "rank" FROM (
+       |  SELECT query_id, neighbor_id, adc_dist,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc_dist, neighbor_id) AS "rank"
+       |  FROM ipq_adc)
        |WHERE "rank" <= $TopK""".stripMargin
   }
 

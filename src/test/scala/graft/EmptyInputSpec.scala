@@ -77,5 +77,6 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.semDedup(e).count() == 0)
     assert(Pq.codes(e).count() == 0)
     assert(Pq.adcTopK(e).count() == 0)
+    assert(Pq.ivfpqTopK(e).count() == 0)
   }
 }

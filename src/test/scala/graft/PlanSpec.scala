@@ -273,6 +273,14 @@ class PlanSpec extends SparkSpec {
     assert(!ns.contains("SortMergeJoin"), ns)
   }
 
+  test("IVFPQ scores pruned candidates through broadcast distance tables") {
+    val ns = nodes(graft.ops.Pq.ivfpqTopK(T.table(spark, sf, "embeddings")))
+    // the M per-subspace distance-table joins must broadcast; the coarse
+    // probe's leader join is the nested-loop broadcast of the IVF leg
+    assert(ns.count(_ == "BroadcastHashJoin") >= 4, ns)
+    assert(ns.contains("BroadcastNestedLoopJoin"), ns)
+  }
+
   test("cross-set contamination broadcasts the probe side") {
     // corpus bands stream through broadcast joins of the (small) eval
     // side — band candidates and the exact verify both; shuffling the

@@ -69,6 +69,28 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVFPQ prunes candidates but never changes the ADC math") {
+    val full = Pq.adcTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = Pq.ivfpqTopK(emb).collect()
+    assert(rows.nonEmpty)
+    var shared = 0
+    rows.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(q != n)
+      // a pair surviving both paths carries the IDENTICAL distance —
+      // pruning changes the candidate set, never the scoring
+      full.get((q, n)).foreach { d =>
+        assert(d == r.getAs[Double]("adc_dist")); shared += 1
+      }
+    }
+    assert(shared > 0, "no overlap between IVFPQ and full-scan ADC top-k")
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { qs =>
+      assert(qs.length <= Similarity.TopK)
+      assert(qs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to qs.length))
+    }
+  }
+
   test("codebookFrom is the training seam: explicit seeds change the codes") {
     import spark.implicits._
     val seeds = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + Pq.CodebookSize)
