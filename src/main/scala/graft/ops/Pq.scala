@@ -175,14 +175,14 @@ object Pq {
     * computed once per (query, m) and shared across that subspace's K
     * entries).
     */
-  private def distanceTable(emb: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
+  private def distanceTable(queries: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
     val subStructs = (0 until NumSubspaces)
       .map(m => s"struct($m AS m, ${subSql(m)} AS qsub)").mkString(", ")
-    emb.filter(col("vec_id") % Similarity.QueryStride === 0)
+    queries
       .select(col("vec_id").as("query_id"),
         expr(s"inline(array($subStructs))"))
       .withColumn("qsub2", expr("graft_dot(qsub, qsub)"))
-      .join(broadcast(codebookDf(emb, book)), Seq("m"))
+      .join(broadcast(codebookDf(queries, book)), Seq("m"))
       .select(col("query_id"), col("m"), col("k"),
         ((col("qsub2") - lit(2.0) * expr("graft_dot(qsub, cvec)")) +
           col("cnorm2")).as("d"))
@@ -191,11 +191,23 @@ object Pq {
   def adcTopK(emb: DataFrame, k: Int = Similarity.TopK): DataFrame = {
     val book = codebook(emb)
     if (book.isEmpty) return emptyResult(emb, adcSchema)
-    val dtab = distanceTable(emb, book)
-    // corpus side: codes only. Each join leg is a broadcast hash join of
-    // the (Q × K)-row slice of the distance table for one subspace; the
-    // first leg fans each code row out to the Q queries, the rest are 1:1.
-    var joined = codesWith(emb, book)
+    adcSearch(codesWith(emb, book),
+      emb.filter(col("vec_id") % Similarity.QueryStride === 0), book, k)
+  }
+
+  /** ADC top-k of explicit `(vec_id, embedding)` queries against an
+    * EXPLICIT code relation — the store-search seam
+    * ([[graft.streaming.IncrementalPqIndex]] runs it over its accumulated
+    * code store with the frozen codebook). A query id equal to a stored
+    * id is excluded (self-match).
+    */
+  private[graft] def adcSearch(codes: DataFrame, queries: DataFrame,
+      book: Seq[CodebookEntry], k: Int = Similarity.TopK): DataFrame = {
+    val dtab = distanceTable(queries, book)
+    // code side: each join leg is a broadcast hash join of the (Q × K)-row
+    // slice of the distance table for one subspace; the first leg fans
+    // each code row out to the Q queries, the rest are 1:1.
+    var joined = codes
     for (m <- 0 until NumSubspaces) {
       val dm = broadcast(dtab.filter(col("m") === m)
         .select(col("query_id").as(s"q_$m"), col("k").as(s"k_$m"),
