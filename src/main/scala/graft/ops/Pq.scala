@@ -286,6 +286,46 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** Corpus-mean squared quantization error of `book` over `emb` — the
+    * index-health metric of a PQ deployment: Σ_m ‖x_m − c_{code_m}‖²
+    * averaged over the corpus. One pass: encode (the kernel), explode to
+    * (vector, subspace) rows referencing the already-computed code array,
+    * one broadcast join against the codebook for the assigned centroid's
+    * error term. Returns `(n_vectors, mean_qerr)`.
+    *
+    * Drift monitor for [[graft.streaming.PqMaintenance]]: a codebook
+    * trained at bootstrap measures ever-worse against a corpus that has
+    * moved — rising mean error is exactly "the codes stopped describing
+    * the vectors".
+    */
+  def quantizationError(emb: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
+    val spark = emb.sparkSession
+    if (book.isEmpty)
+      return spark.sql("SELECT CAST(0 AS BIGINT) AS n_vectors, " +
+        "CAST(NULL AS DOUBLE) AS mean_qerr")
+    val sorted = book.sortBy(c => (c.m, c.k))
+    val cbFlat = sorted.flatMap(_.cvec.map(f => s"${f.toDouble}D"))
+      .mkString("array(", ", ", ")")
+    val cn2 = sorted.map(c => d(c.cnorm2)).mkString("array(", ", ", ")")
+    val withCodes = emb.select(
+      col("vec_id") +:
+        expr(s"graft_pq_encode(embedding, $cbFlat, $cn2)").as("carr") +:
+        (0 until NumSubspaces).map(m => expr(subSql(m)).as(s"sub_$m")): _*)
+    val subStructs = (0 until NumSubspaces)
+      .map(m => s"struct($m AS m, sub_$m AS sub, carr[$m] AS k)")
+      .mkString(", ")
+    withCodes
+      .select(col("vec_id"), expr(s"inline(array($subStructs))"))
+      .join(broadcast(codebookDf(emb, book)), Seq("m", "k"))
+      .select(col("vec_id"),
+        ((expr("graft_dot(sub, sub)") -
+          lit(2.0) * expr("graft_dot(sub, cvec)")) + col("cnorm2"))
+          .as("err_m"))
+      .agg(
+        (count(lit(1)) / NumSubspaces).cast("bigint").as("n_vectors"),
+        (sum("err_m") / (count(lit(1)) / NumSubspaces)).as("mean_qerr"))
+  }
+
   private def emptyResult(emb: DataFrame,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     emb.sparkSession.createDataFrame(

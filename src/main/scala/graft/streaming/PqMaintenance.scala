@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Pq, Similarity}
+
+/** The PQ maintenance POLICY loop — [[IvfMaintenance]]'s shape applied to
+  * the compressed-code index: [[IncrementalPqIndex]] freezes its
+  * sub-quantizer codebooks at bootstrap (the FAISS train-once contract),
+  * so a corpus that drifts away from the bootstrap distribution is encoded
+  * with ever-worse codebooks — quantization error climbs, ADC rankings
+  * blur, and nothing fails loudly. The remedy is FAISS's own: retrain the
+  * product quantizer on the CURRENT corpus and re-encode — never in place
+  * (codes from different codebooks are not comparable), always into the
+  * next generation behind the atomic `_current` pointer.
+  *
+  * One honest asymmetry vs the IVF loop: the code store is LOSSY — codes
+  * cannot reconstruct the vectors that produced them — so retraining needs
+  * the vector source of record (the raw embedding table, or the ANN list
+  * store that physically carries vectors). [[maintain]] takes that source
+  * explicitly; a deployment wires it to whichever relation owns the
+  * originals. FAISS has the same requirement (rebuilding a PQ index
+  * re-encodes from the training vectors).
+  *
+  * The policy is measure-then-act with a DIRECT counterfactual: measure
+  * mean quantization error under the live codebook and under a candidate
+  * codebook elected from the current corpus ([[IvfMaintenance
+  * .hashTileSeeds]] — deterministic spread-sample, one `min_by` pass);
+  * retrain only when the live book is `threshold`× worse than the
+  * candidate. Below threshold the cost is two broadcast-join scans and no
+  * writes.
+  *
+  * Generation layout:
+  * {{{
+  *   root/_current          → "gen-00001"        (pointer, written last)
+  *   root/gen-00001/book/                         (m, k, cvec, cnorm2)
+  *   root/gen-00001/codes/batch=-1/id_bucket=B/   (+ _id_buckets marker)
+  * }}}
+  * After a retrain the stream re-enters on the new generation's paths
+  * under a fresh checkpoint; [[IncrementalPqIndex.run]]'s bootstrap guard
+  * keys on book-store existence, so it adopts the retrained codebook.
+  */
+object PqMaintenance {
+
+  /** Retrain when live mean quantization error exceeds this multiple of
+    * the candidate book's. 1.0 means the live book is as good as a fresh
+    * one; 1.5 tolerates sampling noise without letting real drift sit.
+    */
+  val DefaultErrorRatioThreshold = 1.5
+
+  def bookPath(genPath: String): String = s"$genPath/book"
+  def codesPath(genPath: String): String = s"$genPath/codes"
+
+  final case class Report(
+      errorRatio: Double,
+      retrained: Boolean,
+      generation: Option[String])
+
+  /** Candidate codebook from the current corpus: [[Pq.CodebookSize]]
+    * hash-tile representatives (deterministic spread sample), sliced into
+    * sub-quantizer entries.
+    */
+  def candidateBook(vectors: DataFrame): Seq[Pq.CodebookEntry] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val seeds = IvfMaintenance.hashTileSeeds(vectors, Pq.CodebookSize)
+      .select(col("list_id").cast("int"), col("lvec"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
+    Pq.codebookFrom(seeds)
+  }
+
+  private def meanErr(vectors: DataFrame, book: Seq[Pq.CodebookEntry]): Double = {
+    val r = Pq.quantizationError(vectors, book).collect().head
+    if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+  }
+
+  /** Adopt a FLAT (book, codes) pair — the layout [[IncrementalPqIndex
+    * .run]] maintains — into the generation layout under `root`,
+    * publishing the first generation atomically.
+    */
+  def adopt(
+      spark: SparkSession,
+      root: String,
+      bookSrc: String,
+      codesSrc: String,
+      numFiles: Int = 1): String = {
+    val gen = StoreMaintenance.nextGeneration(spark, root)
+    val dest = s"$root/$gen"
+    spark.read.parquet(bookSrc)
+      .coalesce(1).write.mode("errorifexists").parquet(bookPath(dest))
+    val buckets = IncrementalAnnIndex.bucketCount(spark, codesSrc)
+      .getOrElse(IncrementalAnnIndex.NumIdBuckets)
+    StoreMaintenance.compact(spark, codesSrc, codesPath(dest), numFiles,
+      bucketBy = Some(("vec_id", buckets)))
+    StoreMaintenance.publishGeneration(spark, root, gen)
+    dest
+  }
+
+  /** Retrain the codebook on the CURRENT vector corpus and re-encode every
+    * vector, into the next generation; publish only after the row count
+    * verifies. Returns the new generation's path.
+    */
+  def retrain(
+      spark: SparkSession,
+      root: String,
+      vectors: DataFrame,
+      numFiles: Int = 1): String = {
+    val book = candidateBook(vectors)
+    require(book.size == Pq.NumSubspaces * Pq.CodebookSize,
+      s"PqMaintenance.retrain: seed election produced ${book.size} of " +
+        s"${Pq.NumSubspaces * Pq.CodebookSize} entries — corpus too small")
+    val cur = StoreMaintenance.resolveCurrent(spark, root)
+    val srcRows = vectors.count()
+    val gen = StoreMaintenance.nextGeneration(spark, root)
+    val dest = s"$root/$gen"
+    IncrementalPqIndex.writeCodebook(spark, book, bookPath(dest))
+    val buckets = IncrementalAnnIndex.bucketCount(spark, codesPath(cur))
+      .getOrElse(IncrementalAnnIndex.NumIdBuckets)
+    StoreMaintenance.writeStoreLayout(spark,
+      Pq.codesWith(vectors, book), codesPath(dest),
+      numFiles, bucketBy = Some(("vec_id", buckets)))
+    val written = spark.read.parquet(codesPath(dest)).count()
+    require(written == srcRows,
+      s"PqMaintenance.retrain: re-encoded $written of $srcRows rows — " +
+        s"not publishing $gen; readers stay on the current generation")
+    StoreMaintenance.publishGeneration(spark, root, gen)
+    dest
+  }
+
+  /** The maintenance policy: measure the live codebook's mean quantization
+    * error against the candidate book's on the current vector corpus, and
+    * retrain iff live/candidate exceeds `threshold`. Idempotent below the
+    * threshold (pure reads).
+    */
+  def maintain(
+      spark: SparkSession,
+      root: String,
+      vectors: DataFrame,
+      threshold: Double = DefaultErrorRatioThreshold,
+      numFiles: Int = 1): Report = {
+    val cur = StoreMaintenance.resolveCurrent(spark, root)
+    val live = IncrementalPqIndex.readCodebook(spark, bookPath(cur))
+    val liveErr = meanErr(vectors, live)
+    val candErr = meanErr(vectors, candidateBook(vectors))
+    val ratio = if (candErr == 0.0) 1.0 else liveErr / candErr
+    if (ratio <= threshold) Report(ratio, retrained = false, None)
+    else Report(ratio, retrained = true,
+      Some(retrain(spark, root, vectors, numFiles)))
+  }
+
+  /** ADC top-k against the LIVE generation — resolve the pointer once,
+    * then search the immutable (book, codes) pair it names.
+    */
+  def searchCurrent(
+      spark: SparkSession,
+      root: String,
+      queries: DataFrame,
+      k: Int = Similarity.TopK): DataFrame = {
+    val cur = StoreMaintenance.resolveCurrent(spark, root)
+    IncrementalPqIndex.searchStore(spark, codesPath(cur), bookPath(cur),
+      queries, k)
+  }
+}
