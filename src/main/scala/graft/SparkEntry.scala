@@ -262,6 +262,11 @@ object SparkEntry {
       Pq.adcTopK(T.table(s, dir, "embeddings"))),
     "sim_ivfpq_topk" -> ((s, dir) =>
       Pq.ivfpqTopK(T.table(s, dir, "embeddings"))),
+    // accuracy gate, not values: the driver hash-checks that PQ recall
+    // against the exact top-k clears the declared floors (the sketch
+    // `_err` convention)
+    "sim_pq_recall_err" -> ((s, dir) =>
+      Pq.adcRecallGate(T.table(s, dir, "embeddings"))),
     "events_hourly" -> ((s, dir) => Events.hourly(T.events(s, dir))),
     "events_hopping" -> ((s, dir) => Events.hopping(T.events(s, dir))),
     "events_sessions" -> ((s, dir) => Events.sessionize(T.events(s, dir))),
@@ -456,6 +461,7 @@ object SparkEntry {
     "sim_pq_codes" -> OO.SIM_PQ_CODES,
     "sim_pq_topk" -> OO.SIM_PQ_TOPK,
     "sim_ivfpq_topk" -> OO.SIM_IVFPQ_TOPK,
+    "sim_pq_recall_err" -> OO.SIM_PQ_RECALL_ERR,
     "events_hourly" -> OO.EVENTS_HOURLY,
     "events_hopping" -> OO.EVENTS_HOPPING,
     "events_sessions" -> OO.EVENTS_SESSIONS,

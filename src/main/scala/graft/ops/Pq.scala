@@ -286,6 +286,44 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** Recall floors for [[adcRecallGate]], in millionths. Loose by design
+    * (see [[CodebookSize]] — the synthetic corpus is PQ's worst case):
+    * the gate catches broken encode/ADC/prune math, where recall collapses
+    * to chance ≈ k/N ≈ 0.02, not quantization noise.
+    */
+  val AdcRecallFloorMicro = 150000L
+  val IvfpqRecallFloorMicro = 100000L
+
+  /** The PQ accuracy gate, battery-shaped like the sketch `_err` queries:
+    * approximate results are implementation-defined in general, so the
+    * driver hash-checks the GATE — recall@k of [[adcTopK]] and
+    * [[ivfpqTopK]] against the exact [[Similarity.bruteTopK]], integerized
+    * and compared to the declared floors, returning a violation count that
+    * must be zero. One row per method:
+    * `(method, n_exact, n_overlap, recall_micro, floor_micro, violations)`.
+    */
+  def adcRecallGate(emb: DataFrame): DataFrame = {
+    val exact = Similarity.bruteTopK(emb).select("query_id", "neighbor_id")
+    def leg(method: String, approx: DataFrame, floorMicro: Long): DataFrame = {
+      val overlap = exact.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(overlap.agg(count(lit(1)).as("n_overlap")))
+        .select(
+          lit(method).as("method"), col("n_exact"), col("n_overlap"),
+          expr(s"CAST(floor((n_overlap * CAST($Micro1e6 AS DOUBLE)) / n_exact) AS BIGINT)")
+            .as("recall_micro"),
+          lit(floorMicro).as("floor_micro"))
+        .withColumn("violations",
+          when(col("recall_micro") >= col("floor_micro"), 0L).otherwise(1L))
+    }
+    leg("adc", adcTopK(emb), AdcRecallFloorMicro)
+      .unionByName(leg("ivfpq", ivfpqTopK(emb), IvfpqRecallFloorMicro))
+  }
+
+  /** Fixed-point scale for [[adcRecallGate]]'s integerized recall. */
+  val Micro1e6 = 1000000L
+
   /** Corpus-mean squared quantization error of `book` over `emb` — the
     * index-health metric of a PQ deployment: Σ_m ‖x_m − c_{code_m}‖²
     * averaged over the corpus. One pass: encode (the kernel), explode to

@@ -1192,6 +1192,34 @@ object OpsOracleSql {
        |WHERE "rank" <= $Bm25TopK""".stripMargin
   }
 
+  /** Mirrors [[graft.ops.Pq.adcRecallGate]]: recall@k of the ADC and
+    * IVFPQ searches against the exact brute-force cosine top-k,
+    * integerized and gated on the declared floors — the sketch-`_err`
+    * pattern, so the driver hash-checks PQ ACCURACY, not just PQ values.
+    */
+  val SIM_PQ_RECALL_ERR: String = {
+    def leg(method: String, approxSql: String, floorMicro: Long): String = {
+      val recall =
+        "CAST(floor((n_overlap * CAST(1000000 AS DOUBLE)) / n_exact) AS BIGINT)"
+      s"""SELECT '$method' AS method, n_exact, n_overlap,
+         |       $recall AS recall_micro,
+         |       CAST($floorMicro AS BIGINT) AS floor_micro,
+         |       CAST(CASE WHEN $recall >= $floorMicro THEN 0 ELSE 1 END AS BIGINT)
+         |         AS violations
+         |FROM (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT)
+         |          FROM ($SIM_BRUTE_TOPK) e) AS n_exact,
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |          FROM ($SIM_BRUTE_TOPK) e
+         |          JOIN ($approxSql) a
+         |            ON e.query_id = a.query_id
+         |           AND e.neighbor_id = a.neighbor_id) AS n_overlap)""".stripMargin
+    }
+    leg("adc", SIM_PQ_TOPK, graft.ops.Pq.AdcRecallFloorMicro) +
+      "\nUNION ALL\n" +
+      leg("ivfpq", SIM_IVFPQ_TOPK, graft.ops.Pq.IvfpqRecallFloorMicro)
+  }
+
   /** Mirrors [[graft.ops.TextAnalysis.repetition]]: same n-gram explode →
     * (doc, n, gram) counts → per-(doc, n) maxima → per-doc pivot. DuckDB
     * list slices are 1-based inclusive; `generate_series(1, n)` is empty for

@@ -91,6 +91,18 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("the recall gate reports zero violations for both search paths") {
+    val rows = Pq.adcRecallGate(emb).collect()
+    assert(rows.map(_.getAs[String]("method")).toSet == Set("adc", "ivfpq"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("violations") == 0L,
+        s"${r.getAs[String]("method")} recall " +
+          s"${r.getAs[Long]("recall_micro")} under floor " +
+          s"${r.getAs[Long]("floor_micro")}")
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_exact"))
+    }
+  }
+
   test("codebookFrom is the training seam: explicit seeds change the codes") {
     import spark.implicits._
     val seeds = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + Pq.CodebookSize)
