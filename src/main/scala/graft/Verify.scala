@@ -19,7 +19,15 @@ object Verify {
     // dev-only subset filter (comma-separated names); the driver sets no
     // env and always dumps the full battery
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      // a typo'd or empty filter silently dumping nothing would let a
+      // stale outDir pass for a fresh run — fail loudly instead
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES selects no known queries (unknown: " +
+          s"${unknown.mkString(",")})")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

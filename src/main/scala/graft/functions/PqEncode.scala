@@ -1,15 +1,15 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native codegen product-quantization encoder —
-  * `graft_pq_encode(vec, cbFlat, cnorm2s)` → `array<bigint>` of per-subspace
-  * code indices (the FAISS `ProductQuantizer::compute_code` kernel as a
-  * Catalyst expression).
+  * `graft_pq_encode(vec, cbFlat, cnorm2s, numSubspaces)` → `array<bigint>`
+  * of per-subspace code indices (the FAISS
+  * `ProductQuantizer::compute_code` kernel as a Catalyst expression).
   *
   * `cbFlat` is the FOLDABLE flattened codebook `[m][k][i]` (M·K·SubDim
   * doubles) and `cnorm2s` the foldable per-centroid self-dots `[m][k]`
@@ -32,17 +32,22 @@ import org.apache.spark.sql.types._
   * ties keep the LOWEST code index (strict `<` update), matching
   * `row_number() ORDER BY (dist, k)`.
   *
-  * Subspace count M = vec.length / SubDim and codebook size K =
-  * cnorm2s.length / M are derived per row, so one registered function
-  * serves any (M, K) config whose flattened shapes agree. A vector whose
-  * length is not a multiple of SubDim (or a null vector) yields NULL.
+  * The subspace count M is an EXPLICIT foldable argument: deriving it per
+  * row from the vector length would let a malformed vector whose length
+  * happens to divide the flattened shapes (e.g. 32 elements against an
+  * 8×64×8 codebook: m=4, k=128) silently argmin across a misinterpreted
+  * codebook grid and emit out-of-range codes. With M pinned, K =
+  * cnorm2s.length / M and SubDim = cbFlat.length / cnorm2s.length are
+  * codebook properties, and any vector whose length ≠ M·SubDim (or a null
+  * vector) yields NULL.
   */
-case class PqEncode(vec: Expression, cbFlat: Expression, cnorm2s: Expression)
-    extends TernaryExpression {
+case class PqEncode(vec: Expression, cbFlat: Expression, cnorm2s: Expression,
+    numSubspaces: Expression) extends QuaternaryExpression {
 
   override def first: Expression = vec
   override def second: Expression = cbFlat
   override def third: Expression = cnorm2s
+  override def fourth: Expression = numSubspaces
 
   override def prettyName: String = "graft_pq_encode"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -56,9 +61,12 @@ case class PqEncode(vec: Expression, cbFlat: Expression, cnorm2s: Expression)
     if (!arr(vec) || !arr(cbFlat) || !arr(cnorm2s))
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires array<float|double> inputs")
-    else if (!cbFlat.foldable || !cnorm2s.foldable)
+    else if (!cbFlat.foldable || !cnorm2s.foldable || !numSubspaces.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName: codebook arguments must be foldable literals")
+    else if (numSubspaces.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: numSubspaces must be an INT literal")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -73,18 +81,23 @@ case class PqEncode(vec: Expression, cbFlat: Expression, cnorm2s: Expression)
   /** Codebook constants, folded once per plan (both eval paths share them). */
   @transient private lazy val cb: Array[Double] = toDoubles(cbFlat)
   @transient private lazy val cn2: Array[Double] = toDoubles(cnorm2s)
+  /** Pinned subspace count M (the fourth foldable argument). */
+  @transient private lazy val mSub: Int =
+    numSubspaces.eval(null).asInstanceOf[Int]
   /** SubDim from the flattened shapes: cbFlat = M·K·SubDim, cnorm2s = M·K. */
   @transient private lazy val subDim: Int =
     if (cn2.length == 0) 0 else cb.length / cn2.length
+  /** Expected vector length under the pinned shape. */
+  @transient private lazy val expectLen: Int = mSub * subDim
 
   private def vecIsFloat: Boolean =
     vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   /** Shared argmin kernel over a materialized double vector. */
   private def encode(x: Array[Double]): Any = {
-    if (subDim == 0 || x.length % subDim != 0) return null
-    val m = x.length / subDim
-    if (m == 0 || cn2.length % m != 0) return null
+    if (subDim == 0 || mSub == 0 || x.length != expectLen) return null
+    if (cn2.length % mSub != 0) return null
+    val m = mSub
     val k = cn2.length / m
     val out = new Array[Long](m)
     var mi = 0
@@ -125,7 +138,7 @@ case class PqEncode(vec: Expression, cbFlat: Expression, cnorm2s: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, _, _) => {
+    nullSafeCodeGen(ctx, ev, (a, _, _, _) => {
       val cbRef = ctx.addReferenceObj("pqCb", cb, "double[]")
       val cn2Ref = ctx.addReferenceObj("pqCn2", cn2, "double[]")
       val n = ctx.freshName("n")
@@ -144,9 +157,9 @@ case class PqEncode(vec: Expression, cbFlat: Expression, cnorm2s: Expression)
       val get = if (vecIsFloat) "getFloat" else "getDouble"
       s"""
          |int $n = $a.numElements();
-         |boolean $bad = ($subDim == 0) || ($n % $subDim != 0);
-         |int $m = $bad ? 0 : $n / $subDim;
-         |if (!$bad) $bad = ($m == 0) || (${cn2.length} % $m != 0);
+         |boolean $bad = ($subDim == 0) || ($mSub == 0) || ($n != $expectLen)
+         |  || (${cn2.length} % $mSub != 0);
+         |int $m = $mSub;
          |double[] $x = new double[$n];
          |for (int $i = 0; !$bad && $i < $n; $i++) {
          |  if ($a.isNullAt($i)) $bad = true;
@@ -176,15 +189,16 @@ case class PqEncode(vec: Expression, cbFlat: Expression, cnorm2s: Expression)
     })
 
   override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression,
-      newThird: Expression): PqEncode =
-    copy(vec = newFirst, cbFlat = newSecond, cnorm2s = newThird)
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): PqEncode =
+    copy(vec = newFirst, cbFlat = newSecond, cnorm2s = newThird,
+      numSubspaces = newFourth)
 }
 
 object PqEncode {
   def fromChildren(children: Seq[Expression]): PqEncode = {
-    require(children.length == 3,
-      "graft_pq_encode(vec, cbFlat, cnorm2s) takes three arguments")
-    PqEncode(children.head, children(1), children(2))
+    require(children.length == 4,
+      "graft_pq_encode(vec, cbFlat, cnorm2s, numSubspaces) takes four arguments")
+    PqEncode(children.head, children(1), children(2), children(3))
   }
 }

@@ -97,9 +97,14 @@ object Pq {
   }
 
   /** Codebook from EXPLICIT full-width seed vectors `(k, vector)` — the
-    * training seam.
+    * training seam. Seed indices must be DENSE 0..K−1: the encode kernel
+    * emits positional codes, so a sparse index set would silently misalign
+    * every downstream (m, k) lookup.
     */
-  def codebookFrom(seeds: Seq[(Int, Array[Float])]): Seq[CodebookEntry] =
+  def codebookFrom(seeds: Seq[(Int, Array[Float])]): Seq[CodebookEntry] = {
+    require(seeds.map(_._1).sorted == (0 until seeds.size),
+      s"codebookFrom: seed indices must be dense 0..${seeds.size - 1}, " +
+        s"got ${seeds.map(_._1).sorted.take(8).mkString(",")}…")
     for {
       (k, v) <- seeds
       m <- 0 until NumSubspaces
@@ -107,6 +112,7 @@ object Pq {
       val sub = v.slice(m * SubDim, (m + 1) * SubDim)
       CodebookEntry(m, k, sub, selfDot(sub))
     }
+  }
 
   /** Shortest-round-trip double SQL literal: `graft_dot` (and the oracle's
     * `list_reduce`) widen floats to double before multiplying, so splatting
@@ -129,26 +135,33 @@ object Pq {
     */
   def codes(emb: DataFrame): DataFrame = codesWith(emb, codebook(emb))
 
-  private[graft] def codesWith(emb: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
-    if (book.isEmpty) return emptyResult(emb, codesSchema)
-    // codebook flattened [m][k][i] + self-dots [m][k], splatted as the
-    // foldable literal arguments of the native encode kernel
-    // (graft.functions.PqEncode) — one constant fold at plan build, then a
-    // bare per-row argmin loop inside whole-stage codegen. The obvious
-    // array_position(array_min(...)) formulation inlines the K distance
-    // expansions twice per subspace and blows codegen past the JVM's 64 KB
-    // method limit — the kernel keeps the loop as data, not code.
+  /** The encode-kernel invocation over a codebook: flattened `[m][k][i]`
+    * centroids + `[m][k]` self-dots splatted as the foldable literal
+    * arguments of `graft_pq_encode` — one constant fold at plan build,
+    * then a bare per-row argmin loop inside whole-stage codegen. (The
+    * obvious `array_position(array_min(...))` formulation inlines the K
+    * distance expansions twice per subspace and blows codegen past the
+    * JVM's 64 KB method limit — the kernel keeps the loop as data, not
+    * code.) ONE spelling shared by [[codesWith]] and
+    * [[quantizationError]], so the two cannot drift.
+    */
+  private def encodeSql(book: Seq[CodebookEntry], vecCol: String): String = {
     val sorted = book.sortBy(c => (c.m, c.k))
     val cbFlat = sorted.flatMap(_.cvec.map(f => s"${f.toDouble}D"))
       .mkString("array(", ", ", ")")
     val cn2 = sorted.map(c => d(c.cnorm2)).mkString("array(", ", ", ")")
+    s"graft_pq_encode($vecCol, $cbFlat, $cn2, $NumSubspaces)"
+  }
+
+  private[graft] def codesWith(emb: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
+    if (book.isEmpty) return emptyResult(emb, codesSchema)
     val codeCols = (0 until NumSubspaces).map(m =>
       expr(s"pq_codes_arr[$m]").as(s"code_$m"))
     val packed = (0 until NumSubspaces)
       .map(m => col(s"code_$m") * lit(1L << (CodeBits * m)))
       .reduce(_ + _)
     emb.select(col("vec_id"),
-        expr(s"graft_pq_encode(embedding, $cbFlat, $cn2)").as("pq_codes_arr"))
+        expr(encodeSql(book, "embedding")).as("pq_codes_arr"))
       .select(col("vec_id") +: codeCols: _*)
       .withColumn("pq_code", packed)
   }
@@ -201,27 +214,42 @@ object Pq {
     * code store with the frozen codebook). A query id equal to a stored
     * id is excluded (self-match).
     */
-  private[graft] def adcSearch(codes: DataFrame, queries: DataFrame,
-      book: Seq[CodebookEntry], k: Int = Similarity.TopK): DataFrame = {
-    val dtab = distanceTable(queries, book)
-    // code side: each join leg is a broadcast hash join of the (Q × K)-row
-    // slice of the distance table for one subspace; the first leg fans
-    // each code row out to the Q queries, the rest are 1:1.
-    var joined = codes
+  /** The per-subspace distance-table join + fixed-order ADC sum — ONE
+    * construction shared by [[adcSearch]] and [[ivfpqTopK]], so the two
+    * paths cannot drift from the oracle's shared arithmetic. Each leg is a
+    * broadcast hash join of the (Q × K)-row slice for one subspace.
+    * `queryBound = Some(col)` binds every leg to an existing query column
+    * on `rel` (the pre-pruned IVFPQ path); `None` lets the first leg fan
+    * each code row out to all queries (the full-scan path). Returns the
+    * joined relation, the ADC sum column, and the query-id column.
+    */
+  private def adcJoin(rel: DataFrame, dtab: DataFrame,
+      queryBound: Option[String]): (DataFrame, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) = {
+    var joined = rel
     for (m <- 0 until NumSubspaces) {
       val dm = broadcast(dtab.filter(col("m") === m)
         .select(col("query_id").as(s"q_$m"), col("k").as(s"k_$m"),
           col("d").as(s"d_$m")))
-      val cond =
-        if (m == 0) col("k_0") === col("code_0")
-        else col(s"q_$m") === col("q_0") && col(s"k_$m") === col(s"code_$m")
+      val base = col(s"k_$m") === col(s"code_$m")
+      val cond = queryBound match {
+        case Some(qc) => col(s"q_$m") === col(qc) && base
+        case None =>
+          if (m == 0) base else col(s"q_$m") === col("q_0") && base
+      }
       joined = joined.join(dm, cond)
     }
     val adc = (1 until NumSubspaces)
       .foldLeft(col("d_0"))((acc, m) => acc + col(s"d_$m"))
+    (joined, adc, queryBound.map(col).getOrElse(col("q_0")))
+  }
+
+  private[graft] def adcSearch(codes: DataFrame, queries: DataFrame,
+      book: Seq[CodebookEntry], k: Int = Similarity.TopK): DataFrame = {
+    val (joined, adc, qcol) = adcJoin(codes, distanceTable(queries, book), None)
     joined
-      .filter(col("vec_id") =!= col("q_0"))
-      .select(col("q_0").as("query_id"), col("vec_id").as("neighbor_id"),
+      .filter(col("vec_id") =!= qcol)
+      .select(qcol.as("query_id"), col("vec_id").as("neighbor_id"),
         adc.as("adc_dist"))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("adc_dist").asc, col("neighbor_id"))))
@@ -245,45 +273,35 @@ object Pq {
       maxListOccupancy: Int = Similarity.MaxListOccupancy): DataFrame = {
     val book = codebook(emb)
     if (book.isEmpty) return emptyResult(emb, adcSchema)
-    // IVF side: capped list membership + per-query probes (the ivfTopK
-    // shapes — rank-limit runs as WindowGroupLimit, leaders broadcast)
-    val kept = Similarity.ivfAssignments(emb)
-      .withColumn("lrnk", row_number().over(Window.partitionBy("list_id")
-        .orderBy("vec_id")))
-      .filter(col("lrnk") <= maxListOccupancy)
-      .select("vec_id", "list_id")
-    val leaders = Similarity.trainLeaders(emb)
-    val probes = Similarity.withNorms(emb)
-      .filter(col("vec_id") % Similarity.QueryStride === 0)
-      .crossJoin(broadcast(leaders))
-      .select(col("vec_id").as("query_id"), col("list_id"),
-        (expr(Dedup.dot("embedding", "lvec")) / (col("norm") * col("lnorm")))
-          .as("probe_cos"))
-      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("probe_cos").desc, col("list_id"))))
-      .filter(col("rnk") <= Similarity.NProbe)
-      .select("query_id", "list_id")
-    val cand = probes.join(kept, Seq("list_id"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select("query_id", "vec_id").distinct()
-    // PQ side: score the pruned candidates only
-    val dtab = distanceTable(emb, book)
-    var joined = cand.join(codesWith(emb, book), Seq("vec_id"))
-    for (m <- 0 until NumSubspaces) {
-      val dm = broadcast(dtab.filter(col("m") === m)
-        .select(col("query_id").as(s"q_$m"), col("k").as(s"k_$m"),
-          col("d").as(s"d_$m")))
-      joined = joined.join(dm,
-        col(s"q_$m") === col("query_id") && col(s"k_$m") === col(s"code_$m"))
-    }
-    val adc = (1 until NumSubspaces)
-      .foldLeft(col("d_0"))((acc, m) => acc + col(s"d_$m"))
-    joined
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        adc.as("adc_dist"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("adc_dist").asc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    ivfpqTopKWith(emb, book, codesWith(emb, book), k, maxListOccupancy)
+  }
+
+  /** [[ivfpqTopK]] over an explicit codebook + code relation — lets
+    * [[adcRecallGate]] share one collect/encode across both search legs.
+    */
+  private def ivfpqTopKWith(emb: DataFrame, book: Seq[CodebookEntry],
+      codes: DataFrame, k: Int,
+      maxListOccupancy: Int): DataFrame = {
+    // IVF side: the SHARED capped-list probe candidates (one construction
+    // with ivfTopK — the two paths cannot diverge from the oracle's
+    // shared CTE chain); candidates already exclude self
+    val (cand, assign) =
+      Similarity.ivfProbeCandidates(emb, 0, maxListOccupancy)
+    // PQ side: score the pruned candidates only. The distance table is
+    // built from the QUERY SLICE — Q × M × K rows; building it from the
+    // full corpus would broadcast an N-proportional relation per subspace
+    val dtab = distanceTable(
+      emb.filter(col("vec_id") % Similarity.QueryStride === 0), book)
+    val (joined, adc, _) =
+      adcJoin(cand.join(codes, Seq("vec_id")), dtab, Some("query_id"))
+    Dedup.materializeFreeing(
+      joined
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          adc.as("adc_dist"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("adc_dist").asc, col("neighbor_id"))))
+        .filter(col("rank") <= k),
+      assign)
   }
 
   /** Recall floors for [[adcRecallGate]], in millionths. Loose by design
@@ -303,6 +321,13 @@ object Pq {
     * `(method, n_exact, n_overlap, recall_micro, floor_micro, violations)`.
     */
   def adcRecallGate(emb: DataFrame): DataFrame = {
+    // one codebook collect and one encode relation thread through BOTH
+    // search legs — the gate compares searches, it shouldn't pay (or
+    // accidentally diverge) two independent trainings
+    val book = codebook(emb)
+    if (book.isEmpty) return emptyResult(emb, gateSchema)
+    val codes = codesWith(emb, book)
+    val queries = emb.filter(col("vec_id") % Similarity.QueryStride === 0)
     val exact = Similarity.bruteTopK(emb).select("query_id", "neighbor_id")
     def leg(method: String, approx: DataFrame, floorMicro: Long): DataFrame = {
       val overlap = exact.join(approx.select("query_id", "neighbor_id"),
@@ -317,8 +342,11 @@ object Pq {
         .withColumn("violations",
           when(col("recall_micro") >= col("floor_micro"), 0L).otherwise(1L))
     }
-    leg("adc", adcTopK(emb), AdcRecallFloorMicro)
-      .unionByName(leg("ivfpq", ivfpqTopK(emb), IvfpqRecallFloorMicro))
+    leg("adc", adcSearch(codes, queries, book), AdcRecallFloorMicro)
+      .unionByName(leg("ivfpq",
+        ivfpqTopKWith(emb, book, codes, Similarity.TopK,
+          Similarity.MaxListOccupancy),
+        IvfpqRecallFloorMicro))
   }
 
   /** Fixed-point scale for [[adcRecallGate]]'s integerized recall. */
@@ -341,13 +369,9 @@ object Pq {
     if (book.isEmpty)
       return spark.sql("SELECT CAST(0 AS BIGINT) AS n_vectors, " +
         "CAST(NULL AS DOUBLE) AS mean_qerr")
-    val sorted = book.sortBy(c => (c.m, c.k))
-    val cbFlat = sorted.flatMap(_.cvec.map(f => s"${f.toDouble}D"))
-      .mkString("array(", ", ", ")")
-    val cn2 = sorted.map(c => d(c.cnorm2)).mkString("array(", ", ", ")")
     val withCodes = emb.select(
       col("vec_id") +:
-        expr(s"graft_pq_encode(embedding, $cbFlat, $cn2)").as("carr") +:
+        expr(encodeSql(book, "embedding")).as("carr") +:
         (0 until NumSubspaces).map(m => expr(subSql(m)).as(s"sub_$m")): _*)
     val subStructs = (0 until NumSubspaces)
       .map(m => s"struct($m AS m, sub_$m AS sub, carr[$m] AS k)")
@@ -382,5 +406,15 @@ object Pq {
     StructType(Seq(
       StructField("query_id", LongType), StructField("neighbor_id", LongType),
       StructField("adc_dist", DoubleType), StructField("rank", IntegerType)))
+  }
+
+  private def gateSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("method", StringType), StructField("n_exact", LongType),
+      StructField("n_overlap", LongType),
+      StructField("recall_micro", LongType),
+      StructField("floor_micro", LongType),
+      StructField("violations", LongType)))
   }
 }

@@ -317,6 +317,29 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, k: Int = TopK, kmeansIters: Int = 0,
       maxListOccupancy: Int = MaxListOccupancy): DataFrame = {
+    val (cand, assign) = ivfProbeCandidates(emb, kmeansIters, maxListOccupancy)
+    // free the assignment leg once the (k rows/query) result materializes —
+    // same no-leak contract as the Dedup pair operators
+    Dedup.materializeFreeing(
+      scorePairs(cand.select(col("query_id").as("a_id"),
+          col("vec_id").as("b_id")), emb)
+        .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+          col("cos_sim"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= k),
+      assign)
+  }
+
+  /** The capped-list probe candidate relation `(query_id, vec_id)` shared
+    * by [[ivfTopK]] and [[graft.ops.Pq.ivfpqTopK]] — ONE construction, so
+    * the flat and PQ search paths cannot diverge from the oracle's shared
+    * `iv_kept`/`iv_probe`/`iv_cand` CTE chain. Returns the candidate pairs
+    * plus the PERSISTED assignment leg; the caller must free it via
+    * [[Dedup.materializeFreeing]] once its result materializes.
+    */
+  private[graft] def ivfProbeCandidates(emb: DataFrame, kmeansIters: Int = 0,
+      maxListOccupancy: Int = MaxListOccupancy): (DataFrame, DataFrame) = {
     val e = withNorm(emb)
     val cents =
       if (kmeansIters == 0) leaders(emb) else kmeansLeaders(emb, kmeansIters)
@@ -342,18 +365,9 @@ object Similarity {
     val cand = probes
       .join(assign, Seq("list_id"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id").as("a_id"), col("vec_id").as("b_id"))
+      .select("query_id", "vec_id")
       .distinct()
-    // free the assignment leg once the (k rows/query) result materializes —
-    // same no-leak contract as the Dedup pair operators
-    Dedup.materializeFreeing(
-      scorePairs(cand, emb)
-        .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
-          col("cos_sim"))
-        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-        .filter(col("rank") <= k),
-      assign)
+    (cand, assign)
   }
 
   /** LSH near-duplicate pairs: nibble-band candidates, exact-cosine verified

@@ -64,9 +64,14 @@ object PqMaintenance {
   def candidateBook(vectors: DataFrame): Seq[Pq.CodebookEntry] = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    // re-index DENSELY by sorted tile id: hash tiles can come back sparse
+    // (an empty tile is simply absent), and the encode kernel emits
+    // positional codes 0..K−1 — sparse tile ids as `k` would misalign
+    // every (m, k) lookup in quantizationError/adcSearch silently
     val seeds = IvfMaintenance.hashTileSeeds(vectors, Pq.CodebookSize)
       .select(col("list_id").cast("int"), col("lvec"))
-      .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }.toSeq
     Pq.codebookFrom(seeds)
   }
 
@@ -143,7 +148,13 @@ object PqMaintenance {
     val live = IncrementalPqIndex.readCodebook(spark, bookPath(cur))
     val liveErr = meanErr(vectors, live)
     val candErr = meanErr(vectors, candidateBook(vectors))
-    val ratio = if (candErr == 0.0) 1.0 else liveErr / candErr
+    // a zero-error candidate with a lossy live book is INFINITE drift (the
+    // corpus collapsed onto exactly representable vectors), not parity —
+    // forcing ratio to 1.0 there would mute the monitor in the worst case
+    val ratio =
+      if (candErr > 0.0) liveErr / candErr
+      else if (liveErr > 0.0) Double.PositiveInfinity
+      else 1.0
     if (ratio <= threshold) Report(ratio, retrained = false, None)
     else Report(ratio, retrained = true,
       Some(retrain(spark, root, vectors, numFiles)))

@@ -273,12 +273,24 @@ class PlanSpec extends SparkSpec {
     assert(!ns.contains("SortMergeJoin"), ns)
   }
 
-  test("IVFPQ scores pruned candidates through broadcast distance tables") {
-    val ns = nodes(graft.ops.Pq.ivfpqTopK(T.table(spark, sf, "embeddings")))
-    // the M per-subspace distance-table joins must broadcast; the coarse
-    // probe's leader join is the nested-loop broadcast of the IVF leg
-    assert(ns.count(_ == "BroadcastHashJoin") >= 4, ns)
-    assert(ns.contains("BroadcastNestedLoopJoin"), ns)
+  test("IVFPQ candidate generation broadcasts leaders, carries no vectors") {
+    // ivfpqTopK's own output plan is checkpoint-flattened
+    // (materializeFreeing — the semDedup situation), so its two legs are
+    // asserted at their shared seams: the probe-candidate leg here (ONE
+    // construction with ivfTopK), and the broadcast distance-table joins
+    // via the ADC-search test above (ONE adcJoin construction for both
+    // paths)
+    val (cand, assign) =
+      Similarity.ivfProbeCandidates(T.table(spark, sf, "embeddings"))
+    try {
+      val ns = nodes(cand)
+      assert(ns.contains("BroadcastNestedLoopJoin"), ns) // leaders crossJoin
+      // the probes⋈assignment join co-partitions on list_id (a genuine
+      // shuffle join — at scale neither side broadcasts); what must NOT
+      // happen is vectors riding it: candidate rows are id-width
+      assert(!cand.schema.fieldNames.contains("embedding"))
+      assert(ns.count(_ == "WindowGroupLimit") >= 2, ns) // two-phase caps
+    } finally assign.unpersist(blocking = false)
   }
 
   test("cross-set contamination broadcasts the probe side") {
