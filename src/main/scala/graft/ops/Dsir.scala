@@ -100,6 +100,12 @@ object Dsir {
   /** Per-document DSIR log importance weight:
     * `(doc_id, n_grams, logweight_micro)` — an exact integer Σ n·lr over
     * the broadcast ratio table; documents with no grams weight 0.
+    *
+    * Deliberately TWO passes over the gram relation (one aggregating the
+    * ratio table, one scoring): DSIR needs global target/raw statistics
+    * before any document can be scored, so a second scan is inherent —
+    * and re-tokenizing is cheaper at corpus scale than materializing the
+    * ~10²-rows-per-document feature relation just to read it twice.
     */
   def weights(docs: DataFrame): DataFrame = {
     val feats = featureCounts(docs)

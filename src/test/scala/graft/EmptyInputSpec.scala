@@ -78,5 +78,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Pq.codes(e).count() == 0)
     assert(Pq.adcTopK(e).count() == 0)
     assert(Pq.ivfpqTopK(e).count() == 0)
+    assert(Pq.adcRecallGate(e).count() == 0)
+    assert(Similarity.crossSetContamination(e, e).count() == 0)
   }
 }
