@@ -133,7 +133,22 @@ object SparkEntry {
     // so a view would execute it on every registration)
     Dedup.chunkDedupDocs(T.table(s, dir, "documents"))
       .createOrReplaceTempView("chunk_deduped_docs")
+    Dsir.weights(T.table(s, dir, "documents"))
+      .createOrReplaceTempView("dsir_weights")
   }
+
+  // order-independent aggregates only (counts, exact integer sums of the
+  // micro-fixed-point weights, min/max) — the same cross-engine hash
+  // discipline as curationBySourceSql
+  private val dsirByLangSql =
+    """SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(logweight_micro) AS BIGINT) AS total_logweight_micro,
+      |       CAST(min(logweight_micro) AS BIGINT) AS min_logweight_micro,
+      |       CAST(max(logweight_micro) AS BIGINT) AS max_logweight_micro
+      |FROM dsir_weights JOIN documents USING (doc_id)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 
   // order-independent aggregates only (counts, integer sums, min/max):
   // a float avg re-associates differently per engine and can flip the
@@ -413,6 +428,12 @@ object SparkEntry {
       registerOpsViews(s, dir)
       s.sql(curationBySourceSql)
     }),
+    // the ad-hoc SQL surface keeps pace with the operator families: plain
+    // SQL over the DSIR weight view, oracle-checked like the rest
+    "sql_dsir_by_lang" -> ((s, dir) => {
+      registerOpsViews(s, dir)
+      s.sql(dsirByLangSql)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -489,6 +510,7 @@ object SparkEntry {
     "curate_funnel" -> OO.CURATE_FUNNEL,
     "curate_token_shards" -> OO.CURATE_TOKEN_SHARDS,
     "sql_curation_by_source" -> OO.SQL_CURATION_BY_SOURCE,
+    "sql_dsir_by_lang" -> OO.SQL_DSIR_BY_LANG,
     "curate_funnel_lang" -> OO.CURATE_FUNNEL_LANG,
     "curate_dsir_weights" -> OO.CURATE_DSIR_WEIGHTS,
     "curate_dsir_select" -> OO.CURATE_DSIR_SELECT,

@@ -1115,6 +1115,20 @@ object OpsOracleSql {
   val CURATE_DSIR_WEIGHTS: String =
     s"WITH $dsirChain\nSELECT doc_id, n_grams, logweight_micro FROM ds_w"
 
+  /** Mirrors SparkEntry's ad-hoc `sql_dsir_by_lang` over the registered
+    * weight view — order-independent aggregates only.
+    */
+  val SQL_DSIR_BY_LANG: String =
+    s"""WITH $dsirChain
+       |SELECT lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(logweight_micro) AS BIGINT) AS total_logweight_micro,
+       |       CAST(min(logweight_micro) AS BIGINT) AS min_logweight_micro,
+       |       CAST(max(logweight_micro) AS BIGINT) AS max_logweight_micro
+       |FROM ds_w JOIN documents USING (doc_id)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   /** Mirrors the hashed-Gumbel perturbation of [[graft.ops.Dsir.select]]. */
   private val dsirKeyed: String =
     s"""ds_key AS (
