@@ -101,6 +101,11 @@ object SemDedupMaintenance {
     * only), and carry the decided/ledger history — all into the next
     * generation, published only after the row counts verify. Returns the
     * new generation's path.
+    *
+    * The reassigned corpus is never cached: pass 1 streams it into the
+    * new generation's list store, pass 2 re-reads THAT store id-width for
+    * the election (parquet column pruning) and head-sized for the
+    * embedding fetch — executor storage stays O(head), not O(corpus).
     */
   def retrain(
       spark: SparkSession,
@@ -123,31 +128,49 @@ object SemDedupMaintenance {
     cents.coalesce(1).write.mode("errorifexists")
       .parquet(IncrementalSemDedup.leaderPath(dest))
     // reassign against the WRITTEN leaders: the stored floats are the
-    // contract every later batch assigns against
+    // contract every later batch assigns against. The reassignment is
+    // NEVER cached — at the module's stated scale a full-corpus
+    // vector-carrying persist is terabytes of executor storage for one
+    // maintenance job. Instead the two-pass discipline the batch operator
+    // already follows: stream the reassigned rows straight into the new
+    // generation's list store (pass 1), then RE-READ the written store —
+    // parquet prunes to `(list_id, vec_id)` for the election and fetches
+    // embeddings only for the elected head (pass 2). The second pass costs
+    // an id-width scan plus a head-sized fetch, not a corpus of vectors in
+    // memory.
     val reassigned = Similarity.assignWithLeadersRetaining(emb,
         spark.read.parquet(IncrementalSemDedup.leaderPath(dest)))
       .select("vec_id", "list_id", "list_cos", "embedding", "norm")
-      .persist()
-    reassigned.count() // eager: feeds the store write AND the election
     val buckets = IncrementalAnnIndex
       .bucketCount(spark, IncrementalSemDedup.listPath(cur))
       .getOrElse(IncrementalAnnIndex.NumIdBuckets)
     StoreMaintenance.writeStoreLayout(spark, reassigned,
       IncrementalSemDedup.listPath(dest), numFiles,
       bucketBy = Some(("vec_id", buckets)))
-    // id-width head election (no vector rides the rank — the hot-list
-    // guard pinned for the batch operator in PlanSpec)
-    val headIds = reassigned.select("list_id", "vec_id")
+    // pass 2 reads the store pass 1 wrote — verify the write landed every
+    // row BEFORE electing from it (a lossy write would elect from a lossy
+    // corpus and the pointer must not move either way)
+    val writtenStore = spark.read
+      .parquet(IncrementalSemDedup.listPath(dest))
+    val written = writtenStore.count()
+    require(written == srcRows,
+      s"SemDedupMaintenance.retrain: reassigned $written of $srcRows " +
+        s"rows — not publishing $gen; readers stay on the current " +
+        s"generation")
+    // id-width head election from the WRITTEN store (no vector rides the
+    // rank — the hot-list guard pinned for the batch operator in PlanSpec)
+    val headIds = writtenStore.select("list_id", "vec_id")
       .withColumn("lrnk", row_number().over(Window.partitionBy("list_id")
         .orderBy("vec_id")))
       .filter(col("lrnk") <= maxListOccupancy)
       .select("list_id", "vec_id")
-    reassigned.join(broadcast(headIds), Seq("list_id", "vec_id"))
+    // head-sized broadcast (≤ nlists × cap rows) fetches embeddings for
+    // the elected ids only — the one place a vector leaves the store
+    writtenStore.join(broadcast(headIds), Seq("list_id", "vec_id"))
       .select("vec_id", "list_id", "embedding", "norm")
       .coalesce(numFiles).write.mode("errorifexists")
       .parquet(s"${IncrementalSemDedup.headsPath(dest)}/" +
         s"batch=${StoreMaintenance.CompactedBatch}")
-    reassigned.unpersist(blocking = false)
     val db = IncrementalAnnIndex
       .bucketCount(spark, IncrementalSemDedup.decidedPath(cur))
       .getOrElse(IncrementalAnnIndex.NumIdBuckets)
@@ -171,12 +194,6 @@ object SemDedupMaintenance {
     require(ledgerDst == ledgerSrc,
       s"SemDedupMaintenance.retrain: carried $ledgerDst of $ledgerSrc " +
         s"ledger rows — not publishing $gen")
-    val written = spark.read
-      .parquet(IncrementalSemDedup.listPath(dest)).count()
-    require(written == srcRows,
-      s"SemDedupMaintenance.retrain: reassigned $written of $srcRows " +
-        s"rows — not publishing $gen; readers stay on the current " +
-        s"generation")
     StoreMaintenance.publishGeneration(spark, genRoot, gen)
     dest
   }

@@ -91,9 +91,28 @@ class SemDedupMaintenanceSpec extends SparkSpec {
     assert(!noop.retrained && noop.generation.isEmpty)
     assert(SemDedupMaintenance.currentRoot(spark, genRoot) == gen0)
 
-    // the drifted store trips the default threshold and retrains
-    val report = SemDedupMaintenance.maintain(spark, genRoot,
-      maxListOccupancy = Cap)
+    // the drifted store trips the default threshold and retrains.
+    // Storage-level inspection rides along: the retrain path STREAMS the
+    // reassigned corpus into the new generation's list store and re-reads
+    // it id-width — no stage it runs may carry a cached (persisted) RDD,
+    // which is how a full-corpus vector-carrying persist would show up
+    val cachedStages = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        s.stageInfo.rddInfos.filter(_.storageLevel.isValid)
+          .foreach(r => cachedStages.add(r.name))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val report =
+      try SemDedupMaintenance.maintain(spark, genRoot, maxListOccupancy = Cap)
+      finally {
+        Thread.sleep(1000) // let the async listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(cachedStages.isEmpty,
+      s"retrain must not persist any relation, saw cached RDDs: " +
+        s"${cachedStages.toArray.mkString(",")}")
     assert(report.retrained,
       s"imbalance ${report.imbalanceFactor} must trip the default threshold")
     val gen1 = report.generation.get
