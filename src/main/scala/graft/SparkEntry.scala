@@ -275,6 +275,8 @@ object SparkEntry {
       Pq.codes(T.table(s, dir, "embeddings"))),
     "sim_pq_topk" -> ((s, dir) =>
       Pq.adcTopK(T.table(s, dir, "embeddings"))),
+    "sim_ivfpq_codes" -> ((s, dir) =>
+      Pq.ivfpqCodes(T.table(s, dir, "embeddings"))),
     "sim_ivfpq_topk" -> ((s, dir) =>
       Pq.ivfpqTopK(T.table(s, dir, "embeddings"))),
     // accuracy gate, not values: the driver hash-checks that PQ recall
@@ -481,6 +483,7 @@ object SparkEntry {
     "sim_ivf_topk" -> OO.SIM_IVF_TOPK,
     "sim_pq_codes" -> OO.SIM_PQ_CODES,
     "sim_pq_topk" -> OO.SIM_PQ_TOPK,
+    "sim_ivfpq_codes" -> OO.SIM_IVFPQ_CODES,
     "sim_ivfpq_topk" -> OO.SIM_IVFPQ_TOPK,
     "sim_pq_recall_err" -> OO.SIM_PQ_RECALL_ERR,
     "events_hourly" -> OO.EVENTS_HOURLY,

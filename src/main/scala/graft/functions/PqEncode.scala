@@ -157,8 +157,8 @@ case class PqEncode(vec: Expression, cbFlat: Expression, cnorm2s: Expression,
       val get = if (vecIsFloat) "getFloat" else "getDouble"
       s"""
          |int $n = $a.numElements();
-         |boolean $bad = ($subDim == 0) || ($mSub == 0) || ($n != $expectLen)
-         |  || (${cn2.length} % $mSub != 0);
+         |boolean $bad = ($subDim == 0) || ($mSub == 0) ||
+         |  ($n != $expectLen) || (${cn2.length} % $mSub != 0);
          |int $m = $mSub;
          |double[] $x = new double[$n];
          |for (int $i = 0; !$bad && $i < $n; $i++) {

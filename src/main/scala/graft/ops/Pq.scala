@@ -166,6 +166,78 @@ object Pq {
       .withColumn("pq_code", packed)
   }
 
+  /** Element-wise residual `x − l` as FLOAT. Single-rounded IEEE float
+    * subtraction — bit-identical between Spark (`zip_with` over FLOAT
+    * arrays) and the oracle's indexed `list_transform` with a FLOAT cast.
+    */
+  private def residualSql(vecCol: String, leadCol: String): String =
+    s"zip_with($vecCol, $leadCol, (x, y) -> x - y)"
+
+  /** The RESIDUAL codebook (FAISS `by_residual=true`): sub-vectors of
+    * seed residuals `x − lvec(list(x))` under the deterministic IVF
+    * leaders. Residuals concentrate near the origin once the coarse
+    * component is removed, so the same bit budget spends its precision on
+    * what the coarse quantizer could NOT explain — the reason FAISS
+    * defaults its billion-scale IVFPQ indexes to residual encoding.
+    *
+    * Seeds are the [[CodebookSize]] lowest vec_ids ABOVE the leader range
+    * `[NumLists, NumLists + CodebookSize)`: the leaders' own residuals
+    * are exactly the zero vector (each leader is its own max-cosine
+    * assignment), and seeding from `vec_id < CodebookSize` would collapse
+    * [[Similarity.NumLists]] of the entries onto the origin — a quarter
+    * of the codebook wasted on one point. Bounded like [[codebook]]: one
+    * ≤[[CodebookSize]]-row collect.
+    */
+  private[graft] def residualCodebook(emb: DataFrame): Seq[CodebookEntry] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val lo = Similarity.NumLists
+    val seedSlice = emb.filter(
+      col("vec_id") >= lo && col("vec_id") < lo + CodebookSize)
+    val seeds = residualRows(seedSlice, Similarity.ivfLeaders(emb))
+      .select(col("vec_id"), col("rvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    codebookFrom(seeds.map { case (k, v) => ((k - lo).toInt, v) })
+  }
+
+  /** `(vec_id, list_id, rvec)` — `rows` assigned against `leadersDf` (the
+    * SAME ranking the IVF probe path uses, so a vector's residual list
+    * always matches the list it is probed through), residual via
+    * [[residualSql]]. Leaders are a bounded broadcast.
+    */
+  private def residualRows(rows: DataFrame, leadersDf: DataFrame): DataFrame =
+    Similarity.assignWithLeaders(rows, leadersDf)
+      .join(rows.select("vec_id", "embedding"), Seq("vec_id"))
+      .join(broadcast(leadersDf.select("list_id", "lvec")), Seq("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        expr(residualSql("embedding", "lvec")).as("rvec"))
+
+  /** Residual PQ codes for an EXPLICIT capped assignment `(vec_id,
+    * list_id)` (the shared IVF probe relation): join back the vector, the
+    * assigned leader (broadcast), subtract, encode with the residual
+    * kernel. WIDE: `(vec_id, list_id, code_0 … code_{M−1}, pq_code)` — the
+    * code store of a residual IVFPQ index carries its list id, because
+    * codes are only decodable RELATIVE to their list's centroid.
+    */
+  private[graft] def residualCodesFor(assign: DataFrame, emb: DataFrame,
+      leadersDf: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
+    if (book.isEmpty) return emptyResult(emb, residualCodesSchema)
+    val resid = assign
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .join(broadcast(leadersDf.select("list_id", "lvec")), Seq("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        expr(residualSql("embedding", "lvec")).as("rvec"))
+    val codeCols = (0 until NumSubspaces).map(m =>
+      expr(s"pq_codes_arr[$m]").as(s"code_$m"))
+    val packed = (0 until NumSubspaces)
+      .map(m => col(s"code_$m") * lit(1L << (CodeBits * m)))
+      .reduce(_ + _)
+    resid.select(col("vec_id"), col("list_id"),
+        expr(encodeSql(book, "rvec")).as("pq_codes_arr"))
+      .select(col("vec_id") +: col("list_id") +: codeCols: _*)
+      .withColumn("pq_code", packed)
+  }
+
   /** The codebook as a 64-row local relation `(m, k, cvec, cnorm2)` — the
     * broadcast side of the ADC distance-table build.
     */
@@ -220,18 +292,27 @@ object Pq {
     * broadcast hash join of the (Q × K)-row slice for one subspace.
     * `queryBound = Some(col)` binds every leg to an existing query column
     * on `rel` (the pre-pruned IVFPQ path); `None` lets the first leg fan
-    * each code row out to all queries (the full-scan path). Returns the
-    * joined relation, the ADC sum column, and the query-id column.
+    * each code row out to all queries (the full-scan path). `listBound =
+    * Some(col)` additionally keys every leg on a list column — the
+    * RESIDUAL path, whose distance entries are only meaningful for the
+    * (query, list) pair they were built from. Returns the joined relation,
+    * the ADC sum column, and the query-id column.
     */
   private def adcJoin(rel: DataFrame, dtab: DataFrame,
-      queryBound: Option[String]): (DataFrame, org.apache.spark.sql.Column,
-        org.apache.spark.sql.Column) = {
+      queryBound: Option[String],
+      listBound: Option[String] = None): (DataFrame,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     var joined = rel
     for (m <- 0 until NumSubspaces) {
+      val listCols = listBound.toSeq.map(_ => col("list_id").as(s"l_$m"))
       val dm = broadcast(dtab.filter(col("m") === m)
-        .select(col("query_id").as(s"q_$m"), col("k").as(s"k_$m"),
-          col("d").as(s"d_$m")))
-      val base = col(s"k_$m") === col(s"code_$m")
+        .select(Seq(col("query_id").as(s"q_$m")) ++ listCols ++
+          Seq(col("k").as(s"k_$m"), col("d").as(s"d_$m")): _*))
+      val base0 = col(s"k_$m") === col(s"code_$m")
+      val base = listBound match {
+        case Some(lc) => col(s"l_$m") === col(lc) && base0
+        case None => base0
+      }
       val cond = queryBound match {
         case Some(qc) => col(s"q_$m") === col(qc) && base
         case None =>
@@ -256,6 +337,33 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** Per-(query, probed list) RESIDUAL distance table `(query_id, list_id,
+    * m, k, d)` — Q × [[Similarity.NProbe]] × M × K rows: the query's
+    * residual against EACH probed list's leader, exploded to subspaces,
+    * one broadcast join against the residual codebook. Still
+    * query-bounded — nprobe× the flat table, never N-proportional.
+    */
+  private def residualDistanceTable(probePairs: DataFrame, queries: DataFrame,
+      leadersDf: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
+    val qres = probePairs
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding")),
+        Seq("query_id"))
+      .join(broadcast(leadersDf.select("list_id", "lvec")), Seq("list_id"))
+      .select(col("query_id"), col("list_id"),
+        expr(residualSql("embedding", "lvec")).as("qres"))
+    val subStructs = (0 until NumSubspaces)
+      .map(m => s"struct($m AS m, ${subSql(m, "qres")} AS qsub)")
+      .mkString(", ")
+    qres
+      .select(col("query_id"), col("list_id"),
+        expr(s"inline(array($subStructs))"))
+      .withColumn("qsub2", expr("graft_dot(qsub, qsub)"))
+      .join(broadcast(codebookDf(qres, book)), Seq("m"))
+      .select(col("query_id"), col("list_id"), col("m"), col("k"),
+        ((col("qsub2") - lit(2.0) * expr("graft_dot(qsub, cvec)")) +
+          col("cnorm2")).as("d"))
+  }
+
   /** IVFPQ search — the composition FAISS ships as its default
     * billion-scale index: the IVF coarse quantizer prunes candidates to
     * the query's [[Similarity.NProbe]] nearest (occupancy-capped) lists,
@@ -265,35 +373,52 @@ object Pq {
     * ([[Similarity.ivfTopK]]) — at 10^10 vectors: probe ~10^8 codes
     * (2 bytes each) per query, no vector I/O at all.
     *
-    * Non-residual encoding (codes quantize raw vectors, not list
-    * residuals — FAISS `by_residual=false`): the code relation is shared
-    * verbatim with [[codes]], and the oracle replays it bit-for-bit.
+    * `byResidual = true` (the default, FAISS's billion-scale default):
+    * codes quantize the LIST RESIDUAL `x − lvec(list(x))` rather than the
+    * raw vector, so the bit budget describes only what the coarse
+    * quantizer could not explain, and the distance tables are built per
+    * (query, probed list) from the query's residual against that list's
+    * leader. `byResidual = false` keeps the raw-vector encoding
+    * (`by_residual=false`) — the code relation shared verbatim with
+    * [[codes]] — as the comparison baseline [[PqSpec]] gates the residual
+    * form's recall gain against.
     */
   def ivfpqTopK(emb: DataFrame, k: Int = Similarity.TopK,
-      maxListOccupancy: Int = Similarity.MaxListOccupancy): DataFrame = {
-    val book = codebook(emb)
+      maxListOccupancy: Int = Similarity.MaxListOccupancy,
+      byResidual: Boolean = true): DataFrame = {
+    val book = if (byResidual) residualCodebook(emb) else codebook(emb)
     if (book.isEmpty) return emptyResult(emb, adcSchema)
-    ivfpqTopKWith(emb, book, codesWith(emb, book), k, maxListOccupancy)
+    ivfpqTopKWith(emb, book, k, maxListOccupancy, byResidual)
   }
 
-  /** [[ivfpqTopK]] over an explicit codebook + code relation — lets
-    * [[adcRecallGate]] share one collect/encode across both search legs.
+  /** [[ivfpqTopK]] over an explicit codebook — lets [[adcRecallGate]]
+    * share the residual codebook collect with its own reporting.
     */
   private def ivfpqTopKWith(emb: DataFrame, book: Seq[CodebookEntry],
-      codes: DataFrame, k: Int,
-      maxListOccupancy: Int): DataFrame = {
+      k: Int, maxListOccupancy: Int, byResidual: Boolean): DataFrame = {
     // IVF side: the SHARED capped-list probe candidates (one construction
     // with ivfTopK — the two paths cannot diverge from the oracle's
-    // shared CTE chain); candidates already exclude self
+    // shared CTE chain); candidates already exclude self and carry the
+    // probed list
     val (cand, assign) =
       Similarity.ivfProbeCandidates(emb, 0, maxListOccupancy)
-    // PQ side: score the pruned candidates only. The distance table is
-    // built from the QUERY SLICE — Q × M × K rows; building it from the
-    // full corpus would broadcast an N-proportional relation per subspace
-    val dtab = distanceTable(
-      emb.filter(col("vec_id") % Similarity.QueryStride === 0), book)
+    val queries = emb.filter(col("vec_id") % Similarity.QueryStride === 0)
+    // PQ side: score the pruned candidates only. Distance tables are
+    // built from the QUERY SLICE — building them from the full corpus
+    // would broadcast an N-proportional relation per subspace
     val (joined, adc, _) =
-      adcJoin(cand.join(codes, Seq("vec_id")), dtab, Some("query_id"))
+      if (byResidual) {
+        val leadersDf = Similarity.ivfLeaders(emb)
+        val codes = residualCodesFor(assign, emb, leadersDf, book)
+        val dtab = residualDistanceTable(
+          cand.select("query_id", "list_id").distinct(), queries,
+          leadersDf, book)
+        adcJoin(cand.join(codes, Seq("vec_id", "list_id")), dtab,
+          Some("query_id"), Some("list_id"))
+      } else {
+        adcJoin(cand.join(codesWith(emb, book), Seq("vec_id")),
+          distanceTable(queries, book), Some("query_id"))
+      }
     Dedup.materializeFreeing(
       joined
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -307,10 +432,17 @@ object Pq {
   /** Recall floors for [[adcRecallGate]], in millionths. Loose by design
     * (see [[CodebookSize]] — the synthetic corpus is PQ's worst case):
     * the gate catches broken encode/ADC/prune math, where recall collapses
-    * to chance ≈ k/N ≈ 0.02, not quantization noise.
+    * to chance ≈ k/N ≈ 0.02, not quantization noise. Measured on the sf
+    * fixtures: ADC 0.28–0.32, residual IVFPQ 0.19–0.20 (the IVF prune
+    * ceiling itself is 0.33). Note the i.i.d. near-orthogonal corpus is
+    * the one geometry where residual encoding CANNOT beat raw codes —
+    * subtracting a near-orthogonal unit leader raises the energy to
+    * quantize (E‖x−l‖² ≈ 2 − 2·E[max cos] > 1) — so the floors stay
+    * conservative here and [[PqSpec]] demonstrates the residual gain on a
+    * clustered corpus, the geometry the FAISS default exists for.
     */
-  val AdcRecallFloorMicro = 150000L
-  val IvfpqRecallFloorMicro = 100000L
+  val AdcRecallFloorMicro = 200000L
+  val IvfpqRecallFloorMicro = 150000L
 
   /** The PQ accuracy gate, battery-shaped like the sketch `_err` queries:
     * approximate results are implementation-defined in general, so the
@@ -344,9 +476,28 @@ object Pq {
     }
     leg("adc", adcSearch(codes, queries, book), AdcRecallFloorMicro)
       .unionByName(leg("ivfpq",
-        ivfpqTopKWith(emb, book, codes, Similarity.TopK,
-          Similarity.MaxListOccupancy),
+        ivfpqTopKWith(emb, residualCodebook(emb), Similarity.TopK,
+          Similarity.MaxListOccupancy, byResidual = true),
         IvfpqRecallFloorMicro))
+  }
+
+  /** The residual IVFPQ code STORE view `(vec_id, list_id, code_0 …
+    * code_{M−1}, pq_code)` over the capped lists — what a residual index
+    * persists per vector: the list id plus M·[[CodeBits]] bits. The
+    * battery checks it directly so an encode regression localizes here
+    * instead of surfacing as a search-result hash drift.
+    */
+  def ivfpqCodes(emb: DataFrame,
+      maxListOccupancy: Int = Similarity.MaxListOccupancy): DataFrame = {
+    val book = residualCodebook(emb)
+    if (book.isEmpty) return emptyResult(emb, residualCodesSchema)
+    val leadersDf = Similarity.ivfLeaders(emb)
+    val assign = Similarity.assignWithLeaders(emb, leadersDf)
+      .withColumn("lrnk", row_number().over(Window.partitionBy("list_id")
+        .orderBy("vec_id")))
+      .filter(col("lrnk") <= maxListOccupancy)
+      .select("vec_id", "list_id")
+    residualCodesFor(assign, emb, leadersDf, book)
   }
 
   /** Fixed-point scale for [[adcRecallGate]]'s integerized recall. */
@@ -397,6 +548,14 @@ object Pq {
     import org.apache.spark.sql.types._
     StructType(
       StructField("vec_id", LongType) +:
+        ((0 until NumSubspaces).map(m => StructField(s"code_$m", LongType)) :+
+          StructField("pq_code", LongType)))
+  }
+
+  private def residualCodesSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      StructField("vec_id", LongType) +: StructField("list_id", LongType) +:
         ((0 until NumSubspaces).map(m => StructField(s"code_$m", LongType)) :+
           StructField("pq_code", LongType)))
   }

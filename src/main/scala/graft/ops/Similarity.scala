@@ -206,6 +206,14 @@ object Similarity {
       .select(col("vec_id").as("list_id"), col("embedding").as("lvec"),
         col("norm").as("lnorm"))
 
+  /** The deterministic coarse-quantizer relation `(list_id, lvec, lnorm)`
+    * — exposed for [[graft.ops.Pq]]'s residual encoding, which subtracts
+    * the assigned leader from each vector before quantizing (FAISS
+    * `by_residual=true`) and so must see the SAME leader floats the
+    * assignment ranked against.
+    */
+  private[graft] def ivfLeaders(emb: DataFrame): DataFrame = leaders(emb)
+
   /** Assignment of each vector to its max-cosine centroid (ties → lowest
     * list id), carrying the vector and its norm through the window. One
     * broadcast of the centroids, one linear scan — N×K dot products, no
@@ -362,10 +370,14 @@ object Similarity {
         .orderBy(col("probe_cos").desc, col("list_id"))))
       .filter(col("rnk") <= NProbe)
       .select("query_id", "list_id")
+    // cand carries the probed list_id: each vector belongs to exactly one
+    // list (assignment rnk = 1) so the pair set is unchanged, and the
+    // IVFPQ residual path needs the list to pick the right per-(query,
+    // list) distance-table slice
     val cand = probes
       .join(assign, Seq("list_id"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select("query_id", "vec_id")
+      .select("query_id", "list_id", "vec_id")
       .distinct()
     (cand, assign)
   }

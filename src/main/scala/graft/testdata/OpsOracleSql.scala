@@ -1035,25 +1035,119 @@ object OpsOracleSql {
        |WHERE "rank" <= $TopK""".stripMargin
   }
 
-  /** Mirrors [[graft.ops.Pq.ivfpqTopK]] — the IVFPQ composition: the IVF
-    * coarse quantizer prunes candidates to the probed (capped) lists, PQ
-    * codes score them by ADC. Non-residual encoding (codes quantize the
-    * raw vectors, not list residuals), so the code relation is shared
-    * verbatim with [[SIM_PQ_CODES]].
+  /** Element-wise FLOAT residual `x − l` — the indexed-`list_transform`
+    * twin of the engine's `zip_with`; the FLOAT cast pins both engines to
+    * the identical single-rounded IEEE subtraction.
     */
-  val SIM_IVFPQ_TOPK: String = {
-    val djoins = (0 until NumSubspaces).map { m =>
-      s"JOIN pq_dtab d$m ON d$m.query_id = c.a_id AND d$m.m = $m AND d$m.k = w.code_$m"
-    }
+  private def residDuck(embCol: String, leadCol: String): String =
+    s"list_transform(range(1, ${Dim + 1}), " +
+      s"i -> CAST($embCol[i] - $leadCol[i] AS FLOAT))"
+
+  /** Residual-PQ CTEs mirroring [[graft.ops.Pq.residualCodebook]] /
+    * `residualCodesFor` / `residualDistanceTable` (FAISS
+    * `by_residual=true`): the codebook seeds are residuals of the
+    * [[CodebookSize]] lowest vec_ids ABOVE the leader range (a leader's
+    * own residual is the zero vector), corpus codes quantize
+    * `x − lvec(list(x))` over the capped lists and carry `list_id`, and
+    * distance tables are per (query, probed list) from the query's
+    * residual against THAT list's leader.
+    */
+  private val rpqChain: String =
+    s"""rpq_seed AS (
+       |  SELECT a.vec_id - $NumLists AS k,
+       |         ${residDuck("e.embedding", "l.lvec")} AS rvec
+       |  FROM iv_assign a JOIN de_e e USING (vec_id)
+       |  JOIN iv_lead l USING (list_id)
+       |  WHERE a.vec_id >= $NumLists
+       |    AND a.vec_id < ${NumLists + CodebookSize}),
+       |rpq_cb2 AS (
+       |  SELECT m, k, cvec, ${dotDuck("cvec", "cvec")} AS cnorm2 FROM (
+       |    SELECT m, k, ${pqSliceDuck("rvec")} AS cvec
+       |    FROM rpq_seed, $pqSubspaces)),
+       |rpq_res AS (
+       |  SELECT kk.vec_id, kk.list_id,
+       |         ${residDuck("e.embedding", "l.lvec")} AS rvec
+       |  FROM iv_kept kk JOIN de_e e USING (vec_id)
+       |  JOIN iv_lead l USING (list_id)),
+       |rpq_sub AS (
+       |  SELECT vec_id, list_id, m, ${pqSliceDuck("rvec")} AS sub
+       |  FROM rpq_res, $pqSubspaces),
+       |rpq_enc AS (
+       |  SELECT vec_id, list_id, m, k,
+       |         cnorm2 - 2 * ${dotDuck("sub", "cvec")} AS edist
+       |  FROM rpq_sub JOIN rpq_cb2 USING (m)),
+       |rpq_code AS (
+       |  SELECT vec_id, list_id, m, k AS code FROM (
+       |    SELECT vec_id, list_id, m, k,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |             ORDER BY edist, k) AS rn
+       |    FROM rpq_enc)
+       |  WHERE rn = 1),
+       |rpq_wide AS (
+       |  SELECT vec_id, list_id,
+       |         ${(0 until NumSubspaces).map(m =>
+              s"max(CASE WHEN m = $m THEN code END) AS code_$m").mkString(",\n       |         ")}
+       |  FROM rpq_code GROUP BY vec_id, list_id),
+       |rpq_q AS (
+       |  SELECT p.query_id, p.list_id,
+       |         ${residDuck("e.embedding", "l.lvec")} AS qres
+       |  FROM iv_probe p JOIN de_e e ON e.vec_id = p.query_id
+       |  JOIN iv_lead l ON l.list_id = p.list_id),
+       |rpq_qsub AS (
+       |  SELECT query_id, list_id, m, ${pqSliceDuck("qres")} AS qsub
+       |  FROM rpq_q, $pqSubspaces),
+       |rpq_dtab AS (
+       |  SELECT query_id, list_id, m, k,
+       |         (${dotDuck("qsub", "qsub")} - 2 * ${dotDuck("qsub", "cvec")}) + cnorm2 AS dd
+       |  FROM rpq_qsub JOIN rpq_cb2 USING (m))""".stripMargin
+
+  /** Mirrors [[graft.ops.Pq.ivfpqCodes]] — the residual code STORE view:
+    * `(vec_id, list_id, code_0 … code_7, pq_code)` over the capped lists.
+    */
+  val SIM_IVFPQ_CODES: String =
     s"""WITH $ivfChain,
        |$ivfSearchChain,
-       |$pqChain,
-       |$pqDtabChain,
-       |ipq_adc AS (
-       |  SELECT c.a_id AS query_id, c.b_id AS neighbor_id, $pqAdcSum AS adc_dist
+       |$rpqChain
+       |SELECT vec_id, list_id,
+       |       ${(0 until NumSubspaces).map(m => s"code_$m").mkString(", ")},
+       |       $pqPacked AS pq_code
+       |FROM rpq_wide""".stripMargin
+
+  /** Mirrors [[graft.ops.Pq.ivfpqTopK]] — the IVFPQ composition, residual
+    * form (FAISS `by_residual=true`, its billion-scale default): the IVF
+    * coarse quantizer prunes candidates to the probed (capped) lists;
+    * residual PQ codes score them by ADC against the per-(query, list)
+    * residual distance tables.
+    *
+    * The ADC sum is spelled as ONE long-form join (candidate × its 8 code
+    * rows → the matching distance entry) plus a fixed-order pivot sum,
+    * NOT the 8 table-aliased joins [[SIM_PQ_TOPK]] uses: with the
+    * (query_id, list_id)-keyed residual tables the optimizer is free to
+    * join the d_m aliases against each other first — 64⁸ k-combinations
+    * per (query, list) before any code constraint prunes them — and
+    * DuckDB does exactly that, spilling unboundedly. The pivot keeps the
+    * ((d0+d1)+d2)… double arithmetic bit-identical to the engine's fold.
+    */
+  val SIM_IVFPQ_TOPK: String = {
+    val pivots = (0 until NumSubspaces)
+      .map(m => s"max(CASE WHEN m = $m THEN dd END) AS dd_$m")
+      .mkString(",\n       |         ")
+    val adcSum = (1 until NumSubspaces)
+      .foldLeft("dd_0")((acc, m) => s"($acc + dd_$m)")
+    s"""WITH $ivfChain,
+       |$ivfSearchChain,
+       |$rpqChain,
+       |ipq_dd AS (
+       |  SELECT c.a_id AS query_id, c.b_id AS neighbor_id, pc.m, d.dd
        |  FROM iv_cand c
-       |  JOIN pq_wide w ON w.vec_id = c.b_id
-       |  ${djoins.mkString("\n       |  ")})
+       |  JOIN rpq_code pc ON pc.vec_id = c.b_id
+       |  JOIN rpq_dtab d ON d.query_id = c.a_id AND d.list_id = pc.list_id
+       |    AND d.m = pc.m AND d.k = pc.code),
+       |ipq_adc AS (
+       |  SELECT query_id, neighbor_id, $adcSum AS adc_dist FROM (
+       |    SELECT query_id, neighbor_id,
+       |         $pivots
+       |    FROM ipq_dd GROUP BY query_id, neighbor_id))
        |SELECT query_id, neighbor_id, adc_dist, "rank" FROM (
        |  SELECT query_id, neighbor_id, adc_dist,
        |         row_number() OVER (PARTITION BY query_id

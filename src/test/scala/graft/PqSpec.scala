@@ -69,17 +69,20 @@ class PqSpec extends SparkSpec {
     }
   }
 
-  test("IVFPQ prunes candidates but never changes the ADC math") {
+  test("raw IVFPQ prunes candidates but never changes the ADC math") {
+    // the by_residual=false form shares its code relation with the
+    // full-scan ADC path, so a pair surviving both carries the IDENTICAL
+    // distance — pruning changes the candidate set, never the scoring.
+    // (The residual default scores in residual space; its arithmetic is
+    // pinned by the sim_ivfpq_* oracle rows and the clustered test below.)
     val full = Pq.adcTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val rows = Pq.ivfpqTopK(emb).collect()
+    val rows = Pq.ivfpqTopK(emb, byResidual = false).collect()
     assert(rows.nonEmpty)
     var shared = 0
     rows.foreach { r =>
       val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
       assert(q != n)
-      // a pair surviving both paths carries the IDENTICAL distance —
-      // pruning changes the candidate set, never the scoring
       full.get((q, n)).foreach { d =>
         assert(d == r.getAs[Double]("adc_dist")); shared += 1
       }
@@ -89,6 +92,68 @@ class PqSpec extends SparkSpec {
       assert(qs.length <= Similarity.TopK)
       assert(qs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to qs.length))
     }
+  }
+
+  test("residual IVFPQ rank/self/cap contract holds on the sf corpus") {
+    val rows = Pq.ivfpqTopK(emb).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id"))
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { qs =>
+      assert(qs.length <= Similarity.TopK)
+      assert(qs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to qs.length))
+    }
+    // the residual code store carries each vector's assigned list and
+    // in-range codes
+    val codes = Pq.ivfpqCodes(emb)
+    val badRange = codes.filter(
+      (0 until Pq.NumSubspaces)
+        .map(m => col(s"code_$m") < 0 || col(s"code_$m") >= Pq.CodebookSize)
+        .reduce(_ || _))
+    assert(badRange.count() == 0)
+    assert(codes.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  /** Clustered corpus — the geometry residual encoding exists for: 16
+    * tight clusters around DENSE pseudo-random centers (dense, so the
+    * coarse component carries energy in EVERY subspace — axis-aligned
+    * centers would leave 7 of 8 subspaces identical between raw and
+    * residual codes). Ids < 16 are the exact centers and become the IVF
+    * leaders; every other id sits on center `id % 16` plus small
+    * deterministic noise, so the coarse quantizer explains ~95% of the
+    * energy and the residual codebook spends its 6 bits entirely on the
+    * fine structure raw codes must share with cluster identity.
+    */
+  private def clustered(n: Long) = {
+    val df = spark.range(0L, n).toDF("id")
+    df.select(col("id").as("vec_id"), expr(
+      """transform(sequence(0, 63), d -> CAST(
+        |  (pmod(hash(CAST(id % 16 AS INT), d), 201) - 100) * 0.00217
+        |  + (CASE WHEN id >= 16
+        |     THEN (pmod(hash(id, d, 3), 201) - 100) * 0.0005 ELSE 0.0 END)
+        |  AS FLOAT))""".stripMargin.replaceAll("\n", " ")).as("embedding"))
+  }
+
+  test("residual encoding beats raw codes where the corpus clusters") {
+    val cemb = clustered(2000L)
+    val exact = Similarity.bruteTopK(cemb)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val resid = recall(Pq.ivfpqTopK(cemb))
+    val raw = recall(Pq.ivfpqTopK(cemb, byResidual = false))
+    info(f"clustered recall@10: residual $resid%.4f raw $raw%.4f")
+    assert(resid >= raw + 0.1,
+      s"residual recall $resid must clearly beat raw $raw on the " +
+        s"clustered corpus")
+    assert(resid >= 0.3,
+      s"residual recall $resid too low for a coarse-explained corpus")
   }
 
   test("the recall gate reports zero violations for both search paths") {
