@@ -107,10 +107,19 @@ object Dsir {
     * and re-tokenizing is cheaper at corpus scale than materializing the
     * ~10²-rows-per-document feature relation just to read it twice.
     */
-  def weights(docs: DataFrame): DataFrame = {
-    val feats = featureCounts(docs)
-    val lr = ratioTable(feats).select("bucket", "lr_micro")
-    val perDoc = feats
+  def weights(docs: DataFrame): DataFrame =
+    weightsWith(docs, ratioTable(featureCounts(docs)))
+
+  /** [[weights]] against an EXPLICIT ratio table `(bucket, lr_micro)` —
+    * the FROZEN-table seam: [[graft.streaming.IncrementalDsir]] scores
+    * each arriving batch against the table its bootstrap froze (scoring
+    * drift is silent selection drift), exactly as
+    * [[graft.streaming.IncrementalPqIndex]] encodes against its frozen
+    * codebook.
+    */
+  def weightsWith(docs: DataFrame, lrTable: DataFrame): DataFrame = {
+    val lr = lrTable.select("bucket", "lr_micro")
+    val perDoc = featureCounts(docs)
       .join(broadcast(lr), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_grams"),
@@ -136,21 +145,29 @@ object Dsir {
     * `(doc_id, logweight_micro, gumbel_micro, key_micro)`.
     */
   def select(docs: DataFrame): DataFrame =
-    weights(docs)
-      .withColumn("gumbel_micro",
-        expr(gumbelMicroSql(c => s"CAST($c AS STRING)")))
-      .withColumn("key_micro", col("logweight_micro") + col("gumbel_micro"))
+    selectWith(docs, ratioTable(featureCounts(docs)))
+
+  /** [[select]] against an EXPLICIT ratio table — the frozen-table seam
+    * (see [[weightsWith]]).
+    */
+  def selectWith(docs: DataFrame, lrTable: DataFrame): DataFrame =
+    keyed(weightsWith(docs, lrTable))
       .filter(col("key_micro") >= SelectTauMicro)
       .select("doc_id", "logweight_micro", "gumbel_micro", "key_micro")
+
+  /** The Gumbel-perturbed selection key over a weight relation —
+    * `(…, gumbel_micro, key_micro)`.
+    */
+  private[graft] def keyed(w: DataFrame): DataFrame =
+    w.withColumn("gumbel_micro",
+        expr(gumbelMicroSql(c => s"CAST($c AS STRING)")))
+      .withColumn("key_micro", col("logweight_micro") + col("gumbel_micro"))
 
   /** Calibration surface: corpus size, selected count, and the weight
     * envelope — order-independent aggregates only.
     */
   def summary(docs: DataFrame): DataFrame = {
-    val w = weights(docs)
-      .withColumn("gumbel_micro",
-        expr(gumbelMicroSql(c => s"CAST($c AS STRING)")))
-      .withColumn("key_micro", col("logweight_micro") + col("gumbel_micro"))
+    val w = keyed(weights(docs))
     w.agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("key_micro") >= SelectTauMicro, 1L).otherwise(0L))

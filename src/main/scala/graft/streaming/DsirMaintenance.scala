@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dsir
+
+/** The recalibration loop for [[IncrementalDsir]]'s frozen ratio table —
+  * [[PqMaintenance]]'s measure-then-act policy applied to importance
+  * weighting: the table freezes the (target, raw) estimate at bootstrap,
+  * so a crawl whose RAW distribution drifts is scored against statistics
+  * that no longer describe it — the achieved selection fraction slides
+  * away from what the same τ selects under current statistics, and
+  * nothing fails loudly.
+  *
+  * The policy is a DIRECT counterfactual, no proxy metric: score the
+  * current raw corpus (the source of record — the table cannot
+  * reconstruct documents, the [[PqMaintenance]] asymmetry) under the LIVE
+  * frozen table and under a CANDIDATE table computed from that same
+  * corpus, and compare the two achieved selection fractions. Drift beyond
+  * `threshold` trips [[retrain]]: the candidate table is written into the
+  * next generation with the scoring ledger and selected stream carried
+  * (decisions already made stay made — only FUTURE batches score under
+  * the new table), row-count verified, and published behind the atomic
+  * `_current` pointer. The stream re-enters on the new generation under a
+  * fresh checkpoint; [[IncrementalDsir.run]]'s bootstrap guard sees the
+  * ratio store and adopts it.
+  */
+object DsirMaintenance {
+
+  /** Retrain when the achieved selection fraction under the frozen table
+    * differs from the candidate table's by more than this (absolute).
+    */
+  val DefaultFractionDriftThreshold = 0.10
+
+  final case class Report(
+      frozenFraction: Double,
+      candidateFraction: Double,
+      retrained: Boolean,
+      generation: Option[String])
+
+  /** The live generation's path — a full [[IncrementalDsir]] root. */
+  def currentRoot(spark: SparkSession, genRoot: String): String =
+    StoreMaintenance.resolveCurrent(spark, genRoot)
+
+  /** Adopt a flat [[IncrementalDsir]] root into the generation layout,
+    * publishing generation 0 atomically.
+    */
+  def adopt(
+      spark: SparkSession,
+      genRoot: String,
+      flatRoot: String,
+      numFiles: Int = 1): String = {
+    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
+    val dest = s"$genRoot/$gen"
+    spark.read.parquet(IncrementalDsir.ratioPath(flatRoot))
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(IncrementalDsir.ratioPath(dest))
+    StoreMaintenance.compact(spark, IncrementalDsir.ledgerPath(flatRoot),
+      IncrementalDsir.ledgerPath(dest), numFiles)
+    StoreMaintenance.compact(spark, IncrementalDsir.selectedPath(flatRoot),
+      IncrementalDsir.selectedPath(dest), numFiles)
+    StoreMaintenance.publishGeneration(spark, genRoot, gen)
+    dest
+  }
+
+  /** The achieved selection fraction of `docs` under an explicit ratio
+    * table — one aggregate over the shared scoring path, no global rank.
+    */
+  def achievedFraction(docs: DataFrame, lrTable: DataFrame): Double = {
+    val r = IncrementalDsir.scoreBatch(docs, lrTable)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("sel"))
+      .collect().head
+    if (r.getLong(0) == 0L) 0.0
+    else r.getLong(1).toDouble / r.getLong(0)
+  }
+
+  /** Recalibrate: write the candidate table (computed from `docs`, the
+    * current raw corpus) into the next generation, carry the ledger and
+    * selected stream with row-count verification, publish atomically.
+    * Returns the new generation's path.
+    */
+  def retrain(
+      spark: SparkSession,
+      genRoot: String,
+      docs: DataFrame,
+      numFiles: Int = 1): String = {
+    val cur = currentRoot(spark, genRoot)
+    val lr = Dsir.ratioTable(Dsir.featureCounts(docs))
+    require(!lr.isEmpty,
+      "DsirMaintenance.retrain: the current corpus produced an empty " +
+        "ratio table — nothing to recalibrate against")
+    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
+    val dest = s"$genRoot/$gen"
+    IncrementalDsir.writeRatioTable(lr, IncrementalDsir.ratioPath(dest))
+    // verify every carried store before the pointer moves: a lossy ledger
+    // carry silently truncates the audit history; a lossy selected carry
+    // drops admitted documents
+    val ledgerSrc = spark.read
+      .parquet(IncrementalDsir.ledgerPath(cur)).count()
+    val ledgerDst = StoreMaintenance.compact(spark,
+      IncrementalDsir.ledgerPath(cur),
+      IncrementalDsir.ledgerPath(dest), numFiles)
+    require(ledgerDst == ledgerSrc,
+      s"DsirMaintenance.retrain: carried $ledgerDst of $ledgerSrc ledger " +
+        s"rows — not publishing $gen")
+    val selSrc = spark.read
+      .parquet(IncrementalDsir.selectedPath(cur)).count()
+    val selDst = StoreMaintenance.compact(spark,
+      IncrementalDsir.selectedPath(cur),
+      IncrementalDsir.selectedPath(dest), numFiles)
+    require(selDst == selSrc,
+      s"DsirMaintenance.retrain: carried $selDst of $selSrc selected " +
+        s"rows — not publishing $gen")
+    StoreMaintenance.publishGeneration(spark, genRoot, gen)
+    dest
+  }
+
+  /** Measure-then-act: read the live generation's frozen table, score
+    * `docs` under it and under the candidate, retrain iff the achieved
+    * fractions drift apart by more than `threshold`. Below threshold the
+    * cost is two broadcast-join scans and no writes.
+    */
+  def maintain(
+      spark: SparkSession,
+      genRoot: String,
+      docs: DataFrame,
+      threshold: Double = DefaultFractionDriftThreshold,
+      numFiles: Int = 1): Report = {
+    val cur = currentRoot(spark, genRoot)
+    val frozen = IncrementalDsir.readRatioTable(
+      spark, IncrementalDsir.ratioPath(cur))
+    val fFrozen = achievedFraction(docs, frozen)
+    val fCand = achievedFraction(
+      docs, Dsir.ratioTable(Dsir.featureCounts(docs)))
+    if (math.abs(fFrozen - fCand) <= threshold)
+      Report(fFrozen, fCand, retrained = false, None)
+    else Report(fFrozen, fCand, retrained = true,
+      Some(retrain(spark, genRoot, docs, numFiles)))
+  }
+}
