@@ -198,6 +198,92 @@ object SkewSoak {
     val chunkJson =
       f""""chunk_membership":{"base_sec":${chunkSecs(0)}%.2f,"x10_sec":${chunkSecs(1)}%.2f,"time_growth":$chunkGrowth%.1f,"store_base":$chunkBaseN,"store_x10":${chunkBaseN * 10},"batch":$chunkBatch}"""
 
+    // PQ code-store membership leg: same history-free contract as
+    // ann_membership, pinned on the CODE store layout specifically
+    // (IncrementalPqIndex shares priorIds, but its store carries code
+    // columns, not vectors — the 6-byte rows a 10^10-vector index keeps
+    // hot).
+    val pqmBatch = 12
+    def pqMembershipSec(n: Long): Double = {
+      val root = java.nio.file.Files.createTempDirectory("soak-pqm").toString
+      spark.range(n).select(
+          col("id").as("vec_id") +:
+            (0 until graft.ops.Pq.NumSubspaces)
+              .map(m => (col("id") % 64).as(s"code_$m")) :+
+            (col("id") % 64).as("pq_code"): _*)
+        .write.parquet(s"$root/flat/batch=0")
+      val buckets = math.max(16, (n / 1500).toInt)
+      StoreMaintenance.compact(spark, s"$root/flat", s"$root/store",
+        numFiles = 32, bucketBy = Some(("vec_id", buckets)))
+      val batch = spark.range(pqmBatch.toLong)
+        .select((col("id") * (n / (pqmBatch + 1)) + 7).as("vec_id"))
+      def probe(): Long = batch.join(
+        IncrementalAnnIndex.priorIds(spark, s"$root/store", batch, -999L),
+        Seq("vec_id"), "left_anti").count()
+      probe() // warm: codegen + file-index caches, excluded
+      timed(probe())._1
+    }
+    val pqmBaseN = baseN * 30
+    val pqmSecs = Seq(pqmBaseN, pqmBaseN * 10).map(pqMembershipSec)
+    val pqmGrowth = pqmSecs(1) / pqmSecs(0)
+    val pqmJson =
+      f""""pq_membership":{"base_sec":${pqmSecs(0)}%.2f,"x10_sec":${pqmSecs(1)}%.2f,"time_growth":$pqmGrowth%.1f,"store_base":$pqmBaseN,"store_x10":${pqmBaseN * 10},"batch":$pqmBatch}"""
+
+    // IVFPQ hot-list leg: ids 1..15 are pure off-axis leaders, EVERYTHING
+    // else crowds list 0 — the degenerate corpus the occupancy cap exists
+    // for. Per query the candidates are bounded by nprobe × cap whatever
+    // the corpus size, so 10× the corpus must cost ≈10× (the linear
+    // assignment/encode scans and the n/50-query distance tables), never
+    // the ≈100× an uncapped hot list would.
+    def hotListVecs64(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"), expr(
+        """transform(sequence(0, 63), d -> CAST(
+          |  CASE WHEN id BETWEEN 1 AND 15 THEN IF(d = CAST(id AS INT), 1.0, 0.0)
+          |       ELSE IF(d = 0, 1.0, (pmod(hash(id, d), 201) - 100) * 0.0003)
+          |  END AS FLOAT))""".stripMargin.replaceAll("\n", " "))
+        .as("embedding"))
+    def ivfpqSec(n: Long): Double = {
+      val vecs = hotListVecs64(n).cache()
+      vecs.count()
+      val sec = timed(graft.ops.Pq.ivfpqTopK(vecs).count())._1
+      vecs.unpersist(blocking = false)
+      sec
+    }
+    ivfpqSec(500L) // warm: JIT + codegen caches, excluded
+    val ipqBaseN = baseN * 3
+    val ipqSecs = Seq(ipqBaseN, ipqBaseN * 10).map(ivfpqSec)
+    val ipqGrowth = ipqSecs(1) / ipqSecs(0)
+    val ipqJson =
+      f""""ivfpq_hotlist":{"base_sec":${ipqSecs(0)}%.2f,"x10_sec":${ipqSecs(1)}%.2f,"time_growth":$ipqGrowth%.1f,"base_n":$ipqBaseN,"x10_n":${ipqBaseN * 10}}"""
+
+    // Wide source-cap admission leg: one batch drawn from S distinct
+    // domains (3 docs each), each with prior spend — the spent relation
+    // is one row per touched source, so a forced broadcast would ship S
+    // rows to every task. With the AQE-sized join, 10× the sources must
+    // cost ≈10× (the batch itself is 10× bigger), never a
+    // broadcast-build stall.
+    def sourceCapSec(s: Long): Double = {
+      val batch = spark.range(s * 3).select(col("id").as("doc_id"),
+        concat(lit("dom"), col("id") % s).as("source"),
+        lit("t").as("text")).cache()
+      batch.count()
+      val spent = spark.range(s).select(
+        concat(lit("dom"), col("id")).as("source"),
+        lit(1L).as("n_spent")).cache()
+      spent.count()
+      val sec = timed(graft.streaming.IncrementalSourceCap
+        .admitBatch(batch, spent, cap = 2).nAdmitted)._1
+      batch.unpersist(blocking = false)
+      spent.unpersist(blocking = false)
+      sec
+    }
+    sourceCapSec(200L) // warm: JIT + codegen caches, excluded
+    val scBaseS = baseN * 3
+    val scSecs = Seq(scBaseS, scBaseS * 10).map(sourceCapSec)
+    val scGrowth = scSecs(1) / scSecs(0)
+    val scJson =
+      f""""source_cap_wide":{"base_sec":${scSecs(0)}%.2f,"x10_sec":${scSecs(1)}%.2f,"time_growth":$scGrowth%.1f,"base_sources":$scBaseS,"x10_sources":${scBaseS * 10}}"""
+
     // SemDeDup hot-list leg: every vector points near one axis, so the
     // whole corpus lands in ONE IVF list — the degenerate corpus the
     // occupancy cap and the id-width two-phase head election exist for.
@@ -272,6 +358,11 @@ object SkewSoak {
       ("ann_membership" -> (annGrowth < 4.0)) :+
       ("curation_band_probe" -> (curGrowth < 4.0)) :+
       ("chunk_membership" -> (chunkGrowth < 4.0)) :+
+      ("pq_membership" -> (pqmGrowth < 4.0)) :+
+      // linear bars: capped candidates (ivfpq) and an AQE-sized join over
+      // a batch that itself grew 10× (source cap)
+      ("ivfpq_hotlist" -> (ipqGrowth < 30.0)) :+
+      ("source_cap_wide" -> (scGrowth < 30.0)) :+
       // linear bar, same rationale as the capped pair joins: the one-list
       // corpus is 10× the members through a members × cap candidate join
       ("semdedup_hotlist" -> (sdGrowth < 30.0)) :+
@@ -279,7 +370,7 @@ object SkewSoak {
       // eval set — superlinear growth means the probe side stopped
       // broadcasting or candidates stopped being per-row bounded
       ("decontam_probe" -> (dcGrowth < 30.0))
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$sdJson,$dcJson,"linear":${verdicts.forall(_._2)}}""")
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>

@@ -27,7 +27,9 @@ import graft.ops.{Portable, Sampling}
   *    across batches — reading it is touched-bucket pruned to the batch's
   *    own sources, so per-batch I/O scales with the batch's source set,
   *    never with the corpus-wide domain count (unbounded at crawl scale).
-  *    Batch-dir growth is folded by [[StoreMaintenance.compact]].
+  *    Batch-dir growth is folded by [[compactCounts]] (delta-summing, one
+  *    row per source); the decided/corpus stores fold through
+  *    [[StoreMaintenance.compact]].
   *  - DECIDED: every seen doc_id (admitted or dropped), id-bucketed — the
   *    first-write-wins re-crawl guard. Dropped ids must be covered too:
   *    a re-crawl of a dropped document stays dropped (its source's cap
@@ -39,7 +41,8 @@ import graft.ops.{Portable, Sampling}
   * [[Sampling.sourceCap]] exactly — pinned in the spec): rank per source
   * by `(cap_hash, doc_id)`, shed to `cap` via a rank-limit the optimizer
   * runs as a two-phase WindowGroupLimit, then admit
-  * `rank ≤ cap − already_spent` against the broadcast count relation.
+  * `rank ≤ cap − already_spent` against the count relation (AQE-sized
+  * join — see [[admitBatch]]).
   */
 object IncrementalSourceCap {
 
@@ -88,6 +91,48 @@ object IncrementalSourceCap {
           .filter(col("batch").cast("long") =!= excludeBatchId)
           .groupBy("source").agg(sum("n_admitted").as("n_spent"))
     }
+  }
+
+  /** Fold the counts store's per-batch deltas into ONE summed delta per
+    * source at `batch=-1` under `destPath` (fresh — a crashed compaction's
+    * partial leavings fail fast, the [[StoreMaintenance.compact]]
+    * contract), re-bucketed by the store's own `xxhash64(source)` key —
+    * [[StoreMaintenance.compact]] buckets on a raw column and would place
+    * the rows where [[spentBudget]]'s touched-bucket probe never looks.
+    * The spent-budget read SUMS deltas, so the fold is exact; sum
+    * preservation is verified before the marker lands. Returns the folded
+    * row count (one per source ever admitted).
+    */
+  def compactCounts(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      numFiles: Int,
+      buckets: Option[Int] = None): Long = {
+    require(numFiles > 0,
+      s"compactCounts: numFiles must be positive, got $numFiles")
+    val n = buckets
+      .orElse(IncrementalAnnIndex.bucketCount(spark, srcPath))
+      .getOrElse(NumSourceBuckets)
+    val src = spark.read.parquet(srcPath).drop("batch", "id_bucket")
+    val srcSum = src.agg(coalesce(sum("n_admitted"), lit(0L)))
+      .collect().head.getLong(0)
+    src.groupBy("source").agg(sum("n_admitted").as("n_admitted"))
+      .withColumn("id_bucket",
+        IncrementalAnnIndex.idBucket(xxhash64(col("source")), n))
+      .repartition(numFiles, col("id_bucket"))
+      .write.mode("errorifexists").partitionBy("id_bucket")
+      .parquet(s"$destPath/batch=${StoreMaintenance.CompactedBatch}")
+    val dst = spark.read.parquet(destPath)
+    val dstSum = dst.agg(coalesce(sum("n_admitted"), lit(0L)))
+      .collect().head.getLong(0)
+    require(dstSum == srcSum,
+      s"compactCounts: folded budget $dstSum of $srcSum — aborting " +
+        s"before the marker write; delete $destPath and retry")
+    // marker LAST: marker-present ⇒ data-present (the house ordering)
+    StoragePaths.writeSmallFile(spark,
+      s"$destPath/${IncrementalAnnIndex.IdBucketsMarker}", n.toString)
+    dst.count()
   }
 
   private val IdSchema = StructType(Seq(StructField("doc_id", LongType)))
@@ -146,8 +191,15 @@ object IncrementalSourceCap {
       .withColumn("src_rank", row_number().over(
         Window.partitionBy("source").orderBy("cap_hash", "doc_id")))
       .filter(col("src_rank") <= cap)
+    // no broadcast hint on the spent relation: it is one row per TOUCHED
+    // source — bounded by the batch, but a wide crawl batch drawn from
+    // millions of distinct domains would ship millions of rows to every
+    // task under a forced broadcast. AQE sees the actual relation size at
+    // runtime and broadcasts exactly when it is small; above the
+    // threshold the join rides the ranked side's existing source
+    // partitioning
     val admitted = ranked
-      .join(broadcast(spent), Seq("source"), "left")
+      .join(spent, Seq("source"), "left")
       .filter(col("src_rank") <= lit(cap.toLong) -
         coalesce(col("n_spent"), lit(0L)))
       .drop("cap_hash", "src_rank", "n_spent")

@@ -126,6 +126,72 @@ class IncrementalSourceCapSpec extends SparkSpec {
       s"replay must reproduce the committed admissions")
   }
 
+  test("compaction folds the delta stores; budget reads and replays agree") {
+    import graft.streaming.{IncrementalAnnIndex, StoreMaintenance}
+    val (landing, ckpt, root) = dirs()
+    land(landing, "b1.parquet",
+      (1L to 4L).map(row(_, "a")) :+ row(20L, "b"))
+    IncrementalSourceCap.run(
+      spark, landing.toString, ckpt, root, docSchema, cap = 2)
+    land(landing, "b2.parquet",
+      Seq(row(5L, "a"), row(21L, "b"), row(30L, "c"), row(31L, "c")))
+    val out = IncrementalSourceCap.run(
+      spark, landing.toString, ckpt, root, docSchema, cap = 2)
+    val beforeIds = corpusIds(out)
+    val probe = spark.createDataFrame(
+      Seq(row(0L, "a"), row(0L, "b"), row(0L, "c")).asJava, docSchema)
+      .select("source")
+    val allIds = spark.range(0L, 40L).toDF("doc_id")
+    def spentMap(r: String) = IncrementalSourceCap
+      .spentBudget(spark, r, probe, excludeBatchId = 99L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    def priorSet(r: String) = IncrementalSourceCap
+      .priorDocIds(spark, r, allIds, excludeBatchId = 99L)
+      .collect().map(_.getLong(0)).toSet
+    val beforeSpent = spentMap(root)
+    val beforePrior = priorSet(root)
+    assert(beforeSpent == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+
+    // fold every store into a fresh root: counts delta-summed (the
+    // store's own double-hash bucket key), decided re-bucketed, corpus
+    // plain
+    val root2 = Files.createTempDirectory("isc-root2").toString + "/cap"
+    val foldedRows = IncrementalSourceCap.compactCounts(spark,
+      IncrementalSourceCap.countsPath(root),
+      IncrementalSourceCap.countsPath(root2), numFiles = 1)
+    assert(foldedRows == 3L, "one summed delta per source ever admitted")
+    val db = IncrementalAnnIndex.bucketCount(
+      spark, IncrementalSourceCap.decidedPath(root)).get
+    StoreMaintenance.compact(spark,
+      IncrementalSourceCap.decidedPath(root),
+      IncrementalSourceCap.decidedPath(root2), 1,
+      bucketBy = Some(("doc_id", db)))
+    StoreMaintenance.compact(spark,
+      IncrementalSourceCap.corpusPath(root),
+      IncrementalSourceCap.corpusPath(root2), 1)
+
+    // the budget and re-crawl reads agree before/after, and the folded
+    // batch=-1 rows survive a live batch id's own-partition exclusion
+    assert(spentMap(root2) == beforeSpent)
+    assert(priorSet(root2) == beforePrior)
+    assert(IncrementalSourceCap.spentBudget(spark, root2, probe, 0L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      == beforeSpent,
+      "excluding a live batch id must never exclude the compacted rows")
+
+    // fresh-checkpoint replay of the full history against the compacted
+    // root: first-write-wins holds ACROSS compaction — nothing re-enters,
+    // nothing re-spends
+    val ckpt2 = Files.createTempDirectory("isc-ckpt2").toString + "/c"
+    val replayed = IncrementalSourceCap.run(
+      spark, landing.toString, ckpt2, root2, docSchema, cap = 2)
+    assert(corpusIds(replayed) == beforeIds)
+    assert(replayed.groupBy("doc_id").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(spentMap(root2) == beforeSpent,
+      "a replay across compaction must not re-spend budget")
+  }
+
   test("budget reads prune to the batch's touched source buckets") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val (landing, ckpt, root) = dirs()
