@@ -406,28 +406,48 @@ object Pq {
     // PQ side: score the pruned candidates only. Distance tables are
     // built from the QUERY SLICE — building them from the full corpus
     // would broadcast an N-proportional relation per subspace
-    val (joined, adc, _) =
+    val ranked =
       if (byResidual) {
         val leadersDf = Similarity.ivfLeaders(emb)
-        val codes = residualCodesFor(assign, emb, leadersDf, book)
-        val dtab = residualDistanceTable(
-          cand.select("query_id", "list_id").distinct(), queries,
-          leadersDf, book)
-        adcJoin(cand.join(codes, Seq("vec_id", "list_id")), dtab,
-          Some("query_id"), Some("list_id"))
+        residualAdcRank(cand,
+          residualCodesFor(assign, emb, leadersDf, book),
+          queries, leadersDf, book, k)
       } else {
-        adcJoin(cand.join(codesWith(emb, book), Seq("vec_id")),
-          distanceTable(queries, book), Some("query_id"))
+        val (joined, adc, _) =
+          adcJoin(cand.join(codesWith(emb, book), Seq("vec_id")),
+            distanceTable(queries, book), Some("query_id"))
+        rankAdc(joined, adc, k)
       }
-    Dedup.materializeFreeing(
-      joined
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          adc.as("adc_dist"))
-        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("adc_dist").asc, col("neighbor_id"))))
-        .filter(col("rank") <= k),
-      assign)
+    Dedup.materializeFreeing(ranked, assign)
   }
+
+  /** Residual ADC scoring + per-query rank over an EXPLICIT candidate
+    * relation `(query_id, list_id, vec_id)` and residual code relation —
+    * ONE construction shared by [[ivfpqTopK]] and the incremental store
+    * search ([[graft.streaming.IncrementalIvfPqIndex.searchStore]]), so
+    * the two paths cannot drift: only candidate GENERATION differs (the
+    * batch operator's shared probe relation vs the store's capped lists).
+    */
+  private[graft] def residualAdcRank(cand: DataFrame, codes: DataFrame,
+      queries: DataFrame, leadersDf: DataFrame, book: Seq[CodebookEntry],
+      k: Int): DataFrame = {
+    val dtab = residualDistanceTable(
+      cand.select("query_id", "list_id").distinct(), queries,
+      leadersDf, book)
+    val (joined, adc, _) =
+      adcJoin(cand.join(codes, Seq("vec_id", "list_id")), dtab,
+        Some("query_id"), Some("list_id"))
+    rankAdc(joined, adc, k)
+  }
+
+  private def rankAdc(joined: DataFrame,
+      adc: org.apache.spark.sql.Column, k: Int): DataFrame =
+    joined
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc_dist"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc_dist").asc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
 
   /** Recall floors for [[adcRecallGate]], in millionths. Loose by design
     * (see [[CodebookSize]] — the synthetic corpus is PQ's worst case):

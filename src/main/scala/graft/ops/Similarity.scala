@@ -346,6 +346,24 @@ object Similarity {
     * plus the PERSISTED assignment leg; the caller must free it via
     * [[Dedup.materializeFreeing]] once its result materializes.
     */
+  /** The `(query_id, list_id)` probe relation: each query's [[NProbe]]
+    * max-cosine lists under an explicit centroid set — ONE construction
+    * shared by [[ivfProbeCandidates]] and the incremental IVFPQ store
+    * search ([[graft.streaming.IncrementalIvfPqIndex]]), so a store probe
+    * ranks lists exactly as the batch operator does. `queries` must carry
+    * `(vec_id, embedding, norm)` (see [[withNorms]]).
+    */
+  private[graft] def probeLists(queries: DataFrame, cents: DataFrame): DataFrame =
+    queries
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("list_id"),
+        (expr(Dedup.dot("embedding", "lvec")) / (col("norm") * col("lnorm")))
+          .as("probe_cos"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("probe_cos").desc, col("list_id"))))
+      .filter(col("rnk") <= NProbe)
+      .select("query_id", "list_id")
+
   private[graft] def ivfProbeCandidates(emb: DataFrame, kmeansIters: Int = 0,
       maxListOccupancy: Int = MaxListOccupancy): (DataFrame, DataFrame) = {
     val e = withNorm(emb)
@@ -361,15 +379,7 @@ object Similarity {
       .select("vec_id", "list_id")
       .persist()
     assign.count() // eager: probed by both the query and candidate legs
-    val probes = e.filter(col("vec_id") % QueryStride === 0)
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id").as("query_id"), col("list_id"),
-        (expr(Dedup.dot("embedding", "lvec")) / (col("norm") * col("lnorm")))
-          .as("probe_cos"))
-      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("probe_cos").desc, col("list_id"))))
-      .filter(col("rnk") <= NProbe)
-      .select("query_id", "list_id")
+    val probes = probeLists(e.filter(col("vec_id") % QueryStride === 0), cents)
     // cand carries the probed list_id: each vector belongs to exactly one
     // list (assignment rnk = 1) so the pair set is unchanged, and the
     // IVFPQ residual path needs the list to pick the right per-(query,

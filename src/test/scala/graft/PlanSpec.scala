@@ -273,6 +273,18 @@ class PlanSpec extends SparkSpec {
     assert(!ns.contains("SortMergeJoin"), ns)
   }
 
+  test("residual code store: leaders broadcast, one id-keyed join at most") {
+    // the residual encode pays one genuine corpus-self join (assignment ⋈
+    // vector fetch, both vec_id-keyed — co-partitionable at any scale);
+    // the 16-row leader relation must ride broadcasts on BOTH uses
+    // (assignment ranking and the lvec subtraction), and nothing else may
+    // shuffle-join
+    val q = graft.ops.Pq.ivfpqCodes(T.table(spark, sf, "embeddings"))
+    val ns = nodes(q)
+    assert(ns.contains("BroadcastNestedLoopJoin"), ns) // leaders crossJoin
+    assert(ns.count(_ == "SortMergeJoin") <= 1, ns)
+  }
+
   test("IVFPQ candidate generation broadcasts leaders, carries no vectors") {
     // ivfpqTopK's own output plan is checkpoint-flattened
     // (materializeFreeing — the semDedup situation), so its two legs are
