@@ -422,6 +422,18 @@ object SparkEntry {
     "quality_report" -> ((s, dir) =>
       graft.quality.DataQuality.report(fctMomentum(s, dir),
         graft.quality.DataQuality.fctTests)),
+    "quality_nb_model" -> ((s, dir) =>
+      QualityClassifier.modelTable(T.table(s, dir, "documents"))),
+    "quality_nb_score" -> ((s, dir) =>
+      QualityClassifier.score(T.table(s, dir, "documents"))),
+    "quality_nb_select" -> ((s, dir) =>
+      QualityClassifier.select(T.table(s, dir, "documents"))),
+    "quality_nb_summary" -> ((s, dir) =>
+      QualityClassifier.summary(T.table(s, dir, "documents"))),
+    "curate_pack_bins" -> ((s, dir) =>
+      Packing.packBins(T.table(s, dir, "documents"))),
+    "curate_pack_stats" -> ((s, dir) =>
+      Packing.stats(T.table(s, dir, "documents"))),
     "sql_sector_momentum" -> ((s, dir) => {
       registerMartViews(s, dir)
       s.sql(sectorMomentumSql)
@@ -729,5 +741,11 @@ object SparkEntry {
       .map { case (n, sql) =>
         s"SELECT '$n' AS test_name, ($sql) AS n_violations"
       }.mkString("\nUNION ALL\n")),
+    "quality_nb_model" -> OO.QUALITY_NB_MODEL,
+    "quality_nb_score" -> OO.QUALITY_NB_SCORE,
+    "quality_nb_select" -> OO.QUALITY_NB_SELECT,
+    "quality_nb_summary" -> OO.QUALITY_NB_SUMMARY,
+    "curate_pack_bins" -> OO.CURATE_PACK_BINS,
+    "curate_pack_stats" -> OO.CURATE_PACK_STATS,
   )
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Portable._
+
+/** Sequence packing — the "example packing" stage between curation and the
+  * trainer (T5, Raffel et al. 2020 §2.2; every GPT-style pretraining stack
+  * ships one): concatenate documents into fixed-token-budget training
+  * sequences so the trainer sees dense batches instead of one padded
+  * document per row.
+  *
+  * Exact first-fit bin packing is a sequential scan — a single stateful
+  * pass no engine parallelizes. The distributed spelling here is
+  * BOUNDED-OVERFLOW CONTIGUOUS packing:
+  *
+  *  1. hash-shard documents into [[Shards]] independent streams (the
+  *     parallel unit — one window partition each, never a global sort);
+  *  2. within a shard, order by `doc_id` and take the running token sum;
+  *  3. a document lands in the bin where its span STARTS:
+  *     `bin = floor((cum − n_tokens) / budget)`.
+  *
+  * Every bin then holds ≤ budget + (max document tokens − 1): a document
+  * that straddles a boundary overflows its bin by less than its own length,
+  * and [[stats]] reports exactly how many bins overflow and by how much —
+  * the fill/waste calibration surface. This is the standard trade: exact
+  * packing is O(corpus) sequential; bounded-overflow packing is one
+  * partitioned window, and the trainer's loader clips or wraps the tail
+  * tokens of an overflowing bin (the T5 "pack then split" recipe).
+  *
+  * Scale sizing: [[Shards]] is the knob a 100 TB run sets to
+  * `corpus_tokens / tokens_per_shard_target` so one shard's id+length rows
+  * (16 B/doc — the window never carries text) fit one task comfortably;
+  * the fixture default keeps a few hundred docs per shard at sf0.01. The
+  * window carries ONLY (doc_id, n_tokens) — text is projected away before
+  * the shuffle, so the sort pays id-width bytes, not corpus bytes.
+  *
+  * Reference scope: the reference pipeline stops at mart tables; packing is
+  * part of the LLM-training-data extension surface.
+  */
+object Packing {
+
+  /** Token budget per packed sequence (a 2k-context trainer row). */
+  val Budget = 2048
+  /** Hash shards — the independent packing streams (see scale sizing). */
+  val Shards = 8
+
+  /** `(doc_id, shard, n_tokens)` — whitespace token counts (the
+    * [[TextAnalysis]] convention) and the md5 shard assignment. Text is
+    * dropped HERE, before any shuffle.
+    */
+  private[graft] def sized(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
+      s"${hexcastSpark("concat('pack:', CAST(doc_id AS STRING))")} % $Shards AS shard",
+      s"CAST(size($tokensSpark) AS BIGINT) AS n_tokens")
+
+  /** Packed assignment `(doc_id, shard, n_tokens, bin, bin_offset)`:
+    * `bin` is the shard-local sequence index, `bin_offset` the token
+    * position where this document starts inside its bin (an overflowing
+    * predecessor pushes it past `Budget` − that is the documented overflow,
+    * visible in [[stats]]).
+    */
+  def packBins(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized(docs)
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")) / Budget).cast("long"))
+      .withColumn("bin_offset",
+        (col("cum_tokens") - col("n_tokens")) - col("bin") * Budget)
+      .select("doc_id", "shard", "n_tokens", "bin", "bin_offset")
+  }
+
+  /** Fill/waste calibration surface, one row per shard:
+    * `(shard, n_docs, n_bins, total_tokens, max_bin_tokens,
+    * overflow_bins)` — `overflow_bins` counts bins whose contents exceed
+    * [[Budget]] (each by less than one document's length, by
+    * construction). Order-independent aggregates only.
+    */
+  def stats(docs: DataFrame): DataFrame =
+    packBins(docs)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("bin_docs"), sum("n_tokens").as("bin_tokens"))
+      .groupBy("shard")
+      .agg(
+        sum("bin_docs").as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum("bin_tokens").as("total_tokens"),
+        max("bin_tokens").as("max_bin_tokens"),
+        sum(when(col("bin_tokens") > Budget, 1L).otherwise(0L))
+          .as("overflow_bins"))
+}

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.QualityClassifier
+
+/** The recalibration loop for [[IncrementalQualityFilter]]'s frozen NB
+  * model — [[PqMaintenance]]'s measure-then-act policy applied to
+  * model-based quality filtering: the model freezes the (seed, crawl)
+  * estimate at bootstrap, so a crawl whose vocabulary mix drifts is scored
+  * against statistics that no longer describe it — the achieved admission
+  * fraction slides away from what the same τ admits under current
+  * statistics, and nothing fails loudly.
+  *
+  * The policy is a DIRECT counterfactual, no proxy metric: score the
+  * current labeled corpus window (the source of record) under the LIVE
+  * frozen model and under a CANDIDATE model trained on that same window,
+  * and compare the two achieved admission fractions. Drift beyond
+  * `threshold` trips [[retrain]]: the candidate model is written into the
+  * next generation with the scoring ledger and admitted stream carried
+  * (decisions already made stay made — only FUTURE batches score under
+  * the new model), row-count verified, and published behind the atomic
+  * `_current` pointer. The stream re-enters on the new generation under a
+  * fresh checkpoint; [[IncrementalQualityFilter.run]]'s bootstrap guard
+  * sees the model store and adopts it.
+  */
+object QualityFilterMaintenance {
+
+  /** Retrain when the achieved admission fraction under the frozen model
+    * differs from the candidate model's by more than this (absolute).
+    */
+  val DefaultFractionDriftThreshold = 0.10
+
+  final case class Report(
+      frozenFraction: Double,
+      candidateFraction: Double,
+      retrained: Boolean,
+      generation: Option[String])
+
+  /** The live generation's path — a full [[IncrementalQualityFilter]]
+    * root.
+    */
+  def currentRoot(spark: SparkSession, genRoot: String): String =
+    StoreMaintenance.resolveCurrent(spark, genRoot)
+
+  /** Adopt a flat [[IncrementalQualityFilter]] root into the generation
+    * layout, publishing generation 0 atomically.
+    */
+  def adopt(
+      spark: SparkSession,
+      genRoot: String,
+      flatRoot: String,
+      numFiles: Int = 1): String = {
+    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
+    val dest = s"$genRoot/$gen"
+    spark.read.parquet(IncrementalQualityFilter.modelPath(flatRoot))
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(IncrementalQualityFilter.modelPath(dest))
+    spark.read.parquet(IncrementalQualityFilter.priorPath(flatRoot))
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(IncrementalQualityFilter.priorPath(dest))
+    StoreMaintenance.compact(spark,
+      IncrementalQualityFilter.ledgerPath(flatRoot),
+      IncrementalQualityFilter.ledgerPath(dest), numFiles)
+    StoreMaintenance.compact(spark,
+      IncrementalQualityFilter.admittedPath(flatRoot),
+      IncrementalQualityFilter.admittedPath(dest), numFiles)
+    StoreMaintenance.publishGeneration(spark, genRoot, gen)
+    dest
+  }
+
+  /** The achieved admission fraction of `docs` under an explicit model —
+    * one aggregate over the shared scoring path, no global rank.
+    */
+  def achievedFraction(docs: DataFrame, model: DataFrame,
+      prior: DataFrame): Double = {
+    val r = IncrementalQualityFilter.scoreBatch(docs, model, prior)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("sel"))
+      .collect().head
+    if (r.getLong(0) == 0L) 0.0
+    else r.getLong(1).toDouble / r.getLong(0)
+  }
+
+  /** Recalibrate: write the candidate model (trained on `docs`, the
+    * current labeled corpus window) into the next generation, carry the
+    * ledger and admitted stream with row-count verification, publish
+    * atomically. Returns the new generation's path.
+    */
+  def retrain(
+      spark: SparkSession,
+      genRoot: String,
+      docs: DataFrame,
+      numFiles: Int = 1): String = {
+    val cur = currentRoot(spark, genRoot)
+    val model = QualityClassifier.modelTable(docs)
+    require(!model.isEmpty,
+      "QualityFilterMaintenance.retrain: the current corpus produced an " +
+        "empty model — nothing to recalibrate against")
+    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
+    val dest = s"$genRoot/$gen"
+    IncrementalQualityFilter.writeModel(
+      model, QualityClassifier.priorRow(docs), dest)
+    // verify every carried store before the pointer moves: a lossy ledger
+    // carry silently truncates the audit history; a lossy admitted carry
+    // drops admitted documents
+    val ledgerSrc = spark.read
+      .parquet(IncrementalQualityFilter.ledgerPath(cur)).count()
+    val ledgerDst = StoreMaintenance.compact(spark,
+      IncrementalQualityFilter.ledgerPath(cur),
+      IncrementalQualityFilter.ledgerPath(dest), numFiles)
+    require(ledgerDst == ledgerSrc,
+      s"QualityFilterMaintenance.retrain: carried $ledgerDst of " +
+        s"$ledgerSrc ledger rows — not publishing $gen")
+    val admSrc = spark.read
+      .parquet(IncrementalQualityFilter.admittedPath(cur)).count()
+    val admDst = StoreMaintenance.compact(spark,
+      IncrementalQualityFilter.admittedPath(cur),
+      IncrementalQualityFilter.admittedPath(dest), numFiles)
+    require(admDst == admSrc,
+      s"QualityFilterMaintenance.retrain: carried $admDst of $admSrc " +
+        s"admitted rows — not publishing $gen")
+    StoreMaintenance.publishGeneration(spark, genRoot, gen)
+    dest
+  }
+
+  /** Measure-then-act: read the live generation's frozen model, score
+    * `docs` under it and under the candidate, retrain iff the achieved
+    * fractions drift apart by more than `threshold`. Below threshold the
+    * cost is two broadcast-join scans and no writes.
+    */
+  def maintain(
+      spark: SparkSession,
+      genRoot: String,
+      docs: DataFrame,
+      threshold: Double = DefaultFractionDriftThreshold,
+      numFiles: Int = 1): Report = {
+    val cur = currentRoot(spark, genRoot)
+    val (model, prior) = IncrementalQualityFilter.readModel(spark, cur)
+    val fFrozen = achievedFraction(docs, model, prior)
+    val fCand = achievedFraction(docs,
+      QualityClassifier.modelTable(docs), QualityClassifier.priorRow(docs))
+    if (math.abs(fFrozen - fCand) <= threshold)
+      Report(fFrozen, fCand, retrained = false, None)
+    else Report(fFrozen, fCand, retrained = true,
+      Some(retrain(spark, genRoot, docs, numFiles)))
+  }
+}

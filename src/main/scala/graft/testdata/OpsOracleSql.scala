@@ -1620,4 +1620,132 @@ object OpsOracleSql {
        |$curAuditChain
        |SELECT lang, $curFunnelCounters
        |FROM cur_audit GROUP BY lang""".stripMargin
+
+  // ---- NB quality classifier (graft.ops.QualityClassifier) ----
+
+  private val NbB = graft.ops.QualityClassifier.Buckets
+  private val NbMicro = graft.ops.QualityClassifier.Micro
+  private val NbTau = graft.ops.QualityClassifier.SelectTauMicro
+  private val NbSeed = graft.ops.QualityClassifier.SeedSource
+
+  /** Mirrors [[graft.ops.QualityClassifier.modelTable]]: hashed
+    * `q:`-prefixed unigram buckets, per-class token totals, add-1-smoothed
+    * seed/crawl log-odds integerized at 1e6.
+    */
+  private val nbModelChain: String =
+    s"""nb_tok AS (
+       |  SELECT doc_id, source, ${hexcastDuck("'q:' || tok")} % $NbB AS bucket
+       |  FROM (SELECT doc_id, source, unnest($tokensDuck) AS tok
+       |        FROM documents)),
+       |nb_feat AS (
+       |  SELECT doc_id, source, bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM nb_tok GROUP BY 1, 2, 3),
+       |nb_pb AS (
+       |  SELECT bucket,
+       |         CAST(COALESCE(sum(CASE WHEN source = '$NbSeed' THEN n END), 0) AS BIGINT) AS n_seed,
+       |         CAST(COALESCE(sum(CASE WHEN source <> '$NbSeed' THEN n END), 0) AS BIGINT) AS n_crawl
+       |  FROM nb_feat GROUP BY 1),
+       |nb_tot AS (
+       |  SELECT CAST(sum(n_seed) AS BIGINT) AS tot_seed,
+       |         CAST(sum(n_crawl) AS BIGINT) AS tot_crawl
+       |  FROM nb_pb),
+       |nb_model AS (
+       |  SELECT bucket, n_seed, n_crawl,
+       |         CAST(floor((ln(CAST(n_seed + 1 AS DOUBLE) / (tot_seed + $NbB))
+       |           - ln(CAST(n_crawl + 1 AS DOUBLE) / (tot_crawl + $NbB))) * $NbMicro) AS BIGINT) AS w_micro
+       |  FROM nb_pb CROSS JOIN nb_tot)""".stripMargin
+
+  /** Mirrors [[graft.ops.QualityClassifier.score]]: exact integer Σ n·w
+    * plus the document-count class prior.
+    */
+  private val nbScoreChain: String =
+    s"""$nbModelChain,
+       |nb_prior AS (
+       |  SELECT CAST(floor(ln(CAST(n_docs_seed + 1 AS DOUBLE)
+       |           / (n_docs_crawl + 1)) * $NbMicro) AS BIGINT) AS prior_micro
+       |  FROM (
+       |    SELECT CAST(COALESCE(sum(CASE WHEN source = '$NbSeed' THEN 1 END), 0) AS BIGINT) AS n_docs_seed,
+       |           CAST(COALESCE(sum(CASE WHEN source <> '$NbSeed' THEN 1 END), 0) AS BIGINT) AS n_docs_crawl
+       |    FROM documents)),
+       |nb_score AS (
+       |  SELECT d.doc_id,
+       |         CAST(COALESCE(f.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |         CAST(COALESCE(f.lk, 0) AS BIGINT) AS like_micro,
+       |         CAST(COALESCE(f.lk, 0) + p.prior_micro AS BIGINT) AS score_micro
+       |  FROM documents d
+       |  CROSS JOIN nb_prior p
+       |  LEFT JOIN (
+       |    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |           CAST(sum(n * w_micro) AS BIGINT) AS lk
+       |    FROM nb_feat JOIN nb_model USING (bucket) GROUP BY 1) f
+       |  USING (doc_id))""".stripMargin
+
+  val QUALITY_NB_MODEL: String =
+    s"WITH $nbModelChain\nSELECT bucket, n_seed, n_crawl, w_micro FROM nb_model"
+
+  val QUALITY_NB_SCORE: String =
+    s"WITH $nbScoreChain\nSELECT doc_id, n_tokens, like_micro, score_micro FROM nb_score"
+
+  val QUALITY_NB_SELECT: String =
+    s"""WITH $nbScoreChain
+       |SELECT doc_id, n_tokens, like_micro, score_micro
+       |FROM nb_score
+       |WHERE n_tokens >= 1 AND like_micro >= $NbTau * n_tokens""".stripMargin
+
+  // ---- sequence packing (graft.ops.Packing) ----
+
+  private val PackBudget = graft.ops.Packing.Budget
+  private val PackShards = graft.ops.Packing.Shards
+
+  /** Mirrors [[graft.ops.Packing.packBins]]: md5 shard, per-shard running
+    * token sum ordered by doc_id, bin = floor(span-start / budget).
+    */
+  private val packChain: String =
+    s"""pk_sized AS (
+       |  SELECT doc_id,
+       |         ${hexcastDuck("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard,
+       |         CAST(len($tokensDuck) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |pk_cum AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM pk_sized),
+       |pk_bins AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         CAST(floor((cum_tokens - n_tokens) / $PackBudget) AS BIGINT) AS bin,
+       |         CAST((cum_tokens - n_tokens)
+       |           - CAST(floor((cum_tokens - n_tokens) / $PackBudget) AS BIGINT) * $PackBudget
+       |           AS BIGINT) AS bin_offset
+       |  FROM pk_cum)""".stripMargin
+
+  val CURATE_PACK_BINS: String =
+    s"WITH $packChain\nSELECT doc_id, shard, n_tokens, bin, bin_offset FROM pk_bins"
+
+  /** Mirrors [[graft.ops.Packing.stats]]. */
+  val CURATE_PACK_STATS: String =
+    s"""WITH $packChain,
+       |pk_per_bin AS (
+       |  SELECT shard, bin, CAST(count(*) AS BIGINT) AS bin_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |  FROM pk_bins GROUP BY 1, 2)
+       |SELECT shard,
+       |       CAST(sum(bin_docs) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_bins,
+       |       CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+       |       CAST(sum(CASE WHEN bin_tokens > $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS overflow_bins
+       |FROM pk_per_bin GROUP BY shard""".stripMargin
+
+  /** Mirrors [[graft.ops.QualityClassifier.summary]]. */
+  val QUALITY_NB_SUMMARY: String =
+    s"""WITH $nbScoreChain
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN n_tokens >= 1 AND like_micro >= $NbTau * n_tokens
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |       CAST(min(like_micro) AS BIGINT) AS min_like_micro,
+       |       CAST(max(like_micro) AS BIGINT) AS max_like_micro
+       |FROM nb_score JOIN documents USING (doc_id)
+       |GROUP BY source""".stripMargin
 }

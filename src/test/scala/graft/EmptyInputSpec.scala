@@ -48,6 +48,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(Curation.rowAudit(d).count() == 0)
     assert(Sampling.stratifiedSample(d).count() == 0)
     assert(Sampling.targetAssign(d, 10L).count() == 0)
+    val ds = d.withColumn("source", lit("s"))
+    assert(QualityClassifier.score(ds).count() == 0)
+    assert(QualityClassifier.select(ds).count() == 0)
+    assert(QualityClassifier.summary(ds).count() == 0)
+    assert(Packing.packBins(d).count() == 0)
+    assert(Packing.stats(d).count() == 0)
     val audited = Curation.audit(d, Dedup.minhashDupClusters(d))
     assert(audited.count() == 0)
     assert(Curation.corpus(d.withColumn("source", lit("s"))

@@ -332,4 +332,36 @@ class PlanSpec extends SparkSpec {
     val ns = nodes(graft.ops.Dsir.weights(T.table(spark, sf, "documents")))
     assert(ns.contains("BroadcastHashJoin"), ns)
   }
+
+  test("NB classifier score joins model and prior as broadcasts") {
+    // the ≤1024-row model is the broadcast constant (same contract as the
+    // DSIR ratio table); the 1-row prior rides a nested-loop cross join
+    val ns = nodes(
+      graft.ops.QualityClassifier.score(T.table(spark, sf, "documents")))
+    assert(ns.contains("BroadcastHashJoin"), ns)
+    assert(ns.contains("BroadcastNestedLoopJoin"), ns)
+  }
+
+  test("sequence packing: one shard shuffle, local sort only, no text carried") {
+    import org.apache.spark.sql.execution.SortExec
+    spark.catalog.clearCache()
+    val df = graft.ops.Packing.packBins(T.table(spark, sf, "documents"))
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    // the window sorts WITHIN shard partitions — a global sort here would
+    // funnel the corpus through one range-partitioned ordering
+    assert(p.collect { case s: SortExec if s.global => s }.isEmpty,
+      p.toString)
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1, p.toString)
+    // text is projected away before the shuffle: the exchange carries
+    // id-width rows, never the corpus bytes
+    assert(!exchanges.head.child.output.map(_.name).contains("text"),
+      exchanges.head.child.output.map(_.name).mkString(","))
+  }
 }
