@@ -335,6 +335,31 @@ object SkewSoak {
     val dcJson =
       f""""decontam_probe":{"base_sec":${dcSecs(0)}%.2f,"x10_sec":${dcSecs(1)}%.2f,"time_growth":$dcGrowth%.1f,"base_n":$dcBaseN,"x10_n":${dcBaseN * 10},"eval_n":$dcEval}"""
 
+    // Sequence-packing sizing leg: the scaladoc's deployment rule is
+    // shards ∝ corpus (fixed tokens per shard). Grow the corpus 10× WITH
+    // 10× the shards: per-shard window work is then constant and the whole
+    // operator must cost ≈10× (one id-width shuffle), never a
+    // per-shard-sort blowup. Docs carry ~12 tokens each.
+    def packDocs(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 12).map(j => concat(lit(s"w${j}t"), col("id") % 101)): _*)
+          .as("text"))
+    def packSec(n: Long, shards: Int): Double = {
+      val docs = packDocs(n).cache()
+      docs.count()
+      val sec = timed(graft.ops.Packing.packBins(docs, shards).count())._1
+      docs.unpersist(blocking = false)
+      sec
+    }
+    packSec(500L, 4) // warm: JIT + codegen caches, excluded
+    val pkBaseN = baseN * 10
+    val pkSecs = Seq((pkBaseN, 8), (pkBaseN * 10, 80))
+      .map { case (n, s) => packSec(n, s) }
+    val pkGrowth = pkSecs(1) / pkSecs(0)
+    val pkJson =
+      f""""pack_scaled_shards":{"base_sec":${pkSecs(0)}%.2f,"x10_sec":${pkSecs(1)}%.2f,"time_growth":$pkGrowth%.1f,"base_n":$pkBaseN,"x10_n":${pkBaseN * 10},"base_shards":8,"x10_shards":80}"""
+
     val base = results.head._2.toMap
     val x10 = results.last._2.toMap
     // one growth derivation feeds BOTH the JSON line and the verdict, so
@@ -369,8 +394,11 @@ object SkewSoak {
       // linear bar: 10× the corpus through a broadcast probe of a fixed
       // eval set — superlinear growth means the probe side stopped
       // broadcasting or candidates stopped being per-row bounded
-      ("decontam_probe" -> (dcGrowth < 30.0))
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,"linear":${verdicts.forall(_._2)}}""")
+      ("decontam_probe" -> (dcGrowth < 30.0)) :+
+      // linear bar: 10× docs with 10× shards (the deployment sizing rule)
+      // through one id-width shuffle and constant per-shard window work
+      ("pack_scaled_shards" -> (pkGrowth < 30.0))
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>

@@ -51,9 +51,9 @@ object Packing {
     * [[TextAnalysis]] convention) and the md5 shard assignment. Text is
     * dropped HERE, before any shuffle.
     */
-  private[graft] def sized(docs: DataFrame): DataFrame =
+  private[graft] def sized(docs: DataFrame, shards: Int): DataFrame =
     docs.selectExpr("doc_id",
-      s"${hexcastSpark("concat('pack:', CAST(doc_id AS STRING))")} % $Shards AS shard",
+      s"${hexcastSpark("concat('pack:', CAST(doc_id AS STRING))")} % $shards AS shard",
       s"CAST(size($tokensSpark) AS BIGINT) AS n_tokens")
 
   /** Packed assignment `(doc_id, shard, n_tokens, bin, bin_offset)`:
@@ -62,10 +62,10 @@ object Packing {
     * predecessor pushes it past `Budget` − that is the documented overflow,
     * visible in [[stats]]).
     */
-  def packBins(docs: DataFrame): DataFrame = {
+  def packBins(docs: DataFrame, shards: Int = Shards): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sized(docs)
+    sized(docs, shards)
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .withColumn("bin",
         floor((col("cum_tokens") - col("n_tokens")) / Budget).cast("long"))
@@ -80,8 +80,8 @@ object Packing {
     * [[Budget]] (each by less than one document's length, by
     * construction). Order-independent aggregates only.
     */
-  def stats(docs: DataFrame): DataFrame =
-    packBins(docs)
+  def stats(docs: DataFrame, shards: Int = Shards): DataFrame =
+    packBins(docs, shards)
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("bin_docs"), sum("n_tokens").as("bin_tokens"))
       .groupBy("shard")
