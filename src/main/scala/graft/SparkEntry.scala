@@ -135,6 +135,8 @@ object SparkEntry {
       .createOrReplaceTempView("chunk_deduped_docs")
     Dsir.weights(T.table(s, dir, "documents"))
       .createOrReplaceTempView("dsir_weights")
+    QualityClassifier.score(T.table(s, dir, "documents"))
+      .createOrReplaceTempView("nb_scores")
   }
 
   // order-independent aggregates only (counts, exact integer sums of the
@@ -149,6 +151,19 @@ object SparkEntry {
       |FROM dsir_weights JOIN documents USING (doc_id)
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  // the classifier surface under the same discipline: per-language
+  // admission profile of the NB filter, exact integer aggregates only
+  private val nbByLangSql =
+    s"""SELECT lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(like_micro) AS BIGINT) AS total_like_micro,
+       |       CAST(sum(CASE WHEN n_tokens >= 1 AND like_micro >=
+       |                ${QualityClassifier.SelectTauMicro} * n_tokens
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+       |FROM nb_scores JOIN documents USING (doc_id)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
 
   // order-independent aggregates only (counts, integer sums, min/max):
   // a float avg re-associates differently per engine and can flip the
@@ -447,6 +462,10 @@ object SparkEntry {
     "sql_dsir_by_lang" -> ((s, dir) => {
       registerOpsViews(s, dir)
       s.sql(dsirByLangSql)
+    }),
+    "sql_nb_by_lang" -> ((s, dir) => {
+      registerOpsViews(s, dir)
+      s.sql(nbByLangSql)
     }),
   )
 
@@ -747,5 +766,6 @@ object SparkEntry {
     "quality_nb_summary" -> OO.QUALITY_NB_SUMMARY,
     "curate_pack_bins" -> OO.CURATE_PACK_BINS,
     "curate_pack_stats" -> OO.CURATE_PACK_STATS,
+    "sql_nb_by_lang" -> OO.SQL_NB_BY_LANG,
   )
 }

@@ -1737,6 +1737,20 @@ object OpsOracleSql {
        |       CAST(sum(CASE WHEN bin_tokens > $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS overflow_bins
        |FROM pk_per_bin GROUP BY shard""".stripMargin
 
+  /** Mirrors SparkEntry's ad-hoc `sql_nb_by_lang` over the registered
+    * score view — order-independent aggregates only.
+    */
+  val SQL_NB_BY_LANG: String =
+    s"""WITH $nbScoreChain
+       |SELECT lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(like_micro) AS BIGINT) AS total_like_micro,
+       |       CAST(sum(CASE WHEN n_tokens >= 1 AND like_micro >= $NbTau * n_tokens
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+       |FROM nb_score JOIN documents USING (doc_id)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   /** Mirrors [[graft.ops.QualityClassifier.summary]]. */
   val QUALITY_NB_SUMMARY: String =
     s"""WITH $nbScoreChain
