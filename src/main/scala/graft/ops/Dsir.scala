@@ -55,42 +55,64 @@ object Dsir {
     */
   val Micro: Long = 1000000L
 
-  /** `(doc_id, lang, bucket, n)` hashed n-gram counts per document.
+  /** `(doc_id, [lang,] bucket, n)` hashed n-gram counts per document.
     * Bucket = 60-bit md5 of the `<n>:`-prefixed gram, mod [[Buckets]] —
     * the literal prefix keeps unigram and bigram spaces disjoint without
-    * any dialect-specific integer→string cast.
+    * any dialect-specific integer→string cast. The `lang` label is a
+    * TRAINING-time input (the ratio table needs the target slice);
+    * scoring does NOT require it — a post-bootstrap crawl batch under the
+    * frozen-table seam is scored on `doc_id, text` alone.
     */
-  private[graft] def featureCounts(docs: DataFrame): DataFrame = {
-    val base = docs.selectExpr("doc_id", "lang", s"$tokensSpark AS toks")
-    val uni = base.selectExpr("doc_id", "lang",
-      "explode(toks) AS gram").selectExpr("doc_id", "lang",
-      s"${hexcastSpark("concat('1:', gram)")} % $Buckets AS bucket")
+  private[graft] def featureCounts(docs: DataFrame,
+      labeled: Boolean = true): DataFrame = {
+    val keys = if (labeled) Seq("doc_id", "lang") else Seq("doc_id")
+    val base = docs.selectExpr(keys :+ s"$tokensSpark AS toks": _*)
+    val uni = base.selectExpr(keys :+ "explode(toks) AS gram": _*)
+      .selectExpr(keys :+
+        s"${hexcastSpark("concat('1:', gram)")} % $Buckets AS bucket": _*)
     // sequence(1, 0) DESCENDS in Spark — the size guard is load-bearing
     // (the graft.ops.TextAnalysis.repetition convention)
-    val bi = base.selectExpr("doc_id", "lang",
+    val bi = base.selectExpr(keys :+
       s"""explode(IF(size(toks) >= 2,
          |  transform(sequence(1, size(toks) - 1),
          |            i -> array_join(slice(toks, i, 2), ' ')),
-         |  array())) AS gram""".stripMargin)
-      .selectExpr("doc_id", "lang",
-        s"${hexcastSpark("concat('2:', gram)")} % $Buckets AS bucket")
+         |  array())) AS gram""".stripMargin: _*)
+      .selectExpr(keys :+
+        s"${hexcastSpark("concat('2:', gram)")} % $Buckets AS bucket": _*)
     uni.unionAll(bi)
-      .groupBy("doc_id", "lang", "bucket")
+      .groupBy((keys :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("n"))
   }
 
-  /** The ≤[[Buckets]]-row integerized log-ratio table
+  /** The [[Buckets]]-row integerized log-ratio table
     * `(bucket, ct, cr, lr_micro)`: raw and target occurrence totals plus
     * `floor((ln p_target − ln p_raw) × 1e6)` with add-[[Alpha]] smoothing.
+    *
+    * COMPLETE over the hashed feature space: buckets the training corpus
+    * never produced still get their smoothed estimate
+    * `ln(α/(tot_ct+αB)) − ln(α/(tot_cr+αB))` — that is what the paper's
+    * estimator assigns them, and under the frozen-table seam a
+    * post-bootstrap gram in an unseen bucket must weigh that constant,
+    * not silently vanish from the document's sum. (Batch mode is
+    * unaffected: the scoring join only ever matches observed buckets.)
+    * An empty feature relation still yields an EMPTY table (the `tot_cr
+    * > 0` guard), so a text-less bootstrap batch cannot freeze a vacuous
+    * all-zero table.
     */
   private[graft] def ratioTable(feats: DataFrame): DataFrame = {
-    val perBucket = feats.groupBy("bucket").agg(
+    val observed = feats.groupBy("bucket").agg(
       sum("n").as("cr"),
       coalesce(sum(when(col("lang") === TargetLang, col("n"))), lit(0L))
         .as("ct"))
+    val perBucket = feats.sparkSession.range(Buckets).toDF("bucket")
+      .join(observed, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
     val totals = perBucket.agg(
       sum("cr").as("tot_cr"), sum("ct").as("tot_ct"))
     perBucket.crossJoin(broadcast(totals))
+      .filter(col("tot_cr") > 0)
       .selectExpr("bucket", "ct", "cr",
         s"""CAST(floor((ln(CAST(ct + $Alpha AS DOUBLE) / (tot_ct + ${Alpha * Buckets}))
            |  - ln(CAST(cr + $Alpha AS DOUBLE) / (tot_cr + ${Alpha * Buckets}))) * $Micro) AS BIGINT)
@@ -119,7 +141,7 @@ object Dsir {
     */
   def weightsWith(docs: DataFrame, lrTable: DataFrame): DataFrame = {
     val lr = lrTable.select("bucket", "lr_micro")
-    val perDoc = featureCounts(docs)
+    val perDoc = featureCounts(docs, labeled = false)
       .join(broadcast(lr), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_grams"),

@@ -391,8 +391,9 @@ object Pq {
     ivfpqTopKWith(emb, book, k, maxListOccupancy, byResidual)
   }
 
-  /** [[ivfpqTopK]] over an explicit codebook — lets [[adcRecallGate]]
-    * share the residual codebook collect with its own reporting.
+  /** [[ivfpqTopK]] over an explicit codebook — the seam [[adcRecallGate]]
+    * drives its ivfpq leg through (the gate trains the residual book once
+    * and passes it here instead of calling the default-arg entry point).
     */
   private def ivfpqTopKWith(emb: DataFrame, book: Seq[CodebookEntry],
       k: Int, maxListOccupancy: Int, byResidual: Boolean): DataFrame = {
@@ -473,9 +474,11 @@ object Pq {
     * `(method, n_exact, n_overlap, recall_micro, floor_micro, violations)`.
     */
   def adcRecallGate(emb: DataFrame): DataFrame = {
-    // one codebook collect and one encode relation thread through BOTH
-    // search legs — the gate compares searches, it shouldn't pay (or
-    // accidentally diverge) two independent trainings
+    // TWO codebook collects, deliberately: since the residual change the
+    // legs gate DIFFERENT quantizers — exhaustive ADC scores raw-vector
+    // codes, IVFPQ scores residual codes — so each trains its own book
+    // exactly once and threads it through its leg (the raw book also
+    // feeds the encode relation both ADC scans share)
     val book = codebook(emb)
     if (book.isEmpty) return emptyResult(emb, gateSchema)
     val codes = codesWith(emb, book)

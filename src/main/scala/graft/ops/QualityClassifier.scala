@@ -141,11 +141,18 @@ object QualityClassifier {
     */
   def scoreWith(docs: DataFrame, model: DataFrame, prior: DataFrame): DataFrame = {
     val w = model.select("bucket", "w_micro")
+    // LEFT join: a bucket absent from the frozen model (out-of-vocabulary
+    // under the frozen seam) carries weight 0 — neutral evidence — but its
+    // tokens still count in n_tokens, so the per-token threshold divides
+    // by the document's true length. An inner join here would silently
+    // shrink the denominator for post-bootstrap batches — exactly the
+    // admission drift the frozen seam exists to prevent. (Batch mode is
+    // unaffected: training covers every bucket the corpus has.)
     val perDoc = tokenBuckets(docs, labeled = false)
-      .join(broadcast(w), Seq("bucket"))
+      .join(broadcast(w), Seq("bucket"), "left")
       .groupBy("doc_id")
       .agg(sum("n").as("n_tokens"),
-        sum(col("n") * col("w_micro")).as("like_micro"))
+        sum(col("n") * coalesce(col("w_micro"), lit(0L))).as("like_micro"))
     docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .crossJoin(broadcast(prior.select("prior_micro")))
       .select(col("doc_id"),

@@ -85,34 +85,38 @@ object DsirMaintenance {
       spark: SparkSession,
       genRoot: String,
       docs: DataFrame,
+      numFiles: Int = 1): String =
+    retrainWith(spark, genRoot,
+      Dsir.ratioTable(Dsir.featureCounts(docs)), numFiles)
+
+  /** [[retrain]] with an ALREADY-BUILT candidate table — [[maintain]]
+    * passes the materialized table its counterfactual scored, so the
+    * corpus is not re-tokenized a second time just to recompute the
+    * identical ≤[[Dsir.Buckets]]-row relation.
+    */
+  def retrainWith(
+      spark: SparkSession,
+      genRoot: String,
+      lr: DataFrame,
       numFiles: Int = 1): String = {
     val cur = currentRoot(spark, genRoot)
-    val lr = Dsir.ratioTable(Dsir.featureCounts(docs))
     require(!lr.isEmpty,
       "DsirMaintenance.retrain: the current corpus produced an empty " +
         "ratio table — nothing to recalibrate against")
     val gen = StoreMaintenance.nextGeneration(spark, genRoot)
     val dest = s"$genRoot/$gen"
     IncrementalDsir.writeRatioTable(lr, IncrementalDsir.ratioPath(dest))
-    // verify every carried store before the pointer moves: a lossy ledger
-    // carry silently truncates the audit history; a lossy selected carry
-    // drops admitted documents
-    val ledgerSrc = spark.read
-      .parquet(IncrementalDsir.ledgerPath(cur)).count()
-    val ledgerDst = StoreMaintenance.compact(spark,
+    // verify every carried store before the pointer moves (the shared
+    // compactVerified gate): a lossy ledger carry silently truncates the
+    // audit history; a lossy selected carry drops admitted documents
+    StoreMaintenance.compactVerified(spark,
       IncrementalDsir.ledgerPath(cur),
-      IncrementalDsir.ledgerPath(dest), numFiles)
-    require(ledgerDst == ledgerSrc,
-      s"DsirMaintenance.retrain: carried $ledgerDst of $ledgerSrc ledger " +
-        s"rows — not publishing $gen")
-    val selSrc = spark.read
-      .parquet(IncrementalDsir.selectedPath(cur)).count()
-    val selDst = StoreMaintenance.compact(spark,
+      IncrementalDsir.ledgerPath(dest),
+      "DsirMaintenance.retrain ledger", numFiles)
+    StoreMaintenance.compactVerified(spark,
       IncrementalDsir.selectedPath(cur),
-      IncrementalDsir.selectedPath(dest), numFiles)
-    require(selDst == selSrc,
-      s"DsirMaintenance.retrain: carried $selDst of $selSrc selected " +
-        s"rows — not publishing $gen")
+      IncrementalDsir.selectedPath(dest),
+      "DsirMaintenance.retrain selected", numFiles)
     StoreMaintenance.publishGeneration(spark, genRoot, gen)
     dest
   }
@@ -132,11 +136,14 @@ object DsirMaintenance {
     val frozen = IncrementalDsir.readRatioTable(
       spark, IncrementalDsir.ratioPath(cur))
     val fFrozen = achievedFraction(docs, frozen)
-    val fCand = achievedFraction(
-      docs, Dsir.ratioTable(Dsir.featureCounts(docs)))
+    // materialize the bounded candidate ONCE: the counterfactual scoring
+    // and (on drift) the generation write both read it, and rebuilding it
+    // would pay the corpus tokenize+aggregate a second time
+    val cand = Dsir.ratioTable(Dsir.featureCounts(docs)).localCheckpoint()
+    val fCand = achievedFraction(docs, cand)
     if (math.abs(fFrozen - fCand) <= threshold)
       Report(fFrozen, fCand, retrained = false, None)
     else Report(fFrozen, fCand, retrained = true,
-      Some(retrain(spark, genRoot, docs, numFiles)))
+      Some(retrainWith(spark, genRoot, cand, numFiles)))
   }
 }

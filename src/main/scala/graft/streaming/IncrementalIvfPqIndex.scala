@@ -129,8 +129,19 @@ object IncrementalIvfPqIndex {
                 s"(< ${Similarity.NumLists}) and the residual seed ids " +
                 s"(${Similarity.NumLists} until " +
                 s"${Similarity.NumLists + Pq.CodebookSize})")
-            Similarity.ivfLeaders(uniq)
-              .coalesce(1).write.mode("overwrite")
+            // validate BOTH quantizers before ANY durable write: the
+            // residual seeds can all be present while leader vec_ids are
+            // not, and a leader store written short would poison the root
+            // (book-present skips bootstrap forever, readLeaders then
+            // fails every batch — no later batch could heal it)
+            val ldrs = Similarity.ivfLeaders(uniq).localCheckpoint()
+            require(ldrs.count() == Similarity.NumLists.toLong,
+              s"IncrementalIvfPqIndex bootstrap: got ${ldrs.count()} " +
+                s"leaders, need ${Similarity.NumLists} — the bootstrap " +
+                s"batch must carry the leader vec_ids " +
+                s"(< ${Similarity.NumLists}); rejecting the batch " +
+                "without writing")
+            ldrs.coalesce(1).write.mode("overwrite")
               .parquet(leaderPath(root))
             IncrementalPqIndex.writeCodebook(spark, book, bookPath(root))
           }

@@ -92,35 +92,39 @@ object QualityFilterMaintenance {
       spark: SparkSession,
       genRoot: String,
       docs: DataFrame,
+      numFiles: Int = 1): String =
+    retrainWith(spark, genRoot, QualityClassifier.modelTable(docs),
+      QualityClassifier.priorRow(docs), numFiles)
+
+  /** [[retrain]] with an ALREADY-BUILT candidate model — [[maintain]]
+    * passes the materialized model its counterfactual scored, so the
+    * corpus is not re-tokenized a second time just to recompute the
+    * identical ≤[[QualityClassifier.Buckets]]-row relation.
+    */
+  def retrainWith(
+      spark: SparkSession,
+      genRoot: String,
+      model: DataFrame,
+      prior: DataFrame,
       numFiles: Int = 1): String = {
     val cur = currentRoot(spark, genRoot)
-    val model = QualityClassifier.modelTable(docs)
     require(!model.isEmpty,
       "QualityFilterMaintenance.retrain: the current corpus produced an " +
         "empty model — nothing to recalibrate against")
     val gen = StoreMaintenance.nextGeneration(spark, genRoot)
     val dest = s"$genRoot/$gen"
-    IncrementalQualityFilter.writeModel(
-      model, QualityClassifier.priorRow(docs), dest)
-    // verify every carried store before the pointer moves: a lossy ledger
-    // carry silently truncates the audit history; a lossy admitted carry
-    // drops admitted documents
-    val ledgerSrc = spark.read
-      .parquet(IncrementalQualityFilter.ledgerPath(cur)).count()
-    val ledgerDst = StoreMaintenance.compact(spark,
+    IncrementalQualityFilter.writeModel(model, prior, dest)
+    // verify every carried store before the pointer moves (the shared
+    // compactVerified gate): a lossy ledger carry silently truncates the
+    // audit history; a lossy admitted carry drops admitted documents
+    StoreMaintenance.compactVerified(spark,
       IncrementalQualityFilter.ledgerPath(cur),
-      IncrementalQualityFilter.ledgerPath(dest), numFiles)
-    require(ledgerDst == ledgerSrc,
-      s"QualityFilterMaintenance.retrain: carried $ledgerDst of " +
-        s"$ledgerSrc ledger rows — not publishing $gen")
-    val admSrc = spark.read
-      .parquet(IncrementalQualityFilter.admittedPath(cur)).count()
-    val admDst = StoreMaintenance.compact(spark,
+      IncrementalQualityFilter.ledgerPath(dest),
+      "QualityFilterMaintenance.retrain ledger", numFiles)
+    StoreMaintenance.compactVerified(spark,
       IncrementalQualityFilter.admittedPath(cur),
-      IncrementalQualityFilter.admittedPath(dest), numFiles)
-    require(admDst == admSrc,
-      s"QualityFilterMaintenance.retrain: carried $admDst of $admSrc " +
-        s"admitted rows — not publishing $gen")
+      IncrementalQualityFilter.admittedPath(dest),
+      "QualityFilterMaintenance.retrain admitted", numFiles)
     StoreMaintenance.publishGeneration(spark, genRoot, gen)
     dest
   }
@@ -139,11 +143,15 @@ object QualityFilterMaintenance {
     val cur = currentRoot(spark, genRoot)
     val (model, prior) = IncrementalQualityFilter.readModel(spark, cur)
     val fFrozen = achievedFraction(docs, model, prior)
-    val fCand = achievedFraction(docs,
-      QualityClassifier.modelTable(docs), QualityClassifier.priorRow(docs))
+    // materialize the bounded candidate ONCE: the counterfactual scoring
+    // and (on drift) the generation write both read it, and rebuilding it
+    // would pay the corpus tokenize+aggregate a second time
+    val candModel = QualityClassifier.modelTable(docs).localCheckpoint()
+    val candPrior = QualityClassifier.priorRow(docs).localCheckpoint()
+    val fCand = achievedFraction(docs, candModel, candPrior)
     if (math.abs(fFrozen - fCand) <= threshold)
       Report(fFrozen, fCand, retrained = false, None)
     else Report(fFrozen, fCand, retrained = true,
-      Some(retrain(spark, genRoot, docs, numFiles)))
+      Some(retrainWith(spark, genRoot, candModel, candPrior, numFiles)))
   }
 }

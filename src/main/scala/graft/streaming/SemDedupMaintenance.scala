@@ -174,26 +174,19 @@ object SemDedupMaintenance {
     val db = IncrementalAnnIndex
       .bucketCount(spark, IncrementalSemDedup.decidedPath(cur))
       .getOrElse(IncrementalAnnIndex.NumIdBuckets)
-    // verify every carried store before the pointer moves: a lossy carry
-    // of the DECIDED store would re-decide old ids in the next era, and a
-    // lossy ledger carry silently truncates the audit history
-    val decidedSrc = spark.read
-      .parquet(IncrementalSemDedup.decidedPath(cur)).count()
-    val decidedDst = StoreMaintenance.compact(spark,
+    // verify every carried store before the pointer moves (the shared
+    // compactVerified gate): a lossy carry of the DECIDED store would
+    // re-decide old ids in the next era, and a lossy ledger carry
+    // silently truncates the audit history
+    StoreMaintenance.compactVerified(spark,
       IncrementalSemDedup.decidedPath(cur),
-      IncrementalSemDedup.decidedPath(dest), numFiles,
+      IncrementalSemDedup.decidedPath(dest),
+      "SemDedupMaintenance.retrain decided", numFiles,
       bucketBy = Some(("vec_id", db)))
-    require(decidedDst == decidedSrc,
-      s"SemDedupMaintenance.retrain: carried $decidedDst of $decidedSrc " +
-        s"decided rows — not publishing $gen")
-    val ledgerSrc = spark.read
-      .parquet(IncrementalSemDedup.ledgerPath(cur)).count()
-    val ledgerDst = StoreMaintenance.compact(spark,
+    StoreMaintenance.compactVerified(spark,
       IncrementalSemDedup.ledgerPath(cur),
-      IncrementalSemDedup.ledgerPath(dest), numFiles)
-    require(ledgerDst == ledgerSrc,
-      s"SemDedupMaintenance.retrain: carried $ledgerDst of $ledgerSrc " +
-        s"ledger rows — not publishing $gen")
+      IncrementalSemDedup.ledgerPath(dest),
+      "SemDedupMaintenance.retrain ledger", numFiles)
     StoreMaintenance.publishGeneration(spark, genRoot, gen)
     dest
   }

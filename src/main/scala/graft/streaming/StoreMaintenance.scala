@@ -61,6 +61,27 @@ object StoreMaintenance {
     spark.read.parquet(destPath).count()
   }
 
+  /** [[compact]] with the row-count verification gate every maintenance
+    * retrain runs before moving the generation pointer: a lossy carry
+    * silently truncates decision history (ledgers) or drops admitted
+    * rows, so the carried count must equal the source or the generation
+    * is not published. `what` names the (module, store) in the failure.
+    */
+  def compactVerified(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      what: String,
+      numFiles: Int,
+      bucketBy: Option[(String, Int)] = None): Long = {
+    val src = spark.read.parquet(srcPath).count()
+    val dst = compact(spark, srcPath, destPath, numFiles, bucketBy)
+    require(dst == src,
+      s"$what: carried $dst of $src rows — not publishing the " +
+        "generation; readers stay on the current one")
+    dst
+  }
+
   /** The physical generation write shared by [[compact]] and the IVF
     * retrain path ([[IvfMaintenance]]): `rows` (already free of partition
     * columns) land under `destPath/batch=-1`, optionally re-bucketed by id

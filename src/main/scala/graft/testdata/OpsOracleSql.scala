@@ -1182,10 +1182,15 @@ object OpsOracleSql {
        |ds_feat AS (
        |  SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS n
        |  FROM ds_gram GROUP BY 1, 2, 3),
-       |ds_pb AS (
+       |ds_obs AS (
        |  SELECT bucket, CAST(sum(n) AS BIGINT) AS cr,
        |         CAST(COALESCE(sum(CASE WHEN lang = '$DsirLang' THEN n END), 0) AS BIGINT) AS ct
        |  FROM ds_feat GROUP BY 1),
+       |ds_pb AS (
+       |  SELECT a.bucket, CAST(COALESCE(o.ct, 0) AS BIGINT) AS ct,
+       |         CAST(COALESCE(o.cr, 0) AS BIGINT) AS cr
+       |  FROM (SELECT unnest(range(0, $DsirB)) AS bucket) a
+       |  LEFT JOIN ds_obs o USING (bucket)),
        |ds_tot AS (
        |  SELECT CAST(sum(cr) AS BIGINT) AS tot_cr,
        |         CAST(sum(ct) AS BIGINT) AS tot_ct
@@ -1194,7 +1199,7 @@ object OpsOracleSql {
        |  SELECT bucket,
        |         CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / (tot_ct + $DsirB))
        |           - ln(CAST(cr + 1 AS DOUBLE) / (tot_cr + $DsirB))) * $DsirMicro) AS BIGINT) AS lr_micro
-       |  FROM ds_pb CROSS JOIN ds_tot),
+       |  FROM ds_pb CROSS JOIN ds_tot WHERE tot_cr > 0),
        |ds_w AS (
        |  SELECT d.doc_id,
        |         CAST(COALESCE(f.n_grams, 0) AS BIGINT) AS n_grams,
@@ -1676,8 +1681,8 @@ object OpsOracleSql {
        |  CROSS JOIN nb_prior p
        |  LEFT JOIN (
        |    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-       |           CAST(sum(n * w_micro) AS BIGINT) AS lk
-       |    FROM nb_feat JOIN nb_model USING (bucket) GROUP BY 1) f
+       |           CAST(sum(n * COALESCE(w_micro, 0)) AS BIGINT) AS lk
+       |    FROM nb_feat LEFT JOIN nb_model USING (bucket) GROUP BY 1) f
        |  USING (doc_id))""".stripMargin
 
   val QUALITY_NB_MODEL: String =

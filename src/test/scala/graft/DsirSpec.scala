@@ -37,17 +37,24 @@ class DsirSpec extends SparkSpec {
     val tiny = Seq(
       (0L, "a b", "en"), (1L, "a", "de"), (2L, "b", "en"))
       .toDF("doc_id", "text", "lang")
-    val lr = Dsir.ratioTable(Dsir.featureCounts(tiny))
-      .collect()
-      .map(r => (r.getAs[Long]("ct"), r.getAs[Long]("cr")) ->
-        r.getAs[Long]("lr_micro")).toMap
+    val all = Dsir.ratioTable(Dsir.featureCounts(tiny)).collect()
+    // COMPLETE table: every hashed bucket gets its smoothed estimate
+    assert(all.length == Dsir.Buckets)
     val totCt = 4.0; val totCr = 5.0; val b = Dsir.Buckets
     def expect(ct: Long, cr: Long): Long =
       math.floor((math.log((ct + 1) / (totCt + b))
         - math.log((cr + 1) / (totCr + b))) * Dsir.Micro).toLong
-    // buckets: 1:a -> (ct 1, cr 2); 1:b -> (ct 2, cr 2); 2:"a b" -> (ct 1, cr 1)
+    // observed buckets: 1:a -> (ct 1, cr 2); 1:b -> (ct 2, cr 2);
+    // 2:"a b" -> (ct 1, cr 1); the other 1021 carry the unseen-bucket
+    // constant expect(0, 0)
+    val lr = all.filter(_.getAs[Long]("cr") > 0)
+      .map(r => (r.getAs[Long]("ct"), r.getAs[Long]("cr")) ->
+        r.getAs[Long]("lr_micro")).toMap
     assert(lr.keySet == Set((1L, 2L), (2L, 2L), (1L, 1L)))
     lr.foreach { case ((ct, cr), m) => assert(m == expect(ct, cr)) }
+    val unseen = all.filter(_.getAs[Long]("cr") == 0)
+    assert(unseen.length == Dsir.Buckets - 3)
+    unseen.foreach(r => assert(r.getAs[Long]("lr_micro") == expect(0L, 0L)))
   }
 
   test("select is the key-thresholded subset of weights; summary agrees") {
@@ -69,5 +76,30 @@ class DsirSpec extends SparkSpec {
     val b = Dsir.weights(docs.repartition(7)).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(a == b)
+  }
+
+  test("frozen-table scoring is label-free and weighs unseen-bucket grams") {
+    val frozen = Dsir.ratioTable(Dsir.featureCounts(docs))
+    // lang is a training-time input: a crawl batch without it scores fine
+    val withLang = Dsir.weightsWith(docs, frozen).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val without = Dsir.weightsWith(docs.drop("lang"), frozen).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(withLang == without)
+    // a gram the frozen table never saw still weighs its smoothed
+    // estimate (the complete-table contract), not zero — and counts in
+    // n_grams
+    import spark.implicits._
+    val novel = Seq((777L, "zzznovelgram")).toDF("doc_id", "text")
+    val row = Dsir.weightsWith(novel, frozen).head()
+    val bucket = spark.sql(
+      s"SELECT ${graft.ops.Portable.hexcastSpark("'1:zzznovelgram'")}" +
+        s" % ${Dsir.Buckets} AS b").head().getLong(0)
+    val want = frozen.filter(col("bucket") === bucket)
+      .head().getAs[Long]("lr_micro")
+    assert(row.getAs[Long]("n_grams") == 1L)
+    assert(row.getAs[Long]("logweight_micro") == want,
+      "the single gram must weigh exactly its bucket's table entry " +
+        "(complete table: present even for unseen buckets)")
   }
 }

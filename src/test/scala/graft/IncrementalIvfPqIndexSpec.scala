@@ -115,4 +115,32 @@ class IncrementalIvfPqIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("bootstrap") ||
       e.getCause.getMessage.contains("bootstrap"))
   }
+
+  test("a leaderless bootstrap rejects the batch WITHOUT poisoning the root") {
+    val (landing, ckpt, root) = dirs()
+    // residual seeds all present, leader vec_ids only PARTIALLY present
+    // (8 of 16): the codebook trains to full size against the 8 available
+    // leaders, so only the pre-write leader validation stands between
+    // this batch and a bricked store (a short leader store under an
+    // existing codebook would skip bootstrap forever)
+    land(landing, "b1.parquet",
+      rows(emb.filter(col("vec_id") >= Similarity.NumLists / 2)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalIvfPqIndex.run(spark, landing.toString, ckpt, root, embSchema)
+    }
+    assert(e.getMessage.contains("leaders") ||
+      e.getCause.getMessage.contains("leaders"))
+    // nothing durable was written — the root can still bootstrap
+    assert(!graft.streaming.StoragePaths.exists(
+      spark, IncrementalIvfPqIndex.bookPath(root)))
+    assert(!graft.streaming.StoragePaths.exists(
+      spark, IncrementalIvfPqIndex.leaderPath(root)))
+    // a corrected batch heals: fresh landing + checkpoint, full id range
+    val landing2 = Files.createTempDirectory("iivfpq-landing2")
+    val ckpt2 = Files.createTempDirectory("iivfpq-ckpt2").toString + "/c"
+    land(landing2, "b2.parquet", rows(emb.filter(col("vec_id") < 200)))
+    val store = IncrementalIvfPqIndex.run(
+      spark, landing2.toString, ckpt2, root, embSchema)
+    assert(store.count() > 0)
+  }
 }

@@ -91,13 +91,17 @@ class QualityClassifierSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Long]("score_micro")).toMap
     assert(frozen == live)
-    // and a NEW batch scored against the frozen model uses the OLD stats:
-    // "good good" scores exactly 2 × w(good) + prior
-    val batch = Seq((9L, "good good", "srcY")).toDF("doc_id", "text", "source")
+    // and a NEW batch scored against the frozen model uses the OLD stats;
+    // out-of-vocabulary tokens ("novel" hashes to a bucket the frozen
+    // model never saw) weigh 0 but still count in n_tokens — the
+    // per-token threshold must divide by the document's true length
+    val batch = Seq((9L, "good good novel", "srcY"))
+      .toDF("doc_id", "text", "source")
     val wGood = model.filter(col("n_seed") === 3L).head().getAs[Long]("w_micro")
     val pr = prior.head().getAs[Long]("prior_micro")
-    val got = QualityClassifier.scoreWith(batch, model, prior)
-      .head().getAs[Long]("score_micro")
-    assert(got == 2 * wGood + pr)
+    val row = QualityClassifier.scoreWith(batch, model, prior).head()
+    assert(row.getAs[Long]("n_tokens") == 3L)
+    assert(row.getAs[Long]("like_micro") == 2 * wGood)
+    assert(row.getAs[Long]("score_micro") == 2 * wGood + pr)
   }
 }
