@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.ops.{Packing, Portable}
+
+/** Incremental sequence packing — the ongoing-crawl shape of
+  * [[graft.ops.Packing]]: admitted documents arrive continuously and must
+  * land in fixed-token-budget training bins WITHOUT repacking what
+  * already shipped (a trainer may already have consumed those shards).
+  * Each shard keeps one CURSOR — its running token total — and an
+  * arriving batch simply continues every shard's running sum from the
+  * cursor: a document's bin is where its span starts in the shard's
+  * GLOBAL token stream, exactly as if the whole corpus had been packed in
+  * one pass. Because the bin function depends only on (cursor, the
+  * batch's own per-shard prefix sums), an ordered drain reproduces the
+  * batch operator row-for-row, and bins already written never move.
+  *
+  * Scale/correctness shape:
+  *
+  *  - **Per-batch cost ∝ batch, plus one ≤[[Packing.Shards]]-row cursor
+  *    snapshot read** — no bin store history is read at all; the cursor
+  *    IS the whole packing state (the same bounded-state idea as
+  *    [[IncrementalSourceCap]]'s spent-budget deltas, but snapshot-sized:
+  *    one row per shard per batch, folded by
+  *    [[StoreMaintenance.compact]] when the snapshots accumulate).
+  *  - **Exactly-once** via the house per-batch overwrite contract: the
+  *    cursor read EXCLUDES the batch being processed, so an
+  *    at-least-once replay recomputes from the same prior state and
+  *    rewrites `batch=N` with identical rows.
+  *  - **The shard count is frozen at bootstrap** (a `_shards` marker,
+  *    the `_id_buckets` convention): re-running with a different
+  *    [[Packing.Shards]] default cannot silently re-route documents —
+  *    the stored count wins, loudly.
+  */
+object IncrementalPacking {
+
+  def binsPath(root: String): String = s"$root/bins"
+  def cursorPath(root: String): String = s"$root/cursor"
+  def shardsMarker(root: String): String = s"$root/_shards"
+
+  /** Schema of the packed-assignment store (plus the `batch` column). */
+  val BinsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("shard", LongType),
+    StructField("n_tokens", LongType),
+    StructField("bin", LongType),
+    StructField("bin_offset", LongType)))
+
+  private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+
+  /** The shard count this store was created with. */
+  def storedShards(spark: SparkSession, root: String): Option[Int] =
+    StoragePaths.readSmallFile(spark, shardsMarker(root)).map(_.trim.toInt)
+
+  /** The per-shard cursor as of the latest batch STRICTLY BEFORE
+    * `beforeBatchId` — `(shard, cum_tokens)`, missing shards implicitly
+    * 0. Strictly-before (not merely "not mine") is the replay contract:
+    * structured streaming reuses batch ids on replay, so a replayed
+    * batch N must see exactly the pre-N state even while later
+    * snapshots still exist. Snapshot semantics: each batch writes the
+    * COMPLETE ≤shards-row state, so only the latest qualifying snapshot
+    * is read (the accumulated snapshots are one tiny row-group per
+    * batch; fold them away with [[StoreMaintenance.compact]], whose
+    * `batch=-1` output is by construction before every live batch).
+    */
+  def cursor(
+      spark: SparkSession,
+      root: String,
+      beforeBatchId: Long): DataFrame = {
+    val path = cursorPath(root)
+    val schema = StructType(Seq(
+      StructField("shard", LongType), StructField("cum_tokens", LongType)))
+    if (!StoragePaths.exists(spark, path)) emptyOf(spark, schema)
+    else {
+      val all = spark.read.parquet(path)
+        .filter(col("batch").cast("long") < beforeBatchId)
+      // latest snapshot wins; max_by is deterministic because each batch
+      // holds at most one row per shard
+      all.groupBy("shard")
+        .agg(max_by(col("cum_tokens"), col("batch").cast("long"))
+          .as("cum_tokens"))
+    }
+  }
+
+  /** Pack one batch continuing from `cur` — the batch-shaped
+    * [[Packing.packBins]]: same shard hash, same within-shard doc_id
+    * order, with every span shifted by the shard's cursor. Returns the
+    * assignment rows plus the post-batch cursor snapshot.
+    */
+  def packBatch(docs: DataFrame, cur: DataFrame, shards: Int)
+      : (DataFrame, DataFrame) = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sized = docs.selectExpr("doc_id",
+      s"${Portable.hexcastSpark("concat('pack:', CAST(doc_id AS STRING))")} % $shards AS shard",
+      s"CAST(size(${Portable.tokensSpark}) AS BIGINT) AS n_tokens")
+    val packed = sized
+      .withColumn("batch_cum", sum("n_tokens").over(w))
+      .join(broadcast(cur), Seq("shard"), "left")
+      .withColumn("cum_tokens",
+        col("batch_cum") + coalesce(col("cum_tokens"), lit(0L)))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")) / Packing.Budget)
+          .cast("long"))
+      .withColumn("bin_offset",
+        (col("cum_tokens") - col("n_tokens")) - col("bin") * Packing.Budget)
+    val bins = packed
+      .select("doc_id", "shard", "n_tokens", "bin", "bin_offset")
+    val nextCursor = packed.groupBy("shard")
+      .agg(max("cum_tokens").as("cum_tokens"))
+      // shards this batch never touched carry their old cursor forward —
+      // a snapshot must be COMPLETE or the next read would reset them
+      .unionByName(cur.join(
+        packed.select("shard").distinct(), Seq("shard"), "left_anti"))
+    (bins, nextCursor)
+  }
+
+  /** Drain the landing dir (Trigger.AvailableNow), packing every batch
+    * against the per-shard cursors. Assignment rows land in
+    * `root/bins/batch=N`, the post-batch cursor snapshot in
+    * `root/cursor/batch=N`. Returns the accumulated bin store.
+    */
+  def run(
+      spark: SparkSession,
+      landingDir: String,
+      checkpointDir: String,
+      root: String,
+      schema: StructType,
+      shards: Int = Packing.Shards): DataFrame = {
+    val q = spark.readStream.schema(schema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          storedShards(spark, root) match {
+            case Some(n) =>
+              // the shard count is frozen at bootstrap: silently
+              // re-routing documents under a different count would strand
+              // every existing bin assignment
+              require(n == shards,
+                s"IncrementalPacking: store at $root was created with $n " +
+                  s"shards, got $shards — pass the stored count")
+            case None =>
+              // marker FIRST, before any data write: data-present ⇒
+              // marker-present
+              StoragePaths.writeSmallFile(
+                spark, shardsMarker(root), shards.toString)
+          }
+          val uniq = batch.dropDuplicates("doc_id")
+          val (bins, nextCursor) =
+            packBatch(uniq, cursor(spark, root, batchId), shards)
+          val stable = bins.localCheckpoint()
+          val cursorStable = nextCursor.localCheckpoint()
+          stable.write.mode("overwrite")
+            .parquet(s"${binsPath(root)}/batch=$batchId")
+          cursorStable.coalesce(1).write.mode("overwrite")
+            .parquet(s"${cursorPath(root)}/batch=$batchId")
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (StoragePaths.exists(spark, binsPath(root)))
+      spark.read.parquet(binsPath(root)).drop("batch")
+    else emptyOf(spark, BinsSchema)
+  }
+}

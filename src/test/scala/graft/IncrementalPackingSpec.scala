@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Packing
+import graft.streaming.IncrementalPacking
+
+/** Incremental sequence packing: bins continue each shard's cursor so an
+  * ordered drain reproduces the batch operator exactly, already-written
+  * bins never move, replays are idempotent, and the shard count freezes
+  * at bootstrap.
+  */
+class IncrementalPackingSpec extends SparkSpec {
+
+  /** Deterministic corpus: ~(7 + id%5) tokens per doc. */
+  private def corpus(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(col("id").as("doc_id"),
+      expr("""array_join(transform(sequence(0, CAST(6 + id % 5 AS INT)),
+             |  i -> concat('tk', pmod(hash(id, i), 50))), ' ')"""
+        .stripMargin.replaceAll("\n", " ")).as("text"))
+
+  private def schema = corpus(0L, 1L).schema
+
+  private def binTuples(df: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+    df.select("doc_id", "shard", "n_tokens", "bin", "bin_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  test("a single drain reproduces the batch operator exactly") {
+    val landing = Files.createTempDirectory("ipack-landing")
+    val ckpt = Files.createTempDirectory("ipack-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("ipack-root").toString + "/p"
+    val docs = corpus(0L, 300L)
+    landParquet(landing, "b1.parquet", docs)
+    val bins = IncrementalPacking.run(
+      spark, landing.toString, ckpt, root, schema)
+    assert(binTuples(bins) == binTuples(Packing.packBins(docs)))
+    assert(IncrementalPacking.storedShards(spark, root)
+      .contains(Packing.Shards))
+  }
+
+  test("a later batch continues the cursors; earlier bins never move") {
+    val landing = Files.createTempDirectory("ipack2-landing")
+    val ckpt = Files.createTempDirectory("ipack2-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("ipack2-root").toString + "/p"
+    val b1 = corpus(0L, 300L)
+    landParquet(landing, "b1.parquet", b1)
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema)
+    val firstEra = binTuples(
+      spark.read.parquet(IncrementalPacking.binsPath(root)).drop("batch"))
+    val b2 = corpus(300L, 500L)
+    landParquet(landing, "b2.parquet", b2)
+    val all = IncrementalPacking.run(
+      spark, landing.toString, ckpt, root, schema)
+    // batch-1 ids all precede batch-2 ids, so sequential packing equals
+    // the batch operator over the union — the continuation is EXACT, not
+    // merely consistent
+    assert(binTuples(all) == binTuples(Packing.packBins(b1.unionAll(b2))))
+    // and batch 1's rows are bit-identical to before batch 2 landed
+    val b1After = binTuples(all.join(b1.select("doc_id"), Seq("doc_id")))
+    assert(b1After == firstEra)
+    // batch 2 genuinely continued mid-stream: at least one shard's first
+    // batch-2 document starts past a non-zero offset or bin
+    val continued = all.join(b2.select("doc_id"), Seq("doc_id"))
+      .filter(col("bin") > 0 || col("bin_offset") > 0)
+    assert(continued.count() > 0)
+  }
+
+  test("an at-least-once replay rewrites identical bin rows") {
+    val landing = Files.createTempDirectory("ipack3-landing")
+    val ckpt = Files.createTempDirectory("ipack3-ckpt").toString + "/c"
+    val ckpt2 = Files.createTempDirectory("ipack3-ckpt2").toString + "/c"
+    val root = Files.createTempDirectory("ipack3-root").toString + "/p"
+    landParquet(landing, "b1.parquet", corpus(0L, 200L))
+    val first = binTuples(IncrementalPacking.run(
+      spark, landing.toString, ckpt, root, schema))
+    // fresh checkpoint, same landing: the batch replays under its
+    // original id; the strictly-before cursor read reproduces the pre-N
+    // state, so the overwrite lands byte-identical rows
+    val second = binTuples(IncrementalPacking.run(
+      spark, landing.toString, ckpt2, root, schema))
+    assert(second == first)
+  }
+
+  test("the shard count freezes at bootstrap") {
+    val landing = Files.createTempDirectory("ipack4-landing")
+    val ckpt = Files.createTempDirectory("ipack4-ckpt").toString + "/c"
+    val ckpt2 = Files.createTempDirectory("ipack4-ckpt2").toString + "/c"
+    val root = Files.createTempDirectory("ipack4-root").toString + "/p"
+    landParquet(landing, "b1.parquet", corpus(0L, 100L))
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema)
+    val landing2 = Files.createTempDirectory("ipack4-landing2")
+    landParquet(landing2, "b2.parquet", corpus(100L, 200L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalPacking.run(spark, landing2.toString, ckpt2, root, schema,
+        shards = Packing.Shards * 2)
+    }
+    assert(e.getMessage.contains("frozen") ||
+      e.getMessage.contains("stored count") ||
+      e.getCause.getMessage.contains("stored count"))
+  }
+}
