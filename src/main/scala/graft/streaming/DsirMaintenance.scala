@@ -56,10 +56,14 @@ object DsirMaintenance {
     spark.read.parquet(IncrementalDsir.ratioPath(flatRoot))
       .coalesce(1).write.mode("errorifexists")
       .parquet(IncrementalDsir.ratioPath(dest))
-    StoreMaintenance.compact(spark, IncrementalDsir.ledgerPath(flatRoot),
-      IncrementalDsir.ledgerPath(dest), numFiles)
-    StoreMaintenance.compact(spark, IncrementalDsir.selectedPath(flatRoot),
-      IncrementalDsir.selectedPath(dest), numFiles)
+    StoreMaintenance.compactVerified(spark,
+      IncrementalDsir.ledgerPath(flatRoot),
+      IncrementalDsir.ledgerPath(dest),
+      "DsirMaintenance.adopt ledger", numFiles)
+    StoreMaintenance.compactVerified(spark,
+      IncrementalDsir.selectedPath(flatRoot),
+      IncrementalDsir.selectedPath(dest),
+      "DsirMaintenance.adopt selected", numFiles)
     StoreMaintenance.publishGeneration(spark, genRoot, gen)
     dest
   }

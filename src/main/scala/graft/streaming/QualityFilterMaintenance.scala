@@ -60,12 +60,14 @@ object QualityFilterMaintenance {
     spark.read.parquet(IncrementalQualityFilter.priorPath(flatRoot))
       .coalesce(1).write.mode("errorifexists")
       .parquet(IncrementalQualityFilter.priorPath(dest))
-    StoreMaintenance.compact(spark,
+    StoreMaintenance.compactVerified(spark,
       IncrementalQualityFilter.ledgerPath(flatRoot),
-      IncrementalQualityFilter.ledgerPath(dest), numFiles)
-    StoreMaintenance.compact(spark,
+      IncrementalQualityFilter.ledgerPath(dest),
+      "QualityFilterMaintenance.adopt ledger", numFiles)
+    StoreMaintenance.compactVerified(spark,
       IncrementalQualityFilter.admittedPath(flatRoot),
-      IncrementalQualityFilter.admittedPath(dest), numFiles)
+      IncrementalQualityFilter.admittedPath(dest),
+      "QualityFilterMaintenance.adopt admitted", numFiles)
     StoreMaintenance.publishGeneration(spark, genRoot, gen)
     dest
   }
