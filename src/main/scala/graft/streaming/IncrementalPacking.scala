@@ -80,11 +80,12 @@ object IncrementalPacking {
     else {
       val all = spark.read.parquet(path)
         .filter(col("batch").cast("long") < beforeBatchId)
-      // latest snapshot wins; max_by is deterministic because each batch
-      // holds at most one row per shard
-      all.groupBy("shard")
-        .agg(max_by(col("cum_tokens"), col("batch").cast("long"))
-          .as("cum_tokens"))
+      // latest snapshot wins — spelled as MAX(cum_tokens), which is the
+      // same thing because a shard's cursor never decreases, and unlike
+      // max_by(·, batch) it stays correct after StoreMaintenance.compact
+      // folds every snapshot into batch=-1 (where batch ids tie and a
+      // max_by pick would be arbitrary)
+      all.groupBy("shard").agg(max("cum_tokens").as("cum_tokens"))
     }
   }
 

@@ -85,6 +85,36 @@ class IncrementalPackingSpec extends SparkSpec {
     assert(second == first)
   }
 
+  test("cursor snapshots survive compaction; the stream continues exactly") {
+    val landing = Files.createTempDirectory("ipack5-landing")
+    val ckpt = Files.createTempDirectory("ipack5-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("ipack5-root").toString + "/p"
+    val b1 = corpus(0L, 200L)
+    landParquet(landing, "b1.parquet", b1)
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema)
+    val before = IncrementalPacking.cursor(spark, root, Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fold the accumulated snapshots (all land at batch=-1, where batch
+    // ids tie — the read must still resolve the LATEST state)
+    val compacted = Files.createTempDirectory("ipack5-compact").toString + "/cur"
+    graft.streaming.StoreMaintenance.compact(
+      spark, IncrementalPacking.cursorPath(root), compacted, 1)
+    val src = IncrementalPacking.cursorPath(root)
+    val fs = new java.io.File(src.stripPrefix("file:"))
+    org.apache.commons.io.FileUtils.deleteDirectory(fs)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(compacted.stripPrefix("file:")), fs)
+    val after = IncrementalPacking.cursor(spark, root, Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before)
+    // and a post-compaction batch continues exactly where b1 ended
+    val b2 = corpus(200L, 300L)
+    landParquet(landing, "b2.parquet", b2)
+    val all = IncrementalPacking.run(
+      spark, landing.toString, ckpt, root, schema)
+    assert(binTuples(all) == binTuples(Packing.packBins(b1.unionAll(b2))))
+  }
+
   test("the shard count freezes at bootstrap") {
     val landing = Files.createTempDirectory("ipack4-landing")
     val ckpt = Files.createTempDirectory("ipack4-ckpt").toString + "/c"

@@ -364,4 +364,28 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.head.child.output.map(_.name).contains("text"),
       exchanges.head.child.output.map(_.name).mkString(","))
   }
+
+  test("incremental packing batch: cursor broadcast, one batch shuffle, local sort") {
+    import org.apache.spark.sql.execution.SortExec
+    spark.catalog.clearCache()
+    import spark.implicits._
+    val cur = Seq((0L, 100L), (1L, 200L)).toDF("shard", "cum_tokens")
+    val (bins, _) = graft.streaming.IncrementalPacking.packBatch(
+      T.table(spark, sf, "documents"), cur, graft.ops.Packing.Shards)
+    val p = bins.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    // the ≤shards-row cursor must ride a broadcast; a shuffled cursor
+    // join would re-exchange the batch per micro-batch
+    assert(p.collectWithSubqueries {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, p.toString)
+    assert(p.collect { case s: SortExec if s.global => s }.isEmpty,
+      p.toString)
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size == 1, p.toString)
+  }
 }
