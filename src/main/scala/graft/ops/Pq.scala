@@ -480,7 +480,12 @@ object Pq {
     // exactly once and threads it through its leg (the raw book also
     // feeds the encode relation both ADC scans share)
     val book = codebook(emb)
-    if (book.isEmpty) return emptyResult(emb, gateSchema)
+    // BOTH quantizers must be trainable or the gate cannot grade: a
+    // corpus carrying the raw seeds but not the residual seeds (or vice
+    // versa) degrades to the emptyResult contract every degenerate path
+    // honors, instead of encoding against zero centroids
+    val rBook = residualCodebook(emb)
+    if (book.isEmpty || rBook.isEmpty) return emptyResult(emb, gateSchema)
     val codes = codesWith(emb, book)
     val queries = emb.filter(col("vec_id") % Similarity.QueryStride === 0)
     val exact = Similarity.bruteTopK(emb).select("query_id", "neighbor_id")
@@ -499,7 +504,7 @@ object Pq {
     }
     leg("adc", adcSearch(codes, queries, book), AdcRecallFloorMicro)
       .unionByName(leg("ivfpq",
-        ivfpqTopKWith(emb, residualCodebook(emb), Similarity.TopK,
+        ivfpqTopKWith(emb, rBook, Similarity.TopK,
           Similarity.MaxListOccupancy, byResidual = true),
         IvfpqRecallFloorMicro))
   }

@@ -63,17 +63,21 @@ object IncrementalDsir {
     lr.select("bucket", "ct", "cr", "lr_micro")
       .coalesce(1).write.mode("overwrite").parquet(path)
 
-  /** The frozen ratio table, re-validated on every read: a table with no
-    * rows (or more rows than the hashed feature space) is a corrupt or
-    * partial bootstrap write and must fail loudly instead of silently
-    * scoring every document 0.
+  /** The frozen ratio table, re-validated on every read: a valid table is
+    * COMPLETE over the hashed feature space (exactly [[Dsir.Buckets]]
+    * rows — [[Dsir.ratioTable]]'s contract, which the scoring inner join
+    * depends on: a partial table would silently drop unseen-bucket grams
+    * from every later batch). Anything else — empty, short (a partial
+    * bootstrap write or a pre-complete-table legacy store), or over-full —
+    * must fail loudly instead of silently drifting selection.
     */
   def readRatioTable(spark: SparkSession, path: String): DataFrame = {
     val lr = spark.read.parquet(path)
     val n = lr.count()
-    require(n >= 1L && n <= Dsir.Buckets.toLong,
-      s"IncrementalDsir: ratio table at $path holds $n rows, expected " +
-        s"1..${Dsir.Buckets} — partial bootstrap write; rebuild the table")
+    require(n == Dsir.Buckets.toLong,
+      s"IncrementalDsir: ratio table at $path holds $n rows, need " +
+        s"exactly ${Dsir.Buckets} (the complete hashed feature space) — " +
+        "partial or legacy table; rebuild it from the bootstrap corpus")
     lr
   }
 

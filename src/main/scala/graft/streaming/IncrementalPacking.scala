@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.ops.{Packing, Portable}
+import graft.ops.Packing
 
 /** Incremental sequence packing — the ongoing-crawl shape of
   * [[graft.ops.Packing]]: admitted documents arrive continuously and must
@@ -98,10 +98,10 @@ object IncrementalPacking {
       : (DataFrame, DataFrame) = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sized = docs.selectExpr("doc_id",
-      s"${Portable.hexcastSpark("concat('pack:', CAST(doc_id AS STRING))")} % $shards AS shard",
-      s"CAST(size(${Portable.tokensSpark}) AS BIGINT) AS n_tokens")
-    val packed = sized
+    // the batch operator's OWN shard-hash + token-count projection —
+    // shared, not re-spelled, so drain≡batch can't silently diverge if
+    // the salt or token expression ever changes
+    val packed = Packing.sized(docs, shards)
       .withColumn("batch_cum", sum("n_tokens").over(w))
       .join(broadcast(cur), Seq("shard"), "left")
       .withColumn("cum_tokens",

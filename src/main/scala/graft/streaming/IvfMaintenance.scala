@@ -119,7 +119,8 @@ object IvfMaintenance {
     val dest = s"$root/$gen"
     spark.read.parquet(leaderSrc)
       .coalesce(1).write.mode("errorifexists").parquet(leadersPath(dest))
-    StoreMaintenance.compact(spark, listSrc, listsPath(dest), numFiles,
+    StoreMaintenance.compactVerified(spark, listSrc, listsPath(dest),
+      "IvfMaintenance.adopt lists", numFiles,
       bucketBy = Some(("vec_id", idBuckets)))
     StoreMaintenance.publishGeneration(spark, root, gen)
     dest

@@ -96,7 +96,8 @@ object PqMaintenance {
       .coalesce(1).write.mode("errorifexists").parquet(bookPath(dest))
     val buckets = IncrementalAnnIndex.bucketCount(spark, codesSrc)
       .getOrElse(IncrementalAnnIndex.NumIdBuckets)
-    StoreMaintenance.compact(spark, codesSrc, codesPath(dest), numFiles,
+    StoreMaintenance.compactVerified(spark, codesSrc, codesPath(dest),
+      "PqMaintenance.adopt codes", numFiles,
       bucketBy = Some(("vec_id", buckets)))
     StoreMaintenance.publishGeneration(spark, root, gen)
     dest

@@ -66,20 +66,23 @@ object SemDedupMaintenance {
     val lb = IncrementalAnnIndex
       .bucketCount(spark, IncrementalSemDedup.listPath(flatRoot))
       .getOrElse(IncrementalAnnIndex.NumIdBuckets)
-    StoreMaintenance.compact(spark,
+    StoreMaintenance.compactVerified(spark,
       IncrementalSemDedup.listPath(flatRoot),
       IncrementalSemDedup.listPath(dest),
+      "SemDedupMaintenance.adopt lists",
       numFiles, bucketBy = Some(("vec_id", lb)))
     val db = IncrementalAnnIndex
       .bucketCount(spark, IncrementalSemDedup.decidedPath(flatRoot))
       .getOrElse(IncrementalAnnIndex.NumIdBuckets)
-    StoreMaintenance.compact(spark,
+    StoreMaintenance.compactVerified(spark,
       IncrementalSemDedup.decidedPath(flatRoot),
       IncrementalSemDedup.decidedPath(dest),
+      "SemDedupMaintenance.adopt decided",
       numFiles, bucketBy = Some(("vec_id", db)))
-    StoreMaintenance.compact(spark,
+    StoreMaintenance.compactVerified(spark,
       IncrementalSemDedup.ledgerPath(flatRoot),
-      IncrementalSemDedup.ledgerPath(dest), numFiles)
+      IncrementalSemDedup.ledgerPath(dest),
+      "SemDedupMaintenance.adopt ledger", numFiles)
     // the heads store is SUPERSEDING (readers resolve the newest batch
     // only) — carry that one relation to batch=-1, the re-entry position
     IncrementalSemDedup.readHeads(spark, flatRoot, Long.MinValue)

@@ -228,13 +228,9 @@ object StoreMaintenance {
       numFiles: Int,
       bucketBy: Option[(String, Int)] = None): String = {
     val src = resolveCurrent(spark, root)
-    val srcRows = spark.read.parquet(src).count()
     val gen = nextGeneration(spark, root)
     val dest = s"$root/$gen"
-    val written = compact(spark, src, dest, numFiles, bucketBy)
-    require(written == srcRows,
-      s"compactCurrent: wrote $written rows from a $srcRows-row source — " +
-        s"not publishing $gen; readers stay on ${src.split('/').last}")
+    compactVerified(spark, src, dest, "compactCurrent", numFiles, bucketBy)
     publishGeneration(spark, root, gen)
     dest
   }
