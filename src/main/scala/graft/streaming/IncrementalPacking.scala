@@ -122,6 +122,30 @@ object IncrementalPacking {
     (bins, nextCursor)
   }
 
+  /** The fill/waste calibration surface over the ACCUMULATED bin store —
+    * the [[Packing.stats]] aggregation applied to everything drained so
+    * far: `(shard, n_docs, n_bins, total_tokens, max_bin_tokens,
+    * overflow_bins)`. Because bins continue across batches, this equals
+    * the batch operator's stats over the concatenated corpus.
+    */
+  def storeStats(spark: SparkSession, root: String): DataFrame = {
+    val bins =
+      if (StoragePaths.exists(spark, binsPath(root)))
+        spark.read.parquet(binsPath(root)).drop("batch")
+      else emptyOf(spark, BinsSchema)
+    bins
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("bin_docs"), sum("n_tokens").as("bin_tokens"))
+      .groupBy("shard")
+      .agg(
+        sum("bin_docs").as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum("bin_tokens").as("total_tokens"),
+        max("bin_tokens").as("max_bin_tokens"),
+        sum(when(col("bin_tokens") > Packing.Budget, 1L).otherwise(0L))
+          .as("overflow_bins"))
+  }
+
   /** Drain the landing dir (Trigger.AvailableNow), packing every batch
     * against the per-shard cursors. Assignment rows land in
     * `root/bins/batch=N`, the post-batch cursor snapshot in

@@ -59,6 +59,12 @@ class IncrementalPackingSpec extends SparkSpec {
     // the batch operator over the union — the continuation is EXACT, not
     // merely consistent
     assert(binTuples(all) == binTuples(Packing.packBins(b1.unionAll(b2))))
+    // and so does the accumulated fill/waste surface
+    def statRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(statRows(IncrementalPacking.storeStats(spark, root)) ==
+      statRows(Packing.stats(b1.unionAll(b2))))
     // and batch 1's rows are bit-identical to before batch 2 landed
     val b1After = binTuples(all.join(b1.select("doc_id"), Seq("doc_id")))
     assert(b1After == firstEra)
