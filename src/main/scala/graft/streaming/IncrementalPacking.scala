@@ -29,13 +29,19 @@ import graft.ops.Packing
   *    one row per shard per batch, folded by
   *    [[StoreMaintenance.compact]] when the snapshots accumulate).
   *  - **Exactly-once** via the house per-batch overwrite contract: the
-  *    cursor read EXCLUDES the batch being processed, so an
+  *    cursor read takes the strictly-BEFORE state (see [[cursor]]), so an
   *    at-least-once replay recomputes from the same prior state and
   *    rewrites `batch=N` with identical rows.
   *  - **The shard count is frozen at bootstrap** (a `_shards` marker,
   *    the `_id_buckets` convention): re-running with a different
   *    [[Packing.Shards]] default cannot silently re-route documents —
   *    the stored count wins, loudly.
+  *  - Re-crawl admission (first-write-wins on doc_id across batches) is
+  *    deliberately NOT this module's contract — packing sits at the END
+  *    of the funnel, behind the dedup/curation/cap stages that own
+  *    admission ([[IncrementalDsir]] documents the same division); a
+  *    document fed twice would be packed twice, exactly as the batch
+  *    operator would pack a corpus containing it twice.
   */
 object IncrementalPacking {
 
