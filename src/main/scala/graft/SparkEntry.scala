@@ -257,6 +257,12 @@ object SparkEntry {
       Dedup.chunkDedupDocs(T.table(s, dir, "documents"))),
     "dedup_chunk_stats" -> ((s, dir) =>
       Dedup.chunkDedupStats(T.table(s, dir, "documents"))),
+    "dedup_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateChunks(T.table(s, dir, "documents"))),
+    "dedup_boilerplate_docs" -> ((s, dir) =>
+      Dedup.boilerplateDocs(T.table(s, dir, "documents"))),
+    "dedup_boilerplate_stats" -> ((s, dir) =>
+      Dedup.boilerplateStats(T.table(s, dir, "documents"))),
     // composition: document-level curation first, then cross-document
     // chunk dedup over the survivors (the C4 ordering) — the keep-first
     // election runs on the curated subset only
@@ -352,6 +358,10 @@ object SparkEntry {
       Sampling.targetAssign(T.table(s, dir, "documents"), 40L)),
     "sample_source_cap" -> ((s, dir) =>
       Sampling.sourceCap(T.table(s, dir, "documents"))),
+    "sample_temperature_assign" -> ((s, dir) =>
+      Sampling.temperatureAssign(T.table(s, dir, "documents"))),
+    "sample_temperature_summary" -> ((s, dir) =>
+      Sampling.temperatureSummary(T.table(s, dir, "documents"))),
     "curate_audit" -> ((s, dir) => curationAudit(s, dir)),
     "curate_corpus" -> ((s, dir) =>
       Curation.corpus(T.table(s, dir, "documents"), curationAudit(s, dir))),
@@ -449,6 +459,8 @@ object SparkEntry {
       Packing.packBins(T.table(s, dir, "documents"))),
     "curate_pack_stats" -> ((s, dir) =>
       Packing.stats(T.table(s, dir, "documents"))),
+    "curate_epoch_plan" -> ((s, dir) =>
+      Packing.epochPlan(T.table(s, dir, "documents"))),
     "sql_sector_momentum" -> ((s, dir) => {
       registerMartViews(s, dir)
       s.sql(sectorMomentumSql)
@@ -502,6 +514,9 @@ object SparkEntry {
     "dedup_chunks" -> OO.DEDUP_CHUNKS,
     "dedup_chunk_docs" -> OO.DEDUP_CHUNK_DOCS,
     "dedup_chunk_stats" -> OO.DEDUP_CHUNK_STATS,
+    "dedup_boilerplate" -> OO.DEDUP_BOILERPLATE,
+    "dedup_boilerplate_docs" -> OO.DEDUP_BOILERPLATE_DOCS,
+    "dedup_boilerplate_stats" -> OO.DEDUP_BOILERPLATE_STATS,
     "curate_chunk_corpus" -> OO.CURATE_CHUNK_CORPUS,
     "sim_semdedup" -> OO.SIM_SEMDEDUP,
     "dedup_clusters" -> OO.DEDUP_CLUSTERS,
@@ -539,6 +554,8 @@ object SparkEntry {
     "sample_summary" -> OO.SAMPLE_SUMMARY,
     "sample_target_assign" -> OO.SAMPLE_TARGET_ASSIGN(40L),
     "sample_source_cap" -> OO.SAMPLE_SOURCE_CAP,
+    "sample_temperature_assign" -> OO.SAMPLE_TEMPERATURE_ASSIGN,
+    "sample_temperature_summary" -> OO.SAMPLE_TEMPERATURE_SUMMARY,
     "curate_audit" -> OO.CURATE_AUDIT,
     "curate_corpus" -> OO.CURATE_CORPUS,
     "curate_funnel" -> OO.CURATE_FUNNEL,
@@ -766,6 +783,7 @@ object SparkEntry {
     "quality_nb_summary" -> OO.QUALITY_NB_SUMMARY,
     "curate_pack_bins" -> OO.CURATE_PACK_BINS,
     "curate_pack_stats" -> OO.CURATE_PACK_STATS,
+    "curate_epoch_plan" -> OO.CURATE_EPOCH_PLAN,
     "sql_nb_by_lang" -> OO.SQL_NB_BY_LANG,
   )
 }

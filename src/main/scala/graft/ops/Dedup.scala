@@ -607,6 +607,76 @@ object Dedup {
   def chunkDedupDocs(docs: DataFrame, w: Int = ChunkTokens): DataFrame =
     reassembleChunks(flaggedChunks(chunkRows(docs, w)))
 
+  // ---- boilerplate chunk filter (drop-ALL-occurrences policy) ----
+
+  /** Distinct-document threshold in [[boilerplateChunks]]: a chunk present
+    * in ≥ this many DISTINCT documents is boilerplate. 2 exercises the
+    * policy on the fixture corpus; production crawls tune much higher
+    * (CCNet drops lines shared across a handful of its shard's docs).
+    */
+  val BoilerplateMinDf = 2
+
+  /** Occurrence rows flagged by the BOILERPLATE policy (the CCNet §4.1 /
+    * RefinedWeb line-dedup stage, at the same fixed-width chunk
+    * granularity as [[chunkDedup]]): a chunk whose content appears in
+    * `minDf`-or-more DISTINCT documents is navigation/footer/license
+    * furniture, and EVERY occurrence is dropped — including the first.
+    * This is the complement of [[chunkDedup]]'s keep-first election: that
+    * pass keeps one copy of legitimately-duplicated content; this one
+    * removes content whose cross-document spread marks it as template
+    * text. Intra-document repeats alone never trip it (df counts distinct
+    * documents, not occurrences).
+    *
+    * Scale shape: document frequency is a digest-pair hash-aggregate
+    * (`count(distinct doc_id)` partials fold per-task before one row per
+    * distinct chunk crosses the wire); the flag-back join fans the 1-row
+    * df relation onto the chunk's occurrences — the [[flaggedChunks]]
+    * contract, soaked as `chunk_flagback`.
+    */
+  private[graft] def dfFlaggedChunks(rows: DataFrame, minDf: Int): DataFrame = {
+    require(minDf > 0, s"boilerplate: minDf must be positive, got $minDf")
+    val dfs = rows.groupBy("chunk_hash", "chunk_hash2")
+      .agg(countDistinct("doc_id").as("df_docs"))
+    rows.join(dfs, Seq("chunk_hash", "chunk_hash2"))
+      .withColumn("kept", col("df_docs") < minDf)
+  }
+
+  /** Per-occurrence boilerplate audit: `(doc_id, chunk_idx, chunk_hash,
+    * df_docs, kept)` — digest-width rows only (the text never shuffles).
+    */
+  def boilerplateChunks(docs: DataFrame, w: Int = ChunkTokens,
+      minDf: Int = BoilerplateMinDf): DataFrame =
+    dfFlaggedChunks(chunkRows(docs, w).drop("chunk_text"), minDf)
+      .select("doc_id", "chunk_idx", "chunk_hash", "df_docs", "kept")
+
+  /** Documents rewritten with their boilerplate chunks removed —
+    * [[reassembleChunks]] over the df-flagged occurrences, so the
+    * reassembly contract (empty `clean_text` survives, per-doc bounded
+    * collect) is shared verbatim with [[chunkDedupDocs]].
+    */
+  def boilerplateDocs(docs: DataFrame, w: Int = ChunkTokens,
+      minDf: Int = BoilerplateMinDf): DataFrame =
+    reassembleChunks(dfFlaggedChunks(chunkRows(docs, w), minDf))
+
+  /** Corpus-level boilerplate yield, one row: occurrence / distinct-chunk /
+    * boilerplate-chunk / dropped-occurrence counts and characters removed.
+    * Integer aggregates only — the cross-engine hash compare is exact.
+    */
+  def boilerplateStats(docs: DataFrame, w: Int = ChunkTokens,
+      minDf: Int = BoilerplateMinDf): DataFrame =
+    dfFlaggedChunks(chunkRows(docs, w), minDf)
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("chunk_hash"), col("chunk_hash2"))
+          .as("n_distinct_chunks"),
+        countDistinct(when(!col("kept"), struct(col("chunk_hash"), col("chunk_hash2"))))
+          .as("n_boilerplate_chunks"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(!col("kept"),
+          length(col("chunk_text")).cast("long")).otherwise(0L)), lit(0L))
+          .as("chars_dropped"))
+
   /** Corpus-level dedup yield — the one-row report an operator reads to
     * decide whether chunk dedup pays for itself on a corpus: occurrence /
     * distinct / dropped counts and the characters removed. Integer

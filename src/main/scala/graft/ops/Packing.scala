@@ -74,6 +74,48 @@ object Packing {
       .select("doc_id", "shard", "n_tokens", "bin", "bin_offset")
   }
 
+  /** Reader streams per epoch plan (see [[epochPlan]] scale sizing). */
+  val Readers = 4
+
+  /** Deterministic EPOCH PLAN over the packed sequences — the serve-to-
+    * trainer step every pretraining stack runs after packing (the
+    * shard-then-shuffle recipe of tf.data / Megatron-LM data loaders):
+    * each epoch, every packed bin is dealt to one of `readers` independent
+    * reader streams and given a position inside that stream, with the
+    * whole dealing a pure function of `(epoch, shard, bin)` — no RNG, no
+    * state. Reproducibility is the point: any reader can be restarted at
+    * `reader_pos` k on any host and see the same sequence order, and two
+    * epochs draw independent permutations from the same corpus (the salt
+    * carries the epoch).
+    *
+    * Scale sizing: like [[Shards]], `readers` is the knob a real run sets
+    * to its data-loader worker count (thousands at 1000-GPU scale), so one
+    * reader stream's id-width rows (the window partition) fit one task; a
+    * 100 TB corpus at a 2k budget is ~10^10 bins, and 10^4 readers put
+    * ~10^6 16-byte rows in a partition. The window input carries ONLY
+    * (shard, bin, n_docs, bin_tokens, order_hash) — never documents.
+    *
+    * Output: `(shard, bin, n_docs, bin_tokens, reader, order_hash,
+    * reader_pos)` — `bin_tokens` rides along so the loader can plan
+    * clipping (overflow bins, see [[stats]]) without another join.
+    */
+  def epochPlan(docs: DataFrame, epoch: Int = 1, readers: Int = Readers,
+      shards: Int = Shards): DataFrame = {
+    require(epoch >= 0, s"epochPlan: epoch must be non-negative, got $epoch")
+    require(readers > 0, s"epochPlan: readers must be positive, got $readers")
+    packBins(docs, shards)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      .withColumn("order_hash", expr(hexcastSpark(
+        s"concat('epoch:$epoch:', CAST(shard AS STRING), ':', CAST(bin AS STRING))")))
+      .withColumn("reader", col("order_hash") % readers)
+      .withColumn("reader_pos", row_number().over(
+        Window.partitionBy("reader").orderBy("order_hash", "shard", "bin"))
+        .cast("long"))
+      .select("shard", "bin", "n_docs", "bin_tokens", "reader",
+        "order_hash", "reader_pos")
+  }
+
   /** Fill/waste calibration surface, one row per shard:
     * `(shard, n_docs, n_bins, total_tokens, max_bin_tokens,
     * overflow_bins)` — `overflow_bins` counts bins whose contents exceed

@@ -120,6 +120,72 @@ object Sampling {
         col("src_rank").cast("long").as("src_rank"))
   }
 
+  /** Per-stratum thresholds for TEMPERATURE rebalancing (the multilingual
+    * pretraining mix of XLM-R, Conneau et al. 2020 §5.1, and mT5, Xue et
+    * al. 2021: sample stratum s with probability ∝ p_s^α). As a
+    * deterministic THINNING — no stratum can be upsampled by dropping
+    * rows — the rate normalizes so the rarest stratum keeps everything:
+    * `rate_s = (n_min / n_s)^(1−α)`, which realizes q ∝ p^α exactly.
+    *
+    * α is pinned to 1/2, spelled `sqrt(n_min / n_s)` in BOTH engines:
+    * integer-exact counts, one correctly-rounded IEEE division, one
+    * correctly-rounded IEEE sqrt, one multiply by the exact 1e6 modulus,
+    * then floor — every step is bit-reproducible across engines, which a
+    * `pow(x, 0.3)` (implementation-defined rounding) is not. One tiny
+    * aggregate per stratum plus a 1-row broadcast for the minimum; the
+    * threshold relation is one row per stratum.
+    */
+  def temperatureThresholds(docs: DataFrame,
+      stratumCol: String = "lang"): DataFrame =
+    docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_total"))
+      // corpus-wide minimum via a global window over the PER-STRATUM
+      // relation — one row per stratum (a mixing config's cardinality,
+      // bounded-small by definition), so the single-partition window costs
+      // nothing and the corpus is scanned exactly ONCE (a second
+      // `docs.groupBy().agg(min)` leg would re-scan 100 TB for one number)
+      .withColumn("n_min", min("n_total").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("threshold",
+        floor(lit(SampleMod.toDouble) *
+          sqrt(col("n_min").cast("double") / col("n_total"))).cast("long"))
+      .select("stratum", "n_total", "threshold")
+
+  /** Per-row temperature-sampling assignment — the auditable
+    * (bucket, threshold, kept) contract of [[stratifiedAssign]], with the
+    * threshold joined from [[temperatureThresholds]] (broadcast: one row
+    * per stratum) and an independent hash salt so the temperature decision
+    * is uncorrelated with the fixed-rate sampler's. LEFT join: a NULL
+    * stratum keeps its audit row with NULL threshold/kept.
+    */
+  def temperatureAssign(docs: DataFrame,
+      stratumCol: String = "lang"): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      s"$stratumCol AS stratum",
+      s"${hexcastSpark(s"concat('temp:', $stratumCol, ':', CAST(doc_id AS STRING))")} % $SampleMod AS bucket")
+      .join(broadcast(
+        temperatureThresholds(docs, stratumCol)
+          .select("stratum", "threshold")), Seq("stratum"), "left")
+      .withColumn("kept", col("bucket") < col("threshold"))
+      .select("doc_id", "stratum", "bucket", "threshold", "kept")
+
+  /** Realized-vs-target temperature mix per stratum — same report shape as
+    * [[sampleSummary]]; the reviewer's check that the α=1/2 rebalance hit
+    * its rates before a 100 TB run commits to them.
+    */
+  def temperatureSummary(docs: DataFrame,
+      stratumCol: String = "lang"): DataFrame =
+    temperatureAssign(docs, stratumCol)
+      .groupBy("stratum")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        (max("threshold").cast("double") / lit(SampleMod.toDouble)).as("target_rate"))
+      .withColumn("realized_rate",
+        col("n_kept").cast("double") / col("n_total"))
+      .orderBy("stratum")
+
   /** Per-row assignment against [[targetThresholds]] — same auditable
     * (bucket, threshold, kept) contract as [[stratifiedAssign]], with the
     * threshold joined from the derived per-stratum relation (broadcast: one

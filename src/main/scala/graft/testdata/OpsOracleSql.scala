@@ -357,6 +357,56 @@ object OpsOracleSql {
        |       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept
        |FROM ck_flag GROUP BY doc_id""".stripMargin
 
+  /** Boilerplate flagging over the shared chunk chain — document frequency
+    * on the 120-bit digest pair, kept iff df < minDf (drop-ALL policy;
+    * mirrors [[graft.ops.Dedup.dfFlaggedChunks]]).
+    */
+  private val boilerplateChain: String = {
+    val minDf = graft.ops.Dedup.BoilerplateMinDf
+    s"""$chunkChain,
+       |bp_occ AS (
+       |  SELECT doc_id, chunk_idx, chunk_text,
+       |         ${hexcastDuck("chunk_text")} AS chunk_hash,
+       |         ${hexcastDuck2("chunk_text")} AS chunk_hash2
+       |  FROM ck_chunk),
+       |bp_df AS (
+       |  SELECT chunk_hash, chunk_hash2,
+       |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+       |  FROM bp_occ GROUP BY 1, 2),
+       |bp_flag AS (
+       |  SELECT o.doc_id, o.chunk_idx, o.chunk_text, o.chunk_hash,
+       |         o.chunk_hash2, d.df_docs, d.df_docs < $minDf AS kept
+       |  FROM bp_occ o JOIN bp_df d
+       |    ON o.chunk_hash = d.chunk_hash AND o.chunk_hash2 = d.chunk_hash2)""".stripMargin
+  }
+
+  val DEDUP_BOILERPLATE: String =
+    s"""WITH $boilerplateChain
+       |SELECT doc_id, chunk_idx, chunk_hash, df_docs, kept FROM bp_flag""".stripMargin
+
+  val DEDUP_BOILERPLATE_DOCS: String =
+    s"""WITH $boilerplateChain
+       |SELECT doc_id,
+       |       coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+       |                  FILTER (WHERE kept), '') AS clean_text,
+       |       CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept
+       |FROM bp_flag GROUP BY doc_id""".stripMargin
+
+  val DEDUP_BOILERPLATE_STATS: String =
+    s"""WITH $boilerplateChain
+       |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_occurrences,
+       |       CAST(count(DISTINCT (chunk_hash, chunk_hash2)) AS BIGINT)
+       |         AS n_distinct_chunks,
+       |       CAST(count(DISTINCT CASE WHEN NOT kept
+       |              THEN (chunk_hash, chunk_hash2) END) AS BIGINT)
+       |         AS n_boilerplate_chunks,
+       |       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped,
+       |       CAST(coalesce(sum(length(chunk_text))
+       |              FILTER (WHERE NOT kept), 0) AS BIGINT) AS chars_dropped
+       |FROM bp_flag""".stripMargin
+
   /** Connected components by transitive closure (recursive CTE) — cluster
     * id = min reachable doc_id; mirrors Dedup.dupClusters' fixpoint.
     */
@@ -1443,6 +1493,42 @@ object OpsOracleSql {
        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS realized_rate
        |FROM ($SAMPLE_ASSIGN) GROUP BY 1""".stripMargin
 
+  /** Mirrors [[graft.ops.Sampling.temperatureAssign]] — the same α=1/2
+    * arithmetic step for step: exact integer counts, ONE division, ONE
+    * sqrt, ONE multiply by the exact 1e6 modulus, floor. Every step is
+    * IEEE-correctly-rounded in both engines, so the thresholds are
+    * bit-identical (the reason α is pinned to 1/2 rather than an
+    * implementation-rounded `pow`).
+    */
+  private val temperatureChain: String =
+    s"""tm_counts AS (
+       |  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_total
+       |  FROM documents GROUP BY lang),
+       |tm_thresholds AS (
+       |  SELECT stratum, n_total,
+       |         CAST(floor(CAST($SampleMod AS DOUBLE) *
+       |           sqrt(CAST(min(n_total) OVER () AS DOUBLE) / n_total))
+       |           AS BIGINT) AS threshold
+       |  FROM tm_counts)""".stripMargin
+
+  val SAMPLE_TEMPERATURE_ASSIGN: String =
+    s"""WITH $temperatureChain
+       |SELECT doc_id, stratum, bucket, threshold, bucket < threshold AS kept
+       |FROM (
+       |  SELECT d.doc_id, d.lang AS stratum,
+       |    ${hexcastDuck("concat('temp:', lang, ':', CAST(doc_id AS VARCHAR))")} % $SampleMod AS bucket,
+       |    t.threshold
+       |  FROM documents d
+       |  LEFT JOIN tm_thresholds t ON t.stratum = d.lang)""".stripMargin
+
+  val SAMPLE_TEMPERATURE_SUMMARY: String =
+    s"""SELECT stratum,
+       |  CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(MAX(threshold) AS DOUBLE) / CAST($SampleMod AS DOUBLE) AS target_rate,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS realized_rate
+       |FROM ($SAMPLE_TEMPERATURE_ASSIGN) GROUP BY 1""".stripMargin
+
   /** Mirrors [[graft.ops.Sampling.sourceCap]]: same salted portable hash,
     * same (hash, doc_id) election order, same cap constant.
     */
@@ -1741,6 +1827,28 @@ object OpsOracleSql {
        |       CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
        |       CAST(sum(CASE WHEN bin_tokens > $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS overflow_bins
        |FROM pk_per_bin GROUP BY shard""".stripMargin
+
+  /** Mirrors [[graft.ops.Packing.epochPlan]] at the battery's epoch=1,
+    * readers=[[graft.ops.Packing.Readers]]: same salted hash, same
+    * (order_hash, shard, bin) tie-break order.
+    */
+  val CURATE_EPOCH_PLAN: String = {
+    val readers = graft.ops.Packing.Readers
+    s"""WITH $packChain,
+       |ep_bins AS (
+       |  SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |  FROM pk_bins GROUP BY 1, 2),
+       |ep_hash AS (
+       |  SELECT *,
+       |    ${hexcastDuck("concat('epoch:1:', CAST(shard AS VARCHAR), ':', CAST(bin AS VARCHAR))")} AS order_hash
+       |  FROM ep_bins)
+       |SELECT shard, bin, n_docs, bin_tokens,
+       |       order_hash % $readers AS reader, order_hash,
+       |       CAST(row_number() OVER (PARTITION BY order_hash % $readers
+       |         ORDER BY order_hash, shard, bin) AS BIGINT) AS reader_pos
+       |FROM ep_hash""".stripMargin
+  }
 
   /** Mirrors SparkEntry's ad-hoc `sql_nb_by_lang` over the registered
     * score view — order-independent aggregates only.

@@ -54,6 +54,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(QualityClassifier.summary(ds).count() == 0)
     assert(Packing.packBins(d).count() == 0)
     assert(Packing.stats(d).count() == 0)
+    assert(Packing.epochPlan(d).count() == 0)
+    assert(Dedup.boilerplateChunks(d).count() == 0)
+    assert(Dedup.boilerplateDocs(d).count() == 0)
+    assert(Sampling.temperatureAssign(d).count() == 0)
+    assert(Sampling.temperatureSummary(d).count() == 0)
     val audited = Curation.audit(d, Dedup.minhashDupClusters(d))
     assert(audited.count() == 0)
     assert(Curation.corpus(d.withColumn("source", lit("s"))

@@ -40,6 +40,83 @@ class OpsSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("boilerplate filter: drop-ALL on cross-doc df, intra-doc repeats survive") {
+    import spark.implicits._
+    val boiler = "b0 b1 b2 b3 b4 b5 b6 b7"    // shared by docs 1 and 2
+    val selfrep = "s0 s1 s2 s3 s4 s5 s6 s7"   // twice INSIDE doc 3 only
+    val d = Seq(
+      (1L, s"$boiler u1a u1b u1c u1d u1e u1f u1g u1h"),
+      (2L, s"$boiler u2a u2b u2c u2d u2e u2f u2g u2h"),
+      (3L, s"$selfrep $selfrep"),
+      (4L, "solo only")).toDF("doc_id", "text")
+    val audit = Dedup.boilerplateChunks(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) -> r).toMap
+    // the cross-document chunk drops EVERYWHERE — including its first
+    // occurrence (the policy difference vs chunkDedup's keep-first)
+    assert(!audit((1L, 0L)).getAs[Boolean]("kept"))
+    assert(!audit((2L, 0L)).getAs[Boolean]("kept"))
+    assert(audit((1L, 0L)).getAs[Long]("df_docs") == 2L)
+    // intra-document repetition alone never trips df (distinct docs = 1)
+    assert(audit((3L, 0L)).getAs[Boolean]("kept") &&
+      audit((3L, 1L)).getAs[Boolean]("kept"))
+    assert(audit((3L, 0L)).getAs[Long]("df_docs") == 1L)
+    assert(audit((4L, 0L)).getAs[Boolean]("kept"))
+    val out = Dedup.boilerplateDocs(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") ==
+      "u1a u1b u1c u1d u1e u1f u1g u1h")
+    assert(out(2L).getAs[String]("clean_text") ==
+      "u2a u2b u2c u2d u2e u2f u2g u2h")
+    assert(out(3L).getAs[String]("clean_text") == s"$selfrep $selfrep")
+    // stats: boilerplate chunk count and dropped occurrences line up
+    val st = Dedup.boilerplateStats(d).head()
+    assert(st.getAs[Long]("n_boilerplate_chunks") == 1L)
+    assert(st.getAs[Long]("n_dropped") == 2L)
+    assert(st.getAs[Long]("chars_dropped") == 2L * boiler.length)
+    // corpus sanity: agree with a driver-side brute force of the policy
+    val occ = Dedup.chunkRows(docs).select("doc_id", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dfDocs = occ.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    val expectDropped = occ.count(o => dfDocs(o._2) >= Dedup.BoilerplateMinDf)
+    val corpusSt = Dedup.boilerplateStats(docs).head()
+    assert(corpusSt.getAs[Long]("n_dropped") == expectDropped.toLong)
+    assert(expectDropped > 0, "fixture must exercise the drop path")
+  }
+
+  test("temperature sampling: exact alpha=1/2 thresholds, rarest stratum intact") {
+    val th = Sampling.temperatureThresholds(docs).collect()
+      .map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("threshold"))).toMap
+    val nMin = th.values.map(_._1).min
+    th.foreach { case (s, (n, t)) =>
+      // bit-exact contract: floor(1e6 * sqrt(n_min / n)) — the same IEEE
+      // steps the operator and the oracle both take
+      val expect = math.floor(1e6 * math.sqrt(nMin.toDouble / n)).toLong
+      assert(t == expect, s"$s: threshold $t != $expect")
+    }
+    // the rarest stratum keeps everything; bigger strata thin monotonically
+    assert(th.values.exists { case (n, t) => n == nMin && t == Portable.SampleMod })
+    val byN = th.values.toSeq.sortBy(_._1)
+    byN.zip(byN.tail).foreach { case ((_, t1), (_, t2)) => assert(t1 >= t2) }
+    // realized mix ∝ sqrt(n): kept counts follow q ∝ p^(1/2) within
+    // binomial noise — the distributional point of the operator
+    val sum = Sampling.temperatureSummary(docs).collect()
+      .map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))).toMap
+    sum.foreach { case (s, (n, k)) =>
+      val expect = n * math.sqrt(nMin.toDouble / n)
+      assert(math.abs(k - expect) <= 4 * math.sqrt(expect) + 1,
+        s"$s: kept $k vs expected $expect")
+    }
+    // audit identity, and the assignment joins the SAME thresholds
+    val a = Sampling.temperatureAssign(docs)
+    assert(a.filter(col("kept") =!= (col("bucket") < col("threshold"))).count() == 0)
+    assert(a.count() == docs.count())
+    val aTh = a.select("stratum", "threshold").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(aTh == th.view.mapValues(_._2).toMap)
+  }
+
   test("semdedup: within-list lowest-id keeper, orthogonal vectors survive") {
     import spark.implicits._
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray

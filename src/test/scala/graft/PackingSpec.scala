@@ -49,6 +49,35 @@ class PackingSpec extends SparkSpec {
       }
   }
 
+  test("epoch plan: a seeded permutation of the bins into contiguous reader streams") {
+    val bins = Packing.packBins(docs).select("shard", "bin").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def plan(epoch: Int) = Packing.epochPlan(docs, epoch).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("reader"), r.getAs[Long]("order_hash"),
+          r.getAs[Long]("reader_pos"))).toMap
+    val p1 = plan(1)
+    // totality: every packed bin is dealt exactly once
+    assert(p1.keySet == bins)
+    // pure function of (epoch, shard, bin): re-planning is bit-identical
+    assert(plan(1) == p1)
+    // reader streams are contiguous 1..k and ordered by the salted hash
+    p1.values.groupBy(_._1).foreach { case (reader, rows) =>
+      assert(reader >= 0 && reader < Packing.Readers)
+      val byPos = rows.toSeq.sortBy(_._3)
+      assert(byPos.map(_._3) == (1L to rows.size.toLong))
+      assert(byPos.map(_._2) == byPos.map(_._2).sorted)
+    }
+    // a different epoch draws a different permutation (same bins, at
+    // least one moved position or reader) — the salt carries the epoch
+    val p2 = plan(2)
+    assert(p2.keySet == bins)
+    assert(p1 != p2, "epochs must not repeat the same order")
+    // the dealing is hash-spread, not degenerate: more than one reader
+    // is actually used on the fixture
+    assert(p1.values.map(_._1).toSet.size > 1)
+  }
+
   test("stats agrees with packBins and conserves tokens; overflow is bounded") {
     val bins = Packing.packBins(docs)
     val st = Packing.stats(docs).collect()

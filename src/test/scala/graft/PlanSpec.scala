@@ -100,7 +100,11 @@ class PlanSpec extends SparkSpec {
       "curate_token_shards" ->
         "same two-phase prefix sum over the curated subset",
       "stock_volume_deciles" ->
-        "ntile(10) is a global rank over the per-ticker aggregate by definition")
+        "ntile(10) is a global rank over the per-ticker aggregate by definition",
+      "sample_temperature_assign" ->
+        "corpus-wide min over the PER-STRATUM count relation: one row per stratum",
+      "sample_temperature_summary" ->
+        "same per-stratum threshold relation (one row per stratum)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => boundedByDesign.contains(name) }
       .flatMap { case (name, fn) =>
@@ -340,6 +344,55 @@ class PlanSpec extends SparkSpec {
       graft.ops.QualityClassifier.score(T.table(spark, sf, "documents")))
     assert(ns.contains("BroadcastHashJoin"), ns)
     assert(ns.contains("BroadcastNestedLoopJoin"), ns)
+  }
+
+  test("temperature sampling: per-stratum thresholds broadcast onto the corpus") {
+    val ns = nodes(Sampling.temperatureAssign(T.table(spark, sf, "documents")))
+    // the threshold relation is one row per stratum — it must ride a
+    // broadcast, never shuffle the corpus on stratum
+    assert(ns.contains("BroadcastHashJoin"), ns)
+    assert(!ns.contains("SortMergeJoin"), ns)
+  }
+
+  test("boilerplate audit: digest-width flag-back, no text through the shuffle") {
+    spark.catalog.clearCache()
+    val df = Dedup.boilerplateChunks(T.table(spark, sf, "documents"))
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    // every exchange carries digest/id-width rows — the chunk text is
+    // hashed away before anything crosses the wire
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("text") && !cols.contains("chunk_text"),
+        cols.mkString(","))
+    }
+  }
+
+  test("epoch plan: reader-partitioned window, no global sort, id-width rows") {
+    import org.apache.spark.sql.execution.SortExec
+    spark.catalog.clearCache()
+    val df = graft.ops.Packing.epochPlan(T.table(spark, sf, "documents"))
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    // reader streams sort locally inside their hash partitions — a global
+    // (range-partitioned) sort would serialize the whole plan
+    assert(p.collect { case s: SortExec if s.global => s }.isEmpty, p.toString)
+    p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.child.output.map(_.name).contains("text"),
+        e.child.output.map(_.name).mkString(","))
+    }
   }
 
   test("sequence packing: one shard shuffle, local sort only, no text carried") {
