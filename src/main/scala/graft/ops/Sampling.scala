@@ -137,7 +137,13 @@ object Sampling {
     */
   def temperatureThresholds(docs: DataFrame,
       stratumCol: String = "lang"): DataFrame =
-    docs.groupBy(col(stratumCol).as("stratum"))
+    docs
+      // the mix estimate is over REAL strata: a NULL stratum is a data
+      // defect (its rows keep NULL assignments downstream), and letting
+      // it form a group could make it the "rarest stratum" and silently
+      // thin every real one
+      .filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
       .agg(count(lit(1)).as("n_total"))
       // corpus-wide minimum via a global window over the PER-STRATUM
       // relation — one row per stratum (a mixing config's cardinality,
@@ -160,13 +166,31 @@ object Sampling {
     */
   def temperatureAssign(docs: DataFrame,
       stratumCol: String = "lang"): DataFrame =
+    temperatureAssignWith(docs,
+      temperatureThresholds(docs, stratumCol), stratumCol)
+
+  /** [[temperatureAssign]] against an EXPLICIT threshold table — the
+    * frozen-seam entry point ([[graft.streaming.IncrementalTemperature]]
+    * scores every batch against the bootstrap table). Unseen-stratum
+    * convention: a stratum absent from the table is RARER than anything
+    * the table saw, and the α-mix keeps its rarest stratum whole — so
+    * absent strata coalesce to the keep-everything threshold
+    * ([[Portable.SampleMod]]) rather than silently dropping (the
+    * complete-bucket-table discipline of [[Dsir]]/[[QualityClassifier]],
+    * transposed to a seam whose row space cannot be enumerated up front).
+    * A NULL stratum still propagates NULL bucket/kept — that is a data
+    * defect to surface, not a rare stratum.
+    */
+  def temperatureAssignWith(docs: DataFrame, thresholds: DataFrame,
+      stratumCol: String = "lang"): DataFrame =
     docs.selectExpr(
       "doc_id",
       s"$stratumCol AS stratum",
       s"${hexcastSpark(s"concat('temp:', $stratumCol, ':', CAST(doc_id AS STRING))")} % $SampleMod AS bucket")
-      .join(broadcast(
-        temperatureThresholds(docs, stratumCol)
-          .select("stratum", "threshold")), Seq("stratum"), "left")
+      .join(broadcast(thresholds.select("stratum", "threshold")),
+        Seq("stratum"), "left")
+      .withColumn("threshold", when(col("stratum").isNotNull,
+        coalesce(col("threshold"), lit(SampleMod))))
       .withColumn("kept", col("bucket") < col("threshold"))
       .select("doc_id", "stratum", "bucket", "threshold", "kept")
 
@@ -176,7 +200,13 @@ object Sampling {
     */
   def temperatureSummary(docs: DataFrame,
       stratumCol: String = "lang"): DataFrame =
-    temperatureAssign(docs, stratumCol)
+    temperatureSummaryOf(temperatureAssign(docs, stratumCol))
+
+  /** Summary tail over an assignment relation — shared with the
+    * incremental twin's ledger report so the two cannot diverge.
+    */
+  private[graft] def temperatureSummaryOf(assign: DataFrame): DataFrame =
+    assign
       .groupBy("stratum")
       .agg(
         count(lit(1)).as("n_total"),

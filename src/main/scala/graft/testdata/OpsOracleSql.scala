@@ -1503,7 +1503,7 @@ object OpsOracleSql {
   private val temperatureChain: String =
     s"""tm_counts AS (
        |  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_total
-       |  FROM documents GROUP BY lang),
+       |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
        |tm_thresholds AS (
        |  SELECT stratum, n_total,
        |         CAST(floor(CAST($SampleMod AS DOUBLE) *
