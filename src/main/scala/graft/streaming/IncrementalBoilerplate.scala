@@ -1,0 +1,254 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.ops.Dedup
+
+/** Incremental boilerplate filtering — the ongoing-crawl shape of
+  * [[graft.ops.Dedup.boilerplateChunks]]: new documents arrive
+  * continuously, and a chunk's cross-document frequency can only be known
+  * as it accumulates. The pipeline maintains a DF STORE — per batch, one
+  * DELTA row per distinct chunk the batch touched, `(chunk_hash,
+  * chunk_hash2, df_docs)` with df_docs the batch's own distinct-document
+  * count — and, per micro-batch:
+  *
+  *   1. re-crawl guard: doc_ids the corpus already admitted are dropped
+  *      whole (first write wins, the [[IncrementalChunkDedup]] sidecar —
+  *      a re-landed document must not double-count its chunks' df);
+  *   2. chunk the new documents ([[Dedup.chunkRows]] — narrow,
+  *      batch-sized) and take the within-batch distinct-doc count per
+  *      digest pair;
+  *   3. the batch's digests sum their PRIOR deltas from the store's
+  *      touched hash buckets (static partition pruning — per-batch I/O ∝
+  *      the batch's touched buckets, never corpus history; row-preserving
+  *      [[StoreMaintenance.compact]] keeps the sum intact);
+  *   4. an occurrence is kept iff `prior_df + batch_df < minDf` — the
+  *      ARRIVAL-TIME frequency. Clean documents reassemble through the
+  *      shared [[Dedup.reassembleChunks]] tail and append to the corpus
+  *      store; the batch's delta rows append to the df store.
+  *
+  * Arrival-time semantics, stated loudly: a chunk that crosses `minDf`
+  * in batch N is scrubbed from batch N onward, but documents ALREADY
+  * shipped from earlier batches keep their copies — cleaned corpora
+  * already handed to a trainer never retro-change (the
+  * [[IncrementalPacking]] bins-never-move discipline). That is the one
+  * documented divergence from the batch operator, which sees the final
+  * df for every occurrence; the df store plus the per-batch audit make
+  * the late-crossing chunks findable for a recall pass. When one drain
+  * IS the whole corpus the two paths agree exactly (pinned in the spec).
+  *
+  * Store layout and exactly-once follow the house contract
+  * ([[IncrementalChunkDedup]]): `batch=N/id_bucket=B` directories with
+  * the bucket-count marker written after the first data write, per-batch
+  * overwrite directories so an at-least-once replay rewrites identical
+  * rows, and every store reader excludes the replaying batch's own
+  * partition.
+  */
+object IncrementalBoilerplate {
+
+  /** Default chunk-hash bucket count for a fresh df store. */
+  val NumDfBuckets = 64
+
+  /** Schema of the df store's delta rows (plus `batch`/`id_bucket`). */
+  val DfStoreSchema: StructType = StructType(Seq(
+    StructField("chunk_hash", LongType),
+    StructField("chunk_hash2", LongType),
+    StructField("df_docs", LongType)))
+
+  private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+
+  /** Accumulated prior df for the batch's digests: the store's touched
+    * buckets, summed per digest pair. Excludes `excludeBatchId`'s own
+    * partition — a crash-replay must not count the batch's previously
+    * written delta against itself (every chunk would look `minDf` closer
+    * to boilerplate than it is). A store without a bucket marker (legacy
+    * flat layout) falls back to the unpruned column scan — correct, just
+    * not history-free.
+    */
+  def priorDf(
+      spark: SparkSession,
+      dfPath: String,
+      batchHashes: DataFrame,
+      excludeBatchId: Long): DataFrame = {
+    val deltas = IncrementalAnnIndex.bucketCount(spark, dfPath) match {
+      case Some(n) =>
+        val touched = batchHashes
+          .select(IncrementalAnnIndex.idBucket(col("chunk_hash"), n)
+            .as("id_bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        StoragePaths.readTouchedBuckets(spark, dfPath, "id_bucket", touched)
+          .map(_.filter(col("batch").cast("long") =!= excludeBatchId)
+            .select("chunk_hash", "chunk_hash2", "df_docs"))
+          .getOrElse(emptyOf(spark, DfStoreSchema))
+      case None =>
+        if (!StoragePaths.exists(spark, dfPath))
+          emptyOf(spark, DfStoreSchema)
+        else spark.read.parquet(dfPath)
+          .filter(col("batch").cast("long") =!= excludeBatchId)
+          .select("chunk_hash", "chunk_hash2", "df_docs")
+    }
+    deltas.groupBy("chunk_hash", "chunk_hash2")
+      .agg(sum("df_docs").as("prior_df"))
+  }
+
+  /** One batch's outcome: rows to append plus the yield counts. */
+  final case class BatchResult(
+      cleanDocs: DataFrame,
+      dfDeltas: DataFrame,
+      nDocs: Long,
+      nOccurrences: Long,
+      nDropped: Long)
+
+  /** Filter one batch against the accumulated prior df — separated from
+    * the streaming loop so the logic is testable without a stream.
+    * `priorDfRel` must already exclude the replaying batch's own
+    * partition (see [[run]]); `batch` must already be re-crawl-guarded.
+    * With an empty prior this is EXACTLY
+    * [[graft.ops.Dedup.dfFlaggedChunks]]'s election (same distinct-doc
+    * count, same `< minDf` verdict, shared reassembly tail).
+    */
+  def filterBatch(batch: DataFrame, priorDfRel: DataFrame,
+      w: Int = Dedup.ChunkTokens,
+      minDf: Int = Dedup.BoilerplateMinDf): BatchResult = {
+    val uniq = batch.dropDuplicates("doc_id")
+    // the occurrence relation feeds the df count, the flag-back, and the
+    // reassembly — chunk once, persist for the batch's lifetime
+    // (filterChunkedBatch's own count fills the cache eagerly)
+    val rows = Dedup.chunkRows(uniq, w).persist()
+    filterChunkedBatch(uniq, rows, priorDfRel, minDf)
+  }
+
+  /** [[filterBatch]] over an ALREADY-CHUNKED occurrence relation: `rows`
+    * must be `Dedup.chunkRows(uniq)` for a doc_id-unique `uniq`,
+    * persisted by the caller (ownership transfers — this method
+    * unpersists it). The streaming loop chunks each batch ONCE and
+    * derives both the touched-bucket probe and this election from the
+    * same relation — the [[IncrementalChunkDedup.dedupChunkedBatch]]
+    * contract.
+    */
+  def filterChunkedBatch(uniq: DataFrame, rows: DataFrame,
+      priorDfRel: DataFrame,
+      minDf: Int = Dedup.BoilerplateMinDf): BatchResult = {
+    require(minDf > 0, s"IncrementalBoilerplate: minDf must be positive, got $minDf")
+    val nOcc = rows.count()
+    val batchDf = rows.groupBy("chunk_hash", "chunk_hash2")
+      .agg(countDistinct("doc_id").as("batch_df"))
+    val eff = batchDf
+      .join(priorDfRel, Seq("chunk_hash", "chunk_hash2"), "left")
+      .withColumn("df_docs",
+        col("batch_df") + coalesce(col("prior_df"), lit(0L)))
+    val occ = rows
+      .join(eff.select("chunk_hash", "chunk_hash2", "df_docs"),
+        Seq("chunk_hash", "chunk_hash2"))
+      .withColumn("kept", col("df_docs") < minDf)
+      .persist()
+    val nDropped = occ.filter(!col("kept")).count()
+    // cut results loose, then free the batch-sized caches (the
+    // Dedup.materializeFreeing no-leak contract)
+    val cleanOut = Dedup.reassembleChunks(occ).localCheckpoint()
+    val deltasOut = batchDf
+      .select(col("chunk_hash"), col("chunk_hash2"),
+        col("batch_df").as("df_docs"))
+      .localCheckpoint()
+    rows.unpersist(blocking = false)
+    occ.unpersist(blocking = false)
+    BatchResult(cleanOut, deltasOut,
+      nDocs = uniq.count(), nOccurrences = nOcc, nDropped = nDropped)
+  }
+
+  /** Drain the landing dir (Trigger.AvailableNow), boilerplate-filtering
+    * each micro-batch against the accumulated df store. Returns the clean
+    * corpus.
+    *
+    * @param metricsPath optional per-batch yield ledger (docs landed /
+    *                    occurrences / occurrences dropped), idempotent
+    *                    per-batch overwrite like the stores
+    */
+  def run(
+      spark: SparkSession,
+      landingDir: String,
+      checkpointDir: String,
+      dfPath: String,
+      corpusPath: String,
+      docSchema: StructType,
+      minDf: Int = Dedup.BoilerplateMinDf,
+      metricsPath: Option[String] = None): DataFrame = {
+    val idPath = IncrementalChunkDedup.docIdIndexPath(corpusPath)
+    val q = spark.readStream.schema(docSchema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // first-write-wins on doc_id (the shared sidecar contract): a
+          // re-crawled document must neither re-emit rows nor inflate df
+          val guarded = batch.join(
+            IncrementalChunkDedup.priorDocIds(
+              spark, corpusPath, batch.select("doc_id"), batchId),
+            Seq("doc_id"), "left_anti")
+          if (!guarded.isEmpty) {
+            // chunk ONCE per batch: the persisted occurrence relation
+            // feeds the touched-bucket probe AND the election/reassembly
+            // inside filterChunkedBatch (which takes ownership)
+            val uniq = guarded.dropDuplicates("doc_id")
+            val rows = Dedup.chunkRows(uniq).persist()
+            rows.count()
+            val prior = priorDf(spark, dfPath,
+              rows.select("chunk_hash"), batchId)
+            val r = filterChunkedBatch(uniq, rows, prior, minDf)
+            val dfBuckets = IncrementalAnnIndex.bucketCount(spark, dfPath)
+            val idBuckets = IncrementalAnnIndex.bucketCount(spark, idPath)
+            // structural flat probe, NOT marker absence (the
+            // IncrementalChunkDedup self-healing contract)
+            val legacyFlat = dfBuckets.isEmpty &&
+              StoragePaths.isFlatLayout(spark, dfPath)
+            r.cleanDocs.write.mode("overwrite")
+              .parquet(s"$corpusPath/batch=$batchId")
+            if (legacyFlat) {
+              r.dfDeltas.write.mode("overwrite")
+                .parquet(s"$dfPath/batch=$batchId")
+            } else {
+              val n = dfBuckets.getOrElse(NumDfBuckets)
+              r.dfDeltas
+                .withColumn("id_bucket",
+                  IncrementalAnnIndex.idBucket(col("chunk_hash"), n))
+                .repartition(col("id_bucket"))
+                .write.mode("overwrite").partitionBy("id_bucket")
+                .parquet(s"$dfPath/batch=$batchId")
+              if (dfBuckets.isEmpty)
+                StoragePaths.writeSmallFile(spark,
+                  s"$dfPath/${IncrementalAnnIndex.IdBucketsMarker}",
+                  n.toString)
+            }
+            val in = idBuckets.getOrElse(NumDfBuckets)
+            r.cleanDocs.select("doc_id")
+              .withColumn("id_bucket",
+                IncrementalAnnIndex.idBucket(col("doc_id"), in))
+              .repartition(col("id_bucket"))
+              .write.mode("overwrite").partitionBy("id_bucket")
+              .parquet(s"$idPath/batch=$batchId")
+            if (idBuckets.isEmpty)
+              StoragePaths.writeSmallFile(spark,
+                s"$idPath/${IncrementalAnnIndex.IdBucketsMarker}", in.toString)
+            metricsPath.foreach { mp =>
+              import spark.implicits._
+              Seq((batchId, r.nDocs, r.nOccurrences, r.nDropped))
+                .toDF("batch_id", "n_docs", "n_occurrences", "n_dropped")
+                .coalesce(1).write.mode("overwrite")
+                .parquet(s"$mp/batch=$batchId")
+            }
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (StoragePaths.exists(spark, corpusPath))
+      spark.read.parquet(corpusPath).drop("batch")
+    else emptyOf(spark, IncrementalChunkDedup.CorpusSchema)
+  }
+}
