@@ -360,6 +360,61 @@ object SkewSoak {
     val pkJson =
       f""""pack_scaled_shards":{"base_sec":${pkSecs(0)}%.2f,"x10_sec":${pkSecs(1)}%.2f,"time_growth":$pkGrowth%.1f,"base_n":$pkBaseN,"x10_n":${pkBaseN * 10},"base_shards":8,"x10_shards":80}"""
 
+    // Epoch-plan leg: 10× docs with 10× shards AND 10× readers (the
+    // deployment sizing rule) — per-reader window work stays constant and
+    // the whole plan must cost ≈10× (bin aggregate + one id-width shuffle
+    // on reader), never a per-reader-sort blowup.
+    def epochSec(n: Long, shards: Int, readers: Int): Double = {
+      val docs = packDocs(n).cache()
+      docs.count()
+      val sec = timed(graft.ops.Packing
+        .epochPlan(docs, epoch = 1, readers = readers, shards = shards)
+        .count())._1
+      docs.unpersist(blocking = false)
+      sec
+    }
+    epochSec(500L, 4, 4) // warm: JIT + codegen caches, excluded
+    val epSecs = Seq((pkBaseN, 8, 8), (pkBaseN * 10, 80, 80))
+      .map { case (n, s, r) => epochSec(n, s, r) }
+    val epGrowth = epSecs(1) / epSecs(0)
+    val epJson =
+      f""""epoch_scaled_readers":{"base_sec":${epSecs(0)}%.2f,"x10_sec":${epSecs(1)}%.2f,"time_growth":$epGrowth%.1f,"base_n":$pkBaseN,"x10_n":${pkBaseN * 10},"base_readers":8,"x10_readers":80}"""
+
+    // Boilerplate df-store probe leg: fixed probe batch, delta-summed df
+    // store grown 10×, flat probe time — the same history-free contract
+    // as chunk_membership, pinned on IncrementalBoilerplate.priorDf's
+    // touched-bucket read + sum.
+    val bpBatch = 12
+    def bpProbeSec(n: Long): Double = {
+      val root = java.nio.file.Files.createTempDirectory("soak-bpdf").toString
+      val store = s"$root/df"
+      val buckets = math.max(64, (n / 1500).toInt)
+      Dedup.chunkRows(skewedDocs(spark, n))
+        .groupBy("chunk_hash", "chunk_hash2")
+        .agg(countDistinct("doc_id").as("df_docs"))
+        .withColumn("id_bucket",
+          IncrementalAnnIndex.idBucket(col("chunk_hash"), buckets))
+        .repartition(col("id_bucket"))
+        .write.partitionBy("id_bucket").parquet(s"$store/batch=0")
+      StoragePaths.writeSmallFile(spark,
+        s"$store/${IncrementalAnnIndex.IdBucketsMarker}", buckets.toString)
+      val probe = Dedup.chunkRows(skewedDocs(spark, bpBatch.toLong)
+          .withColumn("doc_id", col("doc_id") + lit(3000000000L)))
+        .select("chunk_hash").persist()
+      probe.count()
+      def go(): Long = graft.streaming.IncrementalBoilerplate
+        .priorDf(spark, store, probe, -999L).count()
+      go() // warm: codegen + file-index caches, excluded
+      val sec = timed(go())._1
+      probe.unpersist(blocking = false)
+      sec
+    }
+    val bpBaseN = baseN * 10
+    val bpSecs = Seq(bpBaseN, bpBaseN * 10).map(bpProbeSec)
+    val bpGrowth = bpSecs(1) / bpSecs(0)
+    val bpJson =
+      f""""boilerplate_df_probe":{"base_sec":${bpSecs(0)}%.2f,"x10_sec":${bpSecs(1)}%.2f,"time_growth":$bpGrowth%.1f,"store_base":$bpBaseN,"store_x10":${bpBaseN * 10},"batch":$bpBatch}"""
+
     val base = results.head._2.toMap
     val x10 = results.last._2.toMap
     // one growth derivation feeds BOTH the JSON line and the verdict, so
@@ -397,8 +452,14 @@ object SkewSoak {
       ("decontam_probe" -> (dcGrowth < 30.0)) :+
       // linear bar: 10× docs with 10× shards (the deployment sizing rule)
       // through one id-width shuffle and constant per-shard window work
-      ("pack_scaled_shards" -> (pkGrowth < 30.0))
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,"linear":${verdicts.forall(_._2)}}""")
+      ("pack_scaled_shards" -> (pkGrowth < 30.0)) :+
+      // linear bar: 10× bins with 10× readers through the bin aggregate
+      // and one reader-keyed id-width shuffle
+      ("epoch_scaled_readers" -> (epGrowth < 30.0)) :+
+      // history-free: 10× the df store, flat probe (the chunk_membership
+      // rationale on the delta-summed read)
+      ("boilerplate_df_probe" -> (bpGrowth < 4.0))
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>
