@@ -672,7 +672,8 @@ object Dedup {
           .as("n_distinct_chunks"),
         countDistinct(when(!col("kept"), struct(col("chunk_hash"), col("chunk_hash2"))))
           .as("n_boilerplate_chunks"),
-        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(!col("kept"), 1L).otherwise(0L)), lit(0L))
+          .as("n_dropped"),
         coalesce(sum(when(!col("kept"),
           length(col("chunk_text")).cast("long")).otherwise(0L)), lit(0L))
           .as("chars_dropped"))
@@ -689,7 +690,8 @@ object Dedup {
         count(lit(1)).as("n_occurrences"),
         countDistinct(col("chunk_hash"), col("chunk_hash2"))
           .as("n_distinct_chunks"),
-        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(!col("kept"), 1L).otherwise(0L)), lit(0L))
+          .as("n_dropped"),
         coalesce(sum(when(!col("kept"),
           length(col("chunk_text")).cast("long")).otherwise(0L)), lit(0L))
           .as("chars_dropped"))

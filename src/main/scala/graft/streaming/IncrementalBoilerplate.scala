@@ -189,57 +189,33 @@ object IncrementalBoilerplate {
             IncrementalChunkDedup.priorDocIds(
               spark, corpusPath, batch.select("doc_id"), batchId),
             Seq("doc_id"), "left_anti")
-          if (!guarded.isEmpty) {
-            // chunk ONCE per batch: the persisted occurrence relation
-            // feeds the touched-bucket probe AND the election/reassembly
-            // inside filterChunkedBatch (which takes ownership)
-            val uniq = guarded.dropDuplicates("doc_id")
-            val rows = Dedup.chunkRows(uniq).persist()
-            rows.count()
-            val prior = priorDf(spark, dfPath,
-              rows.select("chunk_hash"), batchId)
-            val r = filterChunkedBatch(uniq, rows, prior, minDf)
-            val dfBuckets = IncrementalAnnIndex.bucketCount(spark, dfPath)
-            val idBuckets = IncrementalAnnIndex.bucketCount(spark, idPath)
-            // structural flat probe, NOT marker absence (the
-            // IncrementalChunkDedup self-healing contract)
-            val legacyFlat = dfBuckets.isEmpty &&
-              StoragePaths.isFlatLayout(spark, dfPath)
-            r.cleanDocs.write.mode("overwrite")
-              .parquet(s"$corpusPath/batch=$batchId")
-            if (legacyFlat) {
-              r.dfDeltas.write.mode("overwrite")
-                .parquet(s"$dfPath/batch=$batchId")
-            } else {
-              val n = dfBuckets.getOrElse(NumDfBuckets)
-              r.dfDeltas
-                .withColumn("id_bucket",
-                  IncrementalAnnIndex.idBucket(col("chunk_hash"), n))
-                .repartition(col("id_bucket"))
-                .write.mode("overwrite").partitionBy("id_bucket")
-                .parquet(s"$dfPath/batch=$batchId")
-              if (dfBuckets.isEmpty)
-                StoragePaths.writeSmallFile(spark,
-                  s"$dfPath/${IncrementalAnnIndex.IdBucketsMarker}",
-                  n.toString)
-            }
-            val in = idBuckets.getOrElse(NumDfBuckets)
-            r.cleanDocs.select("doc_id")
-              .withColumn("id_bucket",
-                IncrementalAnnIndex.idBucket(col("doc_id"), in))
-              .repartition(col("id_bucket"))
-              .write.mode("overwrite").partitionBy("id_bucket")
-              .parquet(s"$idPath/batch=$batchId")
-            if (idBuckets.isEmpty)
-              StoragePaths.writeSmallFile(spark,
-                s"$idPath/${IncrementalAnnIndex.IdBucketsMarker}", in.toString)
-            metricsPath.foreach { mp =>
-              import spark.implicits._
-              Seq((batchId, r.nDocs, r.nOccurrences, r.nDropped))
-                .toDF("batch_id", "n_docs", "n_occurrences", "n_dropped")
-                .coalesce(1).write.mode("overwrite")
-                .parquet(s"$mp/batch=$batchId")
-            }
+          // a fully re-crawl-guarded batch still flows through: its empty
+          // writes and its nDocs=0 metrics row keep the per-batch yield
+          // ledger gap-free (the IncrementalChunkDedup audit contract —
+          // "all re-crawls" and "never ran" must stay distinguishable)
+          //
+          // chunk ONCE per batch: the persisted occurrence relation feeds
+          // the touched-bucket probe AND the election/reassembly inside
+          // filterChunkedBatch (which takes ownership)
+          val uniq = guarded.dropDuplicates("doc_id")
+          val rows = Dedup.chunkRows(uniq).persist()
+          rows.count()
+          val prior = priorDf(spark, dfPath,
+            rows.select("chunk_hash"), batchId)
+          val r = filterChunkedBatch(uniq, rows, prior, minDf)
+          r.cleanDocs.write.mode("overwrite")
+            .parquet(s"$corpusPath/batch=$batchId")
+          StoragePaths.writeBucketedStoreBatch(spark, dfPath,
+            r.dfDeltas, "chunk_hash", batchId, NumDfBuckets)
+          StoragePaths.writeBucketedStoreBatch(spark, idPath,
+            r.cleanDocs.select("doc_id"), "doc_id", batchId, NumDfBuckets,
+            legacyFlatFallback = false)
+          metricsPath.foreach { mp =>
+            import spark.implicits._
+            Seq((batchId, r.nDocs, r.nOccurrences, r.nDropped))
+              .toDF("batch_id", "n_docs", "n_occurrences", "n_dropped")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$mp/batch=$batchId")
           }
         }
         ()

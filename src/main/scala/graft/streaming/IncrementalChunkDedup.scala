@@ -237,46 +237,17 @@ object IncrementalChunkDedup {
           val prior = priorChunkHashes(spark, chunkPath,
             rows.select("chunk_hash"), batchId)
           val r = dedupChunkedBatch(uniq, rows, prior)
-          val chunkBuckets = IncrementalAnnIndex.bucketCount(spark, chunkPath)
-          val idBuckets = IncrementalAnnIndex.bucketCount(spark, idPath)
-          // structural flat probe, NOT marker absence: a crash between the
-          // first bucketed data write and the marker write must replay
-          // into the bucketed branch (rewriting the same batch dir and the
-          // marker — self-healing), not demote the store to flat forever
-          val legacyFlat = chunkBuckets.isEmpty &&
-            StoragePaths.isFlatLayout(spark, chunkPath)
           r.cleanDocs.write.mode("overwrite")
             .parquet(s"$corpusPath/batch=$batchId")
-          if (legacyFlat) {
-            r.newHashes.write.mode("overwrite")
-              .parquet(s"$chunkPath/batch=$batchId")
-          } else {
-            val n = chunkBuckets.getOrElse(NumChunkBuckets)
-            r.newHashes
-              .withColumn("id_bucket",
-                IncrementalAnnIndex.idBucket(col("chunk_hash"), n))
-              .repartition(col("id_bucket"))
-              .write.mode("overwrite").partitionBy("id_bucket")
-              .parquet(s"$chunkPath/batch=$batchId")
-            // marker AFTER the first data write: marker-present ⇒
-            // data-present; a crash in the window self-heals on replay
-            // because the structural probe above routes the replay back
-            // here to overwrite the batch dir and land the marker
-            if (chunkBuckets.isEmpty)
-              StoragePaths.writeSmallFile(spark,
-                s"$chunkPath/${IncrementalAnnIndex.IdBucketsMarker}",
-                n.toString)
-          }
-          val in = idBuckets.getOrElse(NumChunkBuckets)
-          r.cleanDocs.select("doc_id")
-            .withColumn("id_bucket",
-              IncrementalAnnIndex.idBucket(col("doc_id"), in))
-            .repartition(col("id_bucket"))
-            .write.mode("overwrite").partitionBy("id_bucket")
-            .parquet(s"$idPath/batch=$batchId")
-          if (idBuckets.isEmpty)
-            StoragePaths.writeSmallFile(spark,
-              s"$idPath/${IncrementalAnnIndex.IdBucketsMarker}", in.toString)
+          // the structural-flat probe and marker-after-data ordering live
+          // in the shared writer ([[StoragePaths.writeBucketedStoreBatch]])
+          // so the exactly-once/self-healing contract cannot fork across
+          // the store-keeping modules
+          StoragePaths.writeBucketedStoreBatch(spark, chunkPath,
+            r.newHashes, "chunk_hash", batchId, NumChunkBuckets)
+          StoragePaths.writeBucketedStoreBatch(spark, idPath,
+            r.cleanDocs.select("doc_id"), "doc_id", batchId, NumChunkBuckets,
+            legacyFlatFallback = false)
           metricsPath.foreach { mp =>
             import spark.implicits._
             Seq((batchId, r.nDocs, r.nOccurrences, r.nKeptChunks))

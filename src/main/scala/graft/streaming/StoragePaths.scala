@@ -102,6 +102,49 @@ private[graft] object StoragePaths {
       }
   }
 
+  /** Append one batch's rows to an id-bucketed store under the house
+    * exactly-once contract, in one place so the subtleties cannot fork
+    * across modules ([[IncrementalChunkDedup]], [[IncrementalBoilerplate]]):
+    *
+    *  - per-batch OVERWRITE directory `batch=N` (an at-least-once replay
+    *    rewrites identical rows);
+    *  - bucket count from the store's marker when present, else
+    *    `defaultBuckets`, with the marker written AFTER the first data
+    *    write (marker-present ⇒ data-present; a crash in the window
+    *    self-heals on replay because the structural probe below routes
+    *    the replay back into the bucketed branch);
+    *  - when `legacyFlatFallback`, a marker-less store that STRUCTURALLY
+    *    holds flat batch dirs (see [[isFlatLayout]]) keeps its flat
+    *    layout — correct reads, pruning restored by the next
+    *    [[StoreMaintenance.compact]] — rather than mixing layouts.
+    */
+  def writeBucketedStoreBatch(
+      spark: SparkSession,
+      storePath: String,
+      rows: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      batchId: Long,
+      defaultBuckets: Int,
+      legacyFlatFallback: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.col
+    val buckets = IncrementalAnnIndex.bucketCount(spark, storePath)
+    val legacyFlat = legacyFlatFallback && buckets.isEmpty &&
+      isFlatLayout(spark, storePath)
+    if (legacyFlat) {
+      rows.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    } else {
+      val n = buckets.getOrElse(defaultBuckets)
+      rows
+        .withColumn("id_bucket", IncrementalAnnIndex.idBucket(col(keyCol), n))
+        .repartition(col("id_bucket"))
+        .write.mode("overwrite").partitionBy("id_bucket")
+        .parquet(s"$storePath/batch=$batchId")
+      if (buckets.isEmpty)
+        writeSmallFile(spark,
+          s"$storePath/${IncrementalAnnIndex.IdBucketsMarker}", n.toString)
+    }
+  }
+
   /** Read a small metadata file written by [[writeSmallFile]]; None when
     * absent.
     */

@@ -1459,7 +1459,7 @@ object OpsOracleSql {
     s"""SELECT doc_id, stratum, bucket, threshold, bucket < threshold AS kept
        |FROM (
        |  SELECT doc_id, lang AS stratum,
-       |    ${hexcastDuck("concat('sample:', lang, ':', CAST(doc_id AS VARCHAR))")} % $SampleMod AS bucket,
+       |    ${hexcastDuck("'sample:' || lang || ':' || CAST(doc_id AS VARCHAR)")} % $SampleMod AS bucket,
        |    CAST(${sampleThresholdCase("lang")} AS BIGINT) AS threshold
        |  FROM documents)""".stripMargin
 
@@ -1473,7 +1473,7 @@ object OpsOracleSql {
     s"""SELECT doc_id, stratum, bucket, threshold, bucket < threshold AS kept
        |FROM (
        |  SELECT d.doc_id, d.lang AS stratum,
-       |    ${hexcastDuck("concat('sample:', lang, ':', CAST(doc_id AS VARCHAR))")} % $SampleMod AS bucket,
+       |    ${hexcastDuck("'sample:' || lang || ':' || CAST(doc_id AS VARCHAR)")} % $SampleMod AS bucket,
        |    t.threshold
        |  FROM documents d
        |  LEFT JOIN (
@@ -1516,7 +1516,7 @@ object OpsOracleSql {
        |SELECT doc_id, stratum, bucket, threshold, bucket < threshold AS kept
        |FROM (
        |  SELECT d.doc_id, d.lang AS stratum,
-       |    ${hexcastDuck("concat('temp:', lang, ':', CAST(doc_id AS VARCHAR))")} % $SampleMod AS bucket,
+       |    ${hexcastDuck("'temp:' || lang || ':' || CAST(doc_id AS VARCHAR)")} % $SampleMod AS bucket,
        |    t.threshold
        |  FROM documents d
        |  LEFT JOIN tm_thresholds t ON t.stratum = d.lang)""".stripMargin
