@@ -137,6 +137,8 @@ object SparkEntry {
       .createOrReplaceTempView("dsir_weights")
     QualityClassifier.score(T.table(s, dir, "documents"))
       .createOrReplaceTempView("nb_scores")
+    Sampling.temperatureAssign(T.table(s, dir, "documents"))
+      .createOrReplaceTempView("temp_assign")
   }
 
   // order-independent aggregates only (counts, exact integer sums of the
@@ -168,6 +170,19 @@ object SparkEntry {
   // order-independent aggregates only (counts, integer sums, min/max):
   // a float avg re-associates differently per engine and can flip the
   // 9-sig-digit hash — same discipline as sectorMomentumSql
+  // how the language rebalance lands on each SOURCE — the cross-cut an
+  // operator checks before committing a mix (a source concentrated in the
+  // over-represented language thins hardest); same hash discipline
+  private val temperatureBySourceSql =
+    """SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(min(threshold) AS BIGINT) AS min_threshold,
+      |       CAST(max(threshold) AS BIGINT) AS max_threshold
+      |FROM temp_assign JOIN documents USING (doc_id)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   private val curationBySourceSql =
     """SELECT source, split,
       |       CAST(count(*) AS BIGINT) AS n_docs,
@@ -479,6 +494,10 @@ object SparkEntry {
       registerOpsViews(s, dir)
       s.sql(nbByLangSql)
     }),
+    "sql_temperature_by_source" -> ((s, dir) => {
+      registerOpsViews(s, dir)
+      s.sql(temperatureBySourceSql)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -785,5 +804,6 @@ object SparkEntry {
     "curate_pack_stats" -> OO.CURATE_PACK_STATS,
     "curate_epoch_plan" -> OO.CURATE_EPOCH_PLAN,
     "sql_nb_by_lang" -> OO.SQL_NB_BY_LANG,
+    "sql_temperature_by_source" -> OO.SQL_TEMPERATURE_BY_SOURCE,
   )
 }

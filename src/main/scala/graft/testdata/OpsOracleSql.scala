@@ -1521,6 +1521,19 @@ object OpsOracleSql {
        |  FROM documents d
        |  LEFT JOIN tm_thresholds t ON t.stratum = d.lang)""".stripMargin
 
+  /** Mirrors SparkEntry's ad-hoc `sql_temperature_by_source` over the
+    * registered assignment view — order-independent aggregates only.
+    */
+  val SQL_TEMPERATURE_BY_SOURCE: String =
+    s"""SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(min(threshold) AS BIGINT) AS min_threshold,
+       |       CAST(max(threshold) AS BIGINT) AS max_threshold
+       |FROM ($SAMPLE_TEMPERATURE_ASSIGN) JOIN documents USING (doc_id)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val SAMPLE_TEMPERATURE_SUMMARY: String =
     s"""SELECT stratum,
        |  CAST(COUNT(*) AS BIGINT) AS n_total,
