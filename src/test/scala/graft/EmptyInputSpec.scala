@@ -57,6 +57,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(Packing.epochPlan(d).count() == 0)
     assert(Dedup.boilerplateChunks(d).count() == 0)
     assert(Dedup.boilerplateDocs(d).count() == 0)
+    // the one-row stats reports read 0, never NULL, on an occurrence-free
+    // corpus (the coalesced-counter contract)
+    for (st <- Seq(Dedup.boilerplateStats(d).head(),
+        Dedup.chunkDedupStats(d).head())) {
+      assert(st.getAs[Long]("n_dropped") == 0L)
+      assert(st.getAs[Long]("chars_dropped") == 0L)
+    }
     assert(Sampling.temperatureAssign(d).count() == 0)
     assert(Sampling.temperatureSummary(d).count() == 0)
     val audited = Curation.audit(d, Dedup.minhashDupClusters(d))
