@@ -104,7 +104,9 @@ class PlanSpec extends SparkSpec {
       "sample_temperature_assign" ->
         "corpus-wide min over the PER-STRATUM count relation: one row per stratum",
       "sample_temperature_summary" ->
-        "same per-stratum threshold relation (one row per stratum)")
+        "same per-stratum threshold relation (one row per stratum)",
+      "sql_temperature_by_source" ->
+        "same per-stratum threshold relation via the temp_assign view")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => boundedByDesign.contains(name) }
       .flatMap { case (name, fn) =>
