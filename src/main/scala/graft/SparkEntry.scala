@@ -476,6 +476,14 @@ object SparkEntry {
       Packing.stats(T.table(s, dir, "documents"))),
     "curate_epoch_plan" -> ((s, dir) =>
       Packing.epochPlan(T.table(s, dir, "documents"))),
+    "quality_lm_model" -> ((s, dir) =>
+      LmPerplexity.modelTable(T.table(s, dir, "documents"))),
+    "quality_lm_ppl" -> ((s, dir) =>
+      LmPerplexity.score(T.table(s, dir, "documents"))),
+    "quality_lm_select" -> ((s, dir) =>
+      LmPerplexity.select(T.table(s, dir, "documents"))),
+    "quality_lm_summary" -> ((s, dir) =>
+      LmPerplexity.summary(T.table(s, dir, "documents"))),
     "sql_sector_momentum" -> ((s, dir) => {
       registerMartViews(s, dir)
       s.sql(sectorMomentumSql)
@@ -803,6 +811,10 @@ object SparkEntry {
     "curate_pack_bins" -> OO.CURATE_PACK_BINS,
     "curate_pack_stats" -> OO.CURATE_PACK_STATS,
     "curate_epoch_plan" -> OO.CURATE_EPOCH_PLAN,
+    "quality_lm_model" -> OO.QUALITY_LM_MODEL,
+    "quality_lm_ppl" -> OO.QUALITY_LM_PPL,
+    "quality_lm_select" -> OO.QUALITY_LM_SELECT,
+    "quality_lm_summary" -> OO.QUALITY_LM_SUMMARY,
     "sql_nb_by_lang" -> OO.SQL_NB_BY_LANG,
     "sql_temperature_by_source" -> OO.SQL_TEMPERATURE_BY_SOURCE,
   )

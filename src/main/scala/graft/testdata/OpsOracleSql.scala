@@ -1521,6 +1521,79 @@ object OpsOracleSql {
        |  FROM documents d
        |  LEFT JOIN tm_thresholds t ON t.stratum = d.lang)""".stripMargin
 
+  /** Mirrors [[graft.ops.LmPerplexity]] — the bigram-LM chain integerized
+    * at train time exactly like the Spark build (one `ln` per model row,
+    * the unseen-context fallback a driver-splatted constant shared by
+    * both dialects). Bigrams assemble positionally via zipped
+    * `unnest(list_transform(generate_series(...)))` — DuckDB's spelling
+    * of the Spark side's posexplode + window lead.
+    */
+  private val lmChain: String = {
+    import graft.ops.LmPerplexity.{Alpha, Buckets, Micro, OovMicro, SeedSource}
+    val AB = Alpha * Buckets
+    def h(e: String) = s"${hexcastDuck(s"'lm:' || $e")} % $Buckets"
+    s"""lm_tok AS (
+       |  SELECT doc_id, source, $tokensDuck AS toks FROM documents),
+       |lm_big AS (
+       |  SELECT doc_id, source,
+       |         unnest(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> ${h("toks[CAST(i AS INT)]")})) AS b1,
+       |         unnest(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> ${h("toks[CAST(i AS INT) + 1]")})) AS b2
+       |  FROM lm_tok WHERE len(toks) >= 2),
+       |lm_counts AS (
+       |  SELECT b1, b2, CAST(count(*) AS BIGINT) AS c2
+       |  FROM lm_big WHERE source = '$SeedSource' GROUP BY 1, 2),
+       |lm_ctx AS (
+       |  SELECT b1, c1,
+       |         CAST(floor(ln(CAST($Alpha AS DOUBLE) / (c1 + $AB)) * $Micro) AS BIGINT) AS oov_micro
+       |  FROM (SELECT b1, CAST(sum(c2) AS BIGINT) AS c1
+       |        FROM lm_counts GROUP BY b1)),
+       |lm_model AS (
+       |  SELECT c.b1, c.b2, c.c2,
+       |         CAST(floor(ln(CAST(c.c2 + $Alpha AS DOUBLE) / (x.c1 + $AB)) * $Micro) AS BIGINT) AS lp_micro
+       |  FROM lm_counts c JOIN lm_ctx x USING (b1)),
+       |lm_scored AS (
+       |  SELECT d.doc_id,
+       |         CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |         CAST(coalesce(s.logprob_micro, 0) AS BIGINT) AS logprob_micro
+       |  FROM documents d
+       |  LEFT JOIN (
+       |    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |           CAST(sum(coalesce(m.lp_micro, x.oov_micro, $OovMicro)) AS BIGINT) AS logprob_micro
+       |    FROM lm_big g
+       |    LEFT JOIN lm_model m ON g.b1 = m.b1 AND g.b2 = m.b2
+       |    LEFT JOIN lm_ctx x ON g.b1 = x.b1
+       |    GROUP BY g.doc_id) s ON d.doc_id = s.doc_id)""".stripMargin
+  }
+
+  val QUALITY_LM_MODEL: String =
+    s"""WITH $lmChain
+       |SELECT b1, b2, c2, lp_micro FROM lm_model""".stripMargin
+
+  val QUALITY_LM_PPL: String =
+    s"""WITH $lmChain
+       |SELECT doc_id, n_bigrams, logprob_micro FROM lm_scored""".stripMargin
+
+  val QUALITY_LM_SELECT: String =
+    s"""WITH $lmChain
+       |SELECT doc_id, n_bigrams, logprob_micro FROM lm_scored
+       |WHERE n_bigrams >= 1
+       |  AND logprob_micro >= ${graft.ops.LmPerplexity.SelectTauMicro} * n_bigrams""".stripMargin
+
+  val QUALITY_LM_SUMMARY: String = {
+    val tau = graft.ops.LmPerplexity.SelectTauMicro
+    s"""WITH $lmChain
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN n_bigrams >= 1 AND logprob_micro >= $tau * n_bigrams
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |       CAST(min(logprob_micro) AS BIGINT) AS min_logprob_micro,
+       |       CAST(max(logprob_micro) AS BIGINT) AS max_logprob_micro
+       |FROM lm_scored JOIN documents USING (doc_id)
+       |GROUP BY source""".stripMargin
+  }
+
   /** Mirrors SparkEntry's ad-hoc `sql_temperature_by_source` over the
     * registered assignment view — order-independent aggregates only.
     */

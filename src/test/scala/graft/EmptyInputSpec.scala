@@ -52,6 +52,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(QualityClassifier.score(ds).count() == 0)
     assert(QualityClassifier.select(ds).count() == 0)
     assert(QualityClassifier.summary(ds).count() == 0)
+    assert(LmPerplexity.modelTable(ds).count() == 0)
+    assert(LmPerplexity.score(ds).count() == 0)
+    assert(LmPerplexity.select(ds).count() == 0)
+    assert(LmPerplexity.summary(ds).count() == 0)
     assert(Packing.packBins(d).count() == 0)
     assert(Packing.stats(d).count() == 0)
     assert(Packing.epochPlan(d).count() == 0)

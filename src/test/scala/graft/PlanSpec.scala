@@ -348,6 +348,14 @@ class PlanSpec extends SparkSpec {
     assert(ns.contains("BroadcastNestedLoopJoin"), ns)
   }
 
+  test("LM perplexity score joins model and contexts as broadcasts") {
+    val ns = nodes(graft.ops.LmPerplexity.score(T.table(spark, sf, "documents")))
+    // both model relations are bounded (≤B² and ≤B rows) — they must ride
+    // broadcasts, never shuffle the bigram stream on bucket keys
+    assert(ns.contains("BroadcastHashJoin"), ns)
+    assert(!ns.contains("SortMergeJoin"), ns)
+  }
+
   test("temperature sampling: per-stratum thresholds broadcast onto the corpus") {
     val ns = nodes(Sampling.temperatureAssign(T.table(spark, sf, "documents")))
     // the threshold relation is one row per stratum — it must ride a
