@@ -60,13 +60,19 @@ object IncrementalLmFilter {
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
 
   /** Persist the frozen model `(b1, b2, c2, lp_micro)` and its context
-    * table `(b1, c1, oov_micro)`.
+    * table `(b1, c1, oov_micro)`. The MODEL is the store-absence key the
+    * bootstrap guard probes, so it is written LAST (the marker-after-data
+    * ordering of [[StoragePaths.writeBucketedStoreBatch]]): a crash
+    * between the two writes leaves no model path, the bootstrap simply
+    * re-runs, and the half-written contexts dir is overwritten — writing
+    * the key first would brick the root (guard satisfied, contexts
+    * missing, every later read failing forever).
     */
   def writeModel(model: DataFrame, contexts: DataFrame, root: String): Unit = {
-    model.select("b1", "b2", "c2", "lp_micro")
-      .coalesce(1).write.mode("overwrite").parquet(modelPath(root))
     contexts.select("b1", "c1", "oov_micro")
       .coalesce(1).write.mode("overwrite").parquet(contextsPath(root))
+    model.select("b1", "b2", "c2", "lp_micro")
+      .coalesce(1).write.mode("overwrite").parquet(modelPath(root))
   }
 
   /** The frozen tables, re-validated on every read: empty or over-full
@@ -121,6 +127,11 @@ object IncrementalLmFilter {
       root: String,
       schema: StructType): DataFrame = {
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
+    // the tables freeze at bootstrap and run() is their only writer, so
+    // one validated read serves the whole drain — re-validating (two
+    // counts + the orphan anti-join) per micro-batch would put a fixed
+    // 3-action overhead on every small batch of a long drain
+    var frozen: Option[(DataFrame, DataFrame)] = None
     val q = spark.readStream.schema(schema).parquet(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -141,7 +152,11 @@ object IncrementalLmFilter {
             writeModel(LmPerplexity.modelOf(counts),
               LmPerplexity.contextsOf(counts), root)
           }
-          val (model, contexts) = readModel(spark, root)
+          val (model, contexts) = frozen.getOrElse {
+            val m = readModel(spark, root)
+            frozen = Some(m)
+            m
+          }
           val scored = scoreBatch(uniq, model, contexts).localCheckpoint()
           scored.write.mode("overwrite")
             .parquet(s"${ledgerPath(root)}/batch=$batchId")

@@ -56,13 +56,17 @@ object IncrementalQualityFilter {
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
 
   /** Persist a frozen model `(bucket, n_seed, n_crawl, w_micro)` and its
-    * 1-row prior `(n_docs_seed, n_docs_crawl, prior_micro)`.
+    * 1-row prior `(n_docs_seed, n_docs_crawl, prior_micro)`. The MODEL is
+    * the store-absence key the bootstrap guard probes, so it is written
+    * LAST (the marker-after-data ordering): a crash between the writes
+    * leaves no model path and the bootstrap re-runs self-healingly,
+    * instead of a satisfied guard over a missing prior bricking the root.
     */
   def writeModel(model: DataFrame, prior: DataFrame, root: String): Unit = {
-    model.select("bucket", "n_seed", "n_crawl", "w_micro")
-      .coalesce(1).write.mode("overwrite").parquet(modelPath(root))
     prior.select("n_docs_seed", "n_docs_crawl", "prior_micro")
       .coalesce(1).write.mode("overwrite").parquet(priorPath(root))
+    model.select("bucket", "n_seed", "n_crawl", "w_micro")
+      .coalesce(1).write.mode("overwrite").parquet(modelPath(root))
   }
 
   /** The frozen model, re-validated on every read: an empty or
