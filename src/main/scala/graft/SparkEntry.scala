@@ -484,6 +484,11 @@ object SparkEntry {
       LmPerplexity.select(T.table(s, dir, "documents"))),
     "quality_lm_summary" -> ((s, dir) =>
       LmPerplexity.summary(T.table(s, dir, "documents"))),
+    "curate_learned_audit" -> ((s, dir) =>
+      Curation.learnedAudit(T.table(s, dir, "documents"))),
+    "curate_learned_funnel" -> ((s, dir) =>
+      Curation.learnedFunnel(
+        Curation.learnedAudit(T.table(s, dir, "documents")))),
     "sql_sector_momentum" -> ((s, dir) => {
       registerMartViews(s, dir)
       s.sql(sectorMomentumSql)
@@ -815,6 +820,8 @@ object SparkEntry {
     "quality_lm_ppl" -> OO.QUALITY_LM_PPL,
     "quality_lm_select" -> OO.QUALITY_LM_SELECT,
     "quality_lm_summary" -> OO.QUALITY_LM_SUMMARY,
+    "curate_learned_audit" -> OO.CURATE_LEARNED_AUDIT,
+    "curate_learned_funnel" -> OO.CURATE_LEARNED_FUNNEL,
     "sql_nb_by_lang" -> OO.SQL_NB_BY_LANG,
     "sql_temperature_by_source" -> OO.SQL_TEMPERATURE_BY_SOURCE,
   )

@@ -132,4 +132,56 @@ object Curation {
     audited.groupBy("lang")
       .agg(funnelCounters.head, funnelCounters.tail: _*)
       .orderBy("lang")
+
+  /** Per-document verdicts of the LEARNED filter ensemble — the modern
+    * counterpart of [[audit]]'s heuristic gates (RefinedWeb and Dolma both
+    * COMBINE independent quality signals; CCNet stacks its LM filter with
+    * the classifier): the NB seed-vs-crawl odds
+    * ([[QualityClassifier.select]]), the bigram-LM fluency cut
+    * ([[LmPerplexity.select]]), and the DSIR target-resemblance draw
+    * ([[Dsir.select]]), each a per-row threshold with its own published
+    * calibration, AND-combined into `kept`. One row per input document.
+    *
+    * Scale shape: the three scorers are independent corpus passes, each
+    * already scale-shaped (bounded broadcast models, exact integer sums,
+    * no global rank); their verdicts come back as id-width flag relations
+    * joined on doc_id — the [[audit]] composition discipline. Disagreement
+    * between the columns is the review surface: a filter admitting what
+    * the other two reject is either a calibration gap or the reason you
+    * keep all three.
+    */
+  def learnedAudit(docs: DataFrame): DataFrame = {
+    def flag(sel: DataFrame, name: String) =
+      sel.select("doc_id").withColumn(name, lit(true))
+    docs.select("doc_id")
+      .join(flag(QualityClassifier.select(docs), "nb_selected"),
+        Seq("doc_id"), "left")
+      .join(flag(LmPerplexity.select(docs), "lm_selected"),
+        Seq("doc_id"), "left")
+      .join(flag(Dsir.select(docs), "dsir_selected"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb_selected"), lit(false)).as("nb_selected"),
+        coalesce(col("lm_selected"), lit(false)).as("lm_selected"),
+        coalesce(col("dsir_selected"), lit(false)).as("dsir_selected"))
+      .withColumn("kept",
+        col("nb_selected") && col("lm_selected") && col("dsir_selected"))
+  }
+
+  /** One-row ensemble yield: per-filter admission counts, the pairwise
+    * agreement of the three verdicts, and the joint survivors — the
+    * review artifact a run reads before committing to the AND-combined
+    * cut. One hash aggregation over [[learnedAudit]].
+    */
+  def learnedFunnel(audited: DataFrame): DataFrame = {
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    audited.agg(
+      count(lit(1)).as("n_docs"),
+      cnt(col("nb_selected")).as("n_nb"),
+      cnt(col("lm_selected")).as("n_lm"),
+      cnt(col("dsir_selected")).as("n_dsir"),
+      cnt(col("nb_selected") && col("lm_selected")).as("n_nb_lm"),
+      cnt(col("nb_selected") && col("dsir_selected")).as("n_nb_dsir"),
+      cnt(col("lm_selected") && col("dsir_selected")).as("n_lm_dsir"),
+      cnt(col("kept")).as("n_kept"))
+  }
 }

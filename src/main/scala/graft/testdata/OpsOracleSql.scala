@@ -1961,4 +1961,44 @@ object OpsOracleSql {
        |       CAST(max(like_micro) AS BIGINT) AS max_like_micro
        |FROM nb_score JOIN documents USING (doc_id)
        |GROUP BY source""".stripMargin
+
+  /** Mirrors [[graft.ops.Curation.learnedAudit]] — the three learned
+    * filters' chains composed in one WITH (their CTE name spaces are
+    * disjoint: `nb_*`, `lm_*`, `ds_*`), each verdict the same per-row
+    * threshold its own oracle applies. Defined LAST in this object so the
+    * referenced chain vals are initialized.
+    */
+  private val learnedAuditChain: String = {
+    val lmTau = graft.ops.LmPerplexity.SelectTauMicro
+    s"""$nbScoreChain, $lmChain, $dsirChain, $dsirKeyed,
+       |lrn_audit AS (
+       |  SELECT d.doc_id,
+       |         (n.n_tokens >= 1 AND n.like_micro >= $NbTau * n.n_tokens) AS nb_selected,
+       |         (l.n_bigrams >= 1 AND l.logprob_micro >= $lmTau * l.n_bigrams) AS lm_selected,
+       |         (k.key_micro >= $DsirTau) AS dsir_selected
+       |  FROM documents d
+       |  JOIN nb_score n USING (doc_id)
+       |  JOIN lm_scored l USING (doc_id)
+       |  JOIN ds_key k USING (doc_id))""".stripMargin
+  }
+
+  val CURATE_LEARNED_AUDIT: String =
+    s"""WITH $learnedAuditChain
+       |SELECT doc_id, nb_selected, lm_selected, dsir_selected,
+       |       nb_selected AND lm_selected AND dsir_selected AS kept
+       |FROM lrn_audit""".stripMargin
+
+  /** Mirrors [[graft.ops.Curation.learnedFunnel]]. */
+  val CURATE_LEARNED_FUNNEL: String =
+    s"""WITH $learnedAuditChain
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN nb_selected THEN 1 ELSE 0 END) AS BIGINT) AS n_nb,
+       |       CAST(sum(CASE WHEN lm_selected THEN 1 ELSE 0 END) AS BIGINT) AS n_lm,
+       |       CAST(sum(CASE WHEN dsir_selected THEN 1 ELSE 0 END) AS BIGINT) AS n_dsir,
+       |       CAST(sum(CASE WHEN nb_selected AND lm_selected THEN 1 ELSE 0 END) AS BIGINT) AS n_nb_lm,
+       |       CAST(sum(CASE WHEN nb_selected AND dsir_selected THEN 1 ELSE 0 END) AS BIGINT) AS n_nb_dsir,
+       |       CAST(sum(CASE WHEN lm_selected AND dsir_selected THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_dsir,
+       |       CAST(sum(CASE WHEN nb_selected AND lm_selected AND dsir_selected
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM lrn_audit""".stripMargin
 }

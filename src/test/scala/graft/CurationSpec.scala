@@ -12,6 +12,34 @@ class CurationSpec extends SparkSpec {
   private lazy val audited =
     Curation.audit(docs, Dedup.minhashDupClusters(docs)).cache()
 
+  test("learned ensemble verdicts equal the individual selects; funnel consistent") {
+    val audit = Curation.learnedAudit(docs).cache()
+    assert(audit.count() == docs.count())
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    // each verdict column is exactly its filter's admission set
+    assert(ids(audit.filter(col("nb_selected"))) ==
+      ids(QualityClassifier.select(docs)))
+    assert(ids(audit.filter(col("lm_selected"))) ==
+      ids(LmPerplexity.select(docs)))
+    assert(ids(audit.filter(col("dsir_selected"))) == ids(Dsir.select(docs)))
+    // kept is the AND, and the fixture exercises a real joint cut
+    assert(audit.filter(col("kept") =!=
+      (col("nb_selected") && col("lm_selected") && col("dsir_selected")))
+      .count() == 0)
+    val kept = audit.filter(col("kept")).count()
+    assert(kept > 0 && kept < docs.count())
+    // funnel counters are internally consistent with the audit
+    val f = Curation.learnedFunnel(audit).head()
+    assert(f.getAs[Long]("n_docs") == docs.count())
+    assert(f.getAs[Long]("n_kept") == kept)
+    assert(f.getAs[Long]("n_kept") <= Seq("n_nb_lm", "n_nb_dsir", "n_lm_dsir")
+      .map(f.getAs[Long]).min)
+    assert(Seq("n_nb_lm", "n_nb_dsir", "n_lm_dsir").map(f.getAs[Long]).max <=
+      Seq("n_nb", "n_lm", "n_dsir").map(f.getAs[Long]).max)
+    audit.unpersist(blocking = false)
+  }
+
   test("audit covers every document exactly once") {
     assert(audited.count() == docs.count())
     assert(audited.select("doc_id").distinct().count() == docs.count())
