@@ -361,16 +361,18 @@ object SkewSoak {
       f""""pack_scaled_shards":{"base_sec":${pkSecs(0)}%.2f,"x10_sec":${pkSecs(1)}%.2f,"time_growth":$pkGrowth%.1f,"base_n":$pkBaseN,"x10_n":${pkBaseN * 10},"base_shards":8,"x10_shards":80}"""
 
     // Epoch-plan leg: 10× docs with 10× shards AND 10× readers (the
-    // deployment sizing rule) — per-reader window work stays constant and
-    // the whole plan must cost ≈10× (bin aggregate + one id-width shuffle
-    // on reader), never a per-reader-sort blowup.
+    // deployment sizing rule), measured through the BIN SEAM — the bin
+    // relation is materialized once (the multi-epoch deployment shape;
+    // deriving it is pack_scaled_shards' leg) and the per-epoch plan is
+    // then a pure id-width aggregate + one shuffle on reader, so it must
+    // cost ≈10×, never a per-reader-sort or re-tokenize blowup.
     def epochSec(n: Long, shards: Int, readers: Int): Double = {
-      val docs = packDocs(n).cache()
-      docs.count()
+      val bins = graft.ops.Packing.packBins(packDocs(n), shards).cache()
+      bins.count()
       val sec = timed(graft.ops.Packing
-        .epochPlan(docs, epoch = 1, readers = readers, shards = shards)
+        .epochPlanFrom(bins, epoch = 1, readers = readers)
         .count())._1
-      docs.unpersist(blocking = false)
+      bins.unpersist(blocking = false)
       sec
     }
     epochSec(500L, 4, 4) // warm: JIT + codegen caches, excluded
@@ -453,9 +455,11 @@ object SkewSoak {
       // linear bar: 10× docs with 10× shards (the deployment sizing rule)
       // through one id-width shuffle and constant per-shard window work
       ("pack_scaled_shards" -> (pkGrowth < 30.0)) :+
-      // linear bar: 10× bins with 10× readers through the bin aggregate
-      // and one reader-keyed id-width shuffle
-      ("epoch_scaled_readers" -> (epGrowth < 30.0)) :+
+      // linear bar, tightened once the bin seam made the plan id-width
+      // only (no tokenize of text can hide in here anymore): 10× bins
+      // with 10× readers through the bin aggregate and one reader-keyed
+      // id-width shuffle
+      ("epoch_scaled_readers" -> (epGrowth < 5.0)) :+
       // history-free: 10× the df store, flat probe (the chunk_membership
       // rationale on the delta-summed read)
       ("boilerplate_df_probe" -> (bpGrowth < 4.0))

@@ -100,10 +100,33 @@ object Packing {
     * clipping (overflow bins, see [[stats]]) without another join.
     */
   def epochPlan(docs: DataFrame, epoch: Int = 1, readers: Int = Readers,
-      shards: Int = Shards): DataFrame = {
+      shards: Int = Shards): DataFrame =
+    epochPlanFrom(packBins(docs, shards), epoch, readers)
+
+  /** The bin-relation seam under [[epochPlan]]: plan an epoch from an
+    * ALREADY-MATERIALIZED packed-assignment relation — [[packBins]] output
+    * or the [[graft.streaming.IncrementalPacking]] bins store (`(doc_id,
+    * shard, n_tokens, bin, …)` rows; only `shard`/`bin`/`n_tokens` are
+    * consumed). This is the entry point a multi-epoch run uses: the bin
+    * relation is derived ONCE per corpus (the only pass that tokenizes
+    * text), and each epoch's plan is then a pure id-width aggregation +
+    * hash deal over ~16-byte rows — five epochs over a 100 TB corpus pay
+    * one text scan, not five. [[epochPlan]] stays as sugar for the
+    * one-shot case.
+    *
+    * Stability contract: the plan is a pure function of (epoch, the bin
+    * SET) — `reader_pos` is a row_number inside each reader's partition,
+    * so the caller must pin the bin relation per epoch (a store that
+    * grows mid-epoch would interleave new bins into the hash order and
+    * shift positions of bins already dealt). The incremental store's
+    * batch high-water mark is exactly that pin —
+    * [[graft.streaming.IncrementalPacking.epochPlanAt]] applies it.
+    */
+  def epochPlanFrom(bins: DataFrame, epoch: Int = 1,
+      readers: Int = Readers): DataFrame = {
     require(epoch >= 0, s"epochPlan: epoch must be non-negative, got $epoch")
     require(readers > 0, s"epochPlan: readers must be positive, got $readers")
-    packBins(docs, shards)
+    bins
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
       .withColumn("order_hash", expr(hexcastSpark(

@@ -48,6 +48,7 @@ object IncrementalPacking {
   def binsPath(root: String): String = s"$root/bins"
   def cursorPath(root: String): String = s"$root/cursor"
   def shardsMarker(root: String): String = s"$root/_shards"
+  def budgetMarker(root: String): String = s"$root/_budget"
 
   /** Schema of the packed-assignment store (plus the `batch` column). */
   val BinsSchema: StructType = StructType(Seq(
@@ -63,6 +64,16 @@ object IncrementalPacking {
   /** The shard count this store was created with. */
   def storedShards(spark: SparkSession, root: String): Option[Int] =
     StoragePaths.readSmallFile(spark, shardsMarker(root)).map(_.trim.toInt)
+
+  /** The token budget this store was packed at. Frozen like the shard
+    * count: every bin boundary in the store is a multiple of the budget
+    * the packer ran with, so a rebuilt binary whose [[Packing.Budget]]
+    * differs continuing an existing store would silently re-bin all
+    * future documents against history packed at the old budget — the
+    * exact drift the `_shards` marker exists to block, one knob over.
+    */
+  def storedBudget(spark: SparkSession, root: String): Option[Int] =
+    StoragePaths.readSmallFile(spark, budgetMarker(root)).map(_.trim.toInt)
 
   /** The per-shard cursor as of the latest batch STRICTLY BEFORE
     * `beforeBatchId` — `(shard, cum_tokens)`, missing shards implicitly
@@ -152,6 +163,49 @@ object IncrementalPacking {
           .as("overflow_bins"))
   }
 
+  /** Latest batch id present in the bins store — the natural epoch pin
+    * for [[epochPlanAt]]. None when nothing has been drained yet.
+    */
+  def latestBinsBatch(spark: SparkSession, root: String): Option[Long] =
+    if (!StoragePaths.exists(spark, binsPath(root))) None
+    else {
+      val m = spark.read.parquet(binsPath(root))
+        .agg(max(col("batch").cast("long"))).head()
+      if (m.isNullAt(0)) None else Some(m.getLong(0))
+    }
+
+  /** Epoch plan over the bins store PINNED at a batch high-water mark —
+    * the growing-store spelling of [[Packing.epochPlanFrom]]. The pin is
+    * the stability contract: `reader_pos` is a row_number over each
+    * reader's dealt bins, so planning over the LIVE store while a drain
+    * appends would interleave new bins into the hash order and shift
+    * positions of bins a trainer already consumed. Pinning at `upToBatch`
+    * (default: the latest batch at call time) makes the plan a pure
+    * function of (epoch, pin) — re-deriving epoch k at the same pin is
+    * bit-identical no matter how far the store has grown since, and the
+    * shard-boundary bin that batch `pin+1` later extends is planned with
+    * its as-of-pin content, deterministically. Per-epoch cost is id-width
+    * only: the store holds `(doc_id, shard, n_tokens, bin, …)` rows, so
+    * no text is read, let alone re-tokenized. (Pins index LIVE batch ids:
+    * derive any plan you need before folding the bins store with
+    * [[StoreMaintenance.compact]], which collapses ids into `batch=-1`.)
+    */
+  def epochPlanAt(
+      spark: SparkSession,
+      root: String,
+      epoch: Int,
+      readers: Int = Packing.Readers,
+      upToBatch: Option[Long] = None): DataFrame = {
+    val bins = upToBatch.orElse(latestBinsBatch(spark, root)) match {
+      case None => emptyOf(spark, BinsSchema)
+      case Some(hw) =>
+        spark.read.parquet(binsPath(root))
+          .filter(col("batch").cast("long") <= hw)
+          .drop("batch")
+    }
+    Packing.epochPlanFrom(bins, epoch, readers)
+  }
+
   /** Drain the landing dir (Trigger.AvailableNow), packing every batch
     * against the per-shard cursors. Assignment rows land in
     * `root/bins/batch=N`, the post-batch cursor snapshot in
@@ -178,10 +232,29 @@ object IncrementalPacking {
                 s"IncrementalPacking: store at $root was created with $n " +
                   s"shards, got $shards — pass the stored count")
             case None =>
-              // marker FIRST, before any data write: data-present ⇒
-              // marker-present
+              // markers FIRST, before any data write: data-present ⇒
+              // marker-present (budget before shards — `_shards` is the
+              // bootstrap key, so a crash between the two re-runs this
+              // branch and overwrites both)
+              StoragePaths.writeSmallFile(
+                spark, budgetMarker(root), Packing.Budget.toString)
               StoragePaths.writeSmallFile(
                 spark, shardsMarker(root), shards.toString)
+          }
+          storedBudget(spark, root) match {
+            case Some(b) =>
+              // the budget is frozen with the shard count: packBatch bins
+              // against the live Packing.Budget, so a binary rebuilt with
+              // a different budget must not extend this store
+              require(b == Packing.Budget,
+                s"IncrementalPacking: store at $root was packed at " +
+                  s"budget $b, this binary has ${Packing.Budget} — " +
+                  "rebuild with the stored budget")
+            case None =>
+              // pre-marker store (packed by this same constant): heal by
+              // recording the only budget that has ever touched it
+              StoragePaths.writeSmallFile(
+                spark, budgetMarker(root), Packing.Budget.toString)
           }
           val uniq = batch.dropDuplicates("doc_id")
           val (bins, nextCursor) =

@@ -121,6 +121,63 @@ class IncrementalPackingSpec extends SparkSpec {
     assert(binTuples(all) == binTuples(Packing.packBins(b1.unionAll(b2))))
   }
 
+  test("epoch plans pinned at a batch high-water mark are stable under appends") {
+    val landing = Files.createTempDirectory("ipack6-landing")
+    val ckpt = Files.createTempDirectory("ipack6-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("ipack6-root").toString + "/p"
+    val b1 = corpus(0L, 300L)
+    landParquet(landing, "b1.parquet", b1)
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema)
+    val pin = IncrementalPacking.latestBinsBatch(spark, root)
+    assert(pin.nonEmpty)
+    def rows(df: DataFrame) = df.collect().map(r => (
+      r.getAs[Long]("shard"), r.getAs[Long]("bin")) -> (
+      r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+      r.getAs[Long]("reader"), r.getAs[Long]("reader_pos"))).toMap
+    val planned = rows(IncrementalPacking.epochPlanAt(
+      spark, root, epoch = 1, upToBatch = pin))
+    // the pinned plan equals the batch operator over exactly the pinned
+    // corpus — the seam and the sugar agree through the store
+    assert(planned == rows(Packing.epochPlan(b1, 1)))
+    // a trainer is mid-epoch when the crawl appends more documents…
+    landParquet(landing, "b2.parquet", corpus(300L, 500L))
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema)
+    // …and re-deriving the SAME pinned plan is bit-identical: reader_pos
+    // of bins already dealt cannot shift under the grown store
+    assert(rows(IncrementalPacking.epochPlanAt(
+      spark, root, epoch = 1, upToBatch = pin)) == planned)
+    // the next epoch pins the new high-water mark and deals every bin,
+    // including the boundary bin batch 2 extended (its token count grew,
+    // so the live plan genuinely differs from the pinned one)
+    val live = rows(IncrementalPacking.epochPlanAt(spark, root, epoch = 1))
+    assert(live == rows(Packing.epochPlan(b1.unionAll(corpus(300L, 500L)), 1)))
+    assert(live != planned)
+  }
+
+  test("the token budget freezes at bootstrap alongside the shard count") {
+    val landing = Files.createTempDirectory("ipack7-landing")
+    val ckpt = Files.createTempDirectory("ipack7-ckpt").toString + "/c"
+    val ckpt2 = Files.createTempDirectory("ipack7-ckpt2").toString + "/c"
+    val root = Files.createTempDirectory("ipack7-root").toString + "/p"
+    landParquet(landing, "b1.parquet", corpus(0L, 100L))
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema)
+    assert(IncrementalPacking.storedBudget(spark, root)
+      .contains(Packing.Budget))
+    // simulate a binary rebuilt with a different Packing.Budget continuing
+    // this store: the recorded budget disagrees with the live constant and
+    // the drain must refuse rather than re-bin against mismatched history
+    graft.streaming.StoragePaths.writeSmallFile(
+      spark, IncrementalPacking.budgetMarker(root),
+      (Packing.Budget / 2).toString)
+    val landing2 = Files.createTempDirectory("ipack7-landing2")
+    landParquet(landing2, "b2.parquet", corpus(100L, 200L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalPacking.run(spark, landing2.toString, ckpt2, root, schema)
+    }
+    assert(e.getMessage.contains("budget") ||
+      e.getCause.getMessage.contains("budget"))
+  }
+
   test("the shard count freezes at bootstrap") {
     val landing = Files.createTempDirectory("ipack4-landing")
     val ckpt = Files.createTempDirectory("ipack4-ckpt").toString + "/c"

@@ -78,6 +78,25 @@ class PackingSpec extends SparkSpec {
     assert(p1.values.map(_._1).toSet.size > 1)
   }
 
+  test("epochPlanFrom over a materialized bin relation ≡ epochPlan(docs)") {
+    // the bin seam: a multi-epoch run derives the bin relation once (the
+    // only text pass) and plans every epoch from the stored rows — the
+    // plan must be bit-identical to the one-shot sugar, for any epoch
+    val dir = java.nio.file.Files.createTempDirectory("pack-binseam").toString
+    Packing.packBins(docs).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("shard"), r.getAs[Long]("bin")) -> (
+      r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+      r.getAs[Long]("reader"), r.getAs[Long]("order_hash"),
+      r.getAs[Long]("reader_pos"))
+    Seq(1, 2, 7).foreach { epoch =>
+      val viaSeam = Packing.epochPlanFrom(stored, epoch).collect().map(key).toMap
+      val viaDocs = Packing.epochPlan(docs, epoch).collect().map(key).toMap
+      assert(viaSeam == viaDocs, s"epoch $epoch diverged across entry points")
+    }
+  }
+
   test("stats agrees with packBins and conserves tokens; overflow is bounded") {
     val bins = Packing.packBins(docs)
     val st = Packing.stats(docs).collect()

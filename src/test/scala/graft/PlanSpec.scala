@@ -405,6 +405,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("epoch plan bin seam: no tokenize, no text — id-width scan only") {
+    spark.catalog.clearCache()
+    // the multi-epoch deployment shape: the bin relation is materialized
+    // once (here: written to parquet, as the IncrementalPacking store is)
+    // and each epoch plans over THAT — the plan must never reach back to
+    // document text, so no tokenize expression and no text column may
+    // appear anywhere in it
+    val dir = java.nio.file.Files.createTempDirectory("plan-binseam").toString
+    graft.ops.Packing.packBins(T.table(spark, sf, "documents"))
+      .write.mode("overwrite").parquet(dir)
+    val df = graft.ops.Packing.epochPlanFrom(spark.read.parquet(dir))
+    val p = plan(df)
+    assert(!p.contains("regexp_extract_all"), p)
+    assert(p.contains("ReadSchema: struct<shard:bigint,n_tokens:bigint," +
+      "bin:bigint"), p)
+  }
+
   test("sequence packing: one shard shuffle, local sort only, no text carried") {
     import org.apache.spark.sql.execution.SortExec
     spark.catalog.clearCache()
