@@ -105,13 +105,18 @@ object IncrementalDsir {
       root: String,
       schema: StructType): DataFrame = {
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
+    // the table freezes at bootstrap and run() is its only writer, so one
+    // validated read serves the whole drain — re-validating (a full
+    // count() action) per micro-batch would put a fixed overhead on every
+    // small batch of a long drain (the [[IncrementalLmFilter]] pattern)
+    var frozen: Option[DataFrame] = None
     val q = spark.readStream.schema(schema).parquet(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val uniq = batch.dropDuplicates("doc_id")
-          if (!exists(ratioPath(root))) {
+          if (frozen.isEmpty && !exists(ratioPath(root))) {
             // bootstrap exactly while no table exists — store-absence
             // keyed, never `batchId == 0` (an empty epoch 0 must not
             // brick the stream); the overwrite write is replay-idempotent
@@ -122,7 +127,11 @@ object IncrementalDsir {
                 "tokenizable text")
             writeRatioTable(lr, ratioPath(root))
           }
-          val lr = readRatioTable(spark, ratioPath(root))
+          val lr = frozen.getOrElse {
+            val t = readRatioTable(spark, ratioPath(root))
+            frozen = Some(t)
+            t
+          }
           val scored = scoreBatch(uniq, lr).localCheckpoint()
           scored.write.mode("overwrite")
             .parquet(s"${ledgerPath(root)}/batch=$batchId")
