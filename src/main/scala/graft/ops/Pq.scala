@@ -241,6 +241,30 @@ object Pq {
   /** The codebook as a 64-row local relation `(m, k, cvec, cnorm2)` — the
     * broadcast side of the ADC distance-table build.
     */
+  /** `(vec_id, list_id, rvec)` residuals of `rows` under an EXPLICIT
+    * leader relation — [[residualRows]] exposed for the maintenance loop
+    * ([[graft.streaming.IvfPqMaintenance]]), which trains candidate
+    * residual codebooks and measures drift against leaders that are NOT
+    * the id-seeded bootstrap set.
+    */
+  private[graft] def residualsOf(rows: DataFrame, leadersDf: DataFrame): DataFrame =
+    residualRows(rows, leadersDf)
+
+  /** Mean RESIDUAL quantization error `(n_vectors, mean_qerr)` of a
+    * corpus under an explicit (leaders, residual book) pair — the drift
+    * monitor for the composed IVFPQ index: the error a stored code
+    * actually carries is ‖rvec − decode(code(rvec))‖², residuals taken
+    * against the list each vector assigns to, so BOTH a drifted coarse
+    * quantizer (residuals grow) and a drifted sub-quantizer (codes stop
+    * describing them) surface in one number.
+    */
+  private[graft] def residualQuantizationError(emb: DataFrame,
+      leadersDf: DataFrame, book: Seq[CodebookEntry]): DataFrame =
+    quantizationError(
+      residualRows(emb, leadersDf)
+        .select(col("vec_id"), col("rvec").as("embedding")),
+      book)
+
   private def codebookDf(emb: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
