@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import Portable._
+
 /** The end-to-end curation funnel — the composition a training-data user
   * actually runs over a raw corpus, wiring the individual operator families
   * into one pipeline (the CCNet / Gopher / GPT-3 preprocessing shape:
@@ -151,18 +153,82 @@ object Curation {
     * keep all three.
     */
   def learnedAudit(docs: DataFrame): DataFrame = {
-    def flag(sel: DataFrame, name: String) =
-      sel.select("doc_id").withColumn(name, lit(true))
-    docs.select("doc_id")
-      .join(flag(QualityClassifier.select(docs), "nb_selected"),
-        Seq("doc_id"), "left")
-      .join(flag(LmPerplexity.select(docs), "lm_selected"),
-        Seq("doc_id"), "left")
-      .join(flag(Dsir.select(docs), "dsir_selected"), Seq("doc_id"), "left")
+    val lmCounts = LmPerplexity.seedBigramCounts(docs)
+    learnedAuditWith(docs,
+      QualityClassifier.modelTable(docs), QualityClassifier.priorRow(docs),
+      LmPerplexity.modelOf(lmCounts), LmPerplexity.contextsOf(lmCounts),
+      Dsir.ratioTable(Dsir.featureCounts(docs)))
+      .select("doc_id", "nb_selected", "lm_selected", "dsir_selected", "kept")
+  }
+
+  /** The shared `(doc_id, tok, tok2)` token-pair relation all three
+    * learned scorers read — built in the ARRAY domain (each token paired
+    * with its successor before the explode), so unlike a window-lead
+    * formulation it costs NO shuffle at all: tokenize, pair, explode, and
+    * every per-family hash all happen inside the scan's own partition.
+    * Documents without tokens contribute no rows (their zeros come back
+    * through the audit's left join).
+    */
+  private[graft] def tokenPairs(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", s"$tokensSpark AS toks")
+      .filter(size(col("toks")) >= 1)
+      .selectExpr("doc_id",
+        """explode(transform(sequence(0, size(toks) - 1),
+          |  i -> struct(toks[i] AS tok,
+          |              IF(i + 1 < size(toks), toks[i + 1], NULL) AS tok2)))
+          |  AS p""".stripMargin)
+      .select(col("doc_id"), col("p.tok").as("tok"), col("p.tok2").as("tok2"))
+
+  /** [[learnedAudit]] against EXPLICIT frozen tables, with the full
+    * per-family evidence — the composition of the three frozen-model
+    * seams AND the one-scan spelling: the corpus is tokenized ONCE into
+    * [[tokenPairs]], every family's hashed features are computed per pair
+    * row, the five bounded model tables join as broadcasts on that single
+    * stream, and ONE `groupBy(doc_id)` produces every family's exact
+    * integer sums together — one corpus scan and one id-width exchange
+    * where the per-family spelling pays three of each. Verdicts are
+    * bit-identical to the individual selects (integer sums are
+    * order-independent; pinned in `CurationSpec`).
+    *
+    * This is also the scoring kernel of the incremental ensemble drain
+    * ([[graft.streaming.IncrementalLearnedEnsemble]]): a batch scored
+    * against the frozen five-table set in one pass.
+    */
+  def learnedAuditWith(
+      docs: DataFrame,
+      nbModel: DataFrame,
+      nbPrior: DataFrame,
+      lmModel: DataFrame,
+      lmContexts: DataFrame,
+      lrTable: DataFrame): DataFrame = {
+    val contrib = Dsir.pairScore(
+      LmPerplexity.pairScore(
+        QualityClassifier.pairScore(tokenPairs(docs), nbModel),
+        lmModel, lmContexts),
+      lrTable)
+    val aggs =
+      QualityClassifier.pairAggs ++ LmPerplexity.pairAggs ++ Dsir.pairAggs
+    val perDoc = contrib.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val scored = docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("nb_selected"), lit(false)).as("nb_selected"),
-        coalesce(col("lm_selected"), lit(false)).as("lm_selected"),
-        coalesce(col("dsir_selected"), lit(false)).as("dsir_selected"))
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("like_micro"), lit(0L)).as("like_micro"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("logweight_micro"), lit(0L)).as("logweight_micro"))
+      .crossJoin(broadcast(nbPrior.select("prior_micro")))
+      .withColumn("score_micro", col("like_micro") + col("prior_micro"))
+      .drop("prior_micro")
+    Dsir.keyed(scored)
+      .withColumn("nb_selected", col("n_tokens") >= 1 &&
+        col("like_micro") >=
+          lit(QualityClassifier.SelectTauMicro) * col("n_tokens"))
+      .withColumn("lm_selected", col("n_bigrams") >= 1 &&
+        col("logprob_micro") >=
+          lit(LmPerplexity.SelectTauMicro) * col("n_bigrams"))
+      .withColumn("dsir_selected",
+        col("key_micro") >= Dsir.SelectTauMicro)
       .withColumn("kept",
         col("nb_selected") && col("lm_selected") && col("dsir_selected"))
   }

@@ -152,6 +152,42 @@ object Dsir {
         coalesce(col("logweight_micro"), lit(0L)).as("logweight_micro"))
   }
 
+  /** Per-token-row DSIR contribution over a shared `(doc_id, tok, tok2)`
+    * pair relation — the ONE-SCAN ensemble seam
+    * ([[Curation.learnedAuditWith]]): each row carries its unigram bucket
+    * (`1:` salt) and, when a successor token exists, the consecutive
+    * bigram bucket (`2:` salt over the space-joined pair — the exact
+    * [[featureCounts]] gram string; the concat null-propagates on the
+    * last token row). Two left joins against the broadcast ratio table.
+    */
+  private[graft] def pairScore(pairs: DataFrame, lrTable: DataFrame): DataFrame = {
+    val lr = lrTable.select("bucket", "lr_micro")
+    pairs
+      .withColumn("_d1",
+        expr(s"${hexcastSpark("concat('1:', tok)")} % $Buckets"))
+      .withColumn("_d2",
+        expr(s"${hexcastSpark("concat('2:', concat(tok, ' ', tok2))")} % $Buckets"))
+      .join(broadcast(lr.select(col("bucket").as("_d1"),
+        col("lr_micro").as("_dsir_lr1"))), Seq("_d1"), "left")
+      .join(broadcast(lr.select(col("bucket").as("_d2"),
+        col("lr_micro").as("_dsir_lr2"))), Seq("_d2"), "left")
+      .drop("_d1", "_d2")
+  }
+
+  /** The aggregate legs reading [[pairScore]]'s columns inside the shared
+    * `groupBy(doc_id)`: gram count (unigrams + consecutive bigrams) and
+    * the exact integer Σ lr. Identical to [[weightsWith]]'s per-bucket
+    * formulation over a COMPLETE ratio table (the only kind the frozen
+    * seam admits): every non-null bucket matches, so the left-join
+    * coalesce is the inner join's arithmetic.
+    */
+  private[graft] def pairAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    (count(lit(1)) + sum(when(col("tok2").isNotNull, 1L).otherwise(0L)))
+      .as("n_grams"),
+    (sum(coalesce(col("_dsir_lr1"), lit(0L))) +
+      sum(when(col("tok2").isNotNull, coalesce(col("_dsir_lr2"), lit(0L)))
+        .otherwise(0L))).as("logweight_micro"))
+
   /** Deterministic per-document Gumbel noise in micro fixed-point:
     * `g = −ln(−ln(u))` with `u = (md5₆₀("dsir:" + doc_id) mod 1e6 + 0.5) /
     * 1e6` — the hashed stand-in for the i.i.d. Gumbel draw of the paper's

@@ -156,6 +156,41 @@ object LmPerplexity {
         coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
   }
 
+  /** Per-token-row LM contribution over a shared `(doc_id, tok, tok2)`
+    * pair relation — the ONE-SCAN ensemble seam
+    * ([[Curation.learnedAuditWith]]): hash both tokens under the `lm:`
+    * salt (the concat is null-propagating, so a document's last token row
+    * carries a null `_lb2` and matches nothing), left-join the broadcast
+    * model on the bigram and the broadcast context table on `b1`, and
+    * return the input columns plus `_lm_lp`/`_lm_oov`. The OOV ladder is
+    * applied in [[pairAggs]], exactly as [[scoreWith]] applies it.
+    */
+  private[graft] def pairScore(pairs: DataFrame, model: DataFrame,
+      contexts: DataFrame): DataFrame =
+    pairs
+      .withColumn("_lb1",
+        expr(s"${hexcastSpark("concat('lm:', tok)")} % $Buckets"))
+      .withColumn("_lb2",
+        expr(s"${hexcastSpark("concat('lm:', tok2)")} % $Buckets"))
+      .join(broadcast(model.select(col("b1").as("_lb1"),
+        col("b2").as("_lb2"), col("lp_micro").as("_lm_lp"))),
+        Seq("_lb1", "_lb2"), "left")
+      .join(broadcast(contexts.select(col("b1").as("_lb1"),
+        col("oov_micro").as("_lm_oov"))), Seq("_lb1"), "left")
+      .drop("_lb1", "_lb2")
+
+  /** The aggregate legs reading [[pairScore]]'s columns inside the shared
+    * `groupBy(doc_id)`: bigram rows are the pairs with a successor token,
+    * each scoring down the TOTAL OOV ladder — seen bigram, seen context's
+    * smoothed mass, the driver-splatted `ln(1/B)` constant. Identical to
+    * [[scoreWith]] row for row.
+    */
+  private[graft] def pairAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    sum(when(col("tok2").isNotNull, 1L).otherwise(0L)).as("n_bigrams"),
+    sum(when(col("tok2").isNotNull,
+        coalesce(col("_lm_lp"), col("_lm_oov"), lit(OovMicro)))
+      .otherwise(0L)).as("logprob_micro"))
+
   /** Fluent admission: documents whose PER-BIGRAM log-probability clears
     * [[SelectTauMicro]] (`logprob_micro ≥ τ·n_bigrams`, integer-exact).
     * Per-row threshold; no global rank. Evidence-free documents (< 2

@@ -162,6 +162,31 @@ object QualityClassifier {
           .as("score_micro"))
   }
 
+  /** Per-token-row NB contribution over a shared `(doc_id, tok, tok2)`
+    * pair relation — the ONE-SCAN ensemble seam
+    * ([[Curation.learnedAuditWith]]): hash each token under the `q:` salt,
+    * left-join the broadcast model, and return the input columns plus
+    * `_nb_w` (null for out-of-model buckets — neutral evidence, the
+    * [[scoreWith]] OOV contract).
+    */
+  private[graft] def pairScore(pairs: DataFrame, model: DataFrame): DataFrame =
+    pairs
+      .withColumn("_qb",
+        expr(s"${hexcastSpark("concat('q:', tok)")} % $Buckets"))
+      .join(broadcast(model.select(col("bucket").as("_qb"),
+        col("w_micro").as("_nb_w"))), Seq("_qb"), "left")
+      .drop("_qb")
+
+  /** The aggregate legs reading [[pairScore]]'s columns inside the shared
+    * `groupBy(doc_id)`: token count and the exact integer likelihood sum.
+    * Identical to [[scoreWith]]'s per-bucket formulation — integer sums
+    * are order-independent, and a bucket's Σ n·w equals the sum of its
+    * per-token w.
+    */
+  private[graft] def pairAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_tokens"),
+    sum(coalesce(col("_nb_w"), lit(0L))).as("like_micro"))
+
   /** Seed-like admission: documents whose PER-TOKEN likelihood clears
     * [[SelectTauMicro]] (`like_micro ≥ τ · n_tokens`, integer-exact) —
     * `(doc_id, n_tokens, like_micro, score_micro)`. Per-row threshold; no

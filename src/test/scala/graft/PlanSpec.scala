@@ -422,6 +422,36 @@ class PlanSpec extends SparkSpec {
       "bin:bigint"), p)
   }
 
+  test("learned ensemble: scoring is ONE text scan and no window exchange") {
+    // the one-scan contract of learnedAuditWith: against frozen
+    // (materialized) model tables — the incremental drain's exact shape —
+    // the whole five-table ensemble scores from a SINGLE pass over the
+    // corpus text. Each corpus pass is one parquet scan whose ReadSchema
+    // carries the text column (rendered once per scan, unlike
+    // expressions, which the plan text repeats per reference).
+    val docs = T.table(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("plan-ensemble").toString
+    val lmCounts = graft.ops.LmPerplexity.seedBigramCounts(docs)
+    Seq(
+      "nb" -> graft.ops.QualityClassifier.modelTable(docs),
+      "prior" -> graft.ops.QualityClassifier.priorRow(docs),
+      "lmm" -> graft.ops.LmPerplexity.modelOf(lmCounts),
+      "lmc" -> graft.ops.LmPerplexity.contextsOf(lmCounts),
+      "lr" -> graft.ops.Dsir.ratioTable(graft.ops.Dsir.featureCounts(docs))
+    ).foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$n")
+    }
+    def t(n: String) = spark.read.parquet(s"$dir/$n")
+    val p = plan(Curation.learnedAuditWith(docs,
+      t("nb"), t("prior"), t("lmm"), t("lmc"), t("lr")))
+    val textScans = "ReadSchema: [^\n]*text".r.findAllIn(p).length
+    assert(textScans == 1, s"expected ONE scoring text scan, " +
+      s"got $textScans:\n$p")
+    // the pair relation assembles in the array domain: no window (and so
+    // no extra exchange) between the scan and the shared aggregation
+    assert(!p.contains("Window"), p)
+  }
+
   test("sequence packing: one shard shuffle, local sort only, no text carried") {
     import org.apache.spark.sql.execution.SortExec
     spark.catalog.clearCache()
