@@ -595,6 +595,27 @@ object Dedup {
         count(lit(1)).as("n_chunks"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
 
+  /** Join ID-WIDTH verdict flags back to the text-carrying chunk relation
+    * and reassemble — the one-text-exchange tail shared by BOTH Docs
+    * variants and the incremental per-batch paths. The election legs run
+    * over digest-width rows only; the text relation and the flags are
+    * each pre-partitioned by `doc_id`, so the `(doc_id, chunk_idx)` join
+    * needs no further exchange (partitioning on a subset of the join keys
+    * co-locates them) and [[reassembleChunks]]' `groupBy(doc_id)` reuses
+    * the same partitioning. Net: `chunk_text` crosses exactly ONE
+    * exchange — keying the flag-back on the digest instead (the old
+    * spelling) shuffled the corpus text through the digest exchange AND
+    * the doc_id one. Minor at sf0.1; half the wire bytes at 100 TB.
+    */
+  private[graft] def reassembleFlagged(chunks: DataFrame,
+      flags: DataFrame): DataFrame = {
+    val text = chunks.select("doc_id", "chunk_idx", "chunk_text")
+      .repartition(col("doc_id"))
+    val f = flags.select("doc_id", "chunk_idx", "kept")
+      .repartition(col("doc_id"))
+    reassembleChunks(text.join(f, Seq("doc_id", "chunk_idx")))
+  }
+
   /** Documents re-assembled from their surviving chunks: `(doc_id,
     * clean_text, n_chunks, n_kept)`. A document whose every chunk was seen
     * earlier keeps its row with an empty `clean_text` — the downstream
@@ -602,10 +623,15 @@ object Dedup {
     * not the dedup pass. Reassembly is one hash-aggregate per document over
     * chunk-width rows (`collect_list` of kept `(chunk_idx, chunk_text)`
     * structs, array-sorted — per-doc cardinality is the doc's own chunk
-    * count, bounded by doc length, not by the corpus).
+    * count, bounded by doc length, not by the corpus). The election runs
+    * id-width and the text joins back through [[reassembleFlagged]] —
+    * chunking twice (a narrow, column-pruned projection) to keep the
+    * corpus bytes off the digest exchange.
     */
   def chunkDedupDocs(docs: DataFrame, w: Int = ChunkTokens): DataFrame =
-    reassembleChunks(flaggedChunks(chunkRows(docs, w)))
+    reassembleFlagged(chunkRows(docs, w),
+      flaggedChunks(chunkRows(docs, w).drop("chunk_text"))
+        .select("doc_id", "chunk_idx", "kept"))
 
   // ---- boilerplate chunk filter (drop-ALL-occurrences policy) ----
 
@@ -649,14 +675,17 @@ object Dedup {
     dfFlaggedChunks(chunkRows(docs, w).drop("chunk_text"), minDf)
       .select("doc_id", "chunk_idx", "chunk_hash", "df_docs", "kept")
 
-  /** Documents rewritten with their boilerplate chunks removed —
-    * [[reassembleChunks]] over the df-flagged occurrences, so the
-    * reassembly contract (empty `clean_text` survives, per-doc bounded
-    * collect) is shared verbatim with [[chunkDedupDocs]].
+  /** Documents rewritten with their boilerplate chunks removed — the
+    * df election over digest-width rows, flags joined back through
+    * [[reassembleFlagged]], so the reassembly contract (empty
+    * `clean_text` survives, per-doc bounded collect, one text exchange)
+    * is shared verbatim with [[chunkDedupDocs]].
     */
   def boilerplateDocs(docs: DataFrame, w: Int = ChunkTokens,
       minDf: Int = BoilerplateMinDf): DataFrame =
-    reassembleChunks(dfFlaggedChunks(chunkRows(docs, w), minDf))
+    reassembleFlagged(chunkRows(docs, w),
+      dfFlaggedChunks(chunkRows(docs, w).drop("chunk_text"), minDf)
+        .select("doc_id", "chunk_idx", "kept"))
 
   /** Corpus-level boilerplate yield, one row: occurrence / distinct-chunk /
     * boilerplate-chunk / dropped-occurrence counts and characters removed.

@@ -141,21 +141,23 @@ object IncrementalBoilerplate {
       .join(priorDfRel, Seq("chunk_hash", "chunk_hash2"), "left")
       .withColumn("df_docs",
         col("batch_df") + coalesce(col("prior_df"), lit(0L)))
-    val occ = rows
+    // flags assemble DIGEST-WIDTH (text pruned before the digest join —
+    // the Dedup.reassembleFlagged contract)
+    val flags = rows.select("doc_id", "chunk_idx", "chunk_hash", "chunk_hash2")
       .join(eff.select("chunk_hash", "chunk_hash2", "df_docs"),
         Seq("chunk_hash", "chunk_hash2"))
       .withColumn("kept", col("df_docs") < minDf)
       .persist()
-    val nDropped = occ.filter(!col("kept")).count()
+    val nDropped = flags.filter(!col("kept")).count()
     // cut results loose, then free the batch-sized caches (the
     // Dedup.materializeFreeing no-leak contract)
-    val cleanOut = Dedup.reassembleChunks(occ).localCheckpoint()
+    val cleanOut = Dedup.reassembleFlagged(rows, flags).localCheckpoint()
     val deltasOut = batchDf
       .select(col("chunk_hash"), col("chunk_hash2"),
         col("batch_df").as("df_docs"))
       .localCheckpoint()
     rows.unpersist(blocking = false)
-    occ.unpersist(blocking = false)
+    flags.unpersist(blocking = false)
     BatchResult(cleanOut, deltasOut,
       nDocs = uniq.count(), nOccurrences = nOcc, nDropped = nDropped)
   }

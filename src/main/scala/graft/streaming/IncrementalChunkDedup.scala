@@ -179,19 +179,22 @@ object IncrementalChunkDedup {
     // within-batch keep-first (shared election), then first-write-wins
     // against the store: an occurrence survives iff it is the batch's
     // first occurrence of its content AND no earlier batch admitted it
-    val survivors = Dedup.flaggedChunks(rows).filter(col("kept"))
+    // the election runs over DIGEST-WIDTH rows (text pruned before the
+    // digest exchange — the Dedup.reassembleFlagged contract)
+    val survivors = Dedup.flaggedChunks(rows.drop("chunk_text"))
+      .filter(col("kept"))
       .join(priorHashes.select("chunk_hash", "chunk_hash2"),
         Seq("chunk_hash", "chunk_hash2"), "left_anti")
       .select("doc_id", "chunk_idx", "chunk_hash", "chunk_hash2")
       .persist()
     val nKept = survivors.count()
-    val occ = rows
+    val flags = rows.select("doc_id", "chunk_idx")
       .join(survivors.select("doc_id", "chunk_idx").withColumn("sv", lit(true)),
         Seq("doc_id", "chunk_idx"), "left")
       .withColumn("kept", coalesce(col("sv"), lit(false)))
     // cut results loose, then free the batch-sized caches (the same
     // no-leak contract as Dedup.materializeFreeing)
-    val cleanOut = Dedup.reassembleChunks(occ).localCheckpoint()
+    val cleanOut = Dedup.reassembleFlagged(rows, flags).localCheckpoint()
     val hashesOut = survivors.select("chunk_hash", "chunk_hash2")
       .localCheckpoint()
     rows.unpersist(blocking = false)

@@ -452,6 +452,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("chunk Docs reassembly: chunk_text crosses exactly ONE exchange") {
+    // the reassembleFlagged contract: the election legs exchange
+    // digest-width rows only; the corpus text is pre-partitioned by
+    // doc_id once and both the flag join and the reassembly groupBy
+    // reuse that partitioning — keying the flag-back on the digest would
+    // ship the text through a second exchange
+    spark.catalog.clearCache()
+    val docs = T.table(spark, sf, "documents")
+    for (df <- Seq(Dedup.chunkDedupDocs(docs), Dedup.boilerplateDocs(docs))) {
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case other => other
+      }
+      val textExchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.child.output.map(_.name).contains("chunk_text") => e
+      }
+      assert(textExchanges.size == 1, p.toString)
+      // and that one exchange is the doc_id repartition, not a digest key
+      val keyCols = textExchanges.head.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.map(_.name))
+        case other => fail(s"expected hash partitioning, got $other")
+      }
+      assert(keyCols == Seq("doc_id"), keyCols.mkString(","))
+    }
+  }
+
   test("sequence packing: one shard shuffle, local sort only, no text carried") {
     import org.apache.spark.sql.execution.SortExec
     spark.catalog.clearCache()
