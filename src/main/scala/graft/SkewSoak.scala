@@ -417,6 +417,81 @@ object SkewSoak {
     val bpJson =
       f""""boilerplate_df_probe":{"base_sec":${bpSecs(0)}%.2f,"x10_sec":${bpSecs(1)}%.2f,"time_growth":$bpGrowth%.1f,"store_base":$bpBaseN,"store_x10":${bpBaseN * 10},"batch":$bpBatch}"""
 
+    // Learned-admission scoring legs (NB / LM / DSIR): the frozen model
+    // tables are BOUNDED (NB/DSIR ≤1024 rows, LM ≤B² observed seed
+    // bigrams), so scoring a FIXED batch against a model trained on a 10×
+    // corpus must be FLAT (the broadcast join's build side cannot grow
+    // past the bound), and scoring a 10× batch against a fixed frozen
+    // model must be ~LINEAR (one tokenize + one broadcast join + one
+    // hash-aggregate per batch row). Training runs OUTSIDE the timer and
+    // the tables are localCheckpointed, so the timed query cannot reach
+    // back into the training corpus through the model's lineage.
+    def admDocs(n: Long, off: Long): DataFrame =
+      spark.range(n).select((col("id") + off).as("doc_id"),
+        concat_ws(" ",
+          (0 until 12).map(j => concat(lit(s"a${j}q"), col("id") % 211)): _*)
+          .as("text"),
+        when(col("id") % 3 === 0, lit(graft.ops.QualityClassifier.SeedSource))
+          .otherwise(lit("src1")).as("source"),
+        when(col("id") % 2 === 0, lit(graft.ops.Dsir.TargetLang))
+          .otherwise(lit("xx")).as("lang"))
+    val admFamilies: Seq[(String, DataFrame => Seq[DataFrame],
+        (DataFrame, Seq[DataFrame]) => Long)] = Seq(
+      ("nb",
+        (d: DataFrame) => Seq(graft.ops.QualityClassifier.modelTable(d),
+          graft.ops.QualityClassifier.priorRow(d)),
+        (b: DataFrame, m: Seq[DataFrame]) =>
+          graft.ops.QualityClassifier.scoreWith(b, m(0), m(1)).count()),
+      ("lm",
+        (d: DataFrame) => {
+          // one training scan feeds both tables (the seedBigramCounts
+          // contract); checkpoint it so the two derivations share it
+          val counts = graft.ops.LmPerplexity.seedBigramCounts(d)
+            .localCheckpoint()
+          Seq(graft.ops.LmPerplexity.modelOf(counts),
+            graft.ops.LmPerplexity.contextsOf(counts))
+        },
+        (b: DataFrame, m: Seq[DataFrame]) =>
+          graft.ops.LmPerplexity.scoreWith(b, m(0), m(1)).count()),
+      ("dsir",
+        (d: DataFrame) => Seq(graft.ops.Dsir.ratioTable(
+          graft.ops.Dsir.featureCounts(d))),
+        (b: DataFrame, m: Seq[DataFrame]) =>
+          graft.ops.Dsir.weightsWith(b, m(0)).count()))
+    val admBase = baseN * 10
+    val admJsons = scala.collection.mutable.ArrayBuffer[String]()
+    val admVerdicts = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+    for ((fam, train, scoreF) <- admFamilies) {
+      def frozen(n: Long): Seq[DataFrame] = {
+        val d = admDocs(n, 0L).cache(); d.count()
+        val t = train(d).map(_.localCheckpoint())
+        d.unpersist(blocking = false); t
+      }
+      val m1 = frozen(admBase)
+      val m10 = frozen(admBase * 10)
+      // scoring is label-free under the frozen seam: (doc_id, text) only
+      val batch = admDocs(admBase, 5000000000L).select("doc_id", "text")
+        .cache()
+      batch.count()
+      val batch10 = admDocs(admBase * 10, 6000000000L)
+        .select("doc_id", "text").cache()
+      batch10.count()
+      scoreF(batch, m1) // warm: JIT + codegen caches, excluded
+      val mSecs = Seq(m1, m10).map(m => timed(scoreF(batch, m))._1)
+      val mGrowth = mSecs(1) / mSecs(0)
+      val bSecs = Seq(batch, batch10).map(b => timed(scoreF(b, m1))._1)
+      val bGrowth = bSecs(1) / bSecs(0)
+      batch.unpersist(blocking = false)
+      batch10.unpersist(blocking = false)
+      admJsons += f""""${fam}_model_scaled":{"base_sec":${mSecs(0)}%.2f,"x10_sec":${mSecs(1)}%.2f,"time_growth":$mGrowth%.1f,"train_base":$admBase,"train_x10":${admBase * 10},"batch":$admBase}"""
+      admJsons += f""""${fam}_batch_scaled":{"base_sec":${bSecs(0)}%.2f,"x10_sec":${bSecs(1)}%.2f,"time_growth":$bGrowth%.1f,"batch_base":$admBase,"batch_x10":${admBase * 10},"train_n":$admBase}"""
+      // flat bar (4× admits scheduler noise at these tiny absolute times
+      // without admitting train-corpus-proportional growth); linear bar
+      // (the capped-join rationale)
+      admVerdicts += (s"${fam}_model_scaled" -> (mGrowth < 4.0))
+      admVerdicts += (s"${fam}_batch_scaled" -> (bGrowth < 30.0))
+    }
+
     val base = results.head._2.toMap
     val x10 = results.last._2.toMap
     // one growth derivation feeds BOTH the JSON line and the verdict, so
@@ -462,8 +537,9 @@ object SkewSoak {
       ("epoch_scaled_readers" -> (epGrowth < 5.0)) :+
       // history-free: 10× the df store, flat probe (the chunk_membership
       // rationale on the delta-summed read)
-      ("boilerplate_df_probe" -> (bpGrowth < 4.0))
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,"linear":${verdicts.forall(_._2)}}""")
+      ("boilerplate_df_probe" -> (bpGrowth < 4.0)) :++
+      admVerdicts
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>
