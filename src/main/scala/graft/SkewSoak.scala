@@ -417,6 +417,41 @@ object SkewSoak {
     val bpJson =
       f""""boilerplate_df_probe":{"base_sec":${bpSecs(0)}%.2f,"x10_sec":${bpSecs(1)}%.2f,"time_growth":$bpGrowth%.1f,"store_base":$bpBaseN,"store_x10":${bpBaseN * 10},"batch":$bpBatch}"""
 
+    // Winnow fingerprint-store probe: the containment twin's membership
+    // read is keyed by the 60-bit fingerprint hash (bucketed BY h, so a
+    // probed fingerprint's every stored row is in a touched bucket) — a
+    // fixed batch's probe must stay FLAT under 10× store growth, the
+    // chunk_membership contract on the h-keyed layout.
+    val wfBatch = 12
+    def wfProbeSec(n: Long): Double = {
+      val root = java.nio.file.Files.createTempDirectory("soak-wf").toString
+      val store = graft.streaming.IncrementalWinnow.fpPath(root)
+      val buckets = math.max(64, (n / 1500).toInt)
+      spark.range(n).select(col("id").as("doc_id"),
+          (col("id") * 2654435761L + 11L).as("h"))
+        .withColumn("id_bucket",
+          IncrementalAnnIndex.idBucket(col("h"), buckets))
+        .repartition(col("id_bucket"))
+        .write.partitionBy("id_bucket").parquet(s"$store/batch=0")
+      StoragePaths.writeSmallFile(spark,
+        s"$store/${IncrementalAnnIndex.IdBucketsMarker}", buckets.toString)
+      val probe = spark.range(wfBatch.toLong)
+        .select(((col("id") * (n / (wfBatch + 1)) + 7L) * 2654435761L + 11L)
+          .as("h")).persist()
+      probe.count()
+      def go(): Long = graft.streaming.IncrementalWinnow
+        .priorFingerprints(spark, root, probe, -999L).count()
+      go() // warm: codegen + file-index caches, excluded
+      val sec = timed(go())._1
+      probe.unpersist(blocking = false)
+      sec
+    }
+    val wfBaseN = baseN * 10
+    val wfSecs = Seq(wfBaseN, wfBaseN * 10).map(wfProbeSec)
+    val wfGrowth = wfSecs(1) / wfSecs(0)
+    val wfJson =
+      f""""winnow_fp_probe":{"base_sec":${wfSecs(0)}%.2f,"x10_sec":${wfSecs(1)}%.2f,"time_growth":$wfGrowth%.1f,"store_base":$wfBaseN,"store_x10":${wfBaseN * 10},"batch":$wfBatch}"""
+
     // Learned-admission scoring legs (NB / LM / DSIR): the frozen model
     // tables are BOUNDED (NB/DSIR ≤1024 rows, LM ≤B² observed seed
     // bigrams), so scoring a FIXED batch against a model trained on a 10×
@@ -537,9 +572,11 @@ object SkewSoak {
       ("epoch_scaled_readers" -> (epGrowth < 5.0)) :+
       // history-free: 10× the df store, flat probe (the chunk_membership
       // rationale on the delta-summed read)
-      ("boilerplate_df_probe" -> (bpGrowth < 4.0)) :++
+      ("boilerplate_df_probe" -> (bpGrowth < 4.0)) :+
+      // history-free: 10× the fingerprint store, flat h-keyed probe
+      ("winnow_fp_probe" -> (wfGrowth < 4.0)) :++
       admVerdicts
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,$wfJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>

@@ -262,6 +262,10 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(T.table(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(T.table(s, dir, "documents"))),
+    "dedup_winnow_fps" -> ((s, dir) =>
+      Dedup.winnowFingerprints(T.table(s, dir, "documents"))),
+    "dedup_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(T.table(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(T.table(s, dir, "documents"))),
     "dedup_embedding_cosine" -> ((s, dir) =>
@@ -541,6 +545,8 @@ object SparkEntry {
     "dedup_minhash_pairs" -> OO.DEDUP_MINHASH_PAIRS,
     "dedup_ngram_jaccard" -> OO.DEDUP_NGRAM_JACCARD,
     "dedup_simhash" -> OO.DEDUP_SIMHASH,
+    "dedup_winnow_fps" -> OO.DEDUP_WINNOW_FPS,
+    "dedup_winnow_overlap" -> OO.DEDUP_WINNOW_OVERLAP,
     "dedup_simhash_pairs" -> OO.DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine" -> OO.DEDUP_EMB_COSINE,
     "dedup_chunks" -> OO.DEDUP_CHUNKS,

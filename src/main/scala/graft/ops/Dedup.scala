@@ -56,6 +56,21 @@ object Dedup {
   val BandMask: Int = (1 << BandBits) - 1
   val CosineDupThreshold = 0.3
 
+  /** Winnowing parameters (Schleimer/Wilkerson/Aiken, "Winnowing: local
+    * algorithms for document fingerprinting", SIGMOD 2003 — the MOSS
+    * algorithm). `WinnowK`-token grams, one fingerprint selected per
+    * window of [[WinnowWindow]] consecutive grams: any shared token run of
+    * length ≥ WinnowWindow + WinnowK − 1 is GUARANTEED to share a
+    * fingerprint, and expected fingerprint density is 2/(w+1) — the
+    * containment-detection complement to MinHash (whole-document
+    * resemblance): a short document pasted inside a long one has near-zero
+    * Jaccard but full winnow containment.
+    */
+  val WinnowK = 3
+  val WinnowWindow = 8
+  val WinnowOverlapThreshold = 0.5
+  val WinnowReportThreshold = 0.05
+
   /** Document-frequency caps for the posting-list self-joins. Bucket joins
     * are linear only while bucket occupancy is near-uniform; one hot key —
     * a boilerplate shingle shared by 10⁶ documents, or a band hash shared
@@ -724,4 +739,134 @@ object Dedup {
         coalesce(sum(when(!col("kept"),
           length(col("chunk_text")).cast("long")).otherwise(0L)), lit(0L))
           .as("chars_dropped"))
+
+  // ---------------------------------------------------------------------
+  // Winnowing fingerprints (local document fingerprinting — SIGMOD 2003)
+  // ---------------------------------------------------------------------
+
+  /** Selection-key encoding: winnowing compares grams inside one window by
+    * (32-bit hash, position), packed into a single BIGINT so the per-window
+    * argmin is a plain `min` window aggregate — identical arithmetic in
+    * Spark and the DuckDB oracle, no engine-specific struct-min or
+    * arg_min tie semantics. The 32-bit SELECTION hash only drives which
+    * gram a window picks (a collision inside one window merely shifts the
+    * pick — both engines shift identically); the EMITTED fingerprint is
+    * the full 60-bit gram digest at the selected position. Positions are
+    * capped at 2^30 grams per document (a ~10^9-token single document —
+    * far beyond any real crawl record).
+    */
+  private[graft] val WinnowSelMod: Long = 1L << 32
+  private[graft] val WinnowPosMod: Long = 1L << 30
+
+  /** Positional k-gram rows `(doc_id, pos, h)` — [[docShingles]] minus the
+    * distinct and keeping the gram's start position: winnowing selects by
+    * position, and repeated gram content inside one document matters. Same
+    * window-`lead` assembly (strict concat — the last k−1 positions null
+    * out), same 60-bit digest, so gram identity is shared with the
+    * MinHash/Jaccard family. Gram positions are contiguous 0..n_tok−k.
+    */
+  private[graft] def gramRows(docs: DataFrame, k: Int): DataFrame = {
+    val wp = Window.partitionBy("doc_id").orderBy("pos")
+    val gram = (1 until k).foldLeft(col("tok")) { (acc, i) =>
+      concat(acc, lit(" "), lead("tok", i).over(wp))
+    }
+    docTokens(docs)
+      .select(col("doc_id"), col("pos"), gram.as("gram"))
+      .filter(col("gram").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        expr(hexcastSpark("gram")).as("h"))
+  }
+
+  /** Winnowing fingerprints `(doc_id, pos, h)`: each window of `w`
+    * consecutive k-gram hashes selects its minimum (ties → leftmost, via
+    * the packed selection key), and the distinct selected positions are
+    * the document's fingerprints. Guarantee (SIGMOD 2003 §4): two
+    * documents sharing a token run of length ≥ w + k − 1 share at least
+    * one fingerprint VALUE — the shared run contains a full window of
+    * identical grams, and the packed key ranks those grams identically on
+    * both sides (hash first, RELATIVE order on ties). Documents with
+    * fewer than w grams winnow their single short window (one
+    * fingerprint); documents with fewer than k tokens have none.
+    *
+    * Scale shape: one exploded token relation, two per-document windows
+    * (gram assembly + selection — both partitioned by doc_id, no
+    * cross-document shuffle), and an id-width join to recover the 60-bit
+    * digest at the ~2n/w selected positions. Nothing is corpus-quadratic;
+    * the output is ~2/(w+1) of the gram relation.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = WinnowK,
+      w: Int = WinnowWindow): DataFrame = {
+    // persist: the gram relation feeds the selection windows AND the
+    // digest recovery join-back — an unpersisted plan would tokenize the
+    // corpus twice (see minhashPairs for the eager-fill reasoning)
+    val grams = gramRows(docs, k).persist()
+    grams.count()
+    val wDoc = Window.partitionBy("doc_id")
+    val wSel = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    // the frame is computed over ALL gram rows; the window-start validity
+    // filter comes AFTER (a filter before the window would shrink frames)
+    val keyed = grams
+      .withColumn("sel_key",
+        (col("h") % WinnowSelMod) * WinnowPosMod + col("pos"))
+      .withColumn("n_grams", count(lit(1)).over(wDoc))
+      .withColumn("win_min", min("sel_key").over(wSel))
+    // full windows start at 0..n_grams−w; a doc with n_grams < w keeps
+    // exactly its pos-0 (clipped) window
+    val selected = keyed
+      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
+      .select(col("doc_id"), (col("win_min") % WinnowPosMod).as("pos"))
+      .distinct()
+    materializeFreeing(
+      selected.join(grams, Seq("doc_id", "pos"))
+        .select("doc_id", "pos", "h"),
+      grams)
+  }
+
+  /** Winnow-fingerprint overlap pairs — the containment report MinHash
+    * cannot produce: `containment = |common| / min(|A|, |B|)` over the
+    * distinct fingerprint sets, reported above [[WinnowReportThreshold]]
+    * with the duplicate verdict at [[WinnowOverlapThreshold]]. Fingerprints
+    * in more than `maxDf` documents are boilerplate, not copying evidence,
+    * and are dropped from the whole relation (counts AND set sizes — the
+    * [[ngramJaccardPairs]] cap discipline), which also bounds the inverted-
+    * index self-join at df² per key.
+    */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = WinnowK,
+      w: Int = WinnowWindow, maxDf: Int = MaxShingleDf): DataFrame =
+    winnowOverlapPairsFrom(
+      winnowFingerprints(docs, k, w).select("doc_id", "h").distinct(), maxDf)
+
+  /** [[winnowOverlapPairs]] over an explicit distinct `(doc_id, h)`
+    * fingerprint relation — the seam the incremental twin uses so each
+    * micro-batch tokenizes once and feeds both the within-batch pass and
+    * the store probe from the same fingerprint set.
+    */
+  private[graft] def winnowOverlapPairsFrom(fpSet: DataFrame,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    val fps = fpSet
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "h")
+      .persist()
+    fps.count() // eager: three downstream legs (see minhashPairs)
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = fps.as("sa")
+      .join(fps.as("sb"),
+        col("sa.h") === col("sb.h") && col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("a_id"), col("sb.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+    materializeFreeing(
+      common
+        .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("b_id") === col("nb.doc_id"))
+        .select(col("a_id"), col("b_id"), col("n_common"),
+          col("na.n").as("n_a"), col("nb.n").as("n_b"),
+          (col("n_common").cast("double") /
+            least(col("na.n"), col("nb.n"))).as("containment"))
+        .filter(col("containment") >= WinnowReportThreshold)
+        .withColumn("is_overlap",
+          when(col("containment") >= WinnowOverlapThreshold, 1).otherwise(0)),
+      fps)
+  }
 }

@@ -83,7 +83,8 @@ object OpsOracleSql {
   import graft.ops.Dedup.{BandBits, BandMask, Bands, ChunkTokens,
     CosineDupThreshold, HammingThreshold, JaccardDupThreshold,
     JaccardReportThreshold, MaxBandOccupancy, MaxShingleDf, NumHashes,
-    RowsPerBand, SimhashBands, SimhashBits}
+    RowsPerBand, SimhashBands, SimhashBits, WinnowK, WinnowOverlapThreshold,
+    WinnowPosMod, WinnowReportThreshold, WinnowSelMod, WinnowWindow}
 
   val DEDUP_EXACT =
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
@@ -224,6 +225,68 @@ object OpsOracleSql {
        |  JOIN ng_sizes na ON na.doc_id = cm.a_id
        |  JOIN ng_sizes nb ON nb.doc_id = cm.b_id)
        |WHERE jaccard >= $JaccardReportThreshold""".stripMargin
+
+  /** Winnowing mirror (Dedup.winnowFingerprints): positional k-grams by
+    * direct list indexing (same strings as the engine's lead-concat), the
+    * packed (32-bit hash, pos) selection key, a min over each w-gram
+    * window computed BEFORE the window-start validity filter, and the
+    * 60-bit digest recovered at the distinct selected positions.
+    */
+  private val wfGrams: String = {
+    val gram = (0 until WinnowK).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""wf_grams AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         ${hexcastDuck(gram)} AS h
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(CASE WHEN len(toks) >= $WinnowK
+       |                 THEN generate_series(1, len(toks) - ${WinnowK - 1})
+       |                 ELSE [] END) AS i
+       |        FROM dd_toks))""".stripMargin
+  }
+
+  private val wfSelected: String =
+    s"""wf_win AS (
+       |  SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id) AS n_grams,
+       |         min((h % $WinnowSelMod) * $WinnowPosMod + pos)
+       |           OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND ${WinnowWindow - 1} FOLLOWING)
+       |           AS win_min
+       |  FROM wf_grams),
+       |wf_sel AS (
+       |  SELECT DISTINCT doc_id, win_min % $WinnowPosMod AS pos
+       |  FROM wf_win
+       |  WHERE pos <= greatest(n_grams - $WinnowWindow, 0)),
+       |wf_fps AS (
+       |  SELECT s.doc_id, s.pos, g.h
+       |  FROM wf_sel s JOIN wf_grams g
+       |    ON g.doc_id = s.doc_id AND g.pos = s.pos)""".stripMargin
+
+  val DEDUP_WINNOW_FPS: String =
+    s"WITH $ddToks, $wfGrams, $wfSelected\n" +
+      "SELECT doc_id, pos, h FROM wf_fps"
+
+  val DEDUP_WINNOW_OVERLAP: String =
+    s"""WITH $ddToks, $wfGrams, $wfSelected,
+       |wf_kept AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+       |    FROM (SELECT DISTINCT doc_id, h FROM wf_fps))
+       |  WHERE df <= $MaxShingleDf),
+       |wf_sizes AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM wf_kept GROUP BY doc_id),
+       |wf_pairs AS (
+       |  SELECT cm.a_id, cm.b_id, cm.n_common, na.n AS n_a, nb.n AS n_b,
+       |         CAST(cm.n_common AS DOUBLE) / least(na.n, nb.n) AS containment
+       |  FROM (
+       |    SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+       |           CAST(count(*) AS BIGINT) AS n_common
+       |    FROM wf_kept sa JOIN wf_kept sb
+       |      ON sa.h = sb.h AND sa.doc_id < sb.doc_id
+       |    GROUP BY 1, 2) cm
+       |  JOIN wf_sizes na ON na.doc_id = cm.a_id
+       |  JOIN wf_sizes nb ON nb.doc_id = cm.b_id)
+       |SELECT *, CASE WHEN containment >= $WinnowOverlapThreshold THEN 1 ELSE 0 END AS is_overlap
+       |FROM wf_pairs WHERE containment >= $WinnowReportThreshold""".stripMargin
 
   private val dsSig: String = {
     val ones = (0 until SimhashBits).map(b => s"CAST(sum((h >> $b) & 1) AS BIGINT) AS ones_$b")

@@ -48,6 +48,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("winnow gram relation: parquet scan prunes to (doc_id, text)") {
+    // the gram relation is the whole cost of winnowing at corpus scale —
+    // its scan must shed every other document column, and its windows are
+    // doc_id-partitioned (the battery-wide unpartitioned-window guard
+    // cannot see through the operator's eager materialization, so pin the
+    // pre-checkpoint shape here)
+    val g = graft.ops.Dedup.gramRows(
+      T.table(spark, sf, "documents"), graft.ops.Dedup.WinnowK)
+    val p = plan(g)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("point-in-time constituents join broadcasts the dimension (J1)") {
     val ns = nodes(IntRussellDaily.buildFull(
       T.stagedBars(spark, sf), T.constituents(spark, sf)))
