@@ -58,6 +58,11 @@ object SkewSoak {
     val ops: Seq[(String, DataFrame => Long)] = Seq(
       ("minhash_pairs", d => Dedup.minhashPairs(d).count()),
       ("simhash_pairs", d => Dedup.simhashPairs(d).count()),
+      // winnow overlap under the 30% hot duplicate family: every copy
+      // shares EVERY fingerprint, so the hot fingerprints carry df = hot
+      // count and the MaxShingleDf cap is what keeps the inverted-index
+      // self-join from going quadratic
+      ("winnow_overlap", d => Dedup.winnowOverlapPairs(d).count()),
       ("contamination", d => HashSplit.contaminatedTrainDocs(d).count()),
       // incremental curation's band join probed by a 5%-of-corpus batch of
       // re-crawled (re-keyed) docs against the whole corpus as the stored

@@ -266,6 +266,8 @@ object SparkEntry {
       Dedup.winnowFingerprints(T.table(s, dir, "documents"))),
     "dedup_winnow_overlap" -> ((s, dir) =>
       Dedup.winnowOverlapPairs(T.table(s, dir, "documents"))),
+    "dedup_winnow_docs" -> ((s, dir) =>
+      Dedup.winnowKeepDocs(T.table(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(T.table(s, dir, "documents"))),
     "dedup_embedding_cosine" -> ((s, dir) =>
@@ -547,6 +549,7 @@ object SparkEntry {
     "dedup_simhash" -> OO.DEDUP_SIMHASH,
     "dedup_winnow_fps" -> OO.DEDUP_WINNOW_FPS,
     "dedup_winnow_overlap" -> OO.DEDUP_WINNOW_OVERLAP,
+    "dedup_winnow_docs" -> OO.DEDUP_WINNOW_DOCS,
     "dedup_simhash_pairs" -> OO.DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine" -> OO.DEDUP_EMB_COSINE,
     "dedup_chunks" -> OO.DEDUP_CHUNKS,

@@ -869,4 +869,19 @@ object Dedup {
           when(col("containment") >= WinnowOverlapThreshold, 1).otherwise(0)),
       fps)
   }
+
+  /** Containment dedup over the documents table: drop every document
+    * whose winnow containment against a LOWER-id document clears
+    * [[WinnowOverlapThreshold]] — the first-occurrence-wins policy of the
+    * chunk family applied at whole-document granularity, catching the
+    * pasted/swallowed copies whole-document Jaccard waves through. The
+    * anti-join is id-width; survivors keep every input column.
+    */
+  def winnowKeepDocs(docs: DataFrame, k: Int = WinnowK,
+      w: Int = WinnowWindow, maxDf: Int = MaxShingleDf): DataFrame =
+    docs.join(
+      winnowOverlapPairs(docs, k, w, maxDf)
+        .filter(col("is_overlap") === 1)
+        .select(col("b_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
 }

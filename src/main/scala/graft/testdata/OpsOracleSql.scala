@@ -265,6 +265,34 @@ object OpsOracleSql {
     s"WITH $ddToks, $wfGrams, $wfSelected\n" +
       "SELECT doc_id, pos, h FROM wf_fps"
 
+  /** Containment-dedup survivors: documents whose winnow containment
+    * against a lower-id document clears the duplicate threshold drop; the
+    * rest keep every column.
+    */
+  val DEDUP_WINNOW_DOCS: String =
+    s"""WITH $ddToks, $wfGrams, $wfSelected,
+       |wf_kept AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+       |    FROM (SELECT DISTINCT doc_id, h FROM wf_fps))
+       |  WHERE df <= $MaxShingleDf),
+       |wf_sizes AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM wf_kept GROUP BY doc_id),
+       |wf_dropped AS (
+       |  SELECT DISTINCT cm.b_id AS doc_id
+       |  FROM (
+       |    SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+       |           CAST(count(*) AS BIGINT) AS n_common
+       |    FROM wf_kept sa JOIN wf_kept sb
+       |      ON sa.h = sb.h AND sa.doc_id < sb.doc_id
+       |    GROUP BY 1, 2) cm
+       |  JOIN wf_sizes na ON na.doc_id = cm.a_id
+       |  JOIN wf_sizes nb ON nb.doc_id = cm.b_id
+       |  WHERE CAST(cm.n_common AS DOUBLE) / least(na.n, nb.n)
+       |        >= $WinnowOverlapThreshold)
+       |SELECT d.* FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM wf_dropped)""".stripMargin
+
   val DEDUP_WINNOW_OVERLAP: String =
     s"""WITH $ddToks, $wfGrams, $wfSelected,
        |wf_kept AS (

@@ -155,6 +155,58 @@ class IncrementalWinnowSpec extends SparkSpec {
       "compacted decided store must still block the re-crawl")
   }
 
+  test("store probes read only the touched fingerprint buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val (landing, ckpt, root) = dirs()
+    // enough distinct documents to populate many h buckets
+    land(landing, "b1.parquet", (1L to 40L).map(i => row(i, uniqText(i))))
+    IncrementalWinnow.run(spark, landing.toString, ckpt, root, docSchema)
+
+    def parquetFiles(path: String): Seq[String] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        .iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+
+    // probe with one re-crawled text: its fingerprints touch few buckets
+    val probeFps = IncrementalWinnow.batchFingerprints(spark.createDataFrame(
+      Seq(row(100L, uniqText(1))).asJava, docSchema))
+    val probe = probeFps.select("h")
+    val store = IncrementalWinnow.fpPath(root)
+    val n = graft.streaming.IncrementalAnnIndex.bucketCount(spark, store).get
+    val touched = probe.select(
+      graft.streaming.IncrementalAnnIndex.idBucket(col("h"), n).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val files = parquetFiles(store)
+    val expected = files.count(f =>
+      touched.exists(b => f.contains(s"/id_bucket=$b/")))
+    assert(expected < files.size,
+      "fixture too narrow: the touched slice must be a strict subset")
+    val rel = IncrementalWinnow.priorFingerprints(spark, root, probe, -999L)
+    // the stored copy's fingerprints are found...
+    assert(rel.count() >= 1)
+    rel.collect()
+    // the keys semi-join makes this an AQE plan: descend through the
+    // adaptive wrapper and materialized query stages to the store scan
+    // (the probe side is a checkpointed LogicalRDD — no file scan)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(rel.queryExecution.executedPlan).head
+    // ...reading exactly the touched-bucket files, id-width columns only
+    assert(scan.metrics("numFiles").value == expected,
+      s"scan read ${scan.metrics("numFiles").value} files, " +
+        s"expected $expected of ${files.size}")
+    assert(scan.toString.contains("ReadSchema: struct<doc_id:bigint,h:bigint>"),
+      scan.toString.take(800))
+    probeFps.unpersist(blocking = false)
+  }
+
   test("swallowing direction: a long doc containing a stored short one drops") {
     val (landing, ckpt, root) = dirs()
     // 10 tokens → 8 grams → exactly ONE full window → exactly one

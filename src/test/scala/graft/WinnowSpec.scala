@@ -91,6 +91,21 @@ class WinnowSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 7L || b == 7L })
   }
 
+  test("winnowKeepDocs drops exactly the higher-id side of overlap pairs") {
+    val dropped = Dedup.winnowOverlapPairs(fixture)
+      .filter(col("is_overlap") === 1)
+      .select("b_id").as[Long].collect().toSet
+    val kept = Dedup.winnowKeepDocs(fixture)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L).diff(dropped))
+    // the exact copy (2) and the pasted doc... the CONTAINED side keeps
+    // only when it is the lower id: 3 < 4, so 3 survives and 4 drops
+    assert(!kept.contains(2L) && kept.contains(3L) && !kept.contains(4L))
+    // survivors keep every input column
+    assert(Dedup.winnowKeepDocs(fixture).columns.toSeq ==
+      Seq("doc_id", "text"))
+  }
+
   test("containment catches what whole-doc Jaccard misses") {
     // doc 3 inside doc 4: winnow containment is high while the doc-level
     // shingle Jaccard stays low (the containment-vs-resemblance split that
