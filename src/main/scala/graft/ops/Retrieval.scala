@@ -39,8 +39,6 @@ object Retrieval {
     * `(query_id, doc_id, n_hit_terms, score_micro, rank)`.
     */
   def bm25TopK(docs: DataFrame, k: Int = Bm25TopK): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val base = docs.select(col("doc_id"), expr(tokensSpark).as("toks"))
       .select(col("doc_id"), col("toks"),
         expr("CAST(size(toks) AS BIGINT)").as("dl"))
@@ -57,10 +55,27 @@ object Retrieval {
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val queries = bm25Queries
+    scoreTf(tf, df, stats, queriesDf(docs.sparkSession), k)
+  }
+
+  /** The fixed query batch as a `(query_id, pos, term)` relation. */
+  private[graft] def queriesDf(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    bm25Queries
       .flatMap { case (qid, terms) =>
         terms.zipWithIndex.map { case (t, pos) => (qid.toLong, pos, t) } }
       .toDF("query_id", "pos", "term")
+  }
+
+  /** BM25 scoring over explicit `tf (doc_id, dl, term, tf)` /
+    * `df (term, df)` / 1-row `stats (n_docs, avgdl)` relations — the seam
+    * shared with [[graft.streaming.IncrementalBm25]]'s store-backed
+    * search, so the two paths CANNOT diverge: same term formula, same
+    * fixed-order pivot-sum, same integerized rank.
+    */
+  private[graft] def scoreTf(tf: DataFrame, df: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val scored = tf
       .join(broadcast(df), Seq("term"))
       .join(broadcast(queries), Seq("term"))

@@ -1,0 +1,206 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.Portable.tokensSpark
+import graft.ops.Retrieval
+
+/** Incremental BM25 index — the ongoing-crawl shape of
+  * [[graft.ops.Retrieval.bm25TopK]]: new documents arrive continuously and
+  * queries must rank against EVERYTHING admitted so far without
+  * re-tokenizing history. The pipeline maintains the classic inverted
+  * index as three stores and, per micro-batch, does batch-linear work
+  * only:
+  *
+  *   1. re-crawl guard: doc_ids already indexed drop whole (first write
+  *      wins — indexing the same document twice would double its tf rows
+  *      AND double-count it in N/avgdl);
+  *   2. one tokenize pass builds the batch's FULL-vocabulary posting rows
+  *      `(term, doc_id, tf, dl)` — `dl` denormalized onto the posting so
+  *      search needs no doc-length join — appended term-bucketed;
+  *   3. a 1-row `(n_docs, sum_dl)` DELTA appends to the stats store — the
+  *      mergeable-partials pattern of [[IncrementalSketchStore]]: corpus
+  *      N and avgdl are SUMs over deltas, folded at read.
+  *
+  * [[searchStore]] then ranks a query batch against the accumulated
+  * index: postings are fetched with static partition pruning to the query
+  * VOCABULARY's touched term buckets (bucketing is BY term, so a probed
+  * term's every posting lives in a touched bucket — per-query I/O is
+  * bounded by the query terms' document frequency, the inherent cost of
+  * exact BM25, never by off-vocabulary corpus bulk), df is the fetched
+  * posting count per term (exact, same argument), stats fold from the
+  * delta store, and scoring runs through the SHARED
+  * [[Retrieval.scoreTf]] seam — same term formula, same fixed-order
+  * pivot-sum, same integerized `floor(score × 1e6)` rank. Because BM25 is
+  * a pure function of the final (postings, df, N, avgdl) state, a drain's
+  * `searchStore` equals `Retrieval.bm25TopK` over the union corpus in ANY
+  * landing order — no arrival-order divergence to document, unlike the
+  * dedup twins.
+  *
+  * Store layout, replay safety, and exactly-once follow the house
+  * contract ([[StoragePaths.writeBucketedStoreBatch]]): per-batch
+  * overwrite directories (every per-batch write is a pure function of the
+  * batch, so an at-least-once replay rewrites identical rows), bucket
+  * markers after data, and the decided-ids probe excludes the replaying
+  * batch's own partition.
+  */
+object IncrementalBm25 {
+
+  /** Default bucket count for fresh postings / id stores. */
+  val NumBuckets = 64
+
+  def postingsPath(root: String): String = s"$root/postings"
+  def statsPath(root: String): String = s"$root/stats"
+  def decidedPath(root: String): String = s"$root/decided"
+
+  private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+
+  /** doc_ids already indexed, touched-bucket pruned, excluding the
+    * replaying batch's own partition — the first-write-wins guard.
+    */
+  def priorDocIds(spark: SparkSession, root: String,
+      batchIds: DataFrame, excludeBatchId: Long): DataFrame = {
+    val path = decidedPath(root)
+    IncrementalAnnIndex.bucketCount(spark, path) match {
+      case Some(n) =>
+        val touched = batchIds
+          .select(IncrementalAnnIndex.idBucket(col("doc_id"), n)
+            .as("id_bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        StoragePaths.readTouchedBuckets(spark, path, "id_bucket", touched)
+          .map(_.filter(col("batch").cast("long") =!= excludeBatchId)
+            .select("doc_id"))
+          .getOrElse(emptyOf(spark, StructType(Seq(
+            StructField("doc_id", LongType)))))
+      case None =>
+        if (!StoragePaths.exists(spark, path))
+          emptyOf(spark, StructType(Seq(StructField("doc_id", LongType))))
+        else spark.read.parquet(path)
+          .filter(col("batch").cast("long") =!= excludeBatchId)
+          .select("doc_id")
+    }
+  }
+
+  /** The stored posting rows of the given terms, touched-bucket pruned:
+    * `(term, doc_id, tf, dl)`.
+    */
+  def priorPostings(spark: SparkSession, root: String,
+      terms: DataFrame): DataFrame = {
+    val path = postingsPath(root)
+    val schema = StructType(Seq(
+      StructField("term", StringType), StructField("doc_id", LongType),
+      StructField("tf", LongType), StructField("dl", LongType)))
+    IncrementalAnnIndex.bucketCount(spark, path) match {
+      case Some(n) =>
+        val touched = terms
+          .select(IncrementalAnnIndex.idBucket(col("term"), n)
+            .as("id_bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        StoragePaths.readTouchedBuckets(spark, path, "id_bucket", touched)
+          .map(_.join(terms.select("term").distinct(), Seq("term"))
+            .select("term", "doc_id", "tf", "dl"))
+          .getOrElse(emptyOf(spark, schema))
+      case None =>
+        if (!StoragePaths.exists(spark, path)) emptyOf(spark, schema)
+        else spark.read.parquet(path)
+          .join(terms.select("term").distinct(), Seq("term"))
+          .select("term", "doc_id", "tf", "dl")
+    }
+  }
+
+  /** The batch's full-vocabulary posting rows plus its 1-row stats delta —
+    * separated from the loop so the indexing math is testable without a
+    * stream. `batch` must already be re-crawl-guarded and doc_id-unique.
+    */
+  def indexBatch(batch: DataFrame): (DataFrame, DataFrame) = {
+    val base = batch.select(col("doc_id"), expr(tokensSpark).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        expr("CAST(size(toks) AS BIGINT)").as("dl"))
+      .persist() // one tokenize feeds the postings aggregate and the delta
+    base.count()
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+      .localCheckpoint()
+    val delta = base.agg(
+      count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .localCheckpoint()
+    base.unpersist(blocking = false)
+    (postings, delta)
+  }
+
+  /** Corpus stats folded from the delta store: 1 row `(n_docs, avgdl)` —
+    * empty store ⇒ (0, null), which matches an empty corpus scoring no
+    * rows.
+    */
+  def readStats(spark: SparkSession, root: String): DataFrame = {
+    val path = statsPath(root)
+    if (!StoragePaths.exists(spark, path))
+      spark.range(1).select(lit(0L).as("n_docs"),
+        lit(null).cast("double").as("avgdl"))
+    else spark.read.parquet(path)
+      .agg(sum("n_docs").as("n_docs"),
+        (sum("sum_dl").cast("double") / sum("n_docs")).as("avgdl"))
+  }
+
+  /** Rank the fixed query batch against the accumulated index through the
+    * shared [[Retrieval.scoreTf]] seam. Equals `Retrieval.bm25TopK` over
+    * the admitted corpus exactly.
+    */
+  def searchStore(spark: SparkSession, root: String,
+      k: Int = graft.ops.Portable.Bm25TopK): DataFrame = {
+    val queries = Retrieval.queriesDf(spark)
+    val tf = priorPostings(spark, root, queries.select("term"))
+      .localCheckpoint() // feeds both df and the scoring join
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    Retrieval.scoreTf(tf, df, readStats(spark, root), queries, k)
+  }
+
+  /** Drain the landing dir (Trigger.AvailableNow), indexing each
+    * micro-batch. Returns the accumulated posting store.
+    */
+  def run(
+      spark: SparkSession,
+      landingDir: String,
+      checkpointDir: String,
+      root: String,
+      docSchema: StructType): DataFrame = {
+    val q = spark.readStream.schema(docSchema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val uniq = batch.dropDuplicates("doc_id")
+          val guarded = uniq.join(
+            priorDocIds(spark, root, uniq.select("doc_id"), batchId),
+            Seq("doc_id"), "left_anti")
+            .localCheckpoint() // one guard decision; three writes below
+          if (!guarded.isEmpty) {
+            val (postings, delta) = indexBatch(guarded)
+            StoragePaths.writeBucketedStoreBatch(spark, postingsPath(root),
+              postings, "term", batchId, NumBuckets)
+            delta.coalesce(1).write.mode("overwrite")
+              .parquet(s"${statsPath(root)}/batch=$batchId")
+            StoragePaths.writeBucketedStoreBatch(spark, decidedPath(root),
+              guarded.select("doc_id"), "doc_id", batchId, NumBuckets,
+              legacyFlatFallback = false)
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (StoragePaths.exists(spark, postingsPath(root)))
+      spark.read.parquet(postingsPath(root)).drop("batch", "id_bucket")
+    else emptyOf(spark, StructType(Seq(
+      StructField("term", StringType), StructField("doc_id", LongType),
+      StructField("tf", LongType), StructField("dl", LongType))))
+  }
+}

@@ -43,6 +43,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.simhashPairs(d).count() == 0)
     assert(Dedup.chunkDedup(d).count() == 0)
     assert(Dedup.chunkDedupDocs(d).count() == 0)
+    assert(Dedup.winnowFingerprints(d).count() == 0)
+    assert(Dedup.winnowOverlapPairs(d).count() == 0)
+    assert(Dedup.winnowKeepDocs(d).count() == 0)
     assert(HashSplit.split(d).count() == 0)
     assert(HashSplit.tokenShards(d).count() == 0)
     assert(Curation.rowAudit(d).count() == 0)

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Retrieval
+import graft.streaming.IncrementalBm25
+
+/** Incremental BM25 index: an accumulated inverted index whose
+  * store-backed search reproduces the batch operator exactly in any
+  * landing order (BM25 is a pure function of final index state),
+  * re-crawls are not double-indexed, replays are idempotent, and the
+  * posting probe reads only the query vocabulary's term buckets.
+  */
+class IncrementalBm25Spec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def docSchema = docs.schema
+
+  private def topk(df: org.apache.spark.sql.DataFrame) = df
+    .select("query_id", "doc_id", "n_hit_terms", "score_micro", "rank")
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getInt(4))).toSet
+
+  test("an out-of-order two-batch drain reproduces the batch operator") {
+    val landing = Files.createTempDirectory("bm25-landing")
+    val ckpt = Files.createTempDirectory("bm25-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("bm25-root").toString + "/idx"
+    // land the HIGH ids first: BM25 equality must not depend on order
+    landParquet(landing, "b1.parquet", docs.filter(col("doc_id") % 2 === 1))
+    IncrementalBm25.run(spark, landing.toString, ckpt, root, docSchema)
+    landParquet(landing, "b2.parquet", docs.filter(col("doc_id") % 2 === 0))
+    IncrementalBm25.run(spark, landing.toString, ckpt, root, docSchema)
+    val got = topk(IncrementalBm25.searchStore(spark, root))
+    val want = topk(Retrieval.bm25TopK(docs))
+    assert(want.nonEmpty, "fixture must rank something")
+    assert(got == want)
+  }
+
+  test("a re-crawled document is not double-indexed") {
+    val landing = Files.createTempDirectory("bm252-landing")
+    val ckpt = Files.createTempDirectory("bm252-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("bm252-root").toString + "/idx"
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    landParquet(landing, "b1.parquet", half)
+    IncrementalBm25.run(spark, landing.toString, ckpt, root, docSchema)
+    // the whole corpus lands again — only the NEW half may index
+    landParquet(landing, "b2.parquet", docs)
+    IncrementalBm25.run(spark, landing.toString, ckpt, root, docSchema)
+    val postings = spark.read.parquet(IncrementalBm25.postingsPath(root))
+    assert(postings.groupBy("term", "doc_id").count()
+      .filter(col("count") > 1).count() == 0,
+      "a (term, doc) posting must exist exactly once")
+    // stats count every document exactly once → search equals the batch op
+    val stats = IncrementalBm25.readStats(spark, root).head()
+    assert(stats.getLong(0) == docs.count())
+    assert(topk(IncrementalBm25.searchStore(spark, root))
+      == topk(Retrieval.bm25TopK(docs)))
+  }
+
+  test("crash replay is idempotent: own-partition exclusion") {
+    val landing = Files.createTempDirectory("bm253-landing")
+    val ckpt = Files.createTempDirectory("bm253-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("bm253-root").toString + "/idx"
+    landParquet(landing, "b1.parquet", docs)
+    IncrementalBm25.run(spark, landing.toString, ckpt, root, docSchema)
+    // a replay of batch 0 must not see its own decided ids…
+    val own = IncrementalBm25.priorDocIds(
+      spark, root, docs.select("doc_id"), excludeBatchId = 0L)
+    assert(own.count() == 0, "own partition must be invisible to a replay")
+    // …and its re-derived writes are identical (pure function of the batch)
+    val (postings, delta) = IncrementalBm25.indexBatch(docs)
+    assert(postings.count() ==
+      spark.read.parquet(IncrementalBm25.postingsPath(root)).count())
+    assert(delta.head().getLong(0) ==
+      IncrementalBm25.readStats(spark, root).head().getLong(0))
+    // while a LATER batch sees every indexed id
+    assert(IncrementalBm25.priorDocIds(
+      spark, root, docs.select("doc_id"), excludeBatchId = 1L).count()
+      == docs.count())
+  }
+
+  test("posting probes read only the query vocabulary's term buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val landing = Files.createTempDirectory("bm254-landing")
+    val ckpt = Files.createTempDirectory("bm254-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("bm254-root").toString + "/idx"
+    landParquet(landing, "b1.parquet", docs)
+    IncrementalBm25.run(spark, landing.toString, ckpt, root, docSchema)
+    val store = IncrementalBm25.postingsPath(root)
+    val terms = Retrieval.queriesDf(spark).select("term")
+    val n = graft.streaming.IncrementalAnnIndex.bucketCount(spark, store).get
+    val touched = terms.select(
+      graft.streaming.IncrementalAnnIndex.idBucket(col("term"), n).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(store))
+      .iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val expected = files.count(f =>
+      touched.exists(b => f.contains(s"/id_bucket=$b/")))
+    assert(expected < files.size,
+      "fixture too narrow: the touched slice must be a strict subset")
+    val rel = IncrementalBm25.priorPostings(spark, root, terms)
+    assert(rel.count() > 0)
+    rel.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(rel.queryExecution.executedPlan).head
+    assert(scan.metrics("numFiles").value == expected,
+      s"scan read ${scan.metrics("numFiles").value} files, " +
+        s"expected $expected of ${files.size}")
+    assert(scan.toString.contains(
+      "ReadSchema: struct<term:string,doc_id:bigint,tf:bigint,dl:bigint>"),
+      scan.toString.take(800))
+  }
+}
