@@ -457,6 +457,44 @@ object SkewSoak {
     val wfJson =
       f""""winnow_fp_probe":{"base_sec":${wfSecs(0)}%.2f,"x10_sec":${wfSecs(1)}%.2f,"time_growth":$wfGrowth%.1f,"store_base":$wfBaseN,"store_x10":${wfBaseN * 10},"batch":$wfBatch}"""
 
+    // BM25 posting-store probe: the incremental index's search fetches
+    // postings with static pruning to the query vocabulary's term buckets
+    // (bucketed BY term, so a probed term's every posting is in a touched
+    // bucket) — a fixed query batch's probe must stay FLAT as 10× more
+    // OFF-vocabulary terms accumulate: per-query I/O is bounded by the
+    // probed terms' document frequency, never by corpus bulk.
+    val bmBatch = 12
+    def bmProbeSec(n: Long): Double = {
+      val root = java.nio.file.Files.createTempDirectory("soak-bm25").toString
+      val store = graft.streaming.IncrementalBm25.postingsPath(root)
+      val buckets = math.max(64, (n / 1500).toInt)
+      spark.range(n).select(
+          concat(lit("t"), (col("id") * 2654435761L) % (n * 7)).as("term"),
+          col("id").as("doc_id"), lit(1L).as("tf"), lit(40L).as("dl"))
+        .withColumn("id_bucket",
+          IncrementalAnnIndex.idBucket(col("term"), buckets))
+        .repartition(col("id_bucket"))
+        .write.partitionBy("id_bucket").parquet(s"$store/batch=0")
+      StoragePaths.writeSmallFile(spark,
+        s"$store/${IncrementalAnnIndex.IdBucketsMarker}", buckets.toString)
+      val probe = spark.range(bmBatch.toLong)
+        .select(concat(lit("t"),
+          ((col("id") * (n / (bmBatch + 1)) + 7L) * 2654435761L) % (n * 7))
+          .as("term")).persist()
+      probe.count()
+      def go(): Long = graft.streaming.IncrementalBm25
+        .priorPostings(spark, root, probe).count()
+      go() // warm: codegen + file-index caches, excluded
+      val sec = timed(go())._1
+      probe.unpersist(blocking = false)
+      sec
+    }
+    val bmBaseN = baseN * 10
+    val bmSecs = Seq(bmBaseN, bmBaseN * 10).map(bmProbeSec)
+    val bmGrowth = bmSecs(1) / bmSecs(0)
+    val bmJson =
+      f""""bm25_postings_probe":{"base_sec":${bmSecs(0)}%.2f,"x10_sec":${bmSecs(1)}%.2f,"time_growth":$bmGrowth%.1f,"store_base":$bmBaseN,"store_x10":${bmBaseN * 10},"batch":$bmBatch}"""
+
     // Learned-admission scoring legs (NB / LM / DSIR): the frozen model
     // tables are BOUNDED (NB/DSIR ≤1024 rows, LM ≤B² observed seed
     // bigrams), so scoring a FIXED batch against a model trained on a 10×
@@ -579,9 +617,12 @@ object SkewSoak {
       // rationale on the delta-summed read)
       ("boilerplate_df_probe" -> (bpGrowth < 4.0)) :+
       // history-free: 10× the fingerprint store, flat h-keyed probe
-      ("winnow_fp_probe" -> (wfGrowth < 4.0)) :++
+      ("winnow_fp_probe" -> (wfGrowth < 4.0)) :+
+      // history-free: 10× the off-vocabulary posting bulk, flat
+      // term-keyed probe of a fixed query vocabulary
+      ("bm25_postings_probe" -> (bmGrowth < 4.0)) :++
       admVerdicts
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,$wfJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,$wfJson,$bmJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>
