@@ -347,6 +347,10 @@ object SparkEntry {
       Events.dailyUsersExact(T.events(s, dir))),
     "events_value_quantiles_exact" -> ((s, dir) =>
       Events.valueQuantilesExact(T.events(s, dir))),
+    "events_user_counts_exact" -> ((s, dir) =>
+      Events.userCountsExact(T.events(s, dir))),
+    "events_user_counts_cms_err" -> ((s, dir) =>
+      Events.userCountsCmsErr(T.events(s, dir))),
     "events_asof_attribution" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val ev = T.events(s, dir)
@@ -585,6 +589,8 @@ object SparkEntry {
     "events_value_quantiles_exact" -> OO.EVENTS_VALUE_QUANTILES_EXACT,
     "events_daily_users_approx_err" -> OO.EVENTS_APPROX_ERR_ZERO,
     "events_value_quantiles_approx_err" -> OO.EVENTS_APPROX_ERR_ZERO,
+    "events_user_counts_exact" -> OO.EVENTS_USER_COUNTS_EXACT,
+    "events_user_counts_cms_err" -> OO.EVENTS_APPROX_ERR_ZERO,
     "events_asof_attribution" -> OO.EVENTS_ASOF_ATTRIBUTION,
     "text_top_terms" -> OO.TEXT_TOP_TERMS,
     "text_bm25_topk" -> OO.TEXT_BM25_TOPK,

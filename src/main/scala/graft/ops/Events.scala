@@ -199,6 +199,107 @@ object Events {
         .otherwise(0L)), lit(0L)).as("n_violations"))
   }
 
+  // ---------------------------------------------------------------- //
+  // Count-Min frequency sketch — the third mergeable summary next to  //
+  // HLL (cardinality) and GK (quantiles): per-key FREQUENCY.          //
+  // ---------------------------------------------------------------- //
+
+  /** CMS shape: eps bounds the overestimate at eps x stream length with
+    * probability `confidence` per query (Cormode & Muthukrishnan,
+    * J. Algorithms 2005); the seed pins the hash family so the sketch is
+    * deterministic and partitioning-invariant (counters are purely
+    * additive, the estimate a min over depth rows).
+    */
+  val CmsEps = 0.001
+  val CmsConfidence = 0.999
+  val CmsSeed = 42
+
+  /** Every `stride`-th user is the fixed probe set of the frequency
+    * gates — the [[graft.ops.Retrieval]] fixed-query-batch convention.
+    */
+  val CmsProbeStride = 7
+
+  /** ONE Count-Min sketch over every user_id plus the exact stream
+    * length: a ~160 KB mergeable summary built in one pass with partial
+    * aggregation — at 100 TB per-key frequency questions answer from
+    * this blob instead of a shuffle of every occurrence, the same
+    * contract as [[dailyUsersApprox]]'s HLL. No DuckDB oracle: sketch
+    * bytes are implementation-defined.
+    */
+  def userCountsSketch(events: DataFrame): DataFrame =
+    events.agg(
+      expr(s"count_min_sketch(user_id, ${CmsEps}d, ${CmsConfidence}d, " +
+        s"$CmsSeed)").as("cms"),
+      count(lit(1)).as("n_events"))
+
+  /** Exact per-user counts over the probe set — correctness baseline and
+    * DuckDB-oracled twin.
+    */
+  def userCountsExact(events: DataFrame,
+      stride: Int = CmsProbeStride): DataFrame =
+    events.filter(col("user_id") % stride === 0)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+
+  /** Estimate-at-probe: the deserialized sketch rides to executors as a
+    * broadcast and answers per-row, so the probe relation never funnels
+    * through the driver — the one `collect` is the 1-row sketch itself,
+    * which is the point of a mergeable summary (it IS the driver-sized
+    * aggregate). Deserialization is once per executor via the transient
+    * lazy val, not per row.
+    */
+  private class CmsEstimator(bytes: Array[Byte]) extends Serializable {
+    @transient private lazy val cms =
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    def estimate(id: Long): Long = cms.estimateCount(id)
+  }
+
+  /** Per-probe-user estimates of an EXPLICIT sketch row next to the
+    * exact counts: `(user_id, n_events, n_events_cms)` — the seam the
+    * streaming store's merged sketch shares with the batch gate.
+    */
+  def comparedWith(events: DataFrame, cmsBytes: Array[Byte],
+      stride: Int = CmsProbeStride): DataFrame = {
+    val bc = events.sparkSession.sparkContext
+      .broadcast(new CmsEstimator(cmsBytes))
+    val cmsOf = udf((id: Long) => bc.value.estimate(id))
+    userCountsExact(events, stride)
+      .withColumn("n_events_cms", cmsOf(col("user_id")))
+  }
+
+  /** Per-probe-user CMS estimates next to the exact counts:
+    * `(user_id, n_events, n_events_cms)`.
+    */
+  def userCountsCompared(events: DataFrame,
+      stride: Int = CmsProbeStride): DataFrame =
+    comparedWith(events,
+      userCountsSketch(events).collect().head.getAs[Array[Byte]]("cms"),
+      stride)
+
+  /** Driver-checkable accuracy gate for the frequency sketch, the
+    * [[dailyUsersApproxErr]] pattern: probe users whose estimate breaks
+    * either CMS guarantee — an UNDERESTIMATE (structurally impossible in
+    * a correct sketch: counters only ever add) or an overestimate past
+    * `boundFactor` x eps x N (eps x N holds per query at 99.9%
+    * confidence; 3x is exceeded with probability ~2^-30, a hard ceiling
+    * that still catches a broken hash family). Deterministic, so the
+    * DuckDB oracle is the constant zero row and the driver's
+    * hash-compare is a real accuracy assertion. One sketch pass: the
+    * collected 1-row summary feeds both the estimates and the eps x N
+    * bound.
+    */
+  def userCountsCmsErr(events: DataFrame,
+      stride: Int = CmsProbeStride, boundFactor: Int = 3): DataFrame = {
+    val sk = userCountsSketch(events).collect().head
+    val bound = boundFactor.toLong *
+      math.ceil(CmsEps * sk.getLong(1)).toLong
+    comparedWith(events, sk.getAs[Array[Byte]]("cms"), stride)
+      .agg(coalesce(sum(when(
+        col("n_events_cms") < col("n_events") ||
+          col("n_events_cms") > col("n_events") + bound, 1L)
+        .otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
   /** Cohort retention: users grouped by first-activity day; for each
     * (cohort, day-offset) the distinct active users and the retention
     * rate. Two shuffles (per-user first day, then cohort × day counts);

@@ -67,6 +67,111 @@ object IncrementalSketchStore {
           .as("n_users_approx"))
       .orderBy("day")
 
+  // ---------------------------------------------------------------- //
+  // Count-Min frequency partials — the third mergeable summary next   //
+  // to the HLL and additive columns above.                            //
+  // ---------------------------------------------------------------- //
+
+  /** One `(cms, n_events)` partial per micro-batch
+    * ([[graft.ops.Events.userCountsSketch]]): ~160 KB of purely additive
+    * counters. CMS merge is counter addition, so ANY grouping of the
+    * stream into batches folds to the sketch one pass over the union
+    * would build — bit-identically, since the seed pins the hash family.
+    */
+  def cmsPartials(events: DataFrame): DataFrame =
+    graft.ops.Events.userCountsSketch(events)
+
+  /** Fold the per-batch CMS partials into (merged sketch, exact stream
+    * length). Driver-side by design: each partial is a driver-sized
+    * summary and the row count is bounded by drained batches (reset to 1
+    * by [[foldCms]]), so the fold never touches event history. None =
+    * store never created (empty stream).
+    */
+  def mergedCms(spark: SparkSession, cmsPath: String)
+      : Option[(org.apache.spark.util.sketch.CountMinSketch, Long)] = {
+    if (!StoragePaths.exists(spark, cmsPath)) None
+    else {
+      val rows = spark.read.parquet(cmsPath).drop("batch")
+        .select("cms", "n_events").collect()
+      if (rows.isEmpty) None
+      else {
+        val first = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(rows.head.getAs[Array[Byte]](0)))
+        rows.tail.foreach { r =>
+          first.mergeInPlace(
+            org.apache.spark.util.sketch.CountMinSketch.readFrom(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+        }
+        Some((first, rows.map(_.getLong(1)).sum))
+      }
+    }
+  }
+
+  /** The merged sketch's estimates against exact counts over the probe
+    * stride ([[graft.ops.Events.comparedWith]] seam) — what a dashboard
+    * reads after any number of drains.
+    */
+  def cmsCompared(spark: SparkSession, cmsPath: String,
+      events: DataFrame): DataFrame = {
+    val (cms, _) = mergedCms(spark, cmsPath).getOrElse(
+      throw new IllegalStateException(
+        s"IncrementalSketchStore: no CMS store at $cmsPath"))
+    val out = new java.io.ByteArrayOutputStream()
+    cms.writeTo(out)
+    graft.ops.Events.comparedWith(events, out.toByteArray)
+  }
+
+  /** Compact the accumulated CMS partials into ONE `batch=-1` row in a
+    * FRESH destination — the additive-store fold ([[Bm25Maintenance]]'s
+    * stats pattern): readers only ever merge the store, so the fold is
+    * lossless, and it resets the per-read fold to a single row. Verified
+    * before any caller swaps paths: the folded sketch's totalCount and
+    * carried n_events must both equal the source's exact stream length
+    * (counters are additive, so a lossy carry cannot cancel out).
+    */
+  def foldCms(spark: SparkSession, srcPath: String, destPath: String): Unit = {
+    val (cms, n) = mergedCms(spark, srcPath).getOrElse(
+      throw new IllegalStateException(
+        s"IncrementalSketchStore.foldCms: no CMS store at $srcPath"))
+    require(cms.totalCount() == n,
+      s"IncrementalSketchStore.foldCms: merged totalCount " +
+        s"${cms.totalCount()} != carried n_events $n — not folding")
+    val out = new java.io.ByteArrayOutputStream()
+    cms.writeTo(out)
+    import spark.implicits._
+    Seq((out.toByteArray, n)).toDF("cms", "n_events")
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(s"$destPath/batch=${StoreMaintenance.CompactedBatch}")
+    val (carried, cn) = mergedCms(spark, destPath).get
+    require(carried.totalCount() == n && cn == n,
+      s"IncrementalSketchStore.foldCms: carried totalCount " +
+        s"${carried.totalCount()}/$cn of $n — destination is not servable")
+  }
+
+  /** Drain the landing dir, appending each micro-batch's CMS partial —
+    * the frequency-sketch twin of [[run]].
+    */
+  def runCms(
+      spark: SparkSession,
+      landingDir: String,
+      checkpointDir: String,
+      cmsPath: String,
+      eventSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val q = spark.readStream.schema(eventSchema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          cmsPartials(batch).coalesce(1).write.mode("overwrite")
+            .parquet(s"$cmsPath/batch=$batchId")
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain the landing dir, appending each micro-batch's partials. */
   def run(
       spark: SparkSession,

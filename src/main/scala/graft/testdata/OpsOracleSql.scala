@@ -934,6 +934,15 @@ object OpsOracleSql {
        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
        |FROM ev GROUP BY 1""".stripMargin
 
+  /** Exact twin of the Count-Min frequency sketch over the probe
+    * stride — mirrors `Events.userCountsExact` expression-by-expression.
+    */
+  val EVENTS_USER_COUNTS_EXACT: String =
+    s"""WITH $evBase
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+       |FROM ev WHERE user_id % ${graft.ops.Events.CmsProbeStride} = 0
+       |GROUP BY 1""".stripMargin
+
   /** Exact twin of the GK value-quantile sketch: DuckDB's `quantile_cont`
     * and Spark's `percentile` both interpolate at rank (n-1)·q over the
     * sorted values (R type-7), so the doubles agree.

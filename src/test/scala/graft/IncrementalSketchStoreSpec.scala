@@ -61,4 +61,35 @@ class IncrementalSketchStoreSpec extends SparkSpec {
     assert(acc.filter(col("rel_err") > 0.125).count() == 0,
       "sketch estimate left its error envelope")
   }
+
+  test("two-batch CMS store merges to the one-pass sketch, and folds") {
+    val landing = Files.createTempDirectory("cms-landing")
+    val ckpt = Files.createTempDirectory("cms-ckpt").toString + "/c"
+    val store = Files.createTempDirectory("cms-store").toString + "/cms"
+    val mid = events.agg(expr("percentile_approx(event_id, 0.5)"))
+      .head().getLong(0)
+    landParquet(landing, "b1.parquet", events.filter(col("event_id") < mid))
+    IncrementalSketchStore.runCms(
+      spark, landing.toString, ckpt, store, events.schema)
+    landParquet(landing, "b2.parquet", events.filter(col("event_id") >= mid))
+    IncrementalSketchStore.runCms(
+      spark, landing.toString, ckpt, store, events.schema)
+    // CMS merge is exact counter addition under a pinned hash family, so
+    // the merged store answers BIT-IDENTICALLY to the one-pass batch
+    // sketch — no arrival-order or batch-boundary divergence at all
+    def estimates(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_events_cms"))).toMap
+    val want = estimates(Events.userCountsCompared(events))
+    assert(want.nonEmpty)
+    assert(estimates(IncrementalSketchStore.cmsCompared(
+      spark, store, events)) == want)
+    val (merged, n) = IncrementalSketchStore.mergedCms(spark, store).get
+    assert(n == events.count() && merged.totalCount() == n)
+    // the verified fold carries the counters losslessly into one row
+    val folded = Files.createTempDirectory("cms-fold").toString + "/cms"
+    IncrementalSketchStore.foldCms(spark, store, folded)
+    assert(spark.read.parquet(folded).count() == 1)
+    assert(estimates(IncrementalSketchStore.cmsCompared(
+      spark, folded, events)) == want)
+  }
 }

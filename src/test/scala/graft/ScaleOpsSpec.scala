@@ -66,6 +66,34 @@ class ScaleOpsSpec extends SparkSpec {
       assertRank(r, s"p${(q * 100).toInt}_exact", q)
   }
 
+  test("CMS user frequencies: never underestimate, overestimate bounded") {
+    import graft.ops.Events
+    val ev = T.events(spark, sf)
+    val n = ev.count()
+    val bound = 3L * math.ceil(Events.CmsEps * n).toLong
+    val out = Events.userCountsCompared(ev).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("n_events")
+      val cms = r.getAs[Long]("n_events_cms")
+      // the structural CMS guarantee: counters only add, so an estimate
+      // below the true count means the sketch is broken
+      assert(cms >= exact, s"user ${r.get(0)}: CMS $cms underestimates $exact")
+      assert(cms <= exact + bound,
+        s"user ${r.get(0)}: CMS $cms exceeds $exact + $bound")
+    }
+    // the driver-checkable gate agrees
+    assert(Events.userCountsCmsErr(ev).head().getLong(0) == 0L)
+    // partitioning invariance: counters are additive and the seed pins
+    // the hash family, so a reshuffled input builds the SAME sketch
+    val re = Events.userCountsCompared(ev.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_events_cms"))).toMap
+    out.foreach { r =>
+      assert(re(r.getLong(0)) == r.getAs[Long]("n_events_cms"),
+        s"user ${r.get(0)}: estimate changed under repartition")
+    }
+  }
+
   test("token shards: distributed prefix sum equals the global running sum") {
     import graft.ops.HashSplit
     val docs = T.table(spark, sf, "documents")
