@@ -82,6 +82,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(Curation.funnel(audited).head().getAs[Long]("n_total") == 0L)
   }
 
+  test("CMS frequency ops degrade on an empty event stream") {
+    val e = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+    assert(Events.userCountsExact(e).count() == 0)
+    // the gate's global agg still returns its constant zero row (the
+    // null sketch is never dereferenced: no probe rows to estimate)
+    assert(Events.userCountsCmsErr(e).head().getLong(0) == 0L)
+  }
+
   test("cluster resolution on empty docs and empty pair graph is empty") {
     assert(Dedup.minhashDupClusters(emptyDocs).count() == 0)
     // non-empty docs, empty verified-pair graph: every doc self-clusters
