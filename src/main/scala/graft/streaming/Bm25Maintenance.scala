@@ -68,25 +68,28 @@ object Bm25Maintenance {
     * readers. A crash anywhere before the final pointer write leaves
     * readers on the old generation; the retry takes a fresh generation
     * number ([[StoreMaintenance.nextGeneration]] never reuses a partial).
+    * `postingBuckets` / `idBuckets` re-size the bucket counts on the way
+    * through (the grown-store path: more buckets keeps bucket SIZE — the
+    * unit a probe reads — bounded); None carries the source counts.
     */
   def compact(
       spark: SparkSession,
       genRoot: String,
-      numFiles: Int = 1): String = {
+      numFiles: Int = 1,
+      postingBuckets: Option[Int] = None,
+      idBuckets: Option[Int] = None): String = {
     val cur = currentRoot(spark, genRoot)
     val gen = StoreMaintenance.nextGeneration(spark, genRoot)
     val dest = s"$genRoot/$gen"
-    carry(spark, cur, dest, numFiles)
+    carry(spark, cur, dest, numFiles, postingBuckets, idBuckets)
     StoreMaintenance.publishGeneration(spark, genRoot, gen)
     dest
   }
 
   /** One verified carry of all three stores, shared by [[adopt]] and
     * [[compact]] so the store list cannot fork. Bucket counts carry from
-    * the source markers (or the fresh-store default) — growth to more
-    * buckets is a deliberate re-size via `postingBuckets`/`idBuckets`,
-    * keeping bucket SIZE (the unit a probe reads) bounded as the corpus
-    * grows.
+    * the source markers (or the fresh-store default) unless the caller
+    * re-sizes them.
     */
   private def carry(
       spark: SparkSession,

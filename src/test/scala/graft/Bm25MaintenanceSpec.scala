@@ -74,6 +74,13 @@ class Bm25MaintenanceSpec extends SparkSpec {
     assert(stats.count() == 1)
     assert(IncrementalBm25.readStats(spark, cur).head().getLong(0)
       == docs.count())
+    // a grown-store re-size: compacting to MORE term buckets rewrites the
+    // marker and leaves search bit-identical
+    Bm25Maintenance.compact(spark, genRoot, postingBuckets = Some(96))
+    val cur2 = StoreMaintenance.resolveCurrent(spark, genRoot)
+    assert(graft.streaming.IncrementalAnnIndex.bucketCount(
+      spark, IncrementalBm25.postingsPath(cur2)).contains(96))
+    assert(topk(IncrementalBm25.searchStore(spark, cur2)) == want)
   }
 
   test("a stream re-enters the compacted generation under a fresh checkpoint") {
