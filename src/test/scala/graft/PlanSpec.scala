@@ -344,6 +344,20 @@ class PlanSpec extends SparkSpec {
     assert(!ns.contains("SortMergeJoin"), ns)
   }
 
+  test("CMS frequency ops scan user_id only — one narrow pass each") {
+    // the sketch build and the exact twin both prune the six-column
+    // events table to the one column they aggregate; at 100 TB the
+    // difference between this and a full-width scan IS the query cost
+    val p = plan(graft.ops.Events.userCountsSketch(T.events(spark, sf)))
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"), p)
+    val p2 = plan(graft.ops.Events.userCountsExact(T.events(spark, sf)))
+    assert(p2.contains("ReadSchema: struct<user_id:bigint>"), p2)
+    // both are partial-aggregation shapes: counters merge map-side, so
+    // the exchange carries sketch/count partials, never raw events
+    val ns = nodes(graft.ops.Events.userCountsSketch(T.events(spark, sf)))
+    assert(!ns.exists(_.contains("SortMergeJoin")), ns)
+  }
+
   test("DSIR weights join the ratio table as a broadcast") {
     // the ≤1024-row integerized log-ratio table is the broadcast constant
     // that makes per-document weighting a single pass at any corpus size
