@@ -395,7 +395,7 @@ object SkewSoak {
     def bpProbeSec(n: Long): Double = {
       val root = java.nio.file.Files.createTempDirectory("soak-bpdf").toString
       val store = s"$root/df"
-      val buckets = math.max(64, (n / 1500).toInt)
+      val buckets = math.max(64, (n / 150).toInt)
       Dedup.chunkRows(skewedDocs(spark, n))
         .groupBy("chunk_hash", "chunk_hash2")
         .agg(countDistinct("doc_id").as("df_docs"))
@@ -431,7 +431,7 @@ object SkewSoak {
     def wfProbeSec(n: Long): Double = {
       val root = java.nio.file.Files.createTempDirectory("soak-wf").toString
       val store = graft.streaming.IncrementalWinnow.fpPath(root)
-      val buckets = math.max(64, (n / 1500).toInt)
+      val buckets = math.max(64, (n / 150).toInt)
       spark.range(n).select(col("id").as("doc_id"),
           (col("id") * 2654435761L + 11L).as("h"))
         .withColumn("id_bucket",
@@ -467,7 +467,7 @@ object SkewSoak {
     def bmProbeSec(n: Long): Double = {
       val root = java.nio.file.Files.createTempDirectory("soak-bm25").toString
       val store = graft.streaming.IncrementalBm25.postingsPath(root)
-      val buckets = math.max(64, (n / 1500).toInt)
+      val buckets = math.max(64, (n / 150).toInt)
       spark.range(n).select(
           concat(lit("t"), (col("id") * 2654435761L) % (n * 7)).as("term"),
           col("id").as("doc_id"), lit(1L).as("tf"), lit(40L).as("dl"))

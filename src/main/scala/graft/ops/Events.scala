@@ -219,18 +219,21 @@ object Events {
     */
   val CmsProbeStride = 7
 
-  /** ONE Count-Min sketch over every user_id plus the exact stream
-    * length: a ~160 KB mergeable summary built in one pass with partial
+  /** ONE Count-Min sketch over every user_id plus the sketch's add
+    * count: a ~160 KB mergeable summary built in one pass with partial
     * aggregation — at 100 TB per-key frequency questions answer from
     * this blob instead of a shuffle of every occurrence, the same
-    * contract as [[dailyUsersApprox]]'s HLL. No DuckDB oracle: sketch
-    * bytes are implementation-defined.
+    * contract as [[dailyUsersApprox]]'s HLL. `n_events` counts NON-NULL
+    * user_ids — exactly what the sketch ingests (`count_min_sketch`
+    * skips nulls), so it equals the merged sketch's totalCount (the
+    * store-fold invariant) and is the N in the eps x N error bound. No
+    * DuckDB oracle: sketch bytes are implementation-defined.
     */
   def userCountsSketch(events: DataFrame): DataFrame =
     events.agg(
       expr(s"count_min_sketch(user_id, ${CmsEps}d, ${CmsConfidence}d, " +
         s"$CmsSeed)").as("cms"),
-      count(lit(1)).as("n_events"))
+      count(col("user_id")).as("n_events"))
 
   /** Exact per-user counts over the probe set — correctness baseline and
     * DuckDB-oracled twin.
@@ -240,6 +243,22 @@ object Events {
     events.filter(col("user_id") % stride === 0)
       .groupBy("user_id").agg(count(lit(1)).as("n_events"))
 
+  /** The one place the sketch's byte format is handled — every reader
+    * (the gate's broadcast estimator, the streaming store's merge/fold)
+    * goes through this pair.
+    */
+  private[graft] def cmsFromBytes(bytes: Array[Byte])
+      : org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  private[graft] def cmsToBytes(
+      cms: org.apache.spark.util.sketch.CountMinSketch): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    cms.writeTo(out)
+    out.toByteArray
+  }
+
   /** Estimate-at-probe: the deserialized sketch rides to executors as a
     * broadcast and answers per-row, so the probe relation never funnels
     * through the driver — the one `collect` is the 1-row sketch itself,
@@ -248,9 +267,7 @@ object Events {
     * lazy val, not per row.
     */
   private class CmsEstimator(bytes: Array[Byte]) extends Serializable {
-    @transient private lazy val cms =
-      org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
+    @transient private lazy val cms = cmsFromBytes(bytes)
     def estimate(id: Long): Long = cms.estimateCount(id)
   }
 

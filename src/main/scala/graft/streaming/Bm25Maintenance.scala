@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   * carried rows land at `batch=-1` (below every streaming epoch), so a
   * stream re-entering under a FRESH checkpoint appends `batch=0` beside
   * the history, and its own-partition-excluded guard reads still see every
-  * carried doc_id.
+  * carried doc_id. One fresh era per compaction: `run` REFUSES a fresh
+  * checkpoint while `batch>=0` directories remain, because the new era's
+  * ids restart at 0 and would overwrite them.
   */
 object Bm25Maintenance {
 
@@ -38,6 +40,15 @@ object Bm25Maintenance {
     * store's listing cost — not its data — dominates a probe.
     */
   val DefaultMaxFiles = 512L
+
+  /** Target bytes per bucket after compaction — the unit a probe reads.
+    * [[maintain]] grows a store's bucket count to hold this line, which
+    * is what keeps per-query posting I/O bounded by the probed terms'
+    * document frequency instead of total corpus bulk: a frozen bucket
+    * count over a 100× corpus means every probe reads 100× more
+    * off-vocabulary postings, however healthy the file count looks.
+    */
+  val TargetBucketBytes: Long = 64L << 20
 
   final case class Report(
       postingFiles: Long,
@@ -143,18 +154,39 @@ object Bm25Maintenance {
 
   /** Measure-then-act: list the live generation's posting store and
     * compact iff its file count passed `maxFiles`. Below threshold the
-    * cost is the listing alone — no reads, no writes.
+    * cost is the listing alone — no reads, no writes. A triggered
+    * compaction RE-SIZES both stores' bucket counts from the measured
+    * bytes (never shrinking below the source markers), so a store that
+    * outgrew its bootstrap bucket count leaves maintenance with
+    * `targetBucketBytes`-sized buckets and the bounded-probe contract
+    * intact.
     */
   def maintain(
       spark: SparkSession,
       genRoot: String,
       maxFiles: Long = DefaultMaxFiles,
-      numFiles: Int = 1): Report = {
+      numFiles: Int = 1,
+      targetBucketBytes: Long = TargetBucketBytes): Report = {
+    require(targetBucketBytes > 0,
+      "Bm25Maintenance.maintain: targetBucketBytes must be positive")
     val cur = currentRoot(spark, genRoot)
     val (files, bytes) = StoreMaintenance.fileStats(
       spark, IncrementalBm25.postingsPath(cur))
     if (files <= maxFiles) Report(files, bytes, compacted = false, None)
-    else Report(files, bytes, compacted = true,
-      Some(compact(spark, genRoot, numFiles)))
+    else {
+      def grown(path: String, storeBytes: Long): Int = {
+        val src = IncrementalAnnIndex.bucketCount(spark, path)
+          .getOrElse(IncrementalBm25.NumBuckets)
+        math.max(src,
+          math.ceil(storeBytes.toDouble / targetBucketBytes).toInt)
+      }
+      val pb = grown(IncrementalBm25.postingsPath(cur), bytes)
+      val ib = grown(IncrementalBm25.decidedPath(cur),
+        StoreMaintenance.fileStats(
+          spark, IncrementalBm25.decidedPath(cur))._2)
+      Report(files, bytes, compacted = true,
+        Some(compact(spark, genRoot, numFiles,
+          postingBuckets = Some(pb), idBuckets = Some(ib))))
+    }
   }
 }

@@ -162,8 +162,30 @@ object IncrementalBm25 {
     Retrieval.scoreTf(tf, df, readStats(spark, root), queries, k)
   }
 
+  /** True iff the store holds any streaming-epoch (`batch>=0`)
+    * directory — the partitions a NEW checkpoint era would re-number
+    * from 0 and overwrite.
+    */
+  private def hasEpochDirs(spark: SparkSession, path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(hp) && fs.listStatus(hp).exists { d =>
+      val n = d.getPath.getName
+      d.isDirectory && n.startsWith("batch=") &&
+        n.stripPrefix("batch=").toLong >= 0
+    }
+  }
+
   /** Drain the landing dir (Trigger.AvailableNow), indexing each
     * micro-batch. Returns the accumulated posting store.
+    *
+    * A FRESH checkpoint over a store that still holds `batch>=0`
+    * directories fails loudly: the new era's batch ids restart at 0, so
+    * its writes would silently overwrite the previous era's partitions
+    * (and its own-partition-excluded guard reads would miss them).
+    * Re-entry is via compaction — [[Bm25Maintenance.compact]] folds all
+    * history to `batch=-1`, below every epoch — after which any number
+    * of fresh eras may append, one era per compaction.
     */
   def run(
       spark: SparkSession,
@@ -171,6 +193,13 @@ object IncrementalBm25 {
       checkpointDir: String,
       root: String,
       docSchema: StructType): DataFrame = {
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      Seq(postingsPath(root), statsPath(root), decidedPath(root))
+        .forall(p => !hasEpochDirs(spark, p)),
+      s"IncrementalBm25.run: fresh checkpoint $checkpointDir over store " +
+        s"$root which still holds batch>=0 directories — the new era " +
+        "would overwrite them; compact first (Bm25Maintenance.compact " +
+        "folds history to batch=-1)")
     val q = spark.readStream.schema(docSchema).parquet(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)

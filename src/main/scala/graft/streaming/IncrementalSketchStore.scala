@@ -95,12 +95,10 @@ object IncrementalSketchStore {
         .select("cms", "n_events").collect()
       if (rows.isEmpty) None
       else {
-        val first = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-          new java.io.ByteArrayInputStream(rows.head.getAs[Array[Byte]](0)))
+        val first = graft.ops.Events.cmsFromBytes(rows.head.getAs[Array[Byte]](0))
         rows.tail.foreach { r =>
           first.mergeInPlace(
-            org.apache.spark.util.sketch.CountMinSketch.readFrom(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+            graft.ops.Events.cmsFromBytes(r.getAs[Array[Byte]](0)))
         }
         Some((first, rows.map(_.getLong(1)).sum))
       }
@@ -116,9 +114,7 @@ object IncrementalSketchStore {
     val (cms, _) = mergedCms(spark, cmsPath).getOrElse(
       throw new IllegalStateException(
         s"IncrementalSketchStore: no CMS store at $cmsPath"))
-    val out = new java.io.ByteArrayOutputStream()
-    cms.writeTo(out)
-    graft.ops.Events.comparedWith(events, out.toByteArray)
+    graft.ops.Events.comparedWith(events, graft.ops.Events.cmsToBytes(cms))
   }
 
   /** Compact the accumulated CMS partials into ONE `batch=-1` row in a
@@ -126,8 +122,10 @@ object IncrementalSketchStore {
     * stats pattern): readers only ever merge the store, so the fold is
     * lossless, and it resets the per-read fold to a single row. Verified
     * before any caller swaps paths: the folded sketch's totalCount and
-    * carried n_events must both equal the source's exact stream length
-    * (counters are additive, so a lossy carry cannot cancel out).
+    * carried n_events must both equal the source's add count — n_events
+    * counts non-null user_ids, exactly what the sketch ingested, so the
+    * two agree even on streams with null ids (counters are additive, so
+    * a lossy carry cannot cancel out).
     */
   def foldCms(spark: SparkSession, srcPath: String, destPath: String): Unit = {
     val (cms, n) = mergedCms(spark, srcPath).getOrElse(
@@ -136,10 +134,8 @@ object IncrementalSketchStore {
     require(cms.totalCount() == n,
       s"IncrementalSketchStore.foldCms: merged totalCount " +
         s"${cms.totalCount()} != carried n_events $n — not folding")
-    val out = new java.io.ByteArrayOutputStream()
-    cms.writeTo(out)
     import spark.implicits._
-    Seq((out.toByteArray, n)).toDF("cms", "n_events")
+    Seq((graft.ops.Events.cmsToBytes(cms), n)).toDF("cms", "n_events")
       .coalesce(1).write.mode("errorifexists")
       .parquet(s"$destPath/batch=${StoreMaintenance.CompactedBatch}")
     val (carried, cn) = mergedCms(spark, destPath).get

@@ -81,6 +81,19 @@ class Bm25MaintenanceSpec extends SparkSpec {
     assert(graft.streaming.IncrementalAnnIndex.bucketCount(
       spark, IncrementalBm25.postingsPath(cur2)).contains(96))
     assert(topk(IncrementalBm25.searchStore(spark, cur2)) == want)
+    // …and maintain() re-sizes AUTOMATICALLY from the measured bytes: a
+    // tiny per-bucket target forces growth past the carried 96
+    val bytes = StoreMaintenance.fileStats(
+      spark, IncrementalBm25.postingsPath(cur2))._2
+    val r3 = Bm25Maintenance.maintain(
+      spark, genRoot, maxFiles = 0L, targetBucketBytes = 1024L)
+    assert(r3.compacted)
+    val cur3 = StoreMaintenance.resolveCurrent(spark, genRoot)
+    val grown = graft.streaming.IncrementalAnnIndex.bucketCount(
+      spark, IncrementalBm25.postingsPath(cur3)).get
+    assert(grown == math.max(96, math.ceil(bytes / 1024.0).toInt), grown)
+    assert(grown > 96, "fixture too small to exercise growth")
+    assert(topk(IncrementalBm25.searchStore(spark, cur3)) == want)
   }
 
   test("a stream re-enters the compacted generation under a fresh checkpoint") {
@@ -104,5 +117,12 @@ class Bm25MaintenanceSpec extends SparkSpec {
       == docs.count() + 20)
     assert(topk(IncrementalBm25.searchStore(spark, cur))
       == topk(Retrieval.bm25TopK(docs.unionByName(fresh))))
+    // a SECOND fresh era over the same root must refuse: its batch ids
+    // restart at 0 and would overwrite this era's partitions
+    val ckpt2 = Files.createTempDirectory("bm25m3-ckpt").toString + "/c"
+    val err = intercept[IllegalArgumentException] {
+      IncrementalBm25.run(spark, landing.toString, ckpt2, cur, docSchema)
+    }
+    assert(err.getMessage.contains("compact first"), err.getMessage)
   }
 }

@@ -92,4 +92,25 @@ class IncrementalSketchStoreSpec extends SparkSpec {
     assert(estimates(IncrementalSketchStore.cmsCompared(
       spark, folded, events)) == want)
   }
+
+  test("CMS store tolerates null user_ids: the fold invariant tracks adds") {
+    val landing = Files.createTempDirectory("cmsn-landing")
+    val ckpt = Files.createTempDirectory("cmsn-ckpt").toString + "/c"
+    val store = Files.createTempDirectory("cmsn-store").toString + "/cms"
+    // count_min_sketch skips nulls, so n_events must count what the
+    // sketch INGESTED — a raw row count would break the totalCount
+    // equality gate forever on the first null id
+    val keep = events.filter(col("event_id") < 50)
+    val withNull = keep.unionByName(events.filter(col("event_id") === 50)
+      .withColumn("user_id", lit(null).cast("long")))
+    landParquet(landing, "b1.parquet", withNull)
+    IncrementalSketchStore.runCms(
+      spark, landing.toString, ckpt, store, events.schema)
+    val (merged, n) = IncrementalSketchStore.mergedCms(spark, store).get
+    assert(n == keep.count(), "n_events must exclude the null id")
+    assert(merged.totalCount() == n)
+    val folded = Files.createTempDirectory("cmsn-fold").toString + "/cms"
+    IncrementalSketchStore.foldCms(spark, store, folded) // must not throw
+    assert(spark.read.parquet(folded).count() == 1)
+  }
 }
