@@ -103,26 +103,11 @@ object IncrementalAnnIndex {
       listPath: String,
       batchIds: DataFrame,
       excludeBatchId: Long): DataFrame =
-    bucketCount(spark, listPath) match {
-      case Some(n) =>
-        val touched = batchIds
-          .select(idBucket(col("vec_id"), n).as("id_bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        // read ONLY the enumerated touched leaves: the file index (which
-        // Spark fills by listing every file under whatever paths it is
-        // given, BEFORE pruning) then holds the touched slice alone, so
-        // planning cost is batch-bounded, not store-bounded. No touched
-        // leaf ⇒ no stored row can collide (it would live in a touched
-        // bucket) ⇒ the typed empty frame is the exact answer.
-        StoragePaths.readTouchedBuckets(spark, listPath, "id_bucket", touched)
-          .map(_.filter(col("batch").cast("long") =!= excludeBatchId)
-            .select("vec_id"))
-          .getOrElse(batchIds.select(col("vec_id")).limit(0))
-      case None =>
-        spark.read.parquet(listPath)
-          .filter(col("batch").cast("long") =!= excludeBatchId)
-          .select("vec_id")
-    }
+    StoragePaths.prunedStore(spark, listPath, "vec_id", batchIds,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType))),
+      Some(excludeBatchId), semiJoinKeys = false)
 
   private[streaming] def readLeaders(spark: SparkSession, leaderPath: String): DataFrame = {
     val cents = spark.read.parquet(leaderPath)

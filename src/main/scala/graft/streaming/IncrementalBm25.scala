@@ -60,57 +60,28 @@ object IncrementalBm25 {
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
 
   /** doc_ids already indexed, touched-bucket pruned, excluding the
-    * replaying batch's own partition — the first-write-wins guard.
+    * replaying batch's own partition — the first-write-wins guard
+    * ([[StoragePaths.prunedStore]]; no key narrowing: the caller
+    * anti-joins against the batch).
     */
   def priorDocIds(spark: SparkSession, root: String,
-      batchIds: DataFrame, excludeBatchId: Long): DataFrame = {
-    val path = decidedPath(root)
-    IncrementalAnnIndex.bucketCount(spark, path) match {
-      case Some(n) =>
-        val touched = batchIds
-          .select(IncrementalAnnIndex.idBucket(col("doc_id"), n)
-            .as("id_bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        StoragePaths.readTouchedBuckets(spark, path, "id_bucket", touched)
-          .map(_.filter(col("batch").cast("long") =!= excludeBatchId)
-            .select("doc_id"))
-          .getOrElse(emptyOf(spark, StructType(Seq(
-            StructField("doc_id", LongType)))))
-      case None =>
-        if (!StoragePaths.exists(spark, path))
-          emptyOf(spark, StructType(Seq(StructField("doc_id", LongType))))
-        else spark.read.parquet(path)
-          .filter(col("batch").cast("long") =!= excludeBatchId)
-          .select("doc_id")
-    }
-  }
+      batchIds: DataFrame, excludeBatchId: Long): DataFrame =
+    StoragePaths.prunedStore(spark, decidedPath(root), "doc_id", batchIds,
+      StructType(Seq(StructField("doc_id", LongType))),
+      Some(excludeBatchId), semiJoinKeys = false)
 
-  /** The stored posting rows of the given terms, touched-bucket pruned:
-    * `(term, doc_id, tf, dl)`.
+  /** The stored posting rows of the given terms, touched-bucket pruned
+    * and term-narrowed: `(term, doc_id, tf, dl)`. Reads every batch —
+    * search ranks against the FINAL accumulated state, so there is no
+    * partition to exclude.
     */
   def priorPostings(spark: SparkSession, root: String,
-      terms: DataFrame): DataFrame = {
-    val path = postingsPath(root)
-    val schema = StructType(Seq(
-      StructField("term", StringType), StructField("doc_id", LongType),
-      StructField("tf", LongType), StructField("dl", LongType)))
-    IncrementalAnnIndex.bucketCount(spark, path) match {
-      case Some(n) =>
-        val touched = terms
-          .select(IncrementalAnnIndex.idBucket(col("term"), n)
-            .as("id_bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        StoragePaths.readTouchedBuckets(spark, path, "id_bucket", touched)
-          .map(_.join(terms.select("term").distinct(), Seq("term"))
-            .select("term", "doc_id", "tf", "dl"))
-          .getOrElse(emptyOf(spark, schema))
-      case None =>
-        if (!StoragePaths.exists(spark, path)) emptyOf(spark, schema)
-        else spark.read.parquet(path)
-          .join(terms.select("term").distinct(), Seq("term"))
-          .select("term", "doc_id", "tf", "dl")
-    }
-  }
+      terms: DataFrame): DataFrame =
+    StoragePaths.prunedStore(spark, postingsPath(root), "term", terms,
+      StructType(Seq(
+        StructField("term", StringType), StructField("doc_id", LongType),
+        StructField("tf", LongType), StructField("dl", LongType))),
+      excludeBatchId = None, semiJoinKeys = true)
 
   /** The batch's full-vocabulary posting rows plus its 1-row stats delta —
     * separated from the loop so the indexing math is testable without a

@@ -74,24 +74,9 @@ object IncrementalBoilerplate {
       dfPath: String,
       batchHashes: DataFrame,
       excludeBatchId: Long): DataFrame = {
-    val deltas = IncrementalAnnIndex.bucketCount(spark, dfPath) match {
-      case Some(n) =>
-        val touched = batchHashes
-          .select(IncrementalAnnIndex.idBucket(col("chunk_hash"), n)
-            .as("id_bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        StoragePaths.readTouchedBuckets(spark, dfPath, "id_bucket", touched)
-          .map(_.filter(col("batch").cast("long") =!= excludeBatchId)
-            .select("chunk_hash", "chunk_hash2", "df_docs"))
-          .getOrElse(emptyOf(spark, DfStoreSchema))
-      case None =>
-        if (!StoragePaths.exists(spark, dfPath))
-          emptyOf(spark, DfStoreSchema)
-        else spark.read.parquet(dfPath)
-          .filter(col("batch").cast("long") =!= excludeBatchId)
-          .select("chunk_hash", "chunk_hash2", "df_docs")
-    }
-    deltas.groupBy("chunk_hash", "chunk_hash2")
+    StoragePaths.prunedStore(spark, dfPath, "chunk_hash", batchHashes,
+      DfStoreSchema, Some(excludeBatchId), semiJoinKeys = false)
+      .groupBy("chunk_hash", "chunk_hash2")
       .agg(sum("df_docs").as("prior_df"))
   }
 

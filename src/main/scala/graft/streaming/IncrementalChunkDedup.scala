@@ -92,23 +92,8 @@ object IncrementalChunkDedup {
       chunkPath: String,
       batchHashes: DataFrame,
       excludeBatchId: Long): DataFrame =
-    IncrementalAnnIndex.bucketCount(spark, chunkPath) match {
-      case Some(n) =>
-        val touched = batchHashes
-          .select(IncrementalAnnIndex.idBucket(col("chunk_hash"), n)
-            .as("id_bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        StoragePaths.readTouchedBuckets(spark, chunkPath, "id_bucket", touched)
-          .map(_.filter(col("batch").cast("long") =!= excludeBatchId)
-            .select("chunk_hash", "chunk_hash2"))
-          .getOrElse(emptyOf(spark, ChunkStoreSchema))
-      case None =>
-        if (!StoragePaths.exists(spark, chunkPath))
-          emptyOf(spark, ChunkStoreSchema)
-        else spark.read.parquet(chunkPath)
-          .filter(col("batch").cast("long") =!= excludeBatchId)
-          .select("chunk_hash", "chunk_hash2")
-    }
+    StoragePaths.prunedStore(spark, chunkPath, "chunk_hash", batchHashes,
+      ChunkStoreSchema, Some(excludeBatchId), semiJoinKeys = false)
 
   /** doc_ids the corpus already admitted, bucket-pruned to the batch's
     * touched id buckets — the first-write-wins re-crawl guard.
@@ -117,27 +102,10 @@ object IncrementalChunkDedup {
       spark: SparkSession,
       corpusPath: String,
       batchIds: DataFrame,
-      excludeBatchId: Long): DataFrame = {
-    val idPath = docIdIndexPath(corpusPath)
-    IncrementalAnnIndex.bucketCount(spark, idPath) match {
-      case Some(n) =>
-        val touched = batchIds
-          .select(IncrementalAnnIndex.idBucket(col("doc_id"), n)
-            .as("id_bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        StoragePaths.readTouchedBuckets(spark, idPath, "id_bucket", touched)
-          .map(_.filter(col("batch").cast("long") =!= excludeBatchId)
-            .select("doc_id"))
-          .getOrElse(emptyOf(spark, StructType(Seq(
-            StructField("doc_id", LongType)))))
-      case None =>
-        if (!StoragePaths.exists(spark, idPath))
-          emptyOf(spark, StructType(Seq(StructField("doc_id", LongType))))
-        else spark.read.parquet(idPath)
-          .filter(col("batch").cast("long") =!= excludeBatchId)
-          .select("doc_id")
-    }
-  }
+      excludeBatchId: Long): DataFrame =
+    StoragePaths.prunedStore(spark, docIdIndexPath(corpusPath), "doc_id",
+      batchIds, StructType(Seq(StructField("doc_id", LongType))),
+      Some(excludeBatchId), semiJoinKeys = false)
 
   /** One batch's outcome: rows to append plus the funnel counts. */
   final case class BatchResult(

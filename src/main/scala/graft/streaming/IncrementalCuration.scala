@@ -141,20 +141,12 @@ object IncrementalCuration {
       spark: SparkSession,
       sigPath: String,
       batchIds: DataFrame,
-      excludeBatchId: Long): DataFrame = {
-    val store = IncrementalAnnIndex.bucketCount(spark, sigPath) match {
-      case Some(n) =>
-        val touched = batchIds
-          .select(IncrementalAnnIndex.idBucket(col("doc_id"), n)
-            .as("id_bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        spark.read.parquet(sigPath)
-          .filter(col("id_bucket").isin(touched: _*))
-      case None => spark.read.parquet(sigPath)
-    }
-    store.filter(col("batch").cast("long") =!= excludeBatchId)
-      .select("doc_id")
-  }
+      excludeBatchId: Long): DataFrame =
+    StoragePaths.prunedStore(spark, sigPath, "doc_id", batchIds,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))),
+      Some(excludeBatchId), semiJoinKeys = false)
 
   /** Stored band rows matching the batch's touched bands, read with
     * static partition pruning to the touched `band_bucket`s of the

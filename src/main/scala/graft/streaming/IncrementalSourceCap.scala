@@ -145,25 +145,9 @@ object IncrementalSourceCap {
       spark: SparkSession,
       root: String,
       batchIds: DataFrame,
-      excludeBatchId: Long): DataFrame = {
-    val path = decidedPath(root)
-    IncrementalAnnIndex.bucketCount(spark, path) match {
-      case Some(n) =>
-        val touched = batchIds
-          .select(IncrementalAnnIndex.idBucket(col("doc_id"), n)
-            .as("id_bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        StoragePaths.readTouchedBuckets(spark, path, "id_bucket", touched)
-          .map(_.filter(col("batch").cast("long") =!= excludeBatchId)
-            .select("doc_id"))
-          .getOrElse(emptyOf(spark, IdSchema))
-      case None =>
-        if (!StoragePaths.exists(spark, path)) emptyOf(spark, IdSchema)
-        else spark.read.parquet(path)
-          .filter(col("batch").cast("long") =!= excludeBatchId)
-          .select("doc_id")
-    }
-  }
+      excludeBatchId: Long): DataFrame =
+    StoragePaths.prunedStore(spark, decidedPath(root), "doc_id", batchIds,
+      IdSchema, Some(excludeBatchId), semiJoinKeys = false)
 
   /** One batch's outcome: the admitted documents, the per-source
     * admission deltas, and the funnel counts.

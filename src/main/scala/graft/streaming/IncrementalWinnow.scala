@@ -71,10 +71,9 @@ object IncrementalWinnow {
   private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
 
-  /** Bucket-pruned read of a store keyed by `keyCol`, filtered to rows
-    * whose key appears in `keys`, excluding the replaying batch's own
-    * partition. A marker-less store that exists falls back to the unpruned
-    * scan (correct, not history-free); an absent store reads empty.
+  /** Bucket-pruned, key-narrowed read of a store keyed by `keyCol` —
+    * the shared [[StoragePaths.prunedStore]] probe with this module's
+    * all-long column shapes.
     */
   private def prunedStore(
       spark: SparkSession,
@@ -83,25 +82,9 @@ object IncrementalWinnow {
       keys: DataFrame,
       selectCols: Seq[String],
       excludeBatchId: Long): DataFrame =
-    IncrementalAnnIndex.bucketCount(spark, path) match {
-      case Some(n) =>
-        val touched = keys
-          .select(IncrementalAnnIndex.idBucket(col(keyCol), n).as("id_bucket"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        StoragePaths.readTouchedBuckets(spark, path, "id_bucket", touched)
-          .map(_.filter(col("batch").cast("long") =!= excludeBatchId)
-            .join(keys.select(keyCol).distinct(), Seq(keyCol))
-            .select(selectCols.map(col): _*))
-          .getOrElse(emptyOf(spark, StructType(
-            selectCols.map(c => StructField(c, LongType)))))
-      case None =>
-        if (!StoragePaths.exists(spark, path))
-          emptyOf(spark, StructType(selectCols.map(c => StructField(c, LongType))))
-        else spark.read.parquet(path)
-          .filter(col("batch").cast("long") =!= excludeBatchId)
-          .join(keys.select(keyCol).distinct(), Seq(keyCol))
-          .select(selectCols.map(col): _*)
-    }
+    StoragePaths.prunedStore(spark, path, keyCol, keys,
+      StructType(selectCols.map(c => StructField(c, LongType))),
+      Some(excludeBatchId), semiJoinKeys = true)
 
   /** Stored fingerprint rows matching the batch's fingerprint set,
     * touched-bucket pruned, excluding the replaying batch's own partition.

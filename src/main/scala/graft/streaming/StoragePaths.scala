@@ -145,6 +145,61 @@ private[graft] object StoragePaths {
     }
   }
 
+  /** The house store probe, in one place so its subtleties cannot fork
+    * across modules (the write-side rationale of
+    * [[writeBucketedStoreBatch]], applied to the read side): rows of a
+    * batch-keyed bucketed store relevant to the probe `keys`, read with
+    * static pruning to the keys' touched buckets when the store has a
+    * bucket marker. A marker-less store that exists falls back to the
+    * unpruned scan (correct, not history-free); an absent store reads as
+    * the typed empty frame of `resultSchema` (whose field names are also
+    * the output projection).
+    *
+    *  - `excludeBatchId = Some(b)` drops partition `batch=b` — the
+    *    own-partition exclusion every replaying reader needs (a replay
+    *    must not see its own previously written rows); None reads every
+    *    batch (the search-the-final-state readers).
+    *  - `semiJoinKeys = true` additionally narrows to rows whose key is
+    *    in `keys` — for probes whose per-key row count carries meaning
+    *    (stored df). The guard readers skip it: their callers anti-join
+    *    against the batch anyway, and the touched-bucket superset is
+    *    already batch-bounded.
+    */
+  def prunedStore(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      keys: org.apache.spark.sql.DataFrame,
+      resultSchema: org.apache.spark.sql.types.StructType,
+      excludeBatchId: Option[Long],
+      semiJoinKeys: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val outCols = resultSchema.fieldNames.toSeq.map(col)
+    def empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), resultSchema)
+    def shape(rows: org.apache.spark.sql.DataFrame) = {
+      val excluded = excludeBatchId match {
+        case Some(b) => rows.filter(col("batch").cast("long") =!= b)
+        case None => rows
+      }
+      val narrowed =
+        if (semiJoinKeys) excluded.join(keys.select(keyCol).distinct(), Seq(keyCol))
+        else excluded
+      narrowed.select(outCols: _*)
+    }
+    IncrementalAnnIndex.bucketCount(spark, path) match {
+      case Some(n) =>
+        val touched = keys
+          .select(IncrementalAnnIndex.idBucket(col(keyCol), n).as("id_bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        readTouchedBuckets(spark, path, "id_bucket", touched)
+          .map(shape).getOrElse(empty)
+      case None =>
+        if (!exists(spark, path)) empty
+        else shape(spark.read.parquet(path))
+    }
+  }
+
   /** Read a small metadata file written by [[writeSmallFile]]; None when
     * absent.
     */
