@@ -133,20 +133,6 @@ object IncrementalBm25 {
     Retrieval.scoreTf(tf, df, readStats(spark, root), queries, k)
   }
 
-  /** True iff the store holds any streaming-epoch (`batch>=0`)
-    * directory — the partitions a NEW checkpoint era would re-number
-    * from 0 and overwrite.
-    */
-  private def hasEpochDirs(spark: SparkSession, path: String): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(hp) && fs.listStatus(hp).exists { d =>
-      val n = d.getPath.getName
-      d.isDirectory && n.startsWith("batch=") &&
-        n.stripPrefix("batch=").toLong >= 0
-    }
-  }
-
   /** Drain the landing dir (Trigger.AvailableNow), indexing each
     * micro-batch. Returns the accumulated posting store.
     *
@@ -166,7 +152,7 @@ object IncrementalBm25 {
       docSchema: StructType): DataFrame = {
     require(StoragePaths.exists(spark, checkpointDir) ||
       Seq(postingsPath(root), statsPath(root), decidedPath(root))
-        .forall(p => !hasEpochDirs(spark, p)),
+        .forall(p => !StoragePaths.hasEpochDirs(spark, p)),
       s"IncrementalBm25.run: fresh checkpoint $checkpointDir over store " +
         s"$root which still holds batch>=0 directories — the new era " +
         "would overwrite them; compact first (Bm25Maintenance.compact " +

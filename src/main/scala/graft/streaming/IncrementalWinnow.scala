@@ -201,9 +201,26 @@ object IncrementalWinnow {
       nDocs = batch.count(), nDroppedWithin = nWithin, nDroppedStore = nStore)
   }
 
+  /** Every accumulating store under a winnow root — the carry list
+    * [[WinnowMaintenance]] and the fresh-era guard share, in one place so
+    * a new store cannot be added to the writes without joining both.
+    */
+  def storePaths(root: String): Seq[String] =
+    Seq(fpPath(root), sizesPath(root), decidedPath(root),
+      corpusPath(root), ledgerPath(root))
+
   /** Drain the landing dir (Trigger.AvailableNow), admitting each
     * micro-batch against the accumulated fingerprint store. Returns the
     * admitted corpus.
+    *
+    * A FRESH checkpoint over a store that still holds `batch>=0`
+    * directories fails loudly ([[StoragePaths.hasEpochDirs]]): the new
+    * era's batch ids restart at 0, so its writes would silently overwrite
+    * the previous era's partitions (and its own-partition-excluded guard
+    * reads would miss them). Re-entry is via compaction —
+    * [[WinnowMaintenance.compact]] folds all history to `batch=-1`, below
+    * every epoch — after which any number of fresh eras may append, one
+    * era per compaction.
     */
   def run(
       spark: SparkSession,
@@ -211,6 +228,12 @@ object IncrementalWinnow {
       checkpointDir: String,
       root: String,
       docSchema: StructType): DataFrame = {
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      storePaths(root).forall(p => !StoragePaths.hasEpochDirs(spark, p)),
+      s"IncrementalWinnow.run: fresh checkpoint $checkpointDir over store " +
+        s"$root which still holds batch>=0 directories — the new era " +
+        "would overwrite them; compact first (WinnowMaintenance.compact " +
+        "folds history to batch=-1)")
     val q = spark.readStream.schema(docSchema).parquet(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)

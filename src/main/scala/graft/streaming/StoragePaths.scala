@@ -28,6 +28,22 @@ private[graft] object StoragePaths {
     finally out.close()
   }
 
+  /** True iff the store holds any streaming-epoch (`batch>=0`)
+    * directory — the partitions a NEW checkpoint era would re-number
+    * from 0 and overwrite. The fresh-era guard every accumulating-store
+    * `run` shares: re-entry is only safe after maintenance folds history
+    * to `batch=-1` ([[StoreMaintenance.CompactedBatch]]).
+    */
+  def hasEpochDirs(spark: SparkSession, path: String): Boolean = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(hp) && fs.listStatus(hp).exists { d =>
+      val n = d.getPath.getName
+      d.isDirectory && n.startsWith("batch=") &&
+        n.stripPrefix("batch=").toLong >= 0
+    }
+  }
+
   /** Concrete `batch=* / <bucketCol>=<v>` leaf directories that EXIST for
     * the touched bucket values — the LISTING half of the touched-slice
     * contract. `spark.read.parquet(storeRoot)` builds its file index by

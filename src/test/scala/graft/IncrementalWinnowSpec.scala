@@ -145,14 +145,19 @@ class IncrementalWinnowSpec extends SparkSpec {
       spark, landing2.toString, ckpt2, root2, docSchema)
     val admitted = out.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted == Set(21L), s"got $admitted")
-    // and the re-crawl guard survived the compaction too
-    val landing3 = Files.createTempDirectory("iw-landing3")
-    val ckpt3 = Files.createTempDirectory("iw-ckpt3").toString + "/c"
-    land(landing3, "b3.parquet", Seq(row(2L, uniqText(2))))
+    // and the re-crawl guard survived the compaction too (same era — a
+    // SECOND fresh checkpoint over the now-written batch=0 directories is
+    // exactly what the fresh-era guard refuses)
+    land(landing2, "b3.parquet", Seq(row(2L, uniqText(2))))
     val out2 = IncrementalWinnow.run(
-      spark, landing3.toString, ckpt3, root2, docSchema)
+      spark, landing2.toString, ckpt2, root2, docSchema)
     assert(out2.filter(col("doc_id") === 2L).count() == 0,
       "compacted decided store must still block the re-crawl")
+    val ckpt3 = Files.createTempDirectory("iw-ckpt3").toString + "/c"
+    val err = intercept[IllegalArgumentException] {
+      IncrementalWinnow.run(spark, landing2.toString, ckpt3, root2, docSchema)
+    }
+    assert(err.getMessage.contains("compact first"), err.getMessage)
   }
 
   test("store probes read only the touched fingerprint buckets") {
