@@ -56,6 +56,13 @@ object IncrementalBm25 {
   def statsPath(root: String): String = s"$root/stats"
   def decidedPath(root: String): String = s"$root/decided"
 
+  /** Every accumulating store under an index root — the carry list
+    * [[Bm25Maintenance]] and the fresh-era guard share, in one place so
+    * a new store cannot be added to the writes without joining both.
+    */
+  def storePaths(root: String): Seq[String] =
+    Seq(postingsPath(root), statsPath(root), decidedPath(root))
+
   private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
 
@@ -151,8 +158,7 @@ object IncrementalBm25 {
       root: String,
       docSchema: StructType): DataFrame = {
     require(StoragePaths.exists(spark, checkpointDir) ||
-      Seq(postingsPath(root), statsPath(root), decidedPath(root))
-        .forall(p => !StoragePaths.hasEpochDirs(spark, p)),
+      storePaths(root).forall(p => !StoragePaths.hasEpochDirs(spark, p)),
       s"IncrementalBm25.run: fresh checkpoint $checkpointDir over store " +
         s"$root which still holds batch>=0 directories — the new era " +
         "would overwrite them; compact first (Bm25Maintenance.compact " +
