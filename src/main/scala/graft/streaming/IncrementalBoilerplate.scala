@@ -61,6 +61,43 @@ object IncrementalBoilerplate {
   private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
 
+  // ------------------------------------------------------------------ //
+  // Family-root layout: one directory holding every store of a drain,  //
+  // so maintenance can carry them as a unit                            //
+  // ([[BoilerplateMaintenance]]). The multi-path run() signature       //
+  // predates the root layout and remains the primitive; runRoot() is   //
+  // the rooted spelling.                                               //
+  // ------------------------------------------------------------------ //
+
+  def dfPathOf(root: String): String = s"$root/df"
+  def corpusPathOf(root: String): String = s"$root/corpus"
+  def metricsPathOf(root: String): String = s"$root/metrics"
+
+  /** Every accumulating store under a family root — the carry list
+    * [[BoilerplateMaintenance]] and the fresh-era guard share, in one
+    * place so a new store cannot be added to the writes without joining
+    * both. The doc-id sidecar is the shared
+    * [[IncrementalChunkDedup.docIdIndexPath]] convention.
+    */
+  def storePaths(root: String): Seq[String] =
+    Seq(dfPathOf(root), corpusPathOf(root),
+      IncrementalChunkDedup.docIdIndexPath(corpusPathOf(root)),
+      metricsPathOf(root))
+
+  /** [[run]] over the family-root layout (df store, corpus + id
+    * sidecar, and the per-batch yield ledger under one root) — the
+    * spelling [[BoilerplateMaintenance]] maintains.
+    */
+  def runRoot(
+      spark: SparkSession,
+      landingDir: String,
+      checkpointDir: String,
+      root: String,
+      docSchema: StructType,
+      minDf: Int = Dedup.BoilerplateMinDf): DataFrame =
+    run(spark, landingDir, checkpointDir, dfPathOf(root),
+      corpusPathOf(root), docSchema, minDf, Some(metricsPathOf(root)))
+
   /** Accumulated prior df for the batch's digests: the store's touched
     * buckets, summed per digest pair. Excludes `excludeBatchId`'s own
     * partition — a crash-replay must not count the batch's previously
@@ -164,6 +201,22 @@ object IncrementalBoilerplate {
       docSchema: StructType,
       minDf: Int = Dedup.BoilerplateMinDf,
       metricsPath: Option[String] = None): DataFrame = {
+    // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
+    // new checkpoint era's batch ids restart at 0, so its writes would
+    // silently overwrite the previous era's batch>=0 partitions — and a
+    // lost df delta silently under-counts every chunk it covered.
+    // Re-entry is via compaction (BoilerplateMaintenance folds history,
+    // summing the deltas, to batch=-1). A genuine crash-replay keeps its
+    // CHECKPOINT and passes.
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      (Seq(dfPath, corpusPath,
+        IncrementalChunkDedup.docIdIndexPath(corpusPath)) ++
+        metricsPath.toSeq)
+        .forall(p => !StoragePaths.hasEpochDirs(spark, p)),
+      s"IncrementalBoilerplate.run: fresh checkpoint $checkpointDir over " +
+        s"stores ($dfPath, $corpusPath) which still hold batch>=0 " +
+        "directories — the new era would overwrite them; compact first " +
+        "(BoilerplateMaintenance.compact folds history to batch=-1)")
     val idPath = IncrementalChunkDedup.docIdIndexPath(corpusPath)
     val q = spark.readStream.schema(docSchema).parquet(landingDir)
       .writeStream

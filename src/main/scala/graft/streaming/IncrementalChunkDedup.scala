@@ -73,6 +73,40 @@ object IncrementalChunkDedup {
   /** The doc-id membership sidecar lives beside its corpus store. */
   def docIdIndexPath(corpusPath: String): String = corpusPath + ".ids"
 
+  // ------------------------------------------------------------------ //
+  // Family-root layout: one directory holding every store of a drain,  //
+  // so maintenance can carry them as a unit                            //
+  // ([[ChunkDedupMaintenance]]). The multi-path run() signature        //
+  // predates the root layout and remains the primitive; runRoot() is   //
+  // the rooted spelling.                                               //
+  // ------------------------------------------------------------------ //
+
+  def chunkPathOf(root: String): String = s"$root/chunks"
+  def corpusPathOf(root: String): String = s"$root/corpus"
+  def metricsPathOf(root: String): String = s"$root/metrics"
+
+  /** Every accumulating store under a family root — the carry list
+    * [[ChunkDedupMaintenance]] and the fresh-era guard share, in one
+    * place so a new store cannot be added to the writes without joining
+    * both.
+    */
+  def storePaths(root: String): Seq[String] =
+    Seq(chunkPathOf(root), corpusPathOf(root),
+      docIdIndexPath(corpusPathOf(root)), metricsPathOf(root))
+
+  /** [[run]] over the family-root layout (chunk store, corpus + id
+    * sidecar, and the per-batch yield ledger under one root) — the
+    * spelling [[ChunkDedupMaintenance]] maintains.
+    */
+  def runRoot(
+      spark: SparkSession,
+      landingDir: String,
+      checkpointDir: String,
+      root: String,
+      docSchema: StructType): DataFrame =
+    run(spark, landingDir, checkpointDir, chunkPathOf(root),
+      corpusPathOf(root), docSchema, Some(metricsPathOf(root)))
+
   private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
 
@@ -186,6 +220,19 @@ object IncrementalChunkDedup {
       corpusPath: String,
       docSchema: StructType,
       metricsPath: Option[String] = None): DataFrame = {
+    // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
+    // new checkpoint era's batch ids restart at 0, so its writes would
+    // silently overwrite the previous era's batch>=0 partitions.
+    // Re-entry is via compaction (ChunkDedupMaintenance folds history to
+    // batch=-1). A genuine crash-replay keeps its CHECKPOINT and passes.
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      (Seq(chunkPath, corpusPath, docIdIndexPath(corpusPath)) ++
+        metricsPath.toSeq)
+        .forall(p => !StoragePaths.hasEpochDirs(spark, p)),
+      s"IncrementalChunkDedup.run: fresh checkpoint $checkpointDir over " +
+        s"stores ($chunkPath, $corpusPath) which still hold batch>=0 " +
+        "directories — the new era would overwrite them; compact first " +
+        "(ChunkDedupMaintenance.compact folds history to batch=-1)")
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     val idPath = docIdIndexPath(corpusPath)
     val q = spark.readStream.schema(docSchema).parquet(landingDir)

@@ -89,6 +89,42 @@ object IncrementalCuration {
   /** The inverted band index lives beside its signature store. */
   def bandIndexPath(sigPath: String): String = sigPath + ".bands"
 
+  // ------------------------------------------------------------------ //
+  // Family-root layout: one directory holding every store of a drain,  //
+  // so maintenance can carry them as a unit ([[CurationMaintenance]]). //
+  // The two-path run() signature predates the root layout and remains  //
+  // the primitive; runRoot() is the rooted spelling.                    //
+  // ------------------------------------------------------------------ //
+
+  def sigPathOf(root: String): String = s"$root/sigs"
+  def corpusPathOf(root: String): String = s"$root/corpus"
+  def metricsPathOf(root: String): String = s"$root/metrics"
+
+  /** Every CARRIED store under a family root — the list
+    * [[CurationMaintenance]]'s carry is pinned against, in one place so
+    * a new store cannot be added to the writes without joining it. The
+    * band sidecar ([[bandIndexPath]]) is deliberately absent: it is
+    * DERIVED from the signature rows and maintenance rebuilds it in the
+    * new generation rather than carrying it (its bucket key hashes
+    * `(band_idx, band_val)`, not an id column — and a rebuild from
+    * verified rows cannot disagree with them).
+    */
+  def storePaths(root: String): Seq[String] =
+    Seq(sigPathOf(root), corpusPathOf(root), metricsPathOf(root))
+
+  /** [[run]] over the family-root layout (signatures, corpus, and the
+    * per-batch funnel ledger under one root) — the spelling
+    * [[CurationMaintenance]] maintains.
+    */
+  def runRoot(
+      spark: SparkSession,
+      landingDir: String,
+      checkpointDir: String,
+      root: String,
+      docSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    run(spark, landingDir, checkpointDir, sigPathOf(root),
+      corpusPathOf(root), docSchema, Some(metricsPathOf(root)))
+
   /** `pmod(xxhash64(band_idx, band_val), buckets)` — the sidecar partition
     * a band row lives under. Int-typed to round-trip exactly through
     * partition directory discovery.
@@ -416,6 +452,19 @@ object IncrementalCuration {
       corpusPath: String,
       docSchema: org.apache.spark.sql.types.StructType,
       metricsPath: Option[String] = None): DataFrame = {
+    // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
+    // new checkpoint era's batch ids restart at 0, so its writes would
+    // silently overwrite the previous era's batch>=0 partitions — in
+    // every store INCLUDING the derived band sidecar. Re-entry is via
+    // compaction (CurationMaintenance folds history to batch=-1).
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      (Seq(sigPath, bandIndexPath(sigPath), corpusPath) ++
+        metricsPath.toSeq)
+        .forall(p => !StoragePaths.hasEpochDirs(spark, p)),
+      s"IncrementalCuration.run: fresh checkpoint $checkpointDir over " +
+        s"stores ($sigPath, $corpusPath) which still hold batch>=0 " +
+        "directories — the new era would overwrite them; compact first " +
+        "(CurationMaintenance.compact folds history to batch=-1)")
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     val bandPath = bandIndexPath(sigPath)
     val emptySigs = Dedup.minhashSignatures(

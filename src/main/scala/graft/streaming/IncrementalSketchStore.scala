@@ -144,6 +144,60 @@ object IncrementalSketchStore {
         s"${carried.totalCount()}/$cn of $n — destination is not servable")
   }
 
+  /** Compact the accumulated day-grain partials into ONE row per day at
+    * `batch=-1` in a FRESH destination — the mergeable-summaries fold
+    * for the HLL store, beside [[foldCms]]'s for the frequency store.
+    * Readers only ever SUM the additive columns and UNION the sketches
+    * ([[dailyReport]]), and both operations are associative, so folding
+    * the per-batch partials per day is lossless: the additive sums by
+    * counter arithmetic, the HLL registers by max-merge (a union of
+    * unions IS the union). Verified before any caller swaps paths: the
+    * carried total event count must equal the source's exactly (long
+    * arithmetic), and the all-time distinct-user estimate must be
+    * IDENTICAL — not approximately equal — because identical register
+    * states survive any merge order.
+    */
+  def foldDaily(spark: SparkSession, srcPath: String, destPath: String): Unit = {
+    require(StoragePaths.exists(spark, srcPath),
+      s"IncrementalSketchStore.foldDaily: no store at $srcPath")
+    def allTime(path: String): (Long, Long) = {
+      val r = spark.read.parquet(path)
+        .agg(sum("n_events"),
+          expr("hll_sketch_estimate(hll_union_agg(users_hll, true))"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val want = allTime(srcPath)
+    spark.read.parquet(srcPath).drop("batch")
+      .groupBy("day")
+      .agg(
+        sum("n_events").as("n_events"),
+        sum("sum_value").as("sum_value"),
+        expr("hll_union_agg(users_hll, true)").as("users_hll"))
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(s"$destPath/batch=${StoreMaintenance.CompactedBatch}")
+    val carried = allTime(destPath)
+    require(carried == want,
+      s"IncrementalSketchStore.foldDaily: carried (n_events, est) " +
+        s"$carried of $want — destination is not servable")
+  }
+
+  /** The fresh-era guard both drains share: a new checkpoint era's batch
+    * ids restart at 0 and would overwrite the previous era's partials —
+    * silent loss of whole days' counts. Re-entry is via the folds
+    * ([[foldDaily]] / [[foldCms]] land at `batch=-1`, below every
+    * epoch).
+    */
+  private def requireFreshEraSafe(
+      spark: SparkSession, checkpointDir: String, storePath: String,
+      what: String): Unit =
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      !StoragePaths.hasEpochDirs(spark, storePath),
+      s"IncrementalSketchStore.$what: fresh checkpoint $checkpointDir " +
+        s"over store $storePath which still holds batch>=0 directories — " +
+        "the new era would overwrite them; compact first (foldDaily/" +
+        "foldCms fold history to batch=-1)")
+
   /** Drain the landing dir, appending each micro-batch's CMS partial —
     * the frequency-sketch twin of [[run]].
     */
@@ -153,6 +207,7 @@ object IncrementalSketchStore {
       checkpointDir: String,
       cmsPath: String,
       eventSchema: org.apache.spark.sql.types.StructType): Unit = {
+    requireFreshEraSafe(spark, checkpointDir, cmsPath, "runCms")
     val q = spark.readStream.schema(eventSchema).parquet(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -175,6 +230,7 @@ object IncrementalSketchStore {
       checkpointDir: String,
       sketchPath: String,
       eventSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    requireFreshEraSafe(spark, checkpointDir, sketchPath, "run")
     val q = spark.readStream.schema(eventSchema).parquet(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)

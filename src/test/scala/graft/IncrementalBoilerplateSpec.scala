@@ -124,18 +124,26 @@ class IncrementalBoilerplateSpec extends SparkSpec {
 
   test("an at-least-once replay rewrites identical rows") {
     val d = dirs("bp4")
-    val ckpt2 = Files.createTempDirectory("bp4-ckpt2").toString + "/c"
     landParquet(d.landing, "b1.parquet", docs(
       (1L, s"$boiler u1a u1b u1c u1d u1e u1f u1g u1h"),
       (2L, s"$boiler u2a u2b u2c u2d u2e u2f u2g u2h")))
     val first = IncrementalBoilerplate.run(
       spark, d.landing.toString, d.ckpt, d.dfPath, d.corpusPath, schema)
       .collect().map(_.toString).sorted
-    // fresh checkpoint, same landing: the batch replays; the store
-    // readers exclude the batch's own partitions, so the decisions (and
-    // the delta rows) land byte-identical
+    // crash-replay: the checkpoint survives but batch 0's COMMIT is lost
+    // (the crash window after the stores landed), so the restarted drain
+    // re-executes batch 0; the store readers exclude the batch's own
+    // partitions, so the decisions (and the delta rows) land
+    // byte-identical. (A fresh checkpoint is NOT a replay — the era
+    // guard refuses it; see the second-era test.)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(d.ckpt, "commits", "0"))
+    // the local ChecksumFileSystem's crc sibling must crash away with its
+    // file, or the restarted commit write fails the atomic rename
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(d.ckpt, "commits", ".0.crc"))
     val second = IncrementalBoilerplate.run(
-      spark, d.landing.toString, ckpt2, d.dfPath, d.corpusPath, schema)
+      spark, d.landing.toString, d.ckpt, d.dfPath, d.corpusPath, schema)
       .collect().map(_.toString).sorted
     assert(second.sameElements(first))
     val store = spark.read.parquet(d.dfPath)

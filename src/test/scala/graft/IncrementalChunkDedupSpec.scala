@@ -200,13 +200,19 @@ class IncrementalChunkDedupSpec extends SparkSpec {
           .foreach(java.nio.file.Files.delete)
     }
     rmTree(IncrementalChunkDedup.docIdIndexPath(corpus))
-    // the replay (same landing, fresh checkpoint → batch id 0 again) must
-    // take the BUCKETED branch: before the structural layout probe, the
-    // missing marker demoted the store to flat forever, silently losing
-    // the touched-bucket pruning contract on batch 0's worst-timed crash
-    val ckpt2 = Files.createTempDirectory("ckd-heal-ckpt2").toString + "/c"
+    // the crash-replay (checkpoint survives, batch 0's commit lost → the
+    // restarted drain re-executes batch 0) must take the BUCKETED
+    // branch: before the structural layout probe, the missing marker
+    // demoted the store to flat forever, silently losing the
+    // touched-bucket pruning contract on batch 0's worst-timed crash
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ckpt, "commits", "0"))
+    // the local ChecksumFileSystem's crc sibling must crash away with its
+    // file, or the restarted commit write fails the atomic rename
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
     IncrementalChunkDedup.run(
-      spark, landing.toString, ckpt2, store, corpus, docSchema)
+      spark, landing.toString, ckpt, store, corpus, docSchema)
     assert(java.nio.file.Files.exists(marker),
       "replay must restore the bucket marker")
     assert(!graft.streaming.StoragePaths.isFlatLayout(spark, store),

@@ -93,6 +93,50 @@ class IncrementalSketchStoreSpec extends SparkSpec {
       spark, folded, events)) == want)
   }
 
+  test("the daily fold carries counters exactly and sketches register-identically") {
+    val landing = Files.createTempDirectory("skf-landing")
+    val ckpt = Files.createTempDirectory("skf-ckpt").toString + "/c"
+    val store = Files.createTempDirectory("skf-store").toString + "/sketches"
+    val mid = events.agg(expr("percentile_approx(event_id, 0.5)"))
+      .head().getLong(0)
+    landParquet(landing, "b1.parquet", events.filter(col("event_id") < mid))
+    IncrementalSketchStore.run(
+      spark, landing.toString, ckpt, store, events.schema)
+    landParquet(landing, "b2.parquet", events.filter(col("event_id") >= mid))
+    val before = IncrementalSketchStore.run(
+      spark, landing.toString, ckpt, store, events.schema)
+      .collect().map(r => (r.getDate(0).toString,
+        r.getLong(1), r.getLong(3))).toSet
+    // fold into a fresh destination: one row per day, and the REPORT is
+    // unchanged — additive counters exactly, sketch estimates
+    // identically (a union of unions is the union: same registers)
+    val folded = Files.createTempDirectory("skf-fold").toString + "/sketches"
+    IncrementalSketchStore.foldDaily(spark, store, folded)
+    val days = spark.read.parquet(folded).drop("batch")
+    assert(days.groupBy("day").count().filter(col("count") > 1).count() == 0,
+      "the folded store must hold one partial row per day")
+    val after = IncrementalSketchStore.dailyReport(spark, folded)
+      .collect().map(r => (r.getDate(0).toString,
+        r.getLong(1), r.getLong(3))).toSet
+    assert(after == before,
+      "folding must not move a single count or sketch estimate")
+    // the fresh-era guard: a new checkpoint over the UNFOLDED store
+    // refuses (its batch>=0 partials would be overwritten); the folded
+    // store (batch=-1 only) accepts and accumulates beside the carry
+    val ckpt2 = Files.createTempDirectory("skf-ckpt2").toString + "/c"
+    val err = intercept[IllegalArgumentException] {
+      IncrementalSketchStore.run(
+        spark, landing.toString, ckpt2, store, events.schema)
+    }
+    assert(err.getMessage.contains("compact first"), err.getMessage)
+    IncrementalSketchStore.run(
+      spark, landing.toString, ckpt2, folded, events.schema)
+    val doubled = IncrementalSketchStore.dailyReport(spark, folded)
+      .agg(sum("n_events")).head().getLong(0)
+    assert(doubled == 2L * events.count(),
+      "the fresh era must append its partials beside the carried fold")
+  }
+
   test("CMS store tolerates null user_ids: the fold invariant tracks adds") {
     val landing = Files.createTempDirectory("cmsn-landing")
     val ckpt = Files.createTempDirectory("cmsn-ckpt").toString + "/c"
