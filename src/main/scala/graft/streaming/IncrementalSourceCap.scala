@@ -57,6 +57,14 @@ object IncrementalSourceCap {
   def decidedPath(root: String): String = s"$root/decided"
   def corpusPath(root: String): String = s"$root/corpus"
 
+  /** Every accumulating store under a cap root — the carry list
+    * [[SourceCapMaintenance]] and the fresh-era guard share, in one
+    * place so a new store cannot be added to the writes without joining
+    * both.
+    */
+  def storePaths(root: String): Seq[String] =
+    Seq(countsPath(root), decidedPath(root), corpusPath(root))
+
   private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
 
@@ -205,6 +213,18 @@ object IncrementalSourceCap {
       docSchema: StructType,
       cap: Int = Sampling.SourceCapK,
       numBuckets: Int = NumSourceBuckets): DataFrame = {
+    // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
+    // new checkpoint era's batch ids restart at 0, so its writes would
+    // silently overwrite the previous era's batch>=0 partitions — and a
+    // lost spent delta silently re-opens an exhausted source's budget.
+    // Re-entry is via compaction (SourceCapMaintenance folds history,
+    // summing the deltas, to batch=-1).
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      storePaths(root).forall(p => !StoragePaths.hasEpochDirs(spark, p)),
+      s"IncrementalSourceCap.run: fresh checkpoint $checkpointDir over " +
+        s"store $root which still holds batch>=0 directories — the new " +
+        "era would overwrite them; compact first " +
+        "(SourceCapMaintenance.compact folds history to batch=-1)")
     val (counts, decided, corpus) =
       (countsPath(root), decidedPath(root), corpusPath(root))
     val q = spark.readStream.schema(docSchema).parquet(landingDir)
