@@ -175,6 +175,17 @@ object IncrementalAnnIndex {
       embSchema: StructType,
       kmeansIters: Int = 0,
       numIdBuckets: Int = NumIdBuckets): DataFrame = {
+    // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
+    // new checkpoint era's batch ids restart at 0 and would overwrite the
+    // previous era's assignment batches. Re-entry is via a generation
+    // whose history sits at batch=-1 (IvfMaintenance's retrain, or a
+    // plain StoreMaintenance.compact of the list store).
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      !StoragePaths.hasEpochDirs(spark, listPath),
+      s"IncrementalAnnIndex.run: fresh checkpoint $checkpointDir over " +
+        s"list store $listPath which still holds batch>=0 directories — " +
+        "the new era would overwrite them; compact first (history " +
+        "belongs at batch=-1 before a fresh era)")
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     val q = spark.readStream.schema(embSchema).parquet(landingDir)
       .writeStream

@@ -46,6 +46,13 @@ object IncrementalDsir {
   def ledgerPath(root: String): String = s"$root/ledger"
   def selectedPath(root: String): String = s"$root/selected"
 
+  /** The ACCUMULATING stores under a DSIR root (the frozen ratio table
+    * is bootstrap-written, not per-batch) — the list the fresh-era
+    * guard walks, and the carry [[DsirMaintenance]] runs.
+    */
+  def storePaths(root: String): Seq[String] =
+    Seq(ledgerPath(root), selectedPath(root))
+
   /** Schema of the scoring ledger (plus the `batch` layout column). */
   val LedgerSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -104,6 +111,17 @@ object IncrementalDsir {
       checkpointDir: String,
       root: String,
       schema: StructType): DataFrame = {
+    // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
+    // new checkpoint era's batch ids restart at 0 and would overwrite
+    // the previous era's ledger and selected batches. Re-entry is via a
+    // generation whose history sits at batch=-1 (DsirMaintenance's
+    // adopt/recalibrate carry).
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      storePaths(root).forall(p => !StoragePaths.hasEpochDirs(spark, p)),
+      s"IncrementalDsir.run: fresh checkpoint $checkpointDir over " +
+        s"store $root which still holds batch>=0 directories — the new " +
+        "era would overwrite them; compact first (history belongs at " +
+        "batch=-1 before a fresh era)")
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     // the table freezes at bootstrap and run() is its only writer, so one
     // validated read serves the whole drain — re-validating (a full

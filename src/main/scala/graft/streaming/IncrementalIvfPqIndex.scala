@@ -108,6 +108,17 @@ object IncrementalIvfPqIndex {
       root: String,
       embSchema: StructType,
       numIdBuckets: Int = IncrementalAnnIndex.NumIdBuckets): DataFrame = {
+    // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
+    // new checkpoint era's batch ids restart at 0 and would overwrite the
+    // previous era's code batches. Re-entry is via a generation whose
+    // history sits at batch=-1 (IvfPqMaintenance's retrain/re-encode, or
+    // a plain StoreMaintenance.compact of the code store).
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      !StoragePaths.hasEpochDirs(spark, codePath(root)),
+      s"IncrementalIvfPqIndex.run: fresh checkpoint $checkpointDir over " +
+        s"store $root which still holds batch>=0 directories — the new " +
+        "era would overwrite them; compact first (history belongs at " +
+        "batch=-1 before a fresh era)")
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     val codes = codePath(root)
     val q = spark.readStream.schema(embSchema).parquet(landingDir)

@@ -57,6 +57,14 @@ object IncrementalLearnedEnsemble {
   def ledgerPath(root: String): String = s"$root/ledger"
   def admittedPath(root: String): String = s"$root/admitted"
 
+  /** The ACCUMULATING stores under an ensemble root (the three frozen
+    * family tables are bootstrap-written, not per-batch) — the list the
+    * fresh-era guard walks, and the carry [[LearnedEnsembleMaintenance]]
+    * runs.
+    */
+  def storePaths(root: String): Seq[String] =
+    Seq(ledgerPath(root), admittedPath(root))
+
   /** Schema of the ensemble ledger (plus the `batch` layout column): the
     * full per-family evidence — each family's counts and exact integer
     * sums, the DSIR key decomposition, the three verdicts, and the AND.
@@ -117,6 +125,17 @@ object IncrementalLearnedEnsemble {
       checkpointDir: String,
       root: String,
       schema: StructType): DataFrame = {
+    // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
+    // new checkpoint era's batch ids restart at 0 and would overwrite
+    // the previous era's ledger and admitted batches. Re-entry is via a
+    // generation whose history sits at batch=-1
+    // (LearnedEnsembleMaintenance's carry).
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      storePaths(root).forall(p => !StoragePaths.hasEpochDirs(spark, p)),
+      s"IncrementalLearnedEnsemble.run: fresh checkpoint $checkpointDir " +
+        s"over store $root which still holds batch>=0 directories — the " +
+        "new era would overwrite them; compact first (history belongs " +
+        "at batch=-1 before a fresh era)")
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     // all five tables freeze at bootstrap and run() is their only writer:
     // one validated read serves the whole drain

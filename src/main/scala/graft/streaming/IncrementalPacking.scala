@@ -47,6 +47,14 @@ object IncrementalPacking {
 
   def binsPath(root: String): String = s"$root/bins"
   def cursorPath(root: String): String = s"$root/cursor"
+
+  /** The ACCUMULATING stores under a packing root — the list the
+    * fresh-era guard walks. Both survive a
+    * [[StoreMaintenance.compact]] to `batch=-1` (the cursor read is
+    * compaction-safe).
+    */
+  def storePaths(root: String): Seq[String] =
+    Seq(binsPath(root), cursorPath(root))
   def shardsMarker(root: String): String = s"$root/_shards"
   def budgetMarker(root: String): String = s"$root/_budget"
 
@@ -218,6 +226,17 @@ object IncrementalPacking {
       root: String,
       schema: StructType,
       shards: Int = Packing.Shards): DataFrame = {
+    // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
+    // new checkpoint era's batch ids restart at 0 and would overwrite
+    // the previous era's bin and cursor batches — silently un-packing
+    // shipped bins. Re-entry is via StoreMaintenance.compact to
+    // batch=-1 (the cursor read is compaction-safe).
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      storePaths(root).forall(p => !StoragePaths.hasEpochDirs(spark, p)),
+      s"IncrementalPacking.run: fresh checkpoint $checkpointDir over " +
+        s"store $root which still holds batch>=0 directories — the new " +
+        "era would overwrite them; compact first (history belongs at " +
+        "batch=-1 before a fresh era)")
     val q = spark.readStream.schema(schema).parquet(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -93,6 +93,17 @@ object IncrementalPqIndex {
       codePath: String,
       embSchema: StructType,
       numIdBuckets: Int = IncrementalAnnIndex.NumIdBuckets): DataFrame = {
+    // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
+    // new checkpoint era's batch ids restart at 0 and would overwrite the
+    // previous era's code batches. Re-entry is via a generation whose
+    // history sits at batch=-1 (PqMaintenance's re-encode, or a plain
+    // StoreMaintenance.compact of the code store).
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      !StoragePaths.hasEpochDirs(spark, codePath),
+      s"IncrementalPqIndex.run: fresh checkpoint $checkpointDir over code " +
+        s"store $codePath which still holds batch>=0 directories — the " +
+        "new era would overwrite them; compact first (history belongs at " +
+        "batch=-1 before a fresh era)")
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     val q = spark.readStream.schema(embSchema).parquet(landingDir)
       .writeStream

@@ -44,6 +44,14 @@ object IncrementalQualityFilter {
   def ledgerPath(root: String): String = s"$root/ledger"
   def admittedPath(root: String): String = s"$root/admitted"
 
+  /** The ACCUMULATING stores under a filter root (the frozen model and
+    * prior tables are bootstrap-written, not per-batch) — the list the
+    * fresh-era guard walks, and the carry [[QualityFilterMaintenance]]
+    * runs.
+    */
+  def storePaths(root: String): Seq[String] =
+    Seq(ledgerPath(root), admittedPath(root))
+
   /** Schema of the scoring ledger (plus the `batch` layout column). */
   val LedgerSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -111,6 +119,17 @@ object IncrementalQualityFilter {
       checkpointDir: String,
       root: String,
       schema: StructType): DataFrame = {
+    // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
+    // new checkpoint era's batch ids restart at 0 and would overwrite
+    // the previous era's ledger and admitted batches. Re-entry is via a
+    // generation whose history sits at batch=-1
+    // (QualityFilterMaintenance's adopt/retrain carry).
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      storePaths(root).forall(p => !StoragePaths.hasEpochDirs(spark, p)),
+      s"IncrementalQualityFilter.run: fresh checkpoint $checkpointDir " +
+        s"over store $root which still holds batch>=0 directories — the " +
+        "new era would overwrite them; compact first (history belongs " +
+        "at batch=-1 before a fresh era)")
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     val q = spark.readStream.schema(schema).parquet(landingDir)
       .writeStream

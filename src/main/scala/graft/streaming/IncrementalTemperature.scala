@@ -55,6 +55,14 @@ object IncrementalTemperature {
   def ledgerPath(root: String): String = s"$root/ledger"
   def keptPath(root: String): String = s"$root/kept"
 
+  /** The ACCUMULATING stores under a sampler root (the frozen threshold
+    * table is bootstrap-written, not per-batch) — the list the
+    * fresh-era guard walks, and the carry [[TemperatureMaintenance]]
+    * runs.
+    */
+  def storePaths(root: String): Seq[String] =
+    Seq(ledgerPath(root), keptPath(root))
+
   /** Schema of the assignment ledger (plus the `batch` layout column). */
   val LedgerSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -127,6 +135,17 @@ object IncrementalTemperature {
       root: String,
       schema: StructType,
       stratumCol: String = "lang"): DataFrame = {
+    // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
+    // new checkpoint era's batch ids restart at 0 and would overwrite
+    // the previous era's ledger and kept batches. Re-entry is via a
+    // generation whose history sits at batch=-1 (TemperatureMaintenance's
+    // adopt/recalibrate carry).
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      storePaths(root).forall(p => !StoragePaths.hasEpochDirs(spark, p)),
+      s"IncrementalTemperature.run: fresh checkpoint $checkpointDir over " +
+        s"store $root which still holds batch>=0 directories — the new " +
+        "era would overwrite them; compact first (history belongs at " +
+        "batch=-1 before a fresh era)")
     def exists(p: String): Boolean = StoragePaths.exists(spark, p)
     val q = spark.readStream.schema(schema).parquet(landingDir)
       .writeStream

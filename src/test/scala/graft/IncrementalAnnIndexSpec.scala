@@ -43,6 +43,14 @@ class IncrementalAnnIndexSpec extends SparkSpec {
       spark, landing.toString, ckpt, leaders, lists, schema)
     assert(store.groupBy("vec_id").count().filter(col("count") > 1)
       .count() == 0, "re-landed vec_ids must not duplicate list rows")
+    // a FRESH checkpoint over the live batch>=0 store is refused (the
+    // shared era guard): its ids would restart at 0 and overwrite
+    val ckptF = Files.createTempDirectory("ann-ckptf").toString + "/c"
+    val err = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.run(
+        spark, landing.toString, ckptF, leaders, lists, schema)
+    }
+    assert(err.getMessage.contains("compact first"), err.getMessage)
 
     // every vector is in exactly one list, assigned as the batch path would
     assert(store.count() == emb.count())

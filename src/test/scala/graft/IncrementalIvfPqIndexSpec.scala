@@ -94,15 +94,27 @@ class IncrementalIvfPqIndexSpec extends SparkSpec {
     val first = IncrementalIvfPqIndex.run(
       spark, landing.toString, ckpt, root, embSchema)
     val snapshot = codeSet(first)
-    // fresh checkpoint, same landing: the quantizers already exist,
-    // assignment/encode are deterministic, and the membership guard drops
-    // every re-seen id — the store is unchanged
-    val ckpt2 = Files.createTempDirectory("iivfpq-ckpt2").toString + "/c"
+    // crash-replay: the checkpoint survives but batch 0's commit (and
+    // its crc sibling) is lost, so the restarted drain re-executes it;
+    // the quantizers already exist, assignment/encode are deterministic,
+    // and the own-partition-excluded guard re-derives the same rows. (A
+    // fresh checkpoint is NOT a replay — the era guard refuses it.)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ckpt, "commits", "0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
     val second = IncrementalIvfPqIndex.run(
-      spark, landing.toString, ckpt2, root, embSchema)
+      spark, landing.toString, ckpt, root, embSchema)
     assert(codeSet(second) == snapshot)
     assert(second.groupBy("vec_id").count()
       .filter(col("count") > 1).count() == 0)
+    // and the fresh-checkpoint spelling is refused outright
+    val ckptF = Files.createTempDirectory("iivfpq-ckptf").toString + "/c"
+    val err = intercept[IllegalArgumentException] {
+      IncrementalIvfPqIndex.run(
+        spark, landing.toString, ckptF, root, embSchema)
+    }
+    assert(err.getMessage.contains("compact first"), err.getMessage)
   }
 
   test("a bootstrap batch without the seed ids fails loudly") {

@@ -97,16 +97,28 @@ class IncrementalLearnedEnsembleSpec extends SparkSpec {
   test("an at-least-once replay rewrites identical ledger rows") {
     val landing = Files.createTempDirectory("ens3-landing")
     val ckpt = Files.createTempDirectory("ens3-ckpt").toString + "/c"
-    val ckpt2 = Files.createTempDirectory("ens3-ckpt2").toString + "/c"
     val root = Files.createTempDirectory("ens3-root").toString + "/e"
     landParquet(landing, "b1.parquet", corpus(0L, 200L))
     val first = IncrementalLearnedEnsemble.run(
       spark, landing.toString, ckpt, root, schema)
       .collect().map(_.toString).sorted
+    // crash-replay: commit 0 (and its crc sibling) lost, checkpoint
+    // kept — a fresh checkpoint is NOT a replay; the era guard refuses it
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ckpt, "commits", "0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
     val second = IncrementalLearnedEnsemble.run(
-      spark, landing.toString, ckpt2, root, schema)
+      spark, landing.toString, ckpt, root, schema)
       .collect().map(_.toString).sorted
     assert(second.sameElements(first))
+    // and the fresh-checkpoint spelling is refused outright
+    val ckptF = Files.createTempDirectory("ens3-ckptf").toString + "/c"
+    val err = intercept[IllegalArgumentException] {
+      IncrementalLearnedEnsemble.run(
+        spark, landing.toString, ckptF, root, schema)
+    }
+    assert(err.getMessage.contains("compact first"), err.getMessage)
   }
 
   test("each family's frozen-table validation still fails loudly") {
@@ -125,12 +137,10 @@ class IncrementalLearnedEnsembleSpec extends SparkSpec {
         java.util.Arrays.asList(partial: _*),
         spark.read.parquet(ratio).schema)
       .coalesce(1).write.mode("overwrite").parquet(ratio)
-    val landing2 = Files.createTempDirectory("ens4-landing2")
-    val ckpt2 = Files.createTempDirectory("ens4-ckpt2").toString + "/c"
-    landParquet(landing2, "b2.parquet", corpus(200L, 250L))
+    landParquet(landing, "b2.parquet", corpus(200L, 250L))
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       IncrementalLearnedEnsemble.run(
-        spark, landing2.toString, ckpt2, root, schema)
+        spark, landing.toString, ckpt, root, schema)
     }
     assert(e.getMessage.contains("ratio table") ||
       e.getCause.getMessage.contains("ratio table"))

@@ -92,16 +92,27 @@ class IncrementalLmFilterSpec extends SparkSpec {
   test("an at-least-once replay rewrites identical ledger rows") {
     val landing = Files.createTempDirectory("lmf3-landing")
     val ckpt = Files.createTempDirectory("lmf3-ckpt").toString + "/c"
-    val ckpt2 = Files.createTempDirectory("lmf3-ckpt2").toString + "/c"
     val root = Files.createTempDirectory("lmf3-root").toString + "/lm"
     landParquet(landing, "b1.parquet", corpus(0L, 200L))
     val first = IncrementalLmFilter.run(
       spark, landing.toString, ckpt, root, schema)
       .collect().map(_.toString).sorted
+    // crash-replay: commit 0 (and its crc sibling) lost, checkpoint
+    // kept — a fresh checkpoint is NOT a replay; the era guard refuses it
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ckpt, "commits", "0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
     val second = IncrementalLmFilter.run(
-      spark, landing.toString, ckpt2, root, schema)
+      spark, landing.toString, ckpt, root, schema)
       .collect().map(_.toString).sorted
     assert(second.sameElements(first))
+    // and the fresh-checkpoint spelling is refused outright
+    val ckptF = Files.createTempDirectory("lmf3-ckptf").toString + "/c"
+    val err = intercept[IllegalArgumentException] {
+      IncrementalLmFilter.run(spark, landing.toString, ckptF, root, schema)
+    }
+    assert(err.getMessage.contains("compact first"), err.getMessage)
   }
 
   test("a shifted target vocabulary trips the counterfactual; the fraction recovers") {

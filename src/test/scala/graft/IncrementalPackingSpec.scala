@@ -78,17 +78,28 @@ class IncrementalPackingSpec extends SparkSpec {
   test("an at-least-once replay rewrites identical bin rows") {
     val landing = Files.createTempDirectory("ipack3-landing")
     val ckpt = Files.createTempDirectory("ipack3-ckpt").toString + "/c"
-    val ckpt2 = Files.createTempDirectory("ipack3-ckpt2").toString + "/c"
     val root = Files.createTempDirectory("ipack3-root").toString + "/p"
     landParquet(landing, "b1.parquet", corpus(0L, 200L))
     val first = binTuples(IncrementalPacking.run(
       spark, landing.toString, ckpt, root, schema))
-    // fresh checkpoint, same landing: the batch replays under its
-    // original id; the strictly-before cursor read reproduces the pre-N
-    // state, so the overwrite lands byte-identical rows
+    // crash-replay: the checkpoint survives but batch 0's commit (and
+    // its crc sibling) is lost, so the restarted drain re-executes it
+    // under its original id; the strictly-before cursor read reproduces
+    // the pre-N state, so the overwrite lands byte-identical rows. (A
+    // fresh checkpoint is NOT a replay — the era guard refuses it.)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ckpt, "commits", "0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
     val second = binTuples(IncrementalPacking.run(
-      spark, landing.toString, ckpt2, root, schema))
+      spark, landing.toString, ckpt, root, schema))
     assert(second == first)
+    // and the fresh-checkpoint spelling is refused outright
+    val ckptF = Files.createTempDirectory("ipack3-ckptf").toString + "/c"
+    val err = intercept[IllegalArgumentException] {
+      IncrementalPacking.run(spark, landing.toString, ckptF, root, schema)
+    }
+    assert(err.getMessage.contains("compact first"), err.getMessage)
   }
 
   test("cursor snapshots survive compaction; the stream continues exactly") {
@@ -157,7 +168,6 @@ class IncrementalPackingSpec extends SparkSpec {
   test("the token budget freezes at bootstrap alongside the shard count") {
     val landing = Files.createTempDirectory("ipack7-landing")
     val ckpt = Files.createTempDirectory("ipack7-ckpt").toString + "/c"
-    val ckpt2 = Files.createTempDirectory("ipack7-ckpt2").toString + "/c"
     val root = Files.createTempDirectory("ipack7-root").toString + "/p"
     landParquet(landing, "b1.parquet", corpus(0L, 100L))
     IncrementalPacking.run(spark, landing.toString, ckpt, root, schema)
@@ -169,10 +179,9 @@ class IncrementalPackingSpec extends SparkSpec {
     graft.streaming.StoragePaths.writeSmallFile(
       spark, IncrementalPacking.budgetMarker(root),
       (Packing.Budget / 2).toString)
-    val landing2 = Files.createTempDirectory("ipack7-landing2")
-    landParquet(landing2, "b2.parquet", corpus(100L, 200L))
+    landParquet(landing, "b2.parquet", corpus(100L, 200L))
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      IncrementalPacking.run(spark, landing2.toString, ckpt2, root, schema)
+      IncrementalPacking.run(spark, landing.toString, ckpt, root, schema)
     }
     assert(e.getMessage.contains("budget") ||
       e.getCause.getMessage.contains("budget"))
@@ -181,14 +190,12 @@ class IncrementalPackingSpec extends SparkSpec {
   test("the shard count freezes at bootstrap") {
     val landing = Files.createTempDirectory("ipack4-landing")
     val ckpt = Files.createTempDirectory("ipack4-ckpt").toString + "/c"
-    val ckpt2 = Files.createTempDirectory("ipack4-ckpt2").toString + "/c"
     val root = Files.createTempDirectory("ipack4-root").toString + "/p"
     landParquet(landing, "b1.parquet", corpus(0L, 100L))
     IncrementalPacking.run(spark, landing.toString, ckpt, root, schema)
-    val landing2 = Files.createTempDirectory("ipack4-landing2")
-    landParquet(landing2, "b2.parquet", corpus(100L, 200L))
+    landParquet(landing, "b2.parquet", corpus(100L, 200L))
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      IncrementalPacking.run(spark, landing2.toString, ckpt2, root, schema,
+      IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
         shards = Packing.Shards * 2)
     }
     assert(e.getMessage.contains("frozen") ||

@@ -83,16 +83,28 @@ class IncrementalPqIndexSpec extends SparkSpec {
       codeSet(Pq.codes(emb.filter(col("vec_id") < 100))))
   }
 
-  test("a replay from a fresh checkpoint rewrites identical code batches") {
+  test("a crash-replay rewrites identical code batches") {
     val (landing, ckpt, book, codes) = dirs()
     land(landing, "b1.parquet", rows(emb.filter(col("vec_id") < 300)))
     val first = codeSet(IncrementalPqIndex.run(
       spark, landing.toString, ckpt, book, codes, embSchema))
-    val ckpt2 = Files.createTempDirectory("ipq-ckpt2").toString + "/c"
+    // crash-replay: commit 0 (and its crc sibling) lost, checkpoint
+    // kept — a fresh checkpoint is NOT a replay; the era guard refuses it
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ckpt, "commits", "0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
     val second = codeSet(IncrementalPqIndex.run(
-      spark, landing.toString, ckpt2, book, codes, embSchema))
+      spark, landing.toString, ckpt, book, codes, embSchema))
     assert(first == second)
     assert(spark.read.parquet(codes).count() == first.size)
+    // and the fresh-checkpoint spelling is refused outright
+    val ckptF = Files.createTempDirectory("ipq-ckptf").toString + "/c"
+    val err = intercept[IllegalArgumentException] {
+      IncrementalPqIndex.run(
+        spark, landing.toString, ckptF, book, codes, embSchema)
+    }
+    assert(err.getMessage.contains("compact first"), err.getMessage)
   }
 
   test("an empty bootstrap epoch does not brick the stream") {

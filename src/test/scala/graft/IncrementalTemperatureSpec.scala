@@ -106,19 +106,31 @@ class IncrementalTemperatureSpec extends SparkSpec {
   test("an at-least-once replay rewrites identical ledger rows") {
     val landing = Files.createTempDirectory("temp3-landing")
     val ckpt = Files.createTempDirectory("temp3-ckpt").toString + "/c"
-    val ckpt2 = Files.createTempDirectory("temp3-ckpt2").toString + "/c"
     val root = Files.createTempDirectory("temp3-root").toString + "/t"
     landParquet(landing, "b1.parquet", corpus(0L, 200L))
     val first = IncrementalTemperature.run(
       spark, landing.toString, ckpt, root, schema)
       .collect().map(_.toString).sorted
-    // fresh checkpoint, same landing: every batch replays; the frozen
-    // table already exists, assignment is deterministic, the overwrite
-    // directories land byte-identical decisions
+    // crash-replay: the checkpoint survives but batch 0's commit (and
+    // its crc sibling) is lost, so the restarted drain re-executes it;
+    // the frozen table already exists, assignment is deterministic, the
+    // overwrite directories land byte-identical decisions. (A fresh
+    // checkpoint is NOT a replay — the era guard refuses it.)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ckpt, "commits", "0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
     val second = IncrementalTemperature.run(
-      spark, landing.toString, ckpt2, root, schema)
+      spark, landing.toString, ckpt, root, schema)
       .collect().map(_.toString).sorted
     assert(second.sameElements(first))
+    // and the fresh-checkpoint spelling is refused outright
+    val ckptF = Files.createTempDirectory("temp3-ckptf").toString + "/c"
+    val err = intercept[IllegalArgumentException] {
+      IncrementalTemperature.run(
+        spark, landing.toString, ckptF, root, schema)
+    }
+    assert(err.getMessage.contains("compact first"), err.getMessage)
   }
 
   test("mix drift trips the counterfactual; the fraction recovers") {
