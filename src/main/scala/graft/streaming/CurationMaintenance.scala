@@ -16,13 +16,17 @@ import graft.streaming.FamilyMaintenance.{Carry, StoreSpec}
   *
   * Signatures re-bucket by `doc_id` (row-count verified), corpus and
   * metrics fold flat; the carry list is pinned against
-  * [[IncrementalCuration.storePaths]]. The band sidecar is NOT carried:
-  * it is derived data (one row per signature band), its bucket key
-  * hashes `(band_idx, band_val)` rather than an id column, and a
-  * rebuild from the just-verified signature rows
+  * [[IncrementalCuration.storePaths]]. The band sidecar is a
+  * [[FamilyMaintenance.Carry.Custom]] store: it is derived data (one
+  * row per signature band), its bucket key hashes `(band_idx,
+  * band_val)` rather than an id column, and its carry REBUILDS it from
+  * the just-carried signature rows
   * ([[IncrementalCuration.rebuildBandIndex]] into the new generation,
-  * marker written last) cannot disagree with them — where a carried
-  * sidecar could silently drift from a carried store.
+  * marker written last — store-list order guarantees the signatures
+  * landed first) — where a carried copy could silently drift from a
+  * carried store. Its `bucketMarker` opts it into the engine's
+  * byte-driven re-sizing, so BOTH bucket families grow from their own
+  * measured bytes.
   *
   * A compacted generation is a complete [[IncrementalCuration]] family
   * root at `batch=-1` (including the rebuilt sidecar), and
@@ -46,29 +50,30 @@ object CurationMaintenance {
       compacted: Boolean,
       generation: Option[String])
 
-  /** The family, parameterized by the band bucket count the post-carry
-    * rebuild uses (None = the source sidecar's marker, or the fresh
-    * default for a source that never had one).
-    */
-  private def family(bandBuckets: Option[Int]) = FamilyMaintenance.Family(
+  private val family = FamilyMaintenance.Family(
     what = "CurationMaintenance",
     measureStore = "sigs",
     stores = Seq(
       StoreSpec("sigs", IncrementalCuration.sigPathOf _,
         Carry.Rows(Some("doc_id"), IncrementalCuration.NumSigIdBuckets)),
+      StoreSpec("bands",
+        (root: String) => IncrementalCuration.bandIndexPath(
+          IncrementalCuration.sigPathOf(root)),
+        Carry.Custom(
+          (spark, _, dest, _, buckets) =>
+            // dest sig path is the sibling the `.bands` suffix names
+            // (the bandIndexPath convention); the rebuild reads IT, not
+            // the source sidecar — which may not even exist (legacy
+            // migration through adopt)
+            IncrementalCuration.rebuildBandIndex(spark,
+              dest.stripSuffix(".bands"),
+              buckets.getOrElse(IncrementalCuration.NumBandBuckets)),
+          bucketMarker = Some(IncrementalCuration.BandBucketsMarker),
+          defaultBuckets = IncrementalCuration.NumBandBuckets)),
       StoreSpec("corpus", IncrementalCuration.corpusPathOf _, Carry.Rows()),
       StoreSpec("metrics", IncrementalCuration.metricsPathOf _,
         Carry.Rows(), optional = true)),
-    pinStorePaths = Some(IncrementalCuration.storePaths _),
-    postCarry = (spark, src, dest) => {
-      val bb = bandBuckets.getOrElse(
-        IncrementalCuration.bandBucketCount(spark,
-          IncrementalCuration.bandIndexPath(
-            IncrementalCuration.sigPathOf(src)))
-          .getOrElse(IncrementalCuration.NumBandBuckets))
-      IncrementalCuration.rebuildBandIndex(
-        spark, IncrementalCuration.sigPathOf(dest), bb)
-    })
+    pinStorePaths = Some(IncrementalCuration.storePaths _))
 
   /** The live generation's path — a full [[IncrementalCuration]] family
     * root for [[IncrementalCuration.runRoot]].
@@ -79,14 +84,14 @@ object CurationMaintenance {
   /** Adopt a flat [[IncrementalCuration]] family root into the
     * generation layout, publishing generation 0 atomically. Also the
     * migration path for a legacy store without a band sidecar: the
-    * post-carry rebuild gives the adopted generation one.
+    * custom carry gives the adopted generation one.
     */
   def adopt(
       spark: SparkSession,
       genRoot: String,
       flatRoot: String,
       numFiles: Int = 1): String =
-    FamilyMaintenance.adopt(spark, family(None), genRoot, flatRoot, numFiles)
+    FamilyMaintenance.adopt(spark, family, genRoot, flatRoot, numFiles)
 
   /** Rewrite the LIVE generation into the next one and atomically
     * repoint readers. `sigBuckets` / `bandBuckets` re-size the two
@@ -99,16 +104,15 @@ object CurationMaintenance {
       numFiles: Int = 1,
       sigBuckets: Option[Int] = None,
       bandBuckets: Option[Int] = None): String =
-    FamilyMaintenance.compact(spark, family(bandBuckets), genRoot, numFiles,
-      sigBuckets.map("sigs" -> _).toMap)
+    FamilyMaintenance.compact(spark, family, genRoot, numFiles,
+      sigBuckets.map("sigs" -> _).toMap ++
+        bandBuckets.map("bands" -> _).toMap)
 
   /** Measure-then-act: list the live generation's signature store and
     * compact iff its file count passed `maxFiles`. A triggered
-    * compaction re-sizes BOTH bucket families from measured bytes
-    * (never shrinking below the source markers) — the signature buckets
-    * from the signature store's bytes, the band buckets from the
-    * sidecar's, so each probe's unit of I/O holds the
-    * `targetBucketBytes` line independently.
+    * compaction re-sizes BOTH bucket families from their own measured
+    * bytes (never shrinking below the source markers), so each probe's
+    * unit of I/O holds the `targetBucketBytes` line independently.
     */
   def maintain(
       spark: SparkSession,
@@ -116,28 +120,8 @@ object CurationMaintenance {
       maxFiles: Long = DefaultMaxFiles,
       numFiles: Int = 1,
       targetBucketBytes: Long = TargetBucketBytes): Report = {
-    require(targetBucketBytes > 0,
-      "CurationMaintenance.maintain: targetBucketBytes must be positive")
-    val cur = currentRoot(spark, genRoot)
-    val sigPath = IncrementalCuration.sigPathOf(cur)
-    val (files, bytes) = StoreMaintenance.fileStats(spark, sigPath)
-    if (files <= maxFiles) Report(files, bytes, compacted = false, None)
-    else {
-      def grown(src: Int, storeBytes: Long): Int =
-        math.max(src, math.ceil(storeBytes.toDouble / targetBucketBytes).toInt)
-      val sb = grown(
-        IncrementalAnnIndex.bucketCount(spark, sigPath)
-          .getOrElse(IncrementalCuration.NumSigIdBuckets), bytes)
-      val bandPath = IncrementalCuration.bandIndexPath(sigPath)
-      val bb = grown(
-        IncrementalCuration.bandBucketCount(spark, bandPath)
-          .getOrElse(IncrementalCuration.NumBandBuckets),
-        if (StoragePaths.exists(spark, bandPath))
-          StoreMaintenance.fileStats(spark, bandPath)._2
-        else 0L)
-      Report(files, bytes, compacted = true,
-        Some(compact(spark, genRoot, numFiles,
-          sigBuckets = Some(sb), bandBuckets = Some(bb))))
-    }
+    val r = FamilyMaintenance.maintain(
+      spark, family, genRoot, maxFiles, numFiles, targetBucketBytes)
+    Report(r.files, r.bytes, r.compacted, r.generation)
   }
 }

@@ -54,13 +54,6 @@ object FamilyMaintenance {
 
   /** How one store crosses a generation boundary. */
   sealed trait Carry {
-    /** The bucket column, when this store keeps the
-      * `batch=N/id_bucket=B` membership layout ([[StoreMaintenance]]'s
-      * `bucketBy` convention — `B = pmod(xxhash64(col), n)` with the
-      * `_id_buckets` marker written last).
-      */
-    def bucketCol: Option[String]
-
     /** Bucket count for a source missing its marker (the fresh-store
       * default the family's writer would use).
       */
@@ -71,7 +64,10 @@ object FamilyMaintenance {
     /** Row-preserving carry, verified by row-count identity — the fact
       * store's lossless contract: every row is a decision or a datum,
       * so the carried count must equal the source or the generation is
-      * not published.
+      * not published. `bucketCol` keeps the `batch=N/id_bucket=B`
+      * membership layout ([[StoreMaintenance]]'s `bucketBy` convention —
+      * `B = pmod(xxhash64(col), n)` with the `_id_buckets` marker
+      * written last).
       */
     final case class Rows(
         bucketCol: Option[String] = None,
@@ -91,7 +87,45 @@ object FamilyMaintenance {
         sumCols: Seq[String],
         bucketCol: Option[String] = None,
         defaultBuckets: Int = 0) extends Carry
+
+    /** Bespoke carry for a store the generic layouts cannot express —
+      * a non-id bucket key ([[IncrementalSourceCap.compactCounts]]'s
+      * `xxhash64(source)` routing) or a DERIVED relation rebuilt from
+      * just-carried sibling rows rather than copied
+      * ([[IncrementalCuration.rebuildBandIndex]]). The engine still owns
+      * the loop: `fn(spark, srcPath, destPath, numFiles, buckets)` runs
+      * in store-list order (so a rebuild may read siblings carried
+      * before it) and MUST land history at `batch=-1` and verify its own
+      * carry invariant before returning. `bucketMarker` names the marker
+      * file holding the store's bucket count — it opts the store into
+      * the engine's byte-driven re-sizing and supplies the never-shrink
+      * floor; None = never re-sized.
+      */
+    final case class Custom(
+        fn: (SparkSession, String, String, Int, Option[Int]) => Unit,
+        bucketMarker: Option[String] = None,
+        defaultBuckets: Int = 0) extends Carry
   }
+
+  /** Whether the engine's byte-driven re-sizing applies to this carry. */
+  private def resizable(c: Carry): Boolean = c match {
+    case Carry.Rows(bc, _) => bc.isDefined
+    case Carry.Fold(_, _, bc, _) => bc.isDefined
+    case Carry.Custom(_, bm, _) => bm.isDefined
+  }
+
+  /** The source store's marked bucket count (never-shrink floor), read
+    * through the carry's own marker convention.
+    */
+  private def markedCount(spark: SparkSession, c: Carry, path: String): Int =
+    c match {
+      case Carry.Custom(_, Some(m), d) =>
+        StoragePaths.readSmallFile(spark, s"$path/$m")
+          .map(_.trim.toInt).getOrElse(d)
+      case other =>
+        IncrementalAnnIndex.bucketCount(spark, path)
+          .getOrElse(other.defaultBuckets)
+    }
 
   /** One store in the family: `name` keys bucket-count overrides,
     * `path` maps a family root to the store directory. `optional`
@@ -194,17 +228,18 @@ object FamilyMaintenance {
     if (files <= maxFiles) Report(files, bytes, compacted = false, None)
     else {
       val grown = fam.stores.flatMap { s =>
-        s.carry.bucketCol.flatMap { _ =>
-          val sp = s.path(cur)
-          if (s.optional && !StoragePaths.exists(spark, sp)) None
-          else {
-            val storeBytes =
-              if (s.name == fam.measureStore) bytes
-              else StoreMaintenance.fileStats(spark, sp)._2
-            val src = marked(spark, sp, s.carry.defaultBuckets)
-            Some(s.name -> math.max(src,
-              math.ceil(storeBytes.toDouble / targetBucketBytes).toInt))
-          }
+        val sp = s.path(cur)
+        if (!resizable(s.carry)) None
+        else {
+          // absent stores (optional ledgers, not-yet-rebuilt sidecars)
+          // size from their marker floor alone — zero measured bytes
+          val storeBytes =
+            if (!StoragePaths.exists(spark, sp)) 0L
+            else if (s.name == fam.measureStore) bytes
+            else StoreMaintenance.fileStats(spark, sp)._2
+          val src = markedCount(spark, s.carry, sp)
+          Some(s.name -> math.max(src,
+            math.ceil(storeBytes.toDouble / targetBucketBytes).toInt))
         }
       }.toMap
       Report(files, bytes, compacted = true,
@@ -216,11 +251,10 @@ object FamilyMaintenance {
     fam.stores.find(_.name == name).getOrElse(throw new IllegalArgumentException(
       s"${fam.what}: no store named $name in ${fam.stores.map(_.name)}"))
 
-  private def marked(spark: SparkSession, path: String, dflt: Int): Int =
-    IncrementalAnnIndex.bucketCount(spark, path).getOrElse(dflt)
-
   /** One verified carry of every store, shared by [[adopt]] and
-    * [[compact]] so the store list cannot fork within a family.
+    * [[compact]] so the store list cannot fork within a family. Stores
+    * carry in list order — a [[Carry.Custom]] rebuild may therefore
+    * read siblings the engine carried before it.
     */
   private def carry(
       spark: SparkSession,
@@ -236,17 +270,21 @@ object FamilyMaintenance {
     }
     fam.stores.foreach { s =>
       val sp = s.path(src)
-      if (!(s.optional && !StoragePaths.exists(spark, sp))) {
-        val by = s.carry.bucketCol.map(c =>
-          (c, buckets.getOrElse(s.name, marked(spark, sp, s.carry.defaultBuckets))))
-        s.carry match {
-          case Carry.Rows(_, _) =>
-            StoreMaintenance.compactVerified(
-              spark, sp, s.path(dest), s"${fam.what} ${s.name}", numFiles, by)
-          case Carry.Fold(keys, sums, _, _) =>
-            foldVerified(spark, sp, s.path(dest),
-              s"${fam.what} ${s.name}", numFiles, keys, sums, by)
-        }
+      val chosen = buckets.get(s.name)
+        .orElse(if (resizable(s.carry)) Some(markedCount(spark, s.carry, sp))
+        else None)
+      s.carry match {
+        case _ if s.optional && !StoragePaths.exists(spark, sp) => ()
+        case Carry.Rows(bucketCol, _) =>
+          StoreMaintenance.compactVerified(spark, sp, s.path(dest),
+            s"${fam.what} ${s.name}", numFiles,
+            bucketCol.map(c => (c, chosen.get)))
+        case Carry.Fold(keys, sums, bucketCol, _) =>
+          foldVerified(spark, sp, s.path(dest),
+            s"${fam.what} ${s.name}", numFiles, keys, sums,
+            bucketCol.map(c => (c, chosen.get)))
+        case Carry.Custom(fn, _, _) =>
+          fn(spark, sp, s.path(dest), numFiles, chosen)
       }
     }
     fam.postCarry(spark, src, dest)

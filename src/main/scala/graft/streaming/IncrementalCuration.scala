@@ -100,17 +100,18 @@ object IncrementalCuration {
   def corpusPathOf(root: String): String = s"$root/corpus"
   def metricsPathOf(root: String): String = s"$root/metrics"
 
-  /** Every CARRIED store under a family root — the list
+  /** Every store under a family root — the list
     * [[CurationMaintenance]]'s carry is pinned against, in one place so
     * a new store cannot be added to the writes without joining it. The
-    * band sidecar ([[bandIndexPath]]) is deliberately absent: it is
-    * DERIVED from the signature rows and maintenance rebuilds it in the
-    * new generation rather than carrying it (its bucket key hashes
-    * `(band_idx, band_val)`, not an id column — and a rebuild from
-    * verified rows cannot disagree with them).
+    * band sidecar ([[bandIndexPath]]) is included but DERIVED: its
+    * maintenance carry rebuilds it in the new generation from the
+    * just-carried signature rows rather than copying it (its bucket key
+    * hashes `(band_idx, band_val)`, not an id column — and a rebuild
+    * from verified rows cannot disagree with them).
     */
   def storePaths(root: String): Seq[String] =
-    Seq(sigPathOf(root), corpusPathOf(root), metricsPathOf(root))
+    Seq(sigPathOf(root), bandIndexPath(sigPathOf(root)),
+      corpusPathOf(root), metricsPathOf(root))
 
   /** [[run]] over the family-root layout (signatures, corpus, and the
     * per-batch funnel ledger under one root) — the spelling

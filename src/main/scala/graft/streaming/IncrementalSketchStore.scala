@@ -160,12 +160,13 @@ object IncrementalSketchStore {
   def foldDaily(spark: SparkSession, srcPath: String, destPath: String): Unit = {
     require(StoragePaths.exists(spark, srcPath),
       s"IncrementalSketchStore.foldDaily: no store at $srcPath")
-    def allTime(path: String): (Long, Long) = {
+    def allTime(path: String): (Long, Long, Double) = {
       val r = spark.read.parquet(path)
         .agg(sum("n_events"),
-          expr("hll_sketch_estimate(hll_union_agg(users_hll, true))"))
+          expr("hll_sketch_estimate(hll_union_agg(users_hll, true))"),
+          sum("sum_value"))
         .head()
-      (r.getLong(0), r.getLong(1))
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
     }
     val want = allTime(srcPath)
     spark.read.parquet(srcPath).drop("batch")
@@ -177,9 +178,17 @@ object IncrementalSketchStore {
       .coalesce(1).write.mode("errorifexists")
       .parquet(s"$destPath/batch=${StoreMaintenance.CompactedBatch}")
     val carried = allTime(destPath)
-    require(carried == want,
+    require(carried._1 == want._1 && carried._2 == want._2,
       s"IncrementalSketchStore.foldDaily: carried (n_events, est) " +
-        s"$carried of $want — destination is not servable")
+        s"(${carried._1}, ${carried._2}) of (${want._1}, ${want._2}) — " +
+        "destination is not servable")
+    // sum_value is a DOUBLE: re-folding sums it in a different order, so
+    // exact equality is not the invariant — a vanishing relative error is
+    // (anything larger means dropped or double-added rows, not rounding)
+    require(math.abs(carried._3 - want._3) <=
+      1e-9 * math.max(1.0, math.abs(want._3)),
+      s"IncrementalSketchStore.foldDaily: carried sum_value ${carried._3} " +
+        s"of ${want._3} — destination is not servable")
   }
 
   /** The fresh-era guard both drains share: a new checkpoint era's batch

@@ -2,29 +2,26 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 
+import graft.streaming.FamilyMaintenance.{Carry, StoreSpec}
+
 /** The compaction loop for [[IncrementalSourceCap]]'s accumulating
-  * stores — the [[FamilyMaintenance]] measure → carry → publish contract,
-  * composed bespoke because the counts store's bucket key is its own
-  * (`xxhash64(source)` under the id-bucket formula — the
+  * stores — the [[FamilyMaintenance]] engine with one [[Carry.Custom]]
+  * store: the counts store's bucket key is its own (`xxhash64(source)`
+  * under the id-bucket formula — the
   * [[IncrementalSourceCap.compactCounts]] discipline; the engine's
   * generic fold would bucket on the raw column and place the rows where
   * [[IncrementalSourceCap.spentBudget]]'s touched-bucket probe never
-  * looks). The three carries:
+  * looks), so its carry routes through `compactCounts` — one summed
+  * delta per source ever admitted, sum-verified before the marker lands
+  * (a lost delta silently re-opens an exhausted source's budget). The
+  * decided ids re-bucket by `doc_id` and the corpus folds flat, both
+  * row-count verified; the carry list is pinned against
+  * [[IncrementalSourceCap.storePaths]].
   *
-  *  - counts: ADDITIVE fold via [[IncrementalSourceCap.compactCounts]] —
-  *    one summed delta per source ever admitted, sum-verified before the
-  *    bucket marker lands (a lost delta silently re-opens an exhausted
-  *    source's budget);
-  *  - decided ids: row-preserving, re-bucketed by `doc_id`
-  *    ([[StoreMaintenance.compactVerified]]);
-  *  - corpus: row-preserving, flat.
-  *
-  * The carry list is pinned against
-  * [[IncrementalSourceCap.storePaths]]; publish is the atomic
-  * `_current` pointer. A compacted generation is a complete
-  * [[IncrementalSourceCap]] root at `batch=-1`, and
-  * [[IncrementalSourceCap.run]] REFUSES a fresh checkpoint while
-  * `batch>=0` directories remain — one fresh era per compaction.
+  * A compacted generation is a complete [[IncrementalSourceCap]] root
+  * at `batch=-1`, and [[IncrementalSourceCap.run]] REFUSES a fresh
+  * checkpoint while `batch>=0` directories remain — one fresh era per
+  * compaction.
   */
 object SourceCapMaintenance {
 
@@ -42,9 +39,27 @@ object SourceCapMaintenance {
       compacted: Boolean,
       generation: Option[String])
 
+  private val family = FamilyMaintenance.Family(
+    what = "SourceCapMaintenance",
+    measureStore = "counts",
+    stores = Seq(
+      StoreSpec("counts", IncrementalSourceCap.countsPath _,
+        Carry.Custom(
+          (spark, src, dest, numFiles, buckets) => {
+            IncrementalSourceCap.compactCounts(
+              spark, src, dest, numFiles, buckets)
+            ()
+          },
+          bucketMarker = Some(IncrementalAnnIndex.IdBucketsMarker),
+          defaultBuckets = IncrementalSourceCap.NumSourceBuckets)),
+      StoreSpec("decided", IncrementalSourceCap.decidedPath _,
+        Carry.Rows(Some("doc_id"), IncrementalSourceCap.NumSourceBuckets)),
+      StoreSpec("corpus", IncrementalSourceCap.corpusPath _, Carry.Rows())),
+    pinStorePaths = Some(IncrementalSourceCap.storePaths _))
+
   /** The live generation's path — a full [[IncrementalSourceCap]] root. */
   def currentRoot(spark: SparkSession, genRoot: String): String =
-    StoreMaintenance.resolveCurrent(spark, genRoot)
+    FamilyMaintenance.currentRoot(spark, genRoot)
 
   /** Adopt a flat [[IncrementalSourceCap]] root into the generation
     * layout, publishing generation 0 atomically (and folding the spent
@@ -54,13 +69,8 @@ object SourceCapMaintenance {
       spark: SparkSession,
       genRoot: String,
       flatRoot: String,
-      numFiles: Int = 1): String = {
-    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
-    val dest = s"$genRoot/$gen"
-    carry(spark, flatRoot, dest, numFiles)
-    StoreMaintenance.publishGeneration(spark, genRoot, gen)
-    dest
-  }
+      numFiles: Int = 1): String =
+    FamilyMaintenance.adopt(spark, family, genRoot, flatRoot, numFiles)
 
   /** Rewrite the LIVE generation into the next one and atomically
     * repoint readers. `countBuckets` / `idBuckets` re-size the bucket
@@ -71,50 +81,10 @@ object SourceCapMaintenance {
       genRoot: String,
       numFiles: Int = 1,
       countBuckets: Option[Int] = None,
-      idBuckets: Option[Int] = None): String = {
-    val cur = currentRoot(spark, genRoot)
-    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
-    val dest = s"$genRoot/$gen"
-    carry(spark, cur, dest, numFiles, countBuckets, idBuckets)
-    StoreMaintenance.publishGeneration(spark, genRoot, gen)
-    dest
-  }
-
-  /** One verified carry of all three stores, shared by [[adopt]] and
-    * [[compact]] so the store list cannot fork (and pinned against
-    * [[IncrementalSourceCap.storePaths]]).
-    */
-  private def carry(
-      spark: SparkSession,
-      src: String,
-      dest: String,
-      numFiles: Int,
-      countBuckets: Option[Int] = None,
-      idBuckets: Option[Int] = None): Unit = {
-    val carried = Seq(
-      IncrementalSourceCap.countsPath _,
-      IncrementalSourceCap.decidedPath _,
-      IncrementalSourceCap.corpusPath _)
-    require(carried.map(_(src)) == IncrementalSourceCap.storePaths(src),
-      "SourceCapMaintenance.carry: store list diverged from " +
-        "IncrementalSourceCap.storePaths — add the new store to the carry")
-    IncrementalSourceCap.compactCounts(spark,
-      IncrementalSourceCap.countsPath(src),
-      IncrementalSourceCap.countsPath(dest), numFiles, countBuckets)
-    val ib = idBuckets.getOrElse(
-      IncrementalAnnIndex.bucketCount(spark,
-        IncrementalSourceCap.decidedPath(src))
-        .getOrElse(IncrementalSourceCap.NumSourceBuckets))
-    StoreMaintenance.compactVerified(spark,
-      IncrementalSourceCap.decidedPath(src),
-      IncrementalSourceCap.decidedPath(dest),
-      "SourceCapMaintenance decided", numFiles,
-      bucketBy = Some(("doc_id", ib)))
-    StoreMaintenance.compactVerified(spark,
-      IncrementalSourceCap.corpusPath(src),
-      IncrementalSourceCap.corpusPath(dest),
-      "SourceCapMaintenance corpus", numFiles)
-  }
+      idBuckets: Option[Int] = None): String =
+    FamilyMaintenance.compact(spark, family, genRoot, numFiles,
+      countBuckets.map("counts" -> _).toMap ++
+        idBuckets.map("decided" -> _).toMap)
 
   /** Measure-then-act: list the live generation's counts store and
     * compact iff its file count passed `maxFiles`. A triggered
@@ -127,26 +97,8 @@ object SourceCapMaintenance {
       maxFiles: Long = DefaultMaxFiles,
       numFiles: Int = 1,
       targetBucketBytes: Long = TargetBucketBytes): Report = {
-    require(targetBucketBytes > 0,
-      "SourceCapMaintenance.maintain: targetBucketBytes must be positive")
-    val cur = currentRoot(spark, genRoot)
-    val countsPath = IncrementalSourceCap.countsPath(cur)
-    val (files, bytes) = StoreMaintenance.fileStats(spark, countsPath)
-    if (files <= maxFiles) Report(files, bytes, compacted = false, None)
-    else {
-      def grown(path: String, storeBytes: Long): Int = {
-        val src = IncrementalAnnIndex.bucketCount(spark, path)
-          .getOrElse(IncrementalSourceCap.NumSourceBuckets)
-        math.max(src,
-          math.ceil(storeBytes.toDouble / targetBucketBytes).toInt)
-      }
-      val cb = grown(countsPath, bytes)
-      val ib = grown(IncrementalSourceCap.decidedPath(cur),
-        StoreMaintenance.fileStats(
-          spark, IncrementalSourceCap.decidedPath(cur))._2)
-      Report(files, bytes, compacted = true,
-        Some(compact(spark, genRoot, numFiles,
-          countBuckets = Some(cb), idBuckets = Some(ib))))
-    }
+    val r = FamilyMaintenance.maintain(
+      spark, family, genRoot, maxFiles, numFiles, targetBucketBytes)
+    Report(r.files, r.bytes, r.compacted, r.generation)
   }
 }
