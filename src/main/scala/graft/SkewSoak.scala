@@ -422,6 +422,69 @@ object SkewSoak {
     val bpJson =
       f""""boilerplate_df_probe":{"base_sec":${bpSecs(0)}%.2f,"x10_sec":${bpSecs(1)}%.2f,"time_growth":$bpGrowth%.1f,"store_base":$bpBaseN,"store_x10":${bpBaseN * 10},"batch":$bpBatch}"""
 
+    // Boilerplate df FOLD reset: the additive carry's measurable effect.
+    // A long-draining crawl leaves the df store as one delta dir per
+    // batch (64 here), and a probe pays per-dir listing + a wider
+    // per-bucket fold even when the data bytes are tiny. After the
+    // family's Carry.Fold — exercised through the REAL
+    // BoilerplateMaintenance.adopt entry point, one summed row per
+    // digest at batch=-1 — the SAME probe answers from one compact
+    // directory. Gate: fold-not-slower (generous 1.5× band for listing
+    // noise at these absolute times); the committed speedup is the
+    // evidence the fold resets planning cost, not just row count.
+    val dfBatches = 64
+    val (dfUnfolded, dfFolded) = {
+      val flat = java.nio.file.Files.createTempDirectory("soak-dffold")
+        .toString + "/bp"
+      val store = graft.streaming.IncrementalBoilerplate.dfPathOf(flat)
+      val buckets = 64
+      val rows = Dedup.chunkRows(skewedDocs(spark, (baseN * 3).toLong))
+        .groupBy("chunk_hash", "chunk_hash2")
+        .agg(countDistinct("doc_id").as("df_docs"))
+        .withColumn("id_bucket",
+          IncrementalAnnIndex.idBucket(col("chunk_hash"), buckets))
+        .persist()
+      rows.count()
+      (0 until dfBatches).foreach { b =>
+        rows.filter(pmod(col("chunk_hash"), lit(dfBatches.toLong)) === b.toLong)
+          .repartition(col("id_bucket"))
+          .write.partitionBy("id_bucket").parquet(s"$store/batch=$b")
+      }
+      rows.unpersist(blocking = false)
+      StoragePaths.writeSmallFile(spark,
+        s"$store/${IncrementalAnnIndex.IdBucketsMarker}", buckets.toString)
+      // the sibling stores the family carry requires (tiny fixtures)
+      val corpus = graft.streaming.IncrementalBoilerplate.corpusPathOf(flat)
+      spark.range(4).select(col("id").as("doc_id"),
+          lit("t").as("clean_text"), lit(1L).as("n_chunks"),
+          lit(1L).as("n_kept"))
+        .coalesce(1).write.parquet(s"$corpus/batch=0")
+      StoragePaths.writeBucketedStoreBatch(spark,
+        graft.streaming.IncrementalChunkDedup.docIdIndexPath(corpus),
+        spark.range(4).select(col("id").as("doc_id")), "doc_id", 0L, 8,
+        legacyFlatFallback = false)
+      val probe = Dedup.chunkRows(skewedDocs(spark, bpBatch.toLong)
+          .withColumn("doc_id", col("doc_id") + lit(4000000000L)))
+        .select("chunk_hash").persist()
+      probe.count()
+      def go(path: String): Long = graft.streaming.IncrementalBoilerplate
+        .priorDf(spark, path, probe, -999L).count()
+      go(store) // warm: codegen + file-index caches, excluded
+      val before = timed(go(store))._1
+      val genRoot = java.nio.file.Files.createTempDirectory("soak-dffoldg")
+        .toString + "/bp"
+      graft.streaming.BoilerplateMaintenance.adopt(spark, genRoot, flat)
+      val gen = graft.streaming.BoilerplateMaintenance
+        .currentRoot(spark, genRoot)
+      val foldedStore = graft.streaming.IncrementalBoilerplate.dfPathOf(gen)
+      go(foldedStore) // warm the folded store's file index
+      val after = timed(go(foldedStore))._1
+      probe.unpersist(blocking = false)
+      (before, after)
+    }
+    val dfFoldJson =
+      f""""df_fold_probe":{"unfolded_sec":$dfUnfolded%.2f,"folded_sec":$dfFolded%.2f,"batches":$dfBatches,"speedup":${dfUnfolded / dfFolded}%.1f}"""
+
     // Winnow fingerprint-store probe: the containment twin's membership
     // read is keyed by the 60-bit fingerprint hash (bucketed BY h, so a
     // probed fingerprint's every stored row is in a touched bucket) — a
@@ -616,13 +679,16 @@ object SkewSoak {
       // history-free: 10× the df store, flat probe (the chunk_membership
       // rationale on the delta-summed read)
       ("boilerplate_df_probe" -> (bpGrowth < 4.0)) :+
+      // fold-not-slower: the additive carry must never cost the probe
+      // (its whole point is resetting listing/planning cost)
+      ("df_fold_probe" -> (dfFolded <= dfUnfolded * 1.5)) :+
       // history-free: 10× the fingerprint store, flat h-keyed probe
       ("winnow_fp_probe" -> (wfGrowth < 4.0)) :+
       // history-free: 10× the off-vocabulary posting bulk, flat
       // term-keyed probe of a fixed query vocabulary
       ("bm25_postings_probe" -> (bmGrowth < 4.0)) :++
       admVerdicts
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,$wfJson,$bmJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,$dfFoldJson,$wfJson,$bmJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>
