@@ -229,8 +229,9 @@ object IncrementalPacking {
     // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
     // new checkpoint era's batch ids restart at 0 and would overwrite
     // the previous era's bin and cursor batches — silently un-packing
-    // shipped bins. Re-entry is via StoreMaintenance.compact to
-    // batch=-1 (the cursor read is compaction-safe).
+    // shipped bins. Re-entry is via PackingMaintenance's batch=-1 carry
+    // (the cursor read is compaction-safe, and the carry brings the
+    // frozen _shards/_budget markers along).
     require(StoragePaths.exists(spark, checkpointDir) ||
       storePaths(root).forall(p => !StoragePaths.hasEpochDirs(spark, p)),
       s"IncrementalPacking.run: fresh checkpoint $checkpointDir over " +
