@@ -520,6 +520,35 @@ object SkewSoak {
     val wfJson =
       f""""winnow_fp_probe":{"base_sec":${wfSecs(0)}%.2f,"x10_sec":${wfSecs(1)}%.2f,"time_growth":$wfGrowth%.1f,"store_base":$wfBaseN,"store_x10":${wfBaseN * 10},"batch":$wfBatch}"""
 
+    // df-cap mega-key leg: ONE fingerprint planted on hundreds of
+    // thousands of docs (df ≫ MaxShingleDf) over a FIXED legitimate pair
+    // workload — the adversarial input the boilerplate cap exists for.
+    // The scale-safe dfCapped spelling (groupBy → broadcast anti-join)
+    // absorbs the hot key in map-side partial aggregation, so 10× more
+    // mega-key rows cost one bigger linear scan, never a single-task
+    // window buffer holding every row of the key; growth well under the
+    // scan-linear 10× proves no task ever buffered it.
+    def megaKeySec(hotN: Long): Double = {
+      val legit = spark.range(3000L)
+        .select(col("id").as("doc_id"),
+          explode(sequence(lit(0L), lit(8L))).as("j"))
+        .select(col("doc_id"),
+          // 9 fps per doc; consecutive doc pairs share all of them, so a
+          // real (bounded) overlap workload rides beneath the mega key
+          ((col("doc_id") / 2) * 100L + col("j")).as("h"))
+      val hot = spark.range(hotN).select(
+        (col("id") + 1000000L).as("doc_id"), lit(424242424L).as("h"))
+      val rel = legit.unionByName(hot).localCheckpoint()
+      def go(): Long = Dedup.winnowOverlapPairsFrom(rel).count()
+      go() // warm: codegen caches, excluded
+      timed(go())._1
+    }
+    val mkBase = math.max(200000L, baseN * 60)
+    val mkSecs = Seq(mkBase, mkBase * 10).map(megaKeySec)
+    val mkGrowth = mkSecs(1) / mkSecs(0)
+    val mkJson =
+      f""""df_megakey":{"base_sec":${mkSecs(0)}%.2f,"x10_sec":${mkSecs(1)}%.2f,"time_growth":$mkGrowth%.1f,"hot_base":$mkBase,"hot_x10":${mkBase * 10},"legit_docs":3000}"""
+
     // BM25 posting-store probe: the incremental index's search fetches
     // postings with static pruning to the query vocabulary's term buckets
     // (bucketed BY term, so a probed term's every posting is in a touched
@@ -658,19 +687,22 @@ object SkewSoak {
       ("chunk_membership" -> (chunkGrowth < 4.0)) :+
       ("pq_membership" -> (pqmGrowth < 4.0)) :+
       // linear bars: capped candidates (ivfpq) and an AQE-sized join over
-      // a batch that itself grew 10× (source cap)
-      ("ivfpq_hotlist" -> (ipqGrowth < 30.0)) :+
-      ("source_cap_wide" -> (scGrowth < 30.0)) :+
-      // linear bar, same rationale as the capped pair joins: the one-list
-      // corpus is 10× the members through a members × cap candidate join
-      ("semdedup_hotlist" -> (sdGrowth < 30.0)) :+
+      // a batch that itself grew 10× (source cap). Gates sit at ~2× the
+      // observed multi-round ceiling (1.6–1.9× / 1.7–1.8×) — a 30× bar
+      // cannot tell flat from quadratic-with-small-constant
+      ("ivfpq_hotlist" -> (ipqGrowth < 8.0)) :+
+      ("source_cap_wide" -> (scGrowth < 8.0)) :+
+      // sub-linear on 10× input (observed 5.0–5.8×); gate at ~2× that
+      ("semdedup_hotlist" -> (sdGrowth < 10.0)) :+
       // linear bar: 10× the corpus through a broadcast probe of a fixed
       // eval set — superlinear growth means the probe side stopped
       // broadcasting or candidates stopped being per-row bounded
       ("decontam_probe" -> (dcGrowth < 30.0)) :+
-      // linear bar: 10× docs with 10× shards (the deployment sizing rule)
-      // through one id-width shuffle and constant per-shard window work
-      ("pack_scaled_shards" -> (pkGrowth < 30.0)) :+
+      // claims FLAT (10× docs with 10× shards through one id-width
+      // shuffle and constant per-shard window work; observed 0.9–2.2×) —
+      // the gate matches the claim so a regression to quadratic cannot
+      // hide under a linear bar
+      ("pack_scaled_shards" -> (pkGrowth < 5.0)) :+
       // linear bar, tightened once the bin seam made the plan id-width
       // only (no tokenize of text can hide in here anymore): 10× bins
       // with 10× readers through the bin aggregate and one reader-keyed
@@ -684,11 +716,14 @@ object SkewSoak {
       ("df_fold_probe" -> (dfFolded <= dfUnfolded * 1.5)) :+
       // history-free: 10× the fingerprint store, flat h-keyed probe
       ("winnow_fp_probe" -> (wfGrowth < 4.0)) :+
+      // mega-key: 10× the planted boilerplate key's rows over a fixed
+      // legit workload — well under scan-linear means no task buffered it
+      ("df_megakey" -> (mkGrowth < 5.0)) :+
       // history-free: 10× the off-vocabulary posting bulk, flat
       // term-keyed probe of a fixed query vocabulary
       ("bm25_postings_probe" -> (bmGrowth < 4.0)) :++
       admVerdicts
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,$dfFoldJson,$wfJson,$bmJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,$dfFoldJson,$wfJson,$mkJson,$bmJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>

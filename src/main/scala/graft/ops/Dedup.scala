@@ -191,6 +191,34 @@ object Dedup {
     out
   }
 
+  /** The `key` values of `rel` with more than `maxDf` rows — the
+    * boilerplate set a df cap drops. Spelled as a partially-aggregated
+    * `groupBy`, so a mega-hot key costs one long per map task, never a
+    * buffered partition.
+    */
+  private[graft] def overCapKeys(rel: DataFrame, key: String,
+      maxDf: Int): DataFrame =
+    rel.groupBy(key).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(key)
+
+  /** Drop every row whose `key` value appears more than `maxDf` times in
+    * `rel` — the boilerplate df cap, spelled scale-safe. The obvious
+    * spelling (`count().over(Window.partitionBy(key))` then filter)
+    * shuffles EVERY row of the hottest key into one task's window buffer
+    * before the filter can drop it, so the exact adversarial input the cap
+    * exists for (a boilerplate fingerprint with df in the millions) becomes
+    * a single-task buffer/spill straggler. This spelling is bit-identical
+    * in output and has no such key: `groupBy(key).count` absorbs the hot
+    * key in map-side partial aggregation, the over-cap key set is tiny by
+    * definition (boilerplate keys are few) and broadcasts, and the
+    * broadcast ANTI-join drops its rows streamingly. `rel` is scanned
+    * twice (the count and the probe side) — callers pass a persisted or
+    * checkpointed relation.
+    */
+  private[graft] def dfCapped(rel: DataFrame, key: String,
+      maxDf: Int): DataFrame =
+    rel.join(broadcast(overCapKeys(rel, key, maxDf)), Seq(key), "left_anti")
+
   /** MinHash-LSH near-duplicate pairs: bucket-join candidates (band buckets
     * hotter than `maxBandOccupancy` degrade to star candidates — see
     * [[MaxBandOccupancy]]), then exact Jaccard verification over the FULL
@@ -235,12 +263,13 @@ object Dedup {
     * df² candidate pairs — see [[MaxShingleDf]].
     */
   def ngramJaccardPairs(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
-    val ds = docShingles(docs)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <= maxDf)
-      .select("doc_id", "h")
-      .persist()
+    // the raw shingle relation persists first: dfCapped scans it twice
+    // (count + probe), and an unpersisted plan would tokenize twice
+    val raw = docShingles(docs).select("doc_id", "h").persist()
+    raw.count()
+    val ds = dfCapped(raw, "h", maxDf).persist()
     ds.count() // eager: three downstream legs (see minhashPairs)
+    raw.unpersist(blocking = false)
     val common = ds.as("sa")
       .join(ds.as("sb"),
         col("sa.h") === col("sb.h") &&
@@ -834,8 +863,11 @@ object Dedup {
     */
   def winnowOverlapPairs(docs: DataFrame, k: Int = WinnowK,
       w: Int = WinnowWindow, maxDf: Int = MaxShingleDf): DataFrame =
+    // checkpoint the distinct set so dfCapped's two scans re-read a
+    // materialized relation instead of re-running the distinct shuffle
     winnowOverlapPairsFrom(
-      winnowFingerprints(docs, k, w).select("doc_id", "h").distinct(), maxDf)
+      winnowFingerprints(docs, k, w).select("doc_id", "h").distinct()
+        .localCheckpoint(), maxDf)
 
   /** [[winnowOverlapPairs]] over an explicit distinct `(doc_id, h)`
     * fingerprint relation — the seam the incremental twin uses so each
@@ -844,11 +876,9 @@ object Dedup {
     */
   private[graft] def winnowOverlapPairsFrom(fpSet: DataFrame,
       maxDf: Int = MaxShingleDf): DataFrame = {
-    val fps = fpSet
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <= maxDf)
-      .select("doc_id", "h")
-      .persist()
+    // fpSet is checkpointed (batch path) or persisted (incremental twin),
+    // so dfCapped's second scan re-reads a materialized relation
+    val fps = dfCapped(fpSet.select("doc_id", "h"), "h", maxDf).persist()
     fps.count() // eager: three downstream legs (see minhashPairs)
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = fps.as("sa")

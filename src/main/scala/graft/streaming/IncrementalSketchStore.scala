@@ -161,10 +161,13 @@ object IncrementalSketchStore {
     require(StoragePaths.exists(spark, srcPath),
       s"IncrementalSketchStore.foldDaily: no store at $srcPath")
     def allTime(path: String): (Long, Long, Double) = {
+      // coalesce the nullable aggregates: an all-null `value` column sums
+      // to NULL on a legitimately foldable store, and getDouble on a null
+      // would NPE the fold instead of carrying the zero
       val r = spark.read.parquet(path)
-        .agg(sum("n_events"),
+        .agg(coalesce(sum("n_events"), lit(0L)),
           expr("hll_sketch_estimate(hll_union_agg(users_hll, true))"),
-          sum("sum_value"))
+          coalesce(sum("sum_value"), lit(0.0d)))
         .head()
       (r.getLong(0), r.getLong(1), r.getDouble(2))
     }

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -37,11 +36,13 @@ import graft.ops.Dedup
   *      hash buckets (bucketing is BY fingerprint, so every stored row of
   *      a probed fingerprint lives in a touched bucket); stored
   *      fingerprints in more than [[Dedup.MaxShingleDf]] admitted docs are
-  *      boilerplate and excluded — the batch operator's df-cap applied at
-  *      probe time (numerators only: stored set sizes stay as admitted,
-  *      the documented incremental approximation); containment =
-  *      common / min(sizes) against the size sidecar, fetched id-pruned
-  *      for candidate docs only;
+  *      boilerplate and excluded from BOTH probe sides — the batch
+  *      operator's df-cap applied at probe time, with the batch-side set
+  *      size recomputed over the capped relation so one document's
+  *      numerator and denominator share a universe (only STORED set sizes
+  *      stay as admitted, the documented incremental approximation);
+  *      containment = common / min(sizes) against the size sidecar,
+  *      fetched id-pruned for candidate docs only;
   *   5. writes: admitted rows to the corpus store, admitted fingerprints
   *      (h-bucketed) + sizes (id-bucketed) + decided ids, and the decision
   *      ledger.
@@ -110,7 +111,9 @@ object IncrementalWinnow {
       Seq("doc_id"), excludeBatchId)
 
   /** One batch's outcome: admitted rows, their fingerprint/size relations,
-    * the decision ledger, and funnel counts.
+    * the decision ledger, and funnel counts. The counts DECOMPOSE: a doc
+    * dropped by both passes is attributed to the within-batch pass alone,
+    * so `nDroppedWithin + nDroppedStore + admitted.count == nDocs`.
     */
   final case class BatchResult(
       admitted: DataFrame,
@@ -158,18 +161,26 @@ object IncrementalWinnow {
       .groupBy(col("b_id").as("doc_id"))
       .agg(min("a_id").as("dup_of"),
         min_by(col("n_common"), col("a_id")).as("n_common"))
-    // cross-batch: df-cap stored boilerplate fingerprints at probe time,
-    // then exact common counts against the admitted sets
-    val keptStore = storeFps
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <= Dedup.MaxShingleDf)
+    // cross-batch: drop the store's boilerplate fingerprints (df > cap,
+    // measured over the stored relation) from BOTH probe sides through
+    // [[Dedup.overCapKeys]]'s scale-safe groupBy→broadcast-anti spelling —
+    // a window over `h` would buffer a mega-hot stored fingerprint's every
+    // row in one task. Capping the batch side too keeps one document's
+    // numerator and denominator in the SAME universe (the within-batch
+    // pass caps both sides the same way); only the STORED set sizes stay
+    // as admitted — the documented approximation.
+    val boiler = Dedup.overCapKeys(storeFps.select("h"), "h",
+      Dedup.MaxShingleDf).localCheckpoint()
+    val keptStore = storeFps.join(broadcast(boiler), Seq("h"), "left_anti")
       .select(col("doc_id").as("stored_id"), col("h"))
-    val common = fps.join(keptStore, Seq("h"))
+    val fpsCapped = fps.join(broadcast(boiler), Seq("h"), "left_anti")
+    val common = fpsCapped.join(keptStore, Seq("h"))
       .groupBy("doc_id", "stored_id")
       .agg(count(lit(1)).as("n_common"))
     val newSizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val storeDups = common
-      .join(newSizes.withColumnRenamed("n", "n_new"), Seq("doc_id"))
+      .join(fpsCapped.groupBy("doc_id").agg(count(lit(1)).as("n_new")),
+        Seq("doc_id"))
       .join(storeSizes.select(col("doc_id").as("stored_id"),
         col("n").as("n_stored")), Seq("stored_id"))
       .filter(col("n_common").cast("double") /
@@ -182,8 +193,10 @@ object IncrementalWinnow {
       .agg(min("dup_of").as("dup_of"),
         min_by(col("n_common"), col("dup_of")).as("n_common"))
       .persist()
+    // attribute each dropped doc to ONE pass (within wins): the funnel
+    // counts decompose — nDroppedWithin + nDroppedStore + |admitted| = nDocs
     val nWithin = within.count()
-    val nStore = storeDups.count()
+    val nDroppedTotal = dropped.count()
     val admitted = batch.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val keptIds = admitted.select("doc_id")
@@ -198,7 +211,8 @@ object IncrementalWinnow {
     fps.unpersist(blocking = false)
     dropped.unpersist(blocking = false)
     BatchResult(admitted, outFps, outSizes, ledger,
-      nDocs = batch.count(), nDroppedWithin = nWithin, nDroppedStore = nStore)
+      nDocs = batch.count(), nDroppedWithin = nWithin,
+      nDroppedStore = nDroppedTotal - nWithin)
   }
 
   /** Every accumulating store under a winnow root — the carry list

@@ -39,8 +39,11 @@ private[graft] object StoragePaths {
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(hp) && fs.listStatus(hp).exists { d =>
       val n = d.getPath.getName
+      // parse defensively: a stray non-numeric partition dir (a leftover
+      // temp dir, a __HIVE_DEFAULT_PARTITION__) is not an epoch dir and
+      // must not crash the guard into a NumberFormatException verdict
       d.isDirectory && n.startsWith("batch=") &&
-        n.stripPrefix("batch=").toLong >= 0
+        scala.util.Try(n.stripPrefix("batch=").toLong).toOption.exists(_ >= 0)
     }
   }
 

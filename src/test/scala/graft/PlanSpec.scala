@@ -553,4 +553,59 @@ class PlanSpec extends SparkSpec {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.size == 1, p.toString)
   }
+
+  test("df cap never windows over h — broadcast anti-join only") {
+    // the boilerplate-cap scale contract ([[Dedup.dfCapped]]): a
+    // count().over(Window.partitionBy(h)) spelling buffers a mega-hot
+    // fingerprint's EVERY row in one task before the filter can drop it —
+    // exactly the adversarial key the cap exists for. The capped operators
+    // materialize eagerly, so a plan assertion on their RESULT cannot see
+    // the internal shape; instead capture every plan the session executes
+    // while they run and assert none windows over h.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val offenders = new scala.collection.concurrent.TrieMap[String, String]()
+    val sawMarker = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = {
+        val p = qe.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.initialPlan
+          case other => other
+        }
+        p.foreach {
+          case w: WindowExec if w.partitionSpec
+              .flatMap(_.references.map(_.name).toSeq).contains("h") =>
+            offenders.put(w.verboseString(120), funcName)
+          case _ => ()
+        }
+        if (p.toString.contains("marker_df_cap")) sawMarker.set(true)
+      }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = T.table(spark, sf, "documents")
+      Dedup.ngramJaccardPairs(docs).count()
+      Dedup.winnowOverlapPairs(docs).count()
+      // listener delivery is async on a FIFO queue: once the marker
+      // query's event arrives, every earlier event has been delivered
+      spark.range(1).selectExpr("id as marker_df_cap").collect()
+      val deadline = System.currentTimeMillis + 30000
+      while (!sawMarker.get && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(sawMarker.get, "listener marker never delivered")
+    } finally spark.listenerManager.unregister(listener)
+    assert(offenders.isEmpty,
+      s"windows partitioned over h:\n${offenders.mkString("\n")}")
+    // and the helper itself is the broadcast anti-join shape
+    val fps = Dedup.winnowFingerprints(T.table(spark, sf, "documents"))
+      .select("doc_id", "h").distinct().localCheckpoint()
+    val ns = nodes(Dedup.dfCapped(fps, "h", Dedup.MaxShingleDf))
+    assert(!ns.contains("Window"), ns)
+    assert(ns.contains("BroadcastHashJoin"), ns)
+  }
 }
