@@ -27,6 +27,24 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object IncrementalSketchStore {
 
+  /** The day-grain HLL/additive partial store under a sketch family
+    * root — the path convention [[SketchStoreMaintenance]] carries.
+    * The drains take explicit store paths (they predate the root), so a
+    * maintained deployment passes `dailyPath(currentRoot)` /
+    * `cmsPath(currentRoot)` to them.
+    */
+  def dailyPath(root: String): String = s"$root/daily"
+
+  /** The per-batch CMS partial store under a sketch family root. */
+  def cmsPath(root: String): String = s"$root/cms"
+
+  /** Every accumulating store under a sketch family root — the carry
+    * list [[SketchStoreMaintenance]] pins against, so a new store cannot
+    * be added to the writes without joining the maintenance loop.
+    */
+  def storePaths(root: String): Seq[String] =
+    Seq(dailyPath(root), cmsPath(root))
+
   /** Day-grain partial aggregates of one batch. lgConfigK 12 ⇒ ~2.5%
     * relative standard error, ~4 KB per sketch.
     */
@@ -207,8 +225,9 @@ object IncrementalSketchStore {
       !StoragePaths.hasEpochDirs(spark, storePath),
       s"IncrementalSketchStore.$what: fresh checkpoint $checkpointDir " +
         s"over store $storePath which still holds batch>=0 directories — " +
-        "the new era would overwrite them; compact first (foldDaily/" +
-        "foldCms fold history to batch=-1)")
+        "the new era would overwrite them; compact first " +
+        "(SketchStoreMaintenance.maintain folds history to batch=-1 and " +
+        "publishes the generation the drain re-enters)")
 
   /** Drain the landing dir, appending each micro-batch's CMS partial —
     * the frequency-sketch twin of [[run]].
