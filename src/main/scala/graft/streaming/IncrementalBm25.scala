@@ -127,14 +127,51 @@ object IncrementalBm25 {
         (sum("sum_dl").cast("double") / sum("n_docs")).as("avgdl"))
   }
 
+  /** Per-term stored document frequency of the given terms — a TERM-WIDTH
+    * pruned read: parquet prunes the posting payload columns out of the
+    * scan, so counting a term's df costs a fraction of fetching its
+    * postings. The [[searchStore]] stop-term guard's measurement pass.
+    */
+  def storedDf(spark: SparkSession, root: String,
+      terms: DataFrame): DataFrame =
+    StoragePaths.prunedStore(spark, postingsPath(root), "term", terms,
+      StructType(Seq(StructField("term", StringType))),
+      excludeBatchId = None, semiJoinKeys = true)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
   /** Rank the fixed query batch against the accumulated index through the
-    * shared [[Retrieval.scoreTf]] seam. Equals `Retrieval.bm25TopK` over
-    * the admitted corpus exactly.
+    * shared [[Retrieval.scoreTf]] seam. With `maxTermDf = None` (the
+    * default) this equals `Retrieval.bm25TopK` over the admitted corpus
+    * exactly.
+    *
+    * Exact BM25 must fetch EVERY posting of each query term, so one
+    * stop-word-like term (df ≈ N) makes one probe read the whole store —
+    * unbounded per query however bucketed the layout is. `maxTermDf`
+    * bounds it with the [[graft.ops.Dedup.MaxShingleDf]] discipline: a
+    * term stored in more than `maxTermDf` documents is dropped from the
+    * query vocabulary BEFORE the posting fetch, justified by BM25 itself
+    * (the Lucene-convention IDF of a df ≈ N term is ~0, so its
+    * contribution is noise-sized). The guard's df pre-count reads only
+    * the `term` column of the touched buckets ([[storedDf]]), so it costs
+    * term-width I/O, never posting-width. DOCUMENTED DIVERGENCE from the
+    * uncapped search: a dropped term contributes exactly zero (not
+    * epsilon) and no longer counts toward `n_hit_terms`, so a document
+    * matching ONLY stop terms leaves the result set — asserted in
+    * `IncrementalBm25Spec`.
     */
   def searchStore(spark: SparkSession, root: String,
-      k: Int = graft.ops.Portable.Bm25TopK): DataFrame = {
+      k: Int = graft.ops.Portable.Bm25TopK,
+      maxTermDf: Option[Long] = None): DataFrame = {
     val queries = Retrieval.queriesDf(spark)
-    val tf = priorPostings(spark, root, queries.select("term"))
+    val terms = maxTermDf match {
+      case None => queries.select("term")
+      case Some(cap) =>
+        queries.select("term").join(
+          broadcast(storedDf(spark, root, queries.select("term"))
+            .filter(col("df") > cap).select("term")),
+          Seq("term"), "left_anti")
+    }
+    val tf = priorPostings(spark, root, terms)
       .localCheckpoint() // feeds both df and the scoring join
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     Retrieval.scoreTf(tf, df, readStats(spark, root), queries, k)

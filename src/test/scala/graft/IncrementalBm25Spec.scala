@@ -81,6 +81,50 @@ class IncrementalBm25Spec extends SparkSpec {
       == docs.count())
   }
 
+  test("the stop-term guard bounds the probe with the documented divergence") {
+    val landing = Files.createTempDirectory("bm255-landing")
+    val ckpt = Files.createTempDirectory("bm255-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("bm255-root").toString + "/idx"
+    // plant the query term "join" in EVERY document: its df equals the
+    // corpus size, the exact stop-term shape whose postings an uncapped
+    // probe must fetch whole
+    val planted = docs.withColumn("text",
+      concat_ws(" ", col("text"), lit("join")))
+    landParquet(landing, "b1.parquet", planted)
+    IncrementalBm25.run(spark, landing.toString, ckpt, root, docSchema)
+    val n = docs.count()
+    val qTerms = Retrieval.queriesDf(spark).select("term").distinct()
+    val dfs = IncrementalBm25.storedDf(spark, root, qTerms)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs("join") == n, "fixture: the planted term must have df = N")
+    // the cap sits between the hottest legitimate term and the planted
+    // stop term, so exactly "join" is over-cap
+    val cap = dfs.filter(_._1 != "join").values.max
+    assert(cap < n, s"fixture: every other query term must sit under N: $dfs")
+    val uncapped = topk(IncrementalBm25.searchStore(spark, root))
+    val capped = topk(IncrementalBm25.searchStore(spark, root,
+      maxTermDf = Some(cap)))
+    // ground truth for the capped search: the shared scoring seam over a
+    // vocabulary with the stop term removed (dl/avgdl still count it —
+    // the cap drops the term from the QUERY, not from the index)
+    val prunedTf = IncrementalBm25.priorPostings(spark, root,
+      qTerms.filter(col("term") =!= "join"))
+    val prunedDf = prunedTf.groupBy("term").agg(count(lit(1)).as("df"))
+    val want = topk(Retrieval.scoreTf(prunedTf, prunedDf,
+      IncrementalBm25.readStats(spark, root),
+      Retrieval.queriesDf(spark), graft.ops.Portable.Bm25TopK))
+    assert(capped == want,
+      "capped search must equal the seam with the stop term dropped")
+    // the documented divergence is real: query 0 carries the stop term,
+    // so its capped rows hit at most the one remaining term…
+    assert(capped != uncapped)
+    assert(capped.filter(_._1 == 0L).forall(_._3 <= 1L),
+      "a dropped stop term may not count toward n_hit_terms")
+    // …while queries without a stop term rank bit-identically
+    assert(capped.filter(_._1 != 0L) == uncapped.filter(_._1 != 0L),
+      "queries without stop terms must not move under the cap")
+  }
+
   test("posting probes read only the query vocabulary's term buckets") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.SparkPlan
