@@ -246,6 +246,8 @@ object SparkEntry {
     "stock_dim_securities" -> ((s, dir) => dimSecurities(s, dir)),
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(T.table(s, dir, "documents"))),
+    "text_subword_tokens" -> ((s, dir) =>
+      TextAnalysis.subwordTokens(T.table(s, dir, "documents"))),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(T.table(s, dir, "documents"))),
     "text_quality" -> ((s, dir) =>
@@ -543,6 +545,7 @@ object SparkEntry {
     "stock_dim_securities" -> O.query(O.stockChain ++ O.dimChain,
       "SELECT * FROM dim"),
     "text_tokens" -> OO.TEXT_TOKENS,
+    "text_subword_tokens" -> OO.TEXT_SUBWORD_TOKENS,
     "text_langid" -> OO.TEXT_LANGID,
     "text_quality" -> OO.TEXT_QUALITY,
     "text_fingerprint" -> OO.TEXT_FINGERPRINT,

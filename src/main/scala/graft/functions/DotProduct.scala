@@ -110,5 +110,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
       PqEncode.fromChildren _))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_subword_count"),
+      new ExpressionInfo(classOf[SubwordCount].getName, "graft_subword_count"),
+      SubwordCount.fromChildren _))
   }
 }

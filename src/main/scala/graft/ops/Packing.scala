@@ -47,14 +47,23 @@ object Packing {
   /** Hash shards — the independent packing streams (see scale sizing). */
   val Shards = 8
 
-  /** `(doc_id, shard, n_tokens)` — whitespace token counts (the
-    * [[TextAnalysis]] convention) and the md5 shard assignment. Text is
+  /** The default `n_tokens` source: whitespace token counts (the
+    * [[TextAnalysis]] convention). A trainer whose budget meters SUBWORD
+    * tokens — the count that actually prices CJK/code/URL-heavy documents
+    * — passes [[TextAnalysis.subwordCountSql]] instead (the native greedy
+    * WordPiece kernel); the packing math is source-agnostic.
+    */
+  val WhitespaceTokensSql: String = s"CAST(size($tokensSpark) AS BIGINT)"
+
+  /** `(doc_id, shard, n_tokens)` — `nTokensSql` counts (see
+    * [[WhitespaceTokensSql]]) and the md5 shard assignment. Text is
     * dropped HERE, before any shuffle.
     */
-  private[graft] def sized(docs: DataFrame, shards: Int): DataFrame =
+  private[graft] def sized(docs: DataFrame, shards: Int,
+      nTokensSql: String = WhitespaceTokensSql): DataFrame =
     docs.selectExpr("doc_id",
       s"${hexcastSpark("concat('pack:', CAST(doc_id AS STRING))")} % $shards AS shard",
-      s"CAST(size($tokensSpark) AS BIGINT) AS n_tokens")
+      s"CAST(($nTokensSql) AS BIGINT) AS n_tokens")
 
   /** Packed assignment `(doc_id, shard, n_tokens, bin, bin_offset)`:
     * `bin` is the shard-local sequence index, `bin_offset` the token
@@ -62,10 +71,11 @@ object Packing {
     * predecessor pushes it past `Budget` − that is the documented overflow,
     * visible in [[stats]]).
     */
-  def packBins(docs: DataFrame, shards: Int = Shards): DataFrame = {
+  def packBins(docs: DataFrame, shards: Int = Shards,
+      nTokensSql: String = WhitespaceTokensSql): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sized(docs, shards)
+    sized(docs, shards, nTokensSql)
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .withColumn("bin",
         floor((col("cum_tokens") - col("n_tokens")) / Budget).cast("long"))

@@ -186,6 +186,34 @@ object Portable {
 
   val bm25AllTerms: Seq[String] = bm25Queries.flatMap(_._2).distinct
 
+  /** Greedy longest-match WordPiece vocabulary (Schuster & Nakajima,
+    * "Japanese and Korean voice search", ICASSP 2012; the BERT `##`
+    * continuation convention; subword budgeting per Sennrich et al.,
+    * "Neural machine translation of rare words with subword units",
+    * ACL 2016). A fixture vocabulary, not a trained artifact: every ASCII
+    * letter/digit is present as BOTH a head piece and a `##` continuation,
+    * so any [[bpeSpark]] letter/digit pre-token tokenizes without [UNK]
+    * (non-ASCII pre-tokens collapse to one [UNK], the BERT whole-word
+    * convention), while the multi-character pieces exercise real
+    * longest-match behavior. Splatted verbatim into BOTH dialects — the
+    * [[bm25Queries]] discipline.
+    */
+  val subwordVocab: Seq[String] = {
+    val singles = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9'))
+      .map(_.toString)
+    val words = Seq("the", "and", "for", "with", "data", "join", "hash",
+      "spark", "stream", "window", "vector", "scan", "merge", "table",
+      "query", "index", "shuffle", "batch")
+    val suffixes = Seq("##ing", "##ed", "##er", "##es", "##ion", "##ly",
+      "##s", "##able", "##ment")
+    (singles ++ singles.map("##" + _) ++ words ++ suffixes).distinct
+  }
+
+  /** Pre-tokens longer than this collapse to one [UNK] (BERT's
+    * max_input_chars_per_word guard — bounds the per-word matching loop).
+    */
+  val SubwordMaxWordLen = 48
+
   /** One term's BM25 contribution — dialect-free arithmetic over BIGINT
     * `tf`/`df`/`dl`, BIGINT `n`, DOUBLE `avgdl` columns. Parenthesized
     * fully so both engines associate identically.

@@ -30,6 +30,33 @@ object TextAnalysis {
         "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct_tokens",
         "CAST(nonspace AS DOUBLE) / nullif(size(toks), 0) AS avg_token_len")
 
+  /** SQL array literal of [[Portable.subwordVocab]] — splatted into the
+    * expression call so the vocabulary folds at plan build.
+    */
+  private[graft] val subwordVocabSql: String =
+    subwordVocab.map(p => s"'$p'").mkString("array(", ", ", ")")
+
+  /** The subword token count of a document's text as a SQL expression —
+    * [[Portable.bpeSpark]] pre-tokens through the native
+    * `graft_subword_count` kernel (greedy longest-match WordPiece over
+    * the folded [[Portable.subwordVocab]]). The opt-in `n_tokens` source
+    * for [[Packing]] / token shards: subword counts are what a trainer's
+    * budget actually meters.
+    */
+  val subwordCountSql: String =
+    s"graft_subword_count($bpeSpark, $subwordVocabSql, $SubwordMaxWordLen)"
+
+  /** Per-document subword token counts beside the proxy counts they
+    * correct: `(doc_id, n_bpe_tokens, n_subwords)` — `n_subwords ≥
+    * n_bpe_tokens` except where [UNK] collapses a word (asserted in the
+    * spec). One narrow projection, no shuffle, like every operator here.
+    */
+  def subwordTokens(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      s"CAST(size($bpeSpark) AS BIGINT) AS n_bpe_tokens",
+      s"$subwordCountSql AS n_subwords")
+
   /** N-gram-profile language ID: score = marker-token hit-rate per language,
     * prediction = argmax with fixed tie order (en,de,es,fr,zh), 'und' when
     * no marker hits at all.

@@ -21,6 +21,66 @@ import graft.ops.Portable._
   */
 object OpsOracleSql {
 
+  /** Greedy longest-match WordPiece, mirrored as set-based SQL: the
+    * per-(word, pos) LONGEST matching vocabulary piece is precomputed
+    * non-recursively (distinct words × positions × vocab — bounded by
+    * [[SubwordMaxWordLen]]), then a recursive walk advances each word's
+    * cursor by its match, one deterministic successor per row. A word
+    * whose walk never reaches the end (no piece matched somewhere) or
+    * that is over-length never lands in `word_n` and coalesces to the
+    * 1-token [UNK] — exactly the Spark kernel's whole-word collapse.
+    * Vocabulary comes verbatim from [[graft.ops.Portable.subwordVocab]]
+    * (the shared-data discipline of the header note).
+    */
+  val TEXT_SUBWORD_TOKENS: String = {
+    val vocabRows = subwordVocab.map { p =>
+      val cont = p.startsWith("##")
+      val piece = if (cont) p.substring(2) else p
+      s"('$piece', $cont, ${piece.length})"
+    }.mkString(", ")
+    val maxLen = SubwordMaxWordLen
+    s"""WITH RECURSIVE
+       |vocab(piece, is_cont, plen) AS (VALUES $vocabRows),
+       |dw AS (
+       |  SELECT doc_id, unnest($bpeDuck) AS word FROM documents
+       |),
+       |dwc AS (SELECT doc_id, word, count(*) AS cnt FROM dw GROUP BY 1, 2),
+       |words AS (
+       |  SELECT DISTINCT word FROM dwc WHERE length(word) <= $maxLen
+       |),
+       |matches AS (
+       |  SELECT w.word, p.pos,
+       |    max(CASE WHEN substr(w.word, p.pos, v.plen) = v.piece
+       |        THEN v.plen END) AS mlen
+       |  FROM words w
+       |  JOIN (SELECT unnest(range(1, ${maxLen + 1})) AS pos) p
+       |    ON p.pos <= length(w.word)
+       |  JOIN vocab v ON v.is_cont = (p.pos > 1)
+       |  GROUP BY w.word, p.pos
+       |),
+       |walk(word, pos, n) AS (
+       |  SELECT word, 1, 0 FROM words
+       |  UNION ALL
+       |  SELECT wk.word, wk.pos + m.mlen, wk.n + 1
+       |  FROM walk wk
+       |  JOIN matches m ON m.word = wk.word AND m.pos = wk.pos
+       |  WHERE m.mlen IS NOT NULL
+       |),
+       |word_n AS (SELECT word, n FROM walk WHERE pos = length(word) + 1),
+       |doc_counts AS (
+       |  SELECT dwc.doc_id,
+       |    sum(dwc.cnt * coalesce(wn.n, 1)) AS n_subwords
+       |  FROM dwc
+       |  LEFT JOIN word_n wn USING (word)
+       |  GROUP BY dwc.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(len($bpeDuck) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(coalesce(dc.n_subwords, 0) AS BIGINT) AS n_subwords
+       |FROM documents d
+       |LEFT JOIN doc_counts dc USING (doc_id)""".stripMargin
+  }
+
   val TEXT_TOKENS =
     s"""SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS n_chars,

@@ -31,6 +31,34 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packing on subword counts: the opt-in n_tokens source feeds the same math") {
+    // the budget that matters to a trainer meters SUBWORD tokens — the
+    // packing math is source-agnostic, so swapping the counter must keep
+    // every bin/offset invariant while re-sizing each document
+    val b = Packing.packBins(docs,
+      nTokensSql = graft.ops.TextAnalysis.subwordCountSql)
+    val subCounts = graft.ops.TextAnalysis.subwordTokens(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rows = b.collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("bin"),
+          r.getAs[Long]("bin_offset"))).toMap
+    assert(rows.nonEmpty)
+    // every document is sized by its subword count, not the whitespace proxy
+    rows.foreach { case ((_, id), (n, _, _)) =>
+      assert(n == subCounts(id), s"doc $id not sized by subword count") }
+    // and the sequential-scan invariant holds on the new sizes
+    rows.keys.groupBy(_._1).foreach { case (_, keys) =>
+      var cum = 0L
+      keys.toSeq.sortBy(_._2).foreach { k =>
+        val (n, bin, off) = rows(k)
+        assert(bin == cum / Packing.Budget && off == cum - bin * Packing.Budget,
+          s"invariant broke at $k")
+        cum += n
+      }
+    }
+  }
+
   test("offsets stay inside the budget; bins are dense from 0 per shard") {
     val b = Packing.packBins(docs)
     assert(b.filter(col("bin_offset") < 0 ||
