@@ -4,27 +4,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Dsir
+import graft.streaming.DriftMaintenance.{Kind, Outcome, Store}
 
 /** The recalibration loop for [[IncrementalDsir]]'s frozen ratio table —
-  * [[PqMaintenance]]'s measure-then-act policy applied to importance
-  * weighting: the table freezes the (target, raw) estimate at bootstrap,
-  * so a crawl whose RAW distribution drifts is scored against statistics
-  * that no longer describe it — the achieved selection fraction slides
-  * away from what the same τ selects under current statistics, and
-  * nothing fails loudly.
+  * the [[DriftMaintenance]] engine instantiated for importance weighting:
+  * the table freezes the (target, raw) estimate at bootstrap, so a crawl
+  * whose RAW distribution drifts is scored against statistics that no
+  * longer describe it — the achieved selection fraction slides away from
+  * what the same τ selects under current statistics, and nothing fails
+  * loudly.
   *
-  * The policy is a DIRECT counterfactual, no proxy metric: score the
-  * current raw corpus (the source of record — the table cannot
-  * reconstruct documents, the [[PqMaintenance]] asymmetry) under the LIVE
-  * frozen table and under a CANDIDATE table computed from that same
-  * corpus, and compare the two achieved selection fractions. Drift beyond
-  * `threshold` trips [[retrain]]: the candidate table is written into the
-  * next generation with the scoring ledger and selected stream carried
+  * The counterfactual is DIRECT, no proxy metric: score the current raw
+  * corpus (the source of record — the table cannot reconstruct documents)
+  * under the LIVE frozen table and under a CANDIDATE table computed from
+  * that same corpus, and compare the two achieved selection fractions.
+  * Drift beyond `threshold` ships the measured candidate into the next
+  * generation with the scoring ledger and selected stream carried
   * (decisions already made stay made — only FUTURE batches score under
-  * the new table), row-count verified, and published behind the atomic
-  * `_current` pointer. The stream re-enters on the new generation under a
-  * fresh checkpoint; [[IncrementalDsir.run]]'s bootstrap guard sees the
-  * ratio store and adopts it.
+  * the new table), verified, and published behind the atomic `_current`
+  * pointer. The stream re-enters on the new generation under a fresh
+  * checkpoint; [[IncrementalDsir.run]]'s bootstrap guard sees the ratio
+  * store and adopts it.
   */
 object DsirMaintenance {
 
@@ -41,7 +41,27 @@ object DsirMaintenance {
 
   /** The live generation's path — a full [[IncrementalDsir]] root. */
   def currentRoot(spark: SparkSession, genRoot: String): String =
-    StoreMaintenance.resolveCurrent(spark, genRoot)
+    DriftMaintenance.currentRoot(spark, genRoot)
+
+  /** The engine description: the frozen table is the model, the ledger
+    * and selected stream are history (pinned against the writer's
+    * `storePaths`); the measurement rides along as the retained value.
+    */
+  private val base = DriftMaintenance.Family[(Double, Double, DataFrame)](
+    what = "DsirMaintenance",
+    stores = Seq(
+      Store("ratio", IncrementalDsir.ratioPath _, Kind.Model),
+      Store("ledger", IncrementalDsir.ledgerPath _, Kind.History()),
+      Store("selected", IncrementalDsir.selectedPath _, Kind.History())),
+    counterfactual = (_, _) => throw new IllegalStateException(
+      "DsirMaintenance: direct retrain carries no counterfactual"),
+    retrainInto = (_, m, _, dest, _) => {
+      require(!m._3.isEmpty,
+        "DsirMaintenance.retrain: the current corpus produced an empty " +
+          "ratio table — nothing to recalibrate against")
+      IncrementalDsir.writeRatioTable(m._3, IncrementalDsir.ratioPath(dest))
+    },
+    pinStorePaths = Some(IncrementalDsir.storePaths _))
 
   /** Adopt a flat [[IncrementalDsir]] root into the generation layout,
     * publishing generation 0 atomically.
@@ -50,23 +70,8 @@ object DsirMaintenance {
       spark: SparkSession,
       genRoot: String,
       flatRoot: String,
-      numFiles: Int = 1): String = {
-    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
-    val dest = s"$genRoot/$gen"
-    spark.read.parquet(IncrementalDsir.ratioPath(flatRoot))
-      .coalesce(1).write.mode("errorifexists")
-      .parquet(IncrementalDsir.ratioPath(dest))
-    StoreMaintenance.compactVerified(spark,
-      IncrementalDsir.ledgerPath(flatRoot),
-      IncrementalDsir.ledgerPath(dest),
-      "DsirMaintenance.adopt ledger", numFiles)
-    StoreMaintenance.compactVerified(spark,
-      IncrementalDsir.selectedPath(flatRoot),
-      IncrementalDsir.selectedPath(dest),
-      "DsirMaintenance.adopt selected", numFiles)
-    StoreMaintenance.publishGeneration(spark, genRoot, gen)
-    dest
-  }
+      numFiles: Int = 1): String =
+    DriftMaintenance.adopt(spark, base, genRoot, flatRoot, numFiles)
 
   /** The achieved selection fraction of `docs` under an explicit ratio
     * table — one aggregate over the shared scoring path, no global rank.
@@ -102,28 +107,9 @@ object DsirMaintenance {
       spark: SparkSession,
       genRoot: String,
       lr: DataFrame,
-      numFiles: Int = 1): String = {
-    val cur = currentRoot(spark, genRoot)
-    require(!lr.isEmpty,
-      "DsirMaintenance.retrain: the current corpus produced an empty " +
-        "ratio table — nothing to recalibrate against")
-    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
-    val dest = s"$genRoot/$gen"
-    IncrementalDsir.writeRatioTable(lr, IncrementalDsir.ratioPath(dest))
-    // verify every carried store before the pointer moves (the shared
-    // compactVerified gate): a lossy ledger carry silently truncates the
-    // audit history; a lossy selected carry drops admitted documents
-    StoreMaintenance.compactVerified(spark,
-      IncrementalDsir.ledgerPath(cur),
-      IncrementalDsir.ledgerPath(dest),
-      "DsirMaintenance.retrain ledger", numFiles)
-    StoreMaintenance.compactVerified(spark,
-      IncrementalDsir.selectedPath(cur),
-      IncrementalDsir.selectedPath(dest),
-      "DsirMaintenance.retrain selected", numFiles)
-    StoreMaintenance.publishGeneration(spark, genRoot, gen)
-    dest
-  }
+      numFiles: Int = 1): String =
+    DriftMaintenance.retrainWith(spark, base, genRoot,
+      (Double.NaN, Double.NaN, lr), numFiles)
 
   /** Measure-then-act: read the live generation's frozen table, score
     * `docs` under it and under the candidate, retrain iff the achieved
@@ -136,18 +122,18 @@ object DsirMaintenance {
       docs: DataFrame,
       threshold: Double = DefaultFractionDriftThreshold,
       numFiles: Int = 1): Report = {
-    val cur = currentRoot(spark, genRoot)
-    val frozen = IncrementalDsir.readRatioTable(
-      spark, IncrementalDsir.ratioPath(cur))
-    val fFrozen = achievedFraction(docs, frozen)
-    // materialize the bounded candidate ONCE: the counterfactual scoring
-    // and (on drift) the generation write both read it, and rebuilding it
-    // would pay the corpus tokenize+aggregate a second time
-    val cand = Dsir.ratioTable(Dsir.featureCounts(docs)).localCheckpoint()
-    val fCand = achievedFraction(docs, cand)
-    if (math.abs(fFrozen - fCand) <= threshold)
-      Report(fFrozen, fCand, retrained = false, None)
-    else Report(fFrozen, fCand, retrained = true,
-      Some(retrainWith(spark, genRoot, cand, numFiles)))
+    val fam = base.copy(counterfactual = (spark, cur) => {
+      val frozen = IncrementalDsir.readRatioTable(
+        spark, IncrementalDsir.ratioPath(cur))
+      val fFrozen = achievedFraction(docs, frozen)
+      // materialize the bounded candidate ONCE: the counterfactual scoring
+      // and (on drift) the generation write both read it, and rebuilding
+      // it would pay the corpus tokenize+aggregate a second time
+      val cand = Dsir.ratioTable(Dsir.featureCounts(docs)).localCheckpoint()
+      val fCand = achievedFraction(docs, cand)
+      Outcome(math.abs(fFrozen - fCand) > threshold, (fFrozen, fCand, cand))
+    })
+    val (m, gen) = DriftMaintenance.maintain(spark, fam, genRoot, numFiles)
+    Report(m._1, m._2, gen.isDefined, gen)
   }
 }

@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Similarity}
+import graft.streaming.DriftMaintenance.{Kind, Outcome, Store}
 
-/** The IVF maintenance POLICY loop — the piece that closes the circle
+/** The IVF maintenance POLICY loop — the [[DriftMaintenance]] engine
+  * instantiated for the frozen-leader ANN index, closing the circle
   * around [[IncrementalAnnIndex]] (frozen-leader adds) and
   * [[StoreMaintenance.listBalance]] (the health report): when the stored
   * corpus drifts away from the bootstrap distribution, everything new
@@ -102,6 +104,48 @@ object IvfMaintenance {
     seeds
   }
 
+  /** The engine description: leaders are the model, the list store is
+    * REBUILT on retrain (reassigned under the written leaders, row-count
+    * verified against the stored corpus — which is also the retrain's
+    * training source: unlike the lossy code stores, the lists carry
+    * their vectors).
+    */
+  private def fam(kmeansIters: Int) = DriftMaintenance.Family[Double](
+    what = "IvfMaintenance",
+    stores = Seq(
+      Store("leaders", leadersPath _, Kind.Model),
+      Store("lists", listsPath _, Kind.Rebuilt("vec_id"))),
+    counterfactual = (_, _) => throw new IllegalStateException(
+      "IvfMaintenance: direct retrain carries no counterfactual"),
+    retrainInto = (spark, _, cur, dest, numFiles) => {
+      val stored = spark.read.parquet(listsPath(cur))
+        .drop("batch", "id_bucket")
+      val srcRows = stored.count()
+      val emb = stored.select("vec_id", "embedding")
+      val seeds = hashTileSeeds(emb, Similarity.NumLists)
+      val nSeeds = seeds.count()
+      require(nSeeds == Similarity.NumLists.toLong,
+        s"IvfMaintenance.retrain: seed election produced $nSeeds of " +
+          s"${Similarity.NumLists} tiles — corpus too small to retrain")
+      val cents = Similarity.kmeansFromSeeds(emb, seeds, kmeansIters)
+      cents.coalesce(1).write.mode("errorifexists")
+        .parquet(leadersPath(dest))
+      val reassigned = Similarity
+        .assignWithLeadersRetaining(emb,
+          spark.read.parquet(leadersPath(dest)))
+        .select("vec_id", "list_id", "list_cos", "embedding", "norm")
+      // keep the source store's bucket modulus: the corpus didn't grow,
+      // so the membership-probe unit (bucket size) is unchanged
+      val buckets = IncrementalAnnIndex.bucketCount(spark, listsPath(cur))
+        .getOrElse(IncrementalAnnIndex.NumIdBuckets)
+      StoreMaintenance.writeStoreLayout(spark, reassigned, listsPath(dest),
+        numFiles, bucketBy = Some(("vec_id", buckets)))
+      val written = spark.read.parquet(listsPath(dest)).count()
+      require(written == srcRows,
+        s"IvfMaintenance.retrain: reassigned $written of $srcRows rows — " +
+          "not publishing; readers stay on the current generation")
+    })
+
   /** Adopt a FLAT store pair — the layout [[IncrementalAnnIndex.run]]
     * maintains — into the generation layout under `root`, publishing the
     * first generation atomically. One-time migration; thereafter the
@@ -114,17 +158,11 @@ object IvfMaintenance {
       leaderSrc: String,
       listSrc: String,
       numFiles: Int,
-      idBuckets: Int = IncrementalAnnIndex.NumIdBuckets): String = {
-    val gen = StoreMaintenance.nextGeneration(spark, root)
-    val dest = s"$root/$gen"
-    spark.read.parquet(leaderSrc)
-      .coalesce(1).write.mode("errorifexists").parquet(leadersPath(dest))
-    StoreMaintenance.compactVerified(spark, listSrc, listsPath(dest),
-      "IvfMaintenance.adopt lists", numFiles,
-      bucketBy = Some(("vec_id", idBuckets)))
-    StoreMaintenance.publishGeneration(spark, root, gen)
-    dest
-  }
+      idBuckets: Int = IncrementalAnnIndex.NumIdBuckets): String =
+    DriftMaintenance.adopt(spark, fam(DefaultKmeansIters), root,
+      flatRoot = "", numFiles,
+      srcOf = Map("leaders" -> leaderSrc, "lists" -> listSrc),
+      bucketsOverride = Map("lists" -> idBuckets))
 
   /** Retrain the live generation's quantizer on its CURRENT corpus and
     * reassign every stored vector, into the next generation; publish only
@@ -138,36 +176,9 @@ object IvfMaintenance {
       spark: SparkSession,
       root: String,
       kmeansIters: Int = DefaultKmeansIters,
-      numFiles: Int = 1): String = {
-    val cur = StoreMaintenance.resolveCurrent(spark, root)
-    val stored = spark.read.parquet(listsPath(cur)).drop("batch", "id_bucket")
-    val srcRows = stored.count()
-    val emb = stored.select("vec_id", "embedding")
-    val seeds = hashTileSeeds(emb, Similarity.NumLists)
-    val nSeeds = seeds.count()
-    require(nSeeds == Similarity.NumLists.toLong,
-      s"IvfMaintenance.retrain: seed election produced $nSeeds of " +
-        s"${Similarity.NumLists} tiles — corpus too small to retrain")
-    val cents = Similarity.kmeansFromSeeds(emb, seeds, kmeansIters)
-    val gen = StoreMaintenance.nextGeneration(spark, root)
-    val dest = s"$root/$gen"
-    cents.coalesce(1).write.mode("errorifexists").parquet(leadersPath(dest))
-    val reassigned = Similarity
-      .assignWithLeadersRetaining(emb, spark.read.parquet(leadersPath(dest)))
-      .select("vec_id", "list_id", "list_cos", "embedding", "norm")
-    // keep the source store's bucket modulus: the corpus didn't grow, so
-    // the membership-probe unit (bucket size) is unchanged
-    val buckets = IncrementalAnnIndex.bucketCount(spark, listsPath(cur))
-      .getOrElse(IncrementalAnnIndex.NumIdBuckets)
-    StoreMaintenance.writeStoreLayout(spark, reassigned, listsPath(dest),
-      numFiles, bucketBy = Some(("vec_id", buckets)))
-    val written = spark.read.parquet(listsPath(dest)).count()
-    require(written == srcRows,
-      s"IvfMaintenance.retrain: reassigned $written of $srcRows rows — " +
-        s"not publishing $gen; readers stay on the current generation")
-    StoreMaintenance.publishGeneration(spark, root, gen)
-    dest
-  }
+      numFiles: Int = 1): String =
+    DriftMaintenance.retrainWith(spark, fam(kmeansIters), root,
+      Double.NaN, numFiles)
 
   /** The maintenance policy: measure the live generation's imbalance and
     * retrain iff it exceeds `threshold`. Idempotent below the threshold
@@ -181,12 +192,13 @@ object IvfMaintenance {
       threshold: Double = DefaultImbalanceThreshold,
       kmeansIters: Int = DefaultKmeansIters,
       numFiles: Int = 1): Report = {
-    val cur = StoreMaintenance.resolveCurrent(spark, root)
-    val imb = imbalanceFactor(
-      spark.read.parquet(listsPath(cur)).select("list_id"))
-    if (imb <= threshold) Report(imb, retrained = false, None)
-    else Report(imb, retrained = true,
-      Some(retrain(spark, root, kmeansIters, numFiles)))
+    val f = fam(kmeansIters).copy(counterfactual = (spark, cur) => {
+      val imb = imbalanceFactor(
+        spark.read.parquet(listsPath(cur)).select("list_id"))
+      Outcome(imb > threshold, imb)
+    })
+    val (imb, gen) = DriftMaintenance.maintain(spark, f, root, numFiles)
+    Report(imb, gen.isDefined, gen)
   }
 
   /** Probe the LIVE generation — resolve the pointer once, then run

@@ -4,36 +4,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Pq, Similarity}
+import graft.streaming.DriftMaintenance.{Kind, Outcome, Store}
 
-/** The RESIDUAL IVFPQ maintenance POLICY loop — the last of the frozen
-  * index families to get one: [[IncrementalIvfPqIndex]] freezes BOTH
-  * quantizers at bootstrap (the FAISS train-once contract), so when the
-  * crawl drifts, two decays compound silently — new vectors crowd into a
-  * few coarse lists (probe-cap truncation, the [[IvfMaintenance]]
-  * failure) AND their residuals leave the region the sub-quantizer
-  * codebooks were trained on (rising quantization error, the
-  * [[PqMaintenance]] failure). Neither sibling loop can fix it:
-  * retraining the coarse leaders alone invalidates every stored residual
-  * code (codes are only decodable RELATIVE to their list's centroid), and
-  * retraining the residual book alone still routes queries through the
-  * stale lists. The remedy is FAISS's own rebuild discipline composed:
-  * retrain the coarse quantizer on the current corpus
-  * ([[IvfMaintenance.hashTileSeeds]] + Lloyd rounds), derive the residual
-  * codebook FROM the retrained assignment, re-encode every vector from
-  * the vector source of record — never in place, always into the next
-  * generation behind the atomic `_current` pointer.
+/** The RESIDUAL IVFPQ maintenance POLICY loop — the [[DriftMaintenance]]
+  * engine instantiated over BOTH frozen quantizers:
+  * [[IncrementalIvfPqIndex]] freezes both at bootstrap (the FAISS
+  * train-once contract), so when the crawl drifts, two decays compound
+  * silently — new vectors crowd into a few coarse lists (probe-cap
+  * truncation, the [[IvfMaintenance]] failure) AND their residuals leave
+  * the region the sub-quantizer codebooks were trained on (rising
+  * quantization error, the [[PqMaintenance]] failure). Neither sibling
+  * loop can fix it: retraining the coarse leaders alone invalidates every
+  * stored residual code (codes are only decodable RELATIVE to their
+  * list's centroid), and retraining the residual book alone still routes
+  * queries through the stale lists. The remedy is FAISS's own rebuild
+  * discipline composed: retrain the coarse quantizer on the current
+  * corpus ([[IvfMaintenance.hashTileSeeds]] + Lloyd rounds), derive the
+  * residual codebook FROM the retrained assignment, re-encode every
+  * vector from the vector source of record — never in place, always into
+  * the next generation behind the atomic `_current` pointer.
   *
   * The code store is LOSSY (codes cannot reconstruct their vectors), so
   * like [[PqMaintenance]] every entry point that measures or retrains
   * takes the vector source of record explicitly; a deployment wires it to
   * whichever relation owns the originals.
   *
-  * The policy is measure-then-act with a DIRECT counterfactual: mean
-  * residual quantization error ([[Pq.residualQuantizationError]] — the
-  * error the stored codes actually carry) under the live (leaders, book)
-  * pair versus under a candidate pair trained on the current corpus;
-  * retrain only when live is `threshold`× worse. Below threshold the cost
-  * is two broadcast-join scans and no writes.
+  * The counterfactual is DIRECT: mean residual quantization error
+  * ([[Pq.residualQuantizationError]] — the error the stored codes
+  * actually carry) under the live (leaders, book) pair versus under a
+  * candidate pair trained on the current corpus; retrain only when live
+  * is `threshold`× worse. Below threshold the cost is two broadcast-join
+  * scans and no writes.
   *
   * Generation layout — each generation is a complete FLAT
   * [[IncrementalIvfPqIndex]] root, so the stream re-enters the published
@@ -116,6 +117,49 @@ object IvfPqMaintenance {
     if (r.isNullAt(1)) 0.0 else r.getDouble(1)
   }
 
+  /** The engine description, closed over the vector source of record:
+    * leaders and book are the model pair (written together — a split
+    * pair misroutes every query), the codes REBUILT on retrain (residual
+    * re-encode against the WRITTEN leaders, row-count verified).
+    */
+  private def fam(vectors: DataFrame) =
+    DriftMaintenance.Family[(Double, DataFrame, Seq[Pq.CodebookEntry])](
+      what = "IvfPqMaintenance",
+      stores = Seq(
+        Store("leaders", leaderPath _, Kind.Model),
+        Store("book", bookPath _, Kind.Model),
+        Store("codes", codePath _, Kind.Rebuilt("vec_id"))),
+      counterfactual = (_, _) => throw new IllegalStateException(
+        "IvfPqMaintenance: direct retrain carries no counterfactual"),
+      retrainInto = (spark, m, cur, dest, numFiles) => {
+        val (candLeaders, candBook) = (m._2, m._3)
+        require(candBook.size == Pq.NumSubspaces * Pq.CodebookSize,
+          s"IvfPqMaintenance.retrain: seed election produced " +
+            s"${candBook.size} of ${Pq.NumSubspaces * Pq.CodebookSize} " +
+            "entries — corpus too small")
+        val srcRows = vectors.count()
+        // leaders FIRST, then encode against the WRITTEN copy: the
+        // published bits must be the exact floats every stored code is
+        // relative to
+        candLeaders.coalesce(1).write.mode("errorifexists")
+          .parquet(leaderPath(dest))
+        IncrementalPqIndex.writeCodebook(spark, candBook, bookPath(dest))
+        val leadersW = IncrementalIvfPqIndex.readLeaders(spark, dest)
+        val assign = Similarity.assignWithLeaders(vectors, leadersW)
+          .select("vec_id", "list_id")
+        // keep the source store's bucket modulus — the membership-probe
+        // unit is unchanged by a retrain
+        val buckets = IncrementalAnnIndex.bucketCount(spark, codePath(cur))
+          .getOrElse(IncrementalAnnIndex.NumIdBuckets)
+        StoreMaintenance.writeStoreLayout(spark,
+          Pq.residualCodesFor(assign, vectors, leadersW, candBook),
+          codePath(dest), numFiles, bucketBy = Some(("vec_id", buckets)))
+        val written = spark.read.parquet(codePath(dest)).count()
+        require(written == srcRows,
+          s"IvfPqMaintenance.retrain: re-encoded $written of $srcRows " +
+            "rows — not publishing; readers stay on the current generation")
+      })
+
   /** Adopt a FLAT [[IncrementalIvfPqIndex]] root — (leaders, book, codes)
     * under one directory — into the generation layout, publishing the
     * first generation atomically. One-time migration; thereafter the
@@ -126,58 +170,8 @@ object IvfPqMaintenance {
       spark: SparkSession,
       root: String,
       srcRoot: String,
-      numFiles: Int = 1): String = {
-    val gen = StoreMaintenance.nextGeneration(spark, root)
-    val dest = s"$root/$gen"
-    spark.read.parquet(leaderPath(srcRoot))
-      .coalesce(1).write.mode("errorifexists").parquet(leaderPath(dest))
-    spark.read.parquet(bookPath(srcRoot))
-      .coalesce(1).write.mode("errorifexists").parquet(bookPath(dest))
-    val buckets = IncrementalAnnIndex.bucketCount(spark, codePath(srcRoot))
-      .getOrElse(IncrementalAnnIndex.NumIdBuckets)
-    StoreMaintenance.compactVerified(spark, codePath(srcRoot), codePath(dest),
-      "IvfPqMaintenance.adopt codes", numFiles,
-      bucketBy = Some(("vec_id", buckets)))
-    StoreMaintenance.publishGeneration(spark, root, gen)
-    dest
-  }
-
-  private def publishRetrained(
-      spark: SparkSession,
-      root: String,
-      vectors: DataFrame,
-      candLeaders: DataFrame,
-      candBook: Seq[Pq.CodebookEntry],
-      numFiles: Int): String = {
-    require(candBook.size == Pq.NumSubspaces * Pq.CodebookSize,
-      s"IvfPqMaintenance.retrain: seed election produced ${candBook.size} " +
-        s"of ${Pq.NumSubspaces * Pq.CodebookSize} entries — corpus too small")
-    val cur = StoreMaintenance.resolveCurrent(spark, root)
-    val srcRows = vectors.count()
-    val gen = StoreMaintenance.nextGeneration(spark, root)
-    val dest = s"$root/$gen"
-    // leaders FIRST, then encode against the WRITTEN copy: the published
-    // bits must be the exact floats every stored code is relative to
-    candLeaders.coalesce(1).write.mode("errorifexists")
-      .parquet(leaderPath(dest))
-    IncrementalPqIndex.writeCodebook(spark, candBook, bookPath(dest))
-    val leadersW = IncrementalIvfPqIndex.readLeaders(spark, dest)
-    val assign = Similarity.assignWithLeaders(vectors, leadersW)
-      .select("vec_id", "list_id")
-    // keep the source store's bucket modulus — the membership-probe unit
-    // is unchanged by a retrain
-    val buckets = IncrementalAnnIndex.bucketCount(spark, codePath(cur))
-      .getOrElse(IncrementalAnnIndex.NumIdBuckets)
-    StoreMaintenance.writeStoreLayout(spark,
-      Pq.residualCodesFor(assign, vectors, leadersW, candBook),
-      codePath(dest), numFiles, bucketBy = Some(("vec_id", buckets)))
-    val written = spark.read.parquet(codePath(dest)).count()
-    require(written == srcRows,
-      s"IvfPqMaintenance.retrain: re-encoded $written of $srcRows rows — " +
-        s"not publishing $gen; readers stay on the current generation")
-    StoreMaintenance.publishGeneration(spark, root, gen)
-    dest
-  }
+      numFiles: Int = 1): String =
+    DriftMaintenance.adopt(spark, fam(null), root, srcRoot, numFiles)
 
   /** Retrain BOTH quantizers on the CURRENT vector corpus and re-encode
     * every vector, into the next generation; publish only after the row
@@ -190,7 +184,8 @@ object IvfPqMaintenance {
       kmeansIters: Int = DefaultKmeansIters,
       numFiles: Int = 1): String = {
     val (candLeaders, candBook) = candidateQuantizers(vectors, kmeansIters)
-    publishRetrained(spark, root, vectors, candLeaders, candBook, numFiles)
+    DriftMaintenance.retrainWith(spark, fam(vectors), root,
+      (Double.NaN, candLeaders, candBook), numFiles)
   }
 
   /** The maintenance policy: measure mean residual quantization error on
@@ -207,22 +202,22 @@ object IvfPqMaintenance {
       threshold: Double = DefaultErrorRatioThreshold,
       kmeansIters: Int = DefaultKmeansIters,
       numFiles: Int = 1): Report = {
-    val cur = StoreMaintenance.resolveCurrent(spark, root)
-    val liveLeaders = IncrementalIvfPqIndex.readLeaders(spark, cur)
-    val liveBook = IncrementalPqIndex.readCodebook(spark, bookPath(cur))
-    val liveErr = meanErr(vectors, liveLeaders, liveBook)
-    val (candLeaders, candBook) = candidateQuantizers(vectors, kmeansIters)
-    val candErr = meanErr(vectors, candLeaders, candBook)
-    // zero candidate error against a lossy live pair is INFINITE drift,
-    // not parity (the PqMaintenance worst-case note)
-    val ratio =
-      if (candErr > 0.0) liveErr / candErr
-      else if (liveErr > 0.0) Double.PositiveInfinity
-      else 1.0
-    if (ratio <= threshold) Report(ratio, retrained = false, None)
-    else Report(ratio, retrained = true,
-      Some(publishRetrained(spark, root, vectors, candLeaders, candBook,
-        numFiles)))
+    val f = fam(vectors).copy(counterfactual = (spark, cur) => {
+      val liveLeaders = IncrementalIvfPqIndex.readLeaders(spark, cur)
+      val liveBook = IncrementalPqIndex.readCodebook(spark, bookPath(cur))
+      val liveErr = meanErr(vectors, liveLeaders, liveBook)
+      val (candLeaders, candBook) = candidateQuantizers(vectors, kmeansIters)
+      val candErr = meanErr(vectors, candLeaders, candBook)
+      // zero candidate error against a lossy live pair is INFINITE drift,
+      // not parity (the PqMaintenance worst-case note)
+      val ratio =
+        if (candErr > 0.0) liveErr / candErr
+        else if (liveErr > 0.0) Double.PositiveInfinity
+        else 1.0
+      Outcome(ratio > threshold, (ratio, candLeaders, candBook))
+    })
+    val (m, gen) = DriftMaintenance.maintain(spark, f, root, numFiles)
+    Report(m._1, gen.isDefined, gen)
   }
 
   /** Residual ADC top-k against the LIVE generation — resolve the pointer

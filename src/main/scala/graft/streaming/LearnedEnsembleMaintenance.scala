@@ -3,17 +3,18 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{Dsir, LmPerplexity, QualityClassifier}
+import graft.streaming.DriftMaintenance.{Kind, Outcome, Store}
 
 /** Drift maintenance for [[IncrementalLearnedEnsemble]]'s frozen table
-  * set — the three families' measure-then-act counterfactuals
-  * ([[QualityFilterMaintenance]] / [[LmFilterMaintenance]] /
-  * [[DsirMaintenance]]) composed over ONE generation swap, because the
-  * ensemble root is ONE artifact: its ledger records the AND of three
-  * verdicts, so recalibrating a family by hand-editing a subroot in place
-  * would change future verdicts with no audit trail and no atomic cut —
-  * and the per-family maintenance loops cannot be pointed at the ensemble
-  * root directly (they carry THEIR family's standalone ledger/admitted
-  * layout, which the ensemble does not have).
+  * set — the [[DriftMaintenance]] engine composing the three families'
+  * counterfactuals ([[QualityFilterMaintenance]] /
+  * [[LmFilterMaintenance]] / [[DsirMaintenance]]) over ONE generation
+  * swap, because the ensemble root is ONE artifact: its ledger records
+  * the AND of three verdicts, so recalibrating a family by hand-editing a
+  * subroot in place would change future verdicts with no audit trail and
+  * no atomic cut — and the per-family maintenance loops cannot be pointed
+  * at the ensemble root directly (they carry THEIR family's standalone
+  * ledger/admitted layout, which the ensemble does not have).
   *
   * Policy per family, unchanged from the singles: score the current
   * labeled corpus window under the LIVE frozen tables and under CANDIDATE
@@ -47,45 +48,71 @@ object LearnedEnsembleMaintenance {
       dsir: FamilyReport,
       generation: Option[String])
 
+  /** The measured verdicts plus the window-trained candidates a retrain
+    * ships for the drifted families.
+    */
+  private final case class Retained(
+      nb: FamilyReport, lm: FamilyReport, dsir: FamilyReport,
+      candNbModel: DataFrame, candNbPrior: DataFrame,
+      candLmModel: DataFrame, candLmCtx: DataFrame, candLr: DataFrame)
+
   /** The live generation's path — a full [[IncrementalLearnedEnsemble]]
     * root.
     */
   def currentRoot(spark: SparkSession, genRoot: String): String =
-    StoreMaintenance.resolveCurrent(spark, genRoot)
+    DriftMaintenance.currentRoot(spark, genRoot)
 
-  /** Verified carry of one bounded frozen table into a generation being
-    * built. Raw read+rewrite (the family writers' write ORDER only
-    * matters on a live flat root — an unpublished generation becomes
-    * visible atomically or not at all), gated like
-    * [[StoreMaintenance.compactVerified]]: a lossy carry does not
-    * publish.
-    */
-  private def carryTable(spark: SparkSession, src: String, dst: String,
-      what: String): Unit = {
-    val rows = spark.read.parquet(src)
-    val n = rows.count()
-    rows.coalesce(1).write.mode("errorifexists").parquet(dst)
-    require(spark.read.parquet(dst).count() == n,
-      s"$what: carried $src lost rows — not publishing the generation")
-  }
+  private def nbModelPath(root: String) =
+    IncrementalQualityFilter.modelPath(IncrementalLearnedEnsemble.nbRoot(root))
+  private def nbPriorPath(root: String) =
+    IncrementalQualityFilter.priorPath(IncrementalLearnedEnsemble.nbRoot(root))
+  private def lmModelPath(root: String) =
+    IncrementalLmFilter.modelPath(IncrementalLearnedEnsemble.lmRoot(root))
+  private def lmCtxPath(root: String) =
+    IncrementalLmFilter.contextsPath(IncrementalLearnedEnsemble.lmRoot(root))
+  private def dsirRatioPath(root: String) =
+    IncrementalDsir.ratioPath(IncrementalLearnedEnsemble.dsirRoot(root))
 
-  private def carryNb(spark: SparkSession, src: String, dst: String): Unit = {
-    carryTable(spark, IncrementalQualityFilter.modelPath(src),
-      IncrementalQualityFilter.modelPath(dst), "ensemble nb model")
-    carryTable(spark, IncrementalQualityFilter.priorPath(src),
-      IncrementalQualityFilter.priorPath(dst), "ensemble nb prior")
-  }
-
-  private def carryLm(spark: SparkSession, src: String, dst: String): Unit = {
-    carryTable(spark, IncrementalLmFilter.modelPath(src),
-      IncrementalLmFilter.modelPath(dst), "ensemble lm model")
-    carryTable(spark, IncrementalLmFilter.contextsPath(src),
-      IncrementalLmFilter.contextsPath(dst), "ensemble lm contexts")
-  }
-
-  private def carryDsir(spark: SparkSession, src: String, dst: String): Unit =
-    carryTable(spark, IncrementalDsir.ratioPath(src),
-      IncrementalDsir.ratioPath(dst), "ensemble dsir ratio")
+  private val base = DriftMaintenance.Family[Retained](
+    what = "LearnedEnsembleMaintenance",
+    stores = Seq(
+      Store("nb model", nbModelPath _, Kind.Model),
+      Store("nb prior", nbPriorPath _, Kind.Model),
+      Store("lm model", lmModelPath _, Kind.Model),
+      Store("lm contexts", lmCtxPath _, Kind.Model),
+      Store("dsir ratio", dsirRatioPath _, Kind.Model),
+      Store("ledger", IncrementalLearnedEnsemble.ledgerPath _,
+        Kind.History()),
+      Store("admitted", IncrementalLearnedEnsemble.admittedPath _,
+        Kind.History())),
+    counterfactual = (_, _) => throw new IllegalStateException(
+      "LearnedEnsembleMaintenance: maintain is the only entry point"),
+    retrainInto = (spark, m, cur, dest, _) => {
+      // drifted families ship their measured candidates; stable families'
+      // tables carry VERBATIM (count-verified) — their estimates still
+      // describe the crawl, and retraining them would move verdicts for
+      // no reason
+      def carry(path: String => String, what: String): Unit =
+        DriftMaintenance.carryTable(spark, path(cur), path(dest), what)
+      if (m.nb.retrained)
+        IncrementalQualityFilter.writeModel(m.candNbModel, m.candNbPrior,
+          IncrementalLearnedEnsemble.nbRoot(dest))
+      else {
+        carry(nbModelPath, "ensemble nb model")
+        carry(nbPriorPath, "ensemble nb prior")
+      }
+      if (m.lm.retrained)
+        IncrementalLmFilter.writeModel(m.candLmModel, m.candLmCtx,
+          IncrementalLearnedEnsemble.lmRoot(dest))
+      else {
+        carry(lmModelPath, "ensemble lm model")
+        carry(lmCtxPath, "ensemble lm contexts")
+      }
+      if (m.dsir.retrained)
+        IncrementalDsir.writeRatioTable(m.candLr, dsirRatioPath(dest))
+      else carry(dsirRatioPath, "ensemble dsir ratio")
+    },
+    pinStorePaths = Some(IncrementalLearnedEnsemble.storePaths _))
 
   /** Adopt a flat [[IncrementalLearnedEnsemble]] root into the generation
     * layout, publishing generation 0 atomically.
@@ -94,26 +121,8 @@ object LearnedEnsembleMaintenance {
       spark: SparkSession,
       genRoot: String,
       flatRoot: String,
-      numFiles: Int = 1): String = {
-    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
-    val dest = s"$genRoot/$gen"
-    carryNb(spark, IncrementalLearnedEnsemble.nbRoot(flatRoot),
-      IncrementalLearnedEnsemble.nbRoot(dest))
-    carryLm(spark, IncrementalLearnedEnsemble.lmRoot(flatRoot),
-      IncrementalLearnedEnsemble.lmRoot(dest))
-    carryDsir(spark, IncrementalLearnedEnsemble.dsirRoot(flatRoot),
-      IncrementalLearnedEnsemble.dsirRoot(dest))
-    StoreMaintenance.compactVerified(spark,
-      IncrementalLearnedEnsemble.ledgerPath(flatRoot),
-      IncrementalLearnedEnsemble.ledgerPath(dest),
-      "LearnedEnsembleMaintenance.adopt ledger", numFiles)
-    StoreMaintenance.compactVerified(spark,
-      IncrementalLearnedEnsemble.admittedPath(flatRoot),
-      IncrementalLearnedEnsemble.admittedPath(dest),
-      "LearnedEnsembleMaintenance.adopt admitted", numFiles)
-    StoreMaintenance.publishGeneration(spark, genRoot, gen)
-    dest
-  }
+      numFiles: Int = 1): String =
+    DriftMaintenance.adopt(spark, base, genRoot, flatRoot, numFiles)
 
   /** Measure-then-act over all three families: read the live generation's
     * tables (each validated by its own family module), train candidates
@@ -131,68 +140,43 @@ object LearnedEnsembleMaintenance {
     require(docs.columns.contains("source") && docs.columns.contains("lang"),
       "LearnedEnsembleMaintenance.maintain: the measurement window must " +
         "carry the `source` and `lang` label columns (candidate training)")
-    val cur = currentRoot(spark, genRoot)
-    val (nbModel, nbPrior) = IncrementalQualityFilter.readModel(
-      spark, IncrementalLearnedEnsemble.nbRoot(cur))
-    val (lmModel, lmContexts) = IncrementalLmFilter.readModel(
-      spark, IncrementalLearnedEnsemble.lmRoot(cur))
-    val lr = IncrementalDsir.readRatioTable(spark,
-      IncrementalDsir.ratioPath(IncrementalLearnedEnsemble.dsirRoot(cur)))
+    val f = base.copy(counterfactual = (spark, cur) => {
+      val (nbModel, nbPrior) = IncrementalQualityFilter.readModel(
+        spark, IncrementalLearnedEnsemble.nbRoot(cur))
+      val (lmModel, lmContexts) = IncrementalLmFilter.readModel(
+        spark, IncrementalLearnedEnsemble.lmRoot(cur))
+      val lr = IncrementalDsir.readRatioTable(spark, dsirRatioPath(cur))
 
-    // candidates, trained once on the window and materialized (bounded
-    // relations): the counterfactual scoring and — on drift — the
-    // generation write both read them
-    val candNbModel = QualityClassifier.modelTable(docs).localCheckpoint()
-    val candNbPrior = QualityClassifier.priorRow(docs).localCheckpoint()
-    val lmCounts = LmPerplexity.seedBigramCounts(docs).localCheckpoint()
-    val candLmModel = LmPerplexity.modelOf(lmCounts).localCheckpoint()
-    val candLmCtx = LmPerplexity.contextsOf(lmCounts).localCheckpoint()
-    val candLr = Dsir.ratioTable(Dsir.featureCounts(docs)).localCheckpoint()
-    require(!candNbModel.isEmpty && !candLmModel.isEmpty && !candLr.isEmpty,
-      "LearnedEnsembleMaintenance.maintain: the window produced an empty " +
-        "candidate table — nothing to recalibrate against")
+      // candidates, trained once on the window and materialized (bounded
+      // relations): the counterfactual scoring and — on drift — the
+      // generation write both read them
+      val candNbModel = QualityClassifier.modelTable(docs).localCheckpoint()
+      val candNbPrior = QualityClassifier.priorRow(docs).localCheckpoint()
+      val lmCounts = LmPerplexity.seedBigramCounts(docs).localCheckpoint()
+      val candLmModel = LmPerplexity.modelOf(lmCounts).localCheckpoint()
+      val candLmCtx = LmPerplexity.contextsOf(lmCounts).localCheckpoint()
+      val candLr = Dsir.ratioTable(Dsir.featureCounts(docs)).localCheckpoint()
+      require(!candNbModel.isEmpty && !candLmModel.isEmpty && !candLr.isEmpty,
+        "LearnedEnsembleMaintenance.maintain: the window produced an " +
+          "empty candidate table — nothing to recalibrate against")
 
-    def fam(frozen: Double, cand: Double): FamilyReport =
-      FamilyReport(frozen, cand, math.abs(frozen - cand) > threshold)
-    val nb = fam(
-      QualityFilterMaintenance.achievedFraction(docs, nbModel, nbPrior),
-      QualityFilterMaintenance.achievedFraction(docs, candNbModel, candNbPrior))
-    val lm = fam(
-      LmFilterMaintenance.achievedFraction(docs, lmModel, lmContexts),
-      LmFilterMaintenance.achievedFraction(docs, candLmModel, candLmCtx))
-    val dsir = fam(
-      DsirMaintenance.achievedFraction(docs, lr),
-      DsirMaintenance.achievedFraction(docs, candLr))
-
-    if (!nb.retrained && !lm.retrained && !dsir.retrained)
-      return Report(nb, lm, dsir, None)
-
-    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
-    val dest = s"$genRoot/$gen"
-    if (nb.retrained)
-      IncrementalQualityFilter.writeModel(candNbModel, candNbPrior,
-        IncrementalLearnedEnsemble.nbRoot(dest))
-    else carryNb(spark, IncrementalLearnedEnsemble.nbRoot(cur),
-      IncrementalLearnedEnsemble.nbRoot(dest))
-    if (lm.retrained)
-      IncrementalLmFilter.writeModel(candLmModel, candLmCtx,
-        IncrementalLearnedEnsemble.lmRoot(dest))
-    else carryLm(spark, IncrementalLearnedEnsemble.lmRoot(cur),
-      IncrementalLearnedEnsemble.lmRoot(dest))
-    if (dsir.retrained)
-      IncrementalDsir.writeRatioTable(candLr,
-        IncrementalDsir.ratioPath(IncrementalLearnedEnsemble.dsirRoot(dest)))
-    else carryDsir(spark, IncrementalLearnedEnsemble.dsirRoot(cur),
-      IncrementalLearnedEnsemble.dsirRoot(dest))
-    StoreMaintenance.compactVerified(spark,
-      IncrementalLearnedEnsemble.ledgerPath(cur),
-      IncrementalLearnedEnsemble.ledgerPath(dest),
-      "LearnedEnsembleMaintenance.maintain ledger", numFiles)
-    StoreMaintenance.compactVerified(spark,
-      IncrementalLearnedEnsemble.admittedPath(cur),
-      IncrementalLearnedEnsemble.admittedPath(dest),
-      "LearnedEnsembleMaintenance.maintain admitted", numFiles)
-    StoreMaintenance.publishGeneration(spark, genRoot, gen)
-    Report(nb, lm, dsir, Some(dest))
+      def fam(frozen: Double, cand: Double): FamilyReport =
+        FamilyReport(frozen, cand, math.abs(frozen - cand) > threshold)
+      val nb = fam(
+        QualityFilterMaintenance.achievedFraction(docs, nbModel, nbPrior),
+        QualityFilterMaintenance.achievedFraction(docs, candNbModel,
+          candNbPrior))
+      val lm = fam(
+        LmFilterMaintenance.achievedFraction(docs, lmModel, lmContexts),
+        LmFilterMaintenance.achievedFraction(docs, candLmModel, candLmCtx))
+      val dsir = fam(
+        DsirMaintenance.achievedFraction(docs, lr),
+        DsirMaintenance.achievedFraction(docs, candLr))
+      Outcome(nb.retrained || lm.retrained || dsir.retrained,
+        Retained(nb, lm, dsir, candNbModel, candNbPrior,
+          candLmModel, candLmCtx, candLr))
+    })
+    val (m, gen) = DriftMaintenance.maintain(spark, f, genRoot, numFiles)
+    Report(m.nb, m.lm, m.dsir, gen)
   }
 }

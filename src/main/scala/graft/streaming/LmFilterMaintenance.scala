@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.LmPerplexity
+import graft.streaming.DriftMaintenance.{Kind, Outcome, Store}
 
 /** The recalibration loop for [[IncrementalLmFilter]]'s frozen bigram LM
-  * — [[PqMaintenance]]'s measure-then-act policy applied to perplexity
+  * — the [[DriftMaintenance]] engine instantiated for perplexity
   * filtering: the tables freeze the target's sequence statistics at
   * bootstrap, so when the curated target itself evolves (new seed
   * snapshots, topic drift) arriving text is priced against a stale LM —
@@ -14,18 +15,17 @@ import graft.ops.LmPerplexity
   * admits under current statistics, and nothing fails loudly (new
   * vocabulary quietly rides the OOV ladder at the uniform floor).
   *
-  * The policy is a DIRECT counterfactual, no proxy metric: score the
-  * current labeled corpus window (the source of record) under the LIVE
-  * frozen tables and under CANDIDATE tables trained on that same
-  * window's seed slice, and compare the two achieved admission
-  * fractions. Drift beyond `threshold` trips [[retrainWith]]: the
-  * candidate tables are written into the next generation with the
-  * scoring ledger and admitted stream carried (decisions already made
-  * stay made — only FUTURE batches score under the new LM), row-count
+  * The counterfactual is DIRECT, no proxy metric: score the current
+  * labeled corpus window (the source of record) under the LIVE frozen
+  * tables and under CANDIDATE tables trained on that same window's seed
+  * slice, and compare the two achieved admission fractions. Drift beyond
+  * `threshold` ships the measured candidates into the next generation
+  * with the scoring ledger and admitted stream carried (decisions already
+  * made stay made — only FUTURE batches score under the new LM),
   * verified, and published behind the atomic `_current` pointer. The
   * stream re-enters on the new generation under a fresh checkpoint;
-  * [[IncrementalLmFilter.run]]'s bootstrap guard sees the model store
-  * and adopts it.
+  * [[IncrementalLmFilter.run]]'s bootstrap guard sees the model store and
+  * adopts it.
   */
 object LmFilterMaintenance {
 
@@ -40,9 +40,29 @@ object LmFilterMaintenance {
       retrained: Boolean,
       generation: Option[String])
 
+  /** Retained measurement: fractions + the candidate (model, contexts). */
+  private type M = (Double, Double, DataFrame, DataFrame)
+
   /** The live generation's path — a full [[IncrementalLmFilter]] root. */
   def currentRoot(spark: SparkSession, genRoot: String): String =
-    StoreMaintenance.resolveCurrent(spark, genRoot)
+    DriftMaintenance.currentRoot(spark, genRoot)
+
+  private val base = DriftMaintenance.Family[M](
+    what = "LmFilterMaintenance",
+    stores = Seq(
+      Store("model", IncrementalLmFilter.modelPath _, Kind.Model),
+      Store("contexts", IncrementalLmFilter.contextsPath _, Kind.Model),
+      Store("ledger", IncrementalLmFilter.ledgerPath _, Kind.History()),
+      Store("admitted", IncrementalLmFilter.admittedPath _, Kind.History())),
+    counterfactual = (_, _) => throw new IllegalStateException(
+      "LmFilterMaintenance: direct retrain carries no counterfactual"),
+    retrainInto = (_, m, _, dest, _) => {
+      require(!m._3.isEmpty,
+        "LmFilterMaintenance.retrain: the current window produced an " +
+          "empty LM — nothing to recalibrate against")
+      IncrementalLmFilter.writeModel(m._3, m._4, dest)
+    },
+    pinStorePaths = Some(IncrementalLmFilter.storePaths _))
 
   /** Adopt a flat [[IncrementalLmFilter]] root into the generation
     * layout, publishing generation 0 atomically.
@@ -51,26 +71,8 @@ object LmFilterMaintenance {
       spark: SparkSession,
       genRoot: String,
       flatRoot: String,
-      numFiles: Int = 1): String = {
-    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
-    val dest = s"$genRoot/$gen"
-    spark.read.parquet(IncrementalLmFilter.modelPath(flatRoot))
-      .coalesce(1).write.mode("errorifexists")
-      .parquet(IncrementalLmFilter.modelPath(dest))
-    spark.read.parquet(IncrementalLmFilter.contextsPath(flatRoot))
-      .coalesce(1).write.mode("errorifexists")
-      .parquet(IncrementalLmFilter.contextsPath(dest))
-    StoreMaintenance.compactVerified(spark,
-      IncrementalLmFilter.ledgerPath(flatRoot),
-      IncrementalLmFilter.ledgerPath(dest),
-      "LmFilterMaintenance.adopt ledger", numFiles)
-    StoreMaintenance.compactVerified(spark,
-      IncrementalLmFilter.admittedPath(flatRoot),
-      IncrementalLmFilter.admittedPath(dest),
-      "LmFilterMaintenance.adopt admitted", numFiles)
-    StoreMaintenance.publishGeneration(spark, genRoot, gen)
-    dest
-  }
+      numFiles: Int = 1): String =
+    DriftMaintenance.adopt(spark, base, genRoot, flatRoot, numFiles)
 
   /** The achieved admission fraction of `docs` under explicit tables —
     * one aggregate over the shared scoring path, no global rank.
@@ -94,28 +96,9 @@ object LmFilterMaintenance {
       genRoot: String,
       model: DataFrame,
       contexts: DataFrame,
-      numFiles: Int = 1): String = {
-    val cur = currentRoot(spark, genRoot)
-    require(!model.isEmpty,
-      "LmFilterMaintenance.retrain: the current window produced an empty " +
-        "LM — nothing to recalibrate against")
-    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
-    val dest = s"$genRoot/$gen"
-    IncrementalLmFilter.writeModel(model, contexts, dest)
-    // verify every carried store before the pointer moves (the shared
-    // compactVerified gate): a lossy ledger carry silently truncates the
-    // audit history; a lossy admitted carry drops admitted documents
-    StoreMaintenance.compactVerified(spark,
-      IncrementalLmFilter.ledgerPath(cur),
-      IncrementalLmFilter.ledgerPath(dest),
-      "LmFilterMaintenance.retrain ledger", numFiles)
-    StoreMaintenance.compactVerified(spark,
-      IncrementalLmFilter.admittedPath(cur),
-      IncrementalLmFilter.admittedPath(dest),
-      "LmFilterMaintenance.retrain admitted", numFiles)
-    StoreMaintenance.publishGeneration(spark, genRoot, gen)
-    dest
-  }
+      numFiles: Int = 1): String =
+    DriftMaintenance.retrainWith(spark, base, genRoot,
+      (Double.NaN, Double.NaN, model, contexts), numFiles)
 
   /** Measure-then-act: read the live generation's frozen tables, score
     * `docs` under them and under the candidate trained on `docs`' own
@@ -129,19 +112,21 @@ object LmFilterMaintenance {
       docs: DataFrame,
       threshold: Double = DefaultFractionDriftThreshold,
       numFiles: Int = 1): Report = {
-    val cur = currentRoot(spark, genRoot)
-    val (frozenModel, frozenCtx) = IncrementalLmFilter.readModel(spark, cur)
-    val fFrozen = achievedFraction(docs, frozenModel, frozenCtx)
-    // materialize the bounded candidate counts ONCE: both derived tables,
-    // the counterfactual scoring, and (on drift) the generation write
-    // read them, and rebuilding would re-tokenize the window's seed slice
-    val counts = LmPerplexity.seedBigramCounts(docs).localCheckpoint()
-    val candModel = LmPerplexity.modelOf(counts)
-    val candCtx = LmPerplexity.contextsOf(counts)
-    val fCand = achievedFraction(docs, candModel, candCtx)
-    if (math.abs(fFrozen - fCand) <= threshold)
-      Report(fFrozen, fCand, retrained = false, None)
-    else Report(fFrozen, fCand, retrained = true,
-      Some(retrainWith(spark, genRoot, candModel, candCtx, numFiles)))
+    val fam = base.copy(counterfactual = (spark, cur) => {
+      val (frozenModel, frozenCtx) = IncrementalLmFilter.readModel(spark, cur)
+      val fFrozen = achievedFraction(docs, frozenModel, frozenCtx)
+      // materialize the bounded candidate counts ONCE: both derived
+      // tables, the counterfactual scoring, and (on drift) the generation
+      // write read them, and rebuilding would re-tokenize the window's
+      // seed slice
+      val counts = LmPerplexity.seedBigramCounts(docs).localCheckpoint()
+      val candModel = LmPerplexity.modelOf(counts)
+      val candCtx = LmPerplexity.contextsOf(counts)
+      val fCand = achievedFraction(docs, candModel, candCtx)
+      Outcome(math.abs(fFrozen - fCand) > threshold,
+        (fFrozen, fCand, candModel, candCtx))
+    })
+    val (m, gen) = DriftMaintenance.maintain(spark, fam, genRoot, numFiles)
+    Report(m._1, m._2, gen.isDefined, gen)
   }
 }

@@ -4,16 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Pq, Similarity}
+import graft.streaming.DriftMaintenance.{Kind, Outcome, Store}
 
-/** The PQ maintenance POLICY loop — [[IvfMaintenance]]'s shape applied to
-  * the compressed-code index: [[IncrementalPqIndex]] freezes its
-  * sub-quantizer codebooks at bootstrap (the FAISS train-once contract),
-  * so a corpus that drifts away from the bootstrap distribution is encoded
-  * with ever-worse codebooks — quantization error climbs, ADC rankings
-  * blur, and nothing fails loudly. The remedy is FAISS's own: retrain the
-  * product quantizer on the CURRENT corpus and re-encode — never in place
-  * (codes from different codebooks are not comparable), always into the
-  * next generation behind the atomic `_current` pointer.
+/** The PQ maintenance POLICY loop — the [[DriftMaintenance]] engine
+  * instantiated for the compressed-code index: [[IncrementalPqIndex]]
+  * freezes its sub-quantizer codebooks at bootstrap (the FAISS train-once
+  * contract), so a corpus that drifts away from the bootstrap
+  * distribution is encoded with ever-worse codebooks — quantization error
+  * climbs, ADC rankings blur, and nothing fails loudly. The remedy is
+  * FAISS's own: retrain the product quantizer on the CURRENT corpus and
+  * re-encode — never in place (codes from different codebooks are not
+  * comparable), always into the next generation behind the atomic
+  * `_current` pointer.
   *
   * One honest asymmetry vs the IVF loop: the code store is LOSSY — codes
   * cannot reconstruct the vectors that produced them — so retraining needs
@@ -23,13 +25,11 @@ import graft.ops.{Pq, Similarity}
   * originals. FAISS has the same requirement (rebuilding a PQ index
   * re-encodes from the training vectors).
   *
-  * The policy is measure-then-act with a DIRECT counterfactual: measure
-  * mean quantization error under the live codebook and under a candidate
-  * codebook elected from the current corpus ([[IvfMaintenance
-  * .hashTileSeeds]] — deterministic spread-sample, one `min_by` pass);
-  * retrain only when the live book is `threshold`× worse than the
-  * candidate. Below threshold the cost is two broadcast-join scans and no
-  * writes.
+  * The counterfactual is DIRECT: mean quantization error under the live
+  * codebook versus under a candidate elected from the current corpus
+  * ([[IvfMaintenance.hashTileSeeds]] — deterministic spread-sample, one
+  * `min_by` pass); retrain only when the live book is `threshold`× worse.
+  * Below threshold the cost is two broadcast-join scans and no writes.
   *
   * Generation layout:
   * {{{
@@ -80,6 +80,39 @@ object PqMaintenance {
     if (r.isNullAt(1)) 0.0 else r.getDouble(1)
   }
 
+  /** The engine description, closed over the vector source of record:
+    * the codebook is the model; the codes are REBUILT on retrain
+    * (re-encoded against the written candidate book, row-count verified
+    * against the source) and carried in their bucket layout on adopt.
+    */
+  private def fam(vectors: DataFrame) =
+    DriftMaintenance.Family[(Double, Seq[Pq.CodebookEntry])](
+      what = "PqMaintenance",
+      stores = Seq(
+        Store("book", bookPath _, Kind.Model),
+        Store("codes", codesPath _, Kind.Rebuilt("vec_id"))),
+      counterfactual = (_, _) => throw new IllegalStateException(
+        "PqMaintenance: direct retrain carries no counterfactual"),
+      retrainInto = (spark, m, cur, dest, numFiles) => {
+        val book = m._2
+        require(book.size == Pq.NumSubspaces * Pq.CodebookSize,
+          s"PqMaintenance.retrain: seed election produced ${book.size} of " +
+            s"${Pq.NumSubspaces * Pq.CodebookSize} entries — corpus too small")
+        val srcRows = vectors.count()
+        IncrementalPqIndex.writeCodebook(spark, book, bookPath(dest))
+        // keep the source store's bucket modulus — the membership-probe
+        // unit is unchanged by a retrain
+        val buckets = IncrementalAnnIndex.bucketCount(spark, codesPath(cur))
+          .getOrElse(IncrementalAnnIndex.NumIdBuckets)
+        StoreMaintenance.writeStoreLayout(spark,
+          Pq.codesWith(vectors, book), codesPath(dest),
+          numFiles, bucketBy = Some(("vec_id", buckets)))
+        val written = spark.read.parquet(codesPath(dest)).count()
+        require(written == srcRows,
+          s"PqMaintenance.retrain: re-encoded $written of $srcRows rows — " +
+            "not publishing; readers stay on the current generation")
+      })
+
   /** Adopt a FLAT (book, codes) pair — the layout [[IncrementalPqIndex
     * .run]] maintains — into the generation layout under `root`,
     * publishing the first generation atomically.
@@ -89,19 +122,9 @@ object PqMaintenance {
       root: String,
       bookSrc: String,
       codesSrc: String,
-      numFiles: Int = 1): String = {
-    val gen = StoreMaintenance.nextGeneration(spark, root)
-    val dest = s"$root/$gen"
-    spark.read.parquet(bookSrc)
-      .coalesce(1).write.mode("errorifexists").parquet(bookPath(dest))
-    val buckets = IncrementalAnnIndex.bucketCount(spark, codesSrc)
-      .getOrElse(IncrementalAnnIndex.NumIdBuckets)
-    StoreMaintenance.compactVerified(spark, codesSrc, codesPath(dest),
-      "PqMaintenance.adopt codes", numFiles,
-      bucketBy = Some(("vec_id", buckets)))
-    StoreMaintenance.publishGeneration(spark, root, gen)
-    dest
-  }
+      numFiles: Int = 1): String =
+    DriftMaintenance.adopt(spark, fam(null), root, flatRoot = "",
+      numFiles, srcOf = Map("book" -> bookSrc, "codes" -> codesSrc))
 
   /** Retrain the codebook on the CURRENT vector corpus and re-encode every
     * vector, into the next generation; publish only after the row count
@@ -111,33 +134,14 @@ object PqMaintenance {
       spark: SparkSession,
       root: String,
       vectors: DataFrame,
-      numFiles: Int = 1): String = {
-    val book = candidateBook(vectors)
-    require(book.size == Pq.NumSubspaces * Pq.CodebookSize,
-      s"PqMaintenance.retrain: seed election produced ${book.size} of " +
-        s"${Pq.NumSubspaces * Pq.CodebookSize} entries — corpus too small")
-    val cur = StoreMaintenance.resolveCurrent(spark, root)
-    val srcRows = vectors.count()
-    val gen = StoreMaintenance.nextGeneration(spark, root)
-    val dest = s"$root/$gen"
-    IncrementalPqIndex.writeCodebook(spark, book, bookPath(dest))
-    val buckets = IncrementalAnnIndex.bucketCount(spark, codesPath(cur))
-      .getOrElse(IncrementalAnnIndex.NumIdBuckets)
-    StoreMaintenance.writeStoreLayout(spark,
-      Pq.codesWith(vectors, book), codesPath(dest),
-      numFiles, bucketBy = Some(("vec_id", buckets)))
-    val written = spark.read.parquet(codesPath(dest)).count()
-    require(written == srcRows,
-      s"PqMaintenance.retrain: re-encoded $written of $srcRows rows — " +
-        s"not publishing $gen; readers stay on the current generation")
-    StoreMaintenance.publishGeneration(spark, root, gen)
-    dest
-  }
+      numFiles: Int = 1): String =
+    DriftMaintenance.retrainWith(spark, fam(vectors), root,
+      (Double.NaN, candidateBook(vectors)), numFiles)
 
   /** The maintenance policy: measure the live codebook's mean quantization
     * error against the candidate book's on the current vector corpus, and
     * retrain iff live/candidate exceeds `threshold`. Idempotent below the
-    * threshold (pure reads).
+    * threshold (pure reads). The candidate measured is the one shipped.
     */
   def maintain(
       spark: SparkSession,
@@ -145,20 +149,23 @@ object PqMaintenance {
       vectors: DataFrame,
       threshold: Double = DefaultErrorRatioThreshold,
       numFiles: Int = 1): Report = {
-    val cur = StoreMaintenance.resolveCurrent(spark, root)
-    val live = IncrementalPqIndex.readCodebook(spark, bookPath(cur))
-    val liveErr = meanErr(vectors, live)
-    val candErr = meanErr(vectors, candidateBook(vectors))
-    // a zero-error candidate with a lossy live book is INFINITE drift (the
-    // corpus collapsed onto exactly representable vectors), not parity —
-    // forcing ratio to 1.0 there would mute the monitor in the worst case
-    val ratio =
-      if (candErr > 0.0) liveErr / candErr
-      else if (liveErr > 0.0) Double.PositiveInfinity
-      else 1.0
-    if (ratio <= threshold) Report(ratio, retrained = false, None)
-    else Report(ratio, retrained = true,
-      Some(retrain(spark, root, vectors, numFiles)))
+    val f = fam(vectors).copy(counterfactual = (spark, cur) => {
+      val live = IncrementalPqIndex.readCodebook(spark, bookPath(cur))
+      val liveErr = meanErr(vectors, live)
+      val cand = candidateBook(vectors)
+      val candErr = meanErr(vectors, cand)
+      // a zero-error candidate with a lossy live book is INFINITE drift
+      // (the corpus collapsed onto exactly representable vectors), not
+      // parity — forcing ratio to 1.0 there would mute the monitor in the
+      // worst case
+      val ratio =
+        if (candErr > 0.0) liveErr / candErr
+        else if (liveErr > 0.0) Double.PositiveInfinity
+        else 1.0
+      Outcome(ratio > threshold, (ratio, cand))
+    })
+    val (m, gen) = DriftMaintenance.maintain(spark, f, root, numFiles)
+    Report(m._1, gen.isDefined, gen)
   }
 
   /** ADC top-k against the LIVE generation — resolve the pointer once,

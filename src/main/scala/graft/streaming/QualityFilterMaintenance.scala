@@ -4,26 +4,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.QualityClassifier
+import graft.streaming.DriftMaintenance.{Kind, Outcome, Store}
 
 /** The recalibration loop for [[IncrementalQualityFilter]]'s frozen NB
-  * model — [[PqMaintenance]]'s measure-then-act policy applied to
-  * model-based quality filtering: the model freezes the (seed, crawl)
-  * estimate at bootstrap, so a crawl whose vocabulary mix drifts is scored
-  * against statistics that no longer describe it — the achieved admission
+  * model — the [[DriftMaintenance]] engine instantiated for model-based
+  * quality filtering: the model freezes the (seed, crawl) estimate at
+  * bootstrap, so a crawl whose vocabulary mix drifts is scored against
+  * statistics that no longer describe it — the achieved admission
   * fraction slides away from what the same τ admits under current
   * statistics, and nothing fails loudly.
   *
-  * The policy is a DIRECT counterfactual, no proxy metric: score the
-  * current labeled corpus window (the source of record) under the LIVE
-  * frozen model and under a CANDIDATE model trained on that same window,
-  * and compare the two achieved admission fractions. Drift beyond
-  * `threshold` trips [[retrain]]: the candidate model is written into the
-  * next generation with the scoring ledger and admitted stream carried
-  * (decisions already made stay made — only FUTURE batches score under
-  * the new model), row-count verified, and published behind the atomic
-  * `_current` pointer. The stream re-enters on the new generation under a
-  * fresh checkpoint; [[IncrementalQualityFilter.run]]'s bootstrap guard
-  * sees the model store and adopts it.
+  * The counterfactual is DIRECT, no proxy metric: score the current
+  * labeled corpus window (the source of record) under the LIVE frozen
+  * model and under a CANDIDATE model trained on that same window, and
+  * compare the two achieved admission fractions. Drift beyond `threshold`
+  * ships the measured candidate into the next generation with the scoring
+  * ledger and admitted stream carried (decisions already made stay made —
+  * only FUTURE batches score under the new model), verified, and
+  * published behind the atomic `_current` pointer. The stream re-enters
+  * on the new generation under a fresh checkpoint;
+  * [[IncrementalQualityFilter.run]]'s bootstrap guard sees the model
+  * store and adopts it.
   */
 object QualityFilterMaintenance {
 
@@ -38,11 +39,32 @@ object QualityFilterMaintenance {
       retrained: Boolean,
       generation: Option[String])
 
+  /** Retained measurement: fractions + the candidate (model, prior). */
+  private type M = (Double, Double, DataFrame, DataFrame)
+
   /** The live generation's path — a full [[IncrementalQualityFilter]]
     * root.
     */
   def currentRoot(spark: SparkSession, genRoot: String): String =
-    StoreMaintenance.resolveCurrent(spark, genRoot)
+    DriftMaintenance.currentRoot(spark, genRoot)
+
+  private val base = DriftMaintenance.Family[M](
+    what = "QualityFilterMaintenance",
+    stores = Seq(
+      Store("model", IncrementalQualityFilter.modelPath _, Kind.Model),
+      Store("prior", IncrementalQualityFilter.priorPath _, Kind.Model),
+      Store("ledger", IncrementalQualityFilter.ledgerPath _, Kind.History()),
+      Store("admitted", IncrementalQualityFilter.admittedPath _,
+        Kind.History())),
+    counterfactual = (_, _) => throw new IllegalStateException(
+      "QualityFilterMaintenance: direct retrain carries no counterfactual"),
+    retrainInto = (_, m, _, dest, _) => {
+      require(!m._3.isEmpty,
+        "QualityFilterMaintenance.retrain: the current corpus produced an " +
+          "empty model — nothing to recalibrate against")
+      IncrementalQualityFilter.writeModel(m._3, m._4, dest)
+    },
+    pinStorePaths = Some(IncrementalQualityFilter.storePaths _))
 
   /** Adopt a flat [[IncrementalQualityFilter]] root into the generation
     * layout, publishing generation 0 atomically.
@@ -51,26 +73,8 @@ object QualityFilterMaintenance {
       spark: SparkSession,
       genRoot: String,
       flatRoot: String,
-      numFiles: Int = 1): String = {
-    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
-    val dest = s"$genRoot/$gen"
-    spark.read.parquet(IncrementalQualityFilter.modelPath(flatRoot))
-      .coalesce(1).write.mode("errorifexists")
-      .parquet(IncrementalQualityFilter.modelPath(dest))
-    spark.read.parquet(IncrementalQualityFilter.priorPath(flatRoot))
-      .coalesce(1).write.mode("errorifexists")
-      .parquet(IncrementalQualityFilter.priorPath(dest))
-    StoreMaintenance.compactVerified(spark,
-      IncrementalQualityFilter.ledgerPath(flatRoot),
-      IncrementalQualityFilter.ledgerPath(dest),
-      "QualityFilterMaintenance.adopt ledger", numFiles)
-    StoreMaintenance.compactVerified(spark,
-      IncrementalQualityFilter.admittedPath(flatRoot),
-      IncrementalQualityFilter.admittedPath(dest),
-      "QualityFilterMaintenance.adopt admitted", numFiles)
-    StoreMaintenance.publishGeneration(spark, genRoot, gen)
-    dest
-  }
+      numFiles: Int = 1): String =
+    DriftMaintenance.adopt(spark, base, genRoot, flatRoot, numFiles)
 
   /** The achieved admission fraction of `docs` under an explicit model —
     * one aggregate over the shared scoring path, no global rank.
@@ -108,28 +112,9 @@ object QualityFilterMaintenance {
       genRoot: String,
       model: DataFrame,
       prior: DataFrame,
-      numFiles: Int = 1): String = {
-    val cur = currentRoot(spark, genRoot)
-    require(!model.isEmpty,
-      "QualityFilterMaintenance.retrain: the current corpus produced an " +
-        "empty model — nothing to recalibrate against")
-    val gen = StoreMaintenance.nextGeneration(spark, genRoot)
-    val dest = s"$genRoot/$gen"
-    IncrementalQualityFilter.writeModel(model, prior, dest)
-    // verify every carried store before the pointer moves (the shared
-    // compactVerified gate): a lossy ledger carry silently truncates the
-    // audit history; a lossy admitted carry drops admitted documents
-    StoreMaintenance.compactVerified(spark,
-      IncrementalQualityFilter.ledgerPath(cur),
-      IncrementalQualityFilter.ledgerPath(dest),
-      "QualityFilterMaintenance.retrain ledger", numFiles)
-    StoreMaintenance.compactVerified(spark,
-      IncrementalQualityFilter.admittedPath(cur),
-      IncrementalQualityFilter.admittedPath(dest),
-      "QualityFilterMaintenance.retrain admitted", numFiles)
-    StoreMaintenance.publishGeneration(spark, genRoot, gen)
-    dest
-  }
+      numFiles: Int = 1): String =
+    DriftMaintenance.retrainWith(spark, base, genRoot,
+      (Double.NaN, Double.NaN, model, prior), numFiles)
 
   /** Measure-then-act: read the live generation's frozen model, score
     * `docs` under it and under the candidate, retrain iff the achieved
@@ -142,18 +127,19 @@ object QualityFilterMaintenance {
       docs: DataFrame,
       threshold: Double = DefaultFractionDriftThreshold,
       numFiles: Int = 1): Report = {
-    val cur = currentRoot(spark, genRoot)
-    val (model, prior) = IncrementalQualityFilter.readModel(spark, cur)
-    val fFrozen = achievedFraction(docs, model, prior)
-    // materialize the bounded candidate ONCE: the counterfactual scoring
-    // and (on drift) the generation write both read it, and rebuilding it
-    // would pay the corpus tokenize+aggregate a second time
-    val candModel = QualityClassifier.modelTable(docs).localCheckpoint()
-    val candPrior = QualityClassifier.priorRow(docs).localCheckpoint()
-    val fCand = achievedFraction(docs, candModel, candPrior)
-    if (math.abs(fFrozen - fCand) <= threshold)
-      Report(fFrozen, fCand, retrained = false, None)
-    else Report(fFrozen, fCand, retrained = true,
-      Some(retrainWith(spark, genRoot, candModel, candPrior, numFiles)))
+    val fam = base.copy(counterfactual = (spark, cur) => {
+      val (model, prior) = IncrementalQualityFilter.readModel(spark, cur)
+      val fFrozen = achievedFraction(docs, model, prior)
+      // materialize the bounded candidate ONCE: the counterfactual scoring
+      // and (on drift) the generation write both read it, and rebuilding
+      // it would pay the corpus tokenize+aggregate a second time
+      val candModel = QualityClassifier.modelTable(docs).localCheckpoint()
+      val candPrior = QualityClassifier.priorRow(docs).localCheckpoint()
+      val fCand = achievedFraction(docs, candModel, candPrior)
+      Outcome(math.abs(fFrozen - fCand) > threshold,
+        (fFrozen, fCand, candModel, candPrior))
+    })
+    val (m, gen) = DriftMaintenance.maintain(spark, fam, genRoot, numFiles)
+    Report(m._1, m._2, gen.isDefined, gen)
   }
 }
