@@ -507,6 +507,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("per-batch reassembly: chunk_text crosses exactly ONE exchange too") {
+    // the INCREMENTAL twins route reassembly through the same
+    // reassembleFlagged seam as the batch Docs operators, but their flag
+    // relation arrives from a doc_id join (the first-write-wins guard),
+    // not straight from the election — pin the per-batch shape so a twin
+    // rewrite cannot silently re-key the text exchange on the digest
+    spark.catalog.clearCache()
+    val rows = Dedup.chunkRows(T.table(spark, sf, "documents"))
+    val survivors = Dedup.flaggedChunks(rows.drop("chunk_text"))
+      .filter(col("kept")).select("doc_id", "chunk_idx")
+    val flags = rows.select("doc_id", "chunk_idx")
+      .join(survivors.withColumn("sv", lit(true)),
+        Seq("doc_id", "chunk_idx"), "left")
+      .withColumn("kept", coalesce(col("sv"), lit(false)))
+    val p = Dedup.reassembleFlagged(rows, flags)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    val textExchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.output.map(_.name).contains("chunk_text") => e
+    }
+    assert(textExchanges.size == 1, p.toString)
+    val keyCols = textExchanges.head.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.flatMap(_.references.map(_.name))
+      case other => fail(s"expected hash partitioning, got $other")
+    }
+    assert(keyCols == Seq("doc_id"), keyCols.mkString(","))
+  }
+
   test("sequence packing: one shard shuffle, local sort only, no text carried") {
     import org.apache.spark.sql.execution.SortExec
     spark.catalog.clearCache()
