@@ -484,6 +484,9 @@ object SparkEntry {
       QualityClassifier.summary(T.table(s, dir, "documents"))),
     "curate_pack_bins" -> ((s, dir) =>
       Packing.packBins(T.table(s, dir, "documents"))),
+    "curate_pack_bins_subword" -> ((s, dir) =>
+      Packing.packBins(T.table(s, dir, "documents"),
+        nTokensSql = TextAnalysis.subwordCountSql)),
     "curate_pack_stats" -> ((s, dir) =>
       Packing.stats(T.table(s, dir, "documents"))),
     "curate_epoch_plan" -> ((s, dir) =>
@@ -832,6 +835,7 @@ object SparkEntry {
     "quality_nb_select" -> OO.QUALITY_NB_SELECT,
     "quality_nb_summary" -> OO.QUALITY_NB_SUMMARY,
     "curate_pack_bins" -> OO.CURATE_PACK_BINS,
+    "curate_pack_bins_subword" -> OO.CURATE_PACK_BINS_SUBWORD,
     "curate_pack_stats" -> OO.CURATE_PACK_STATS,
     "curate_epoch_plan" -> OO.CURATE_EPOCH_PLAN,
     "quality_lm_model" -> OO.QUALITY_LM_MODEL,

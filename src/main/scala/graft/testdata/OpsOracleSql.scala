@@ -32,15 +32,14 @@ object OpsOracleSql {
     * Vocabulary comes verbatim from [[graft.ops.Portable.subwordVocab]]
     * (the shared-data discipline of the header note).
     */
-  val TEXT_SUBWORD_TOKENS: String = {
+  private val subwordChain: String = {
     val vocabRows = subwordVocab.map { p =>
       val cont = p.startsWith("##")
       val piece = if (cont) p.substring(2) else p
       s"('$piece', $cont, ${piece.length})"
     }.mkString(", ")
     val maxLen = SubwordMaxWordLen
-    s"""WITH RECURSIVE
-       |vocab(piece, is_cont, plen) AS (VALUES $vocabRows),
+    s"""vocab(piece, is_cont, plen) AS (VALUES $vocabRows),
        |dw AS (
        |  SELECT doc_id, unnest($bpeDuck) AS word FROM documents
        |),
@@ -73,13 +72,16 @@ object OpsOracleSql {
        |  FROM dwc
        |  LEFT JOIN word_n wn USING (word)
        |  GROUP BY dwc.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  val TEXT_SUBWORD_TOKENS: String =
+    s"""WITH RECURSIVE $subwordChain
        |SELECT d.doc_id,
        |  CAST(len($bpeDuck) AS BIGINT) AS n_bpe_tokens,
        |  CAST(coalesce(dc.n_subwords, 0) AS BIGINT) AS n_subwords
        |FROM documents d
        |LEFT JOIN doc_counts dc USING (doc_id)""".stripMargin
-  }
 
   val TEXT_TOKENS =
     s"""SELECT doc_id,
@@ -2034,15 +2036,12 @@ object OpsOracleSql {
   private val PackBudget = graft.ops.Packing.Budget
   private val PackShards = graft.ops.Packing.Shards
 
-  /** Mirrors [[graft.ops.Packing.packBins]]: md5 shard, per-shard running
-    * token sum ordered by doc_id, bin = floor(span-start / budget).
+  /** Mirrors [[graft.ops.Packing.packBins]] over an explicit sized CTE:
+    * md5 shard, per-shard running token sum ordered by doc_id,
+    * bin = floor(span-start / budget).
     */
-  private val packChain: String =
-    s"""pk_sized AS (
-       |  SELECT doc_id,
-       |         ${hexcastDuck("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard,
-       |         CAST(len($tokensDuck) AS BIGINT) AS n_tokens
-       |  FROM documents),
+  private def packChainFrom(sized: String): String =
+    s"""pk_sized AS ($sized),
        |pk_cum AS (
        |  SELECT doc_id, shard, n_tokens,
        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -2056,8 +2055,32 @@ object OpsOracleSql {
        |           AS BIGINT) AS bin_offset
        |  FROM pk_cum)""".stripMargin
 
+  /** The default whitespace-count sizing. */
+  private val packChain: String = packChainFrom(
+    s"""
+       |  SELECT doc_id,
+       |         ${hexcastDuck("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard,
+       |         CAST(len($tokensDuck) AS BIGINT) AS n_tokens
+       |  FROM documents""".stripMargin)
+
   val CURATE_PACK_BINS: String =
     s"WITH $packChain\nSELECT doc_id, shard, n_tokens, bin, bin_offset FROM pk_bins"
+
+  /** Mirrors `Packing.packBins(docs, nTokensSql = TextAnalysis
+    * .subwordCountSql)` — the opt-in SUBWORD `n_tokens` source composed
+    * with the packing math: the greedy-WordPiece chain sizes each
+    * document, the pack chain bins it. Cross-engine proof that the
+    * trainer-budget counts feed the same packing invariants.
+    */
+  val CURATE_PACK_BINS_SUBWORD: String =
+    s"""WITH RECURSIVE $subwordChain,
+       |${packChainFrom(
+      s"""
+         |  SELECT d.doc_id,
+         |         ${hexcastDuck("'pack:' || CAST(d.doc_id AS VARCHAR)")} % $PackShards AS shard,
+         |         CAST(coalesce(dc.n_subwords, 0) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN doc_counts dc USING (doc_id)""".stripMargin)}
+       |SELECT doc_id, shard, n_tokens, bin, bin_offset FROM pk_bins""".stripMargin
 
   /** Mirrors [[graft.ops.Packing.stats]]. */
   val CURATE_PACK_STATS: String =
