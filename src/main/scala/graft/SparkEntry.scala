@@ -248,6 +248,8 @@ object SparkEntry {
       TextAnalysis.tokenStats(T.table(s, dir, "documents"))),
     "text_subword_tokens" -> ((s, dir) =>
       TextAnalysis.subwordTokens(T.table(s, dir, "documents"))),
+    "text_subword_ids" -> ((s, dir) =>
+      TextAnalysis.subwordIds(T.table(s, dir, "documents"))),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(T.table(s, dir, "documents"))),
     "text_quality" -> ((s, dir) =>
@@ -549,6 +551,7 @@ object SparkEntry {
       "SELECT * FROM dim"),
     "text_tokens" -> OO.TEXT_TOKENS,
     "text_subword_tokens" -> OO.TEXT_SUBWORD_TOKENS,
+    "text_subword_ids" -> OO.TEXT_SUBWORD_IDS,
     "text_langid" -> OO.TEXT_LANGID,
     "text_quality" -> OO.TEXT_QUALITY,
     "text_fingerprint" -> OO.TEXT_FINGERPRINT,

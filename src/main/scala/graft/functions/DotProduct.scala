@@ -114,5 +114,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_subword_count"),
       new ExpressionInfo(classOf[SubwordCount].getName, "graft_subword_count"),
       SubwordCount.fromChildren _))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_subword_ids"),
+      new ExpressionInfo(classOf[SubwordIds].getName, "graft_subword_ids"),
+      SubwordIds.fromChildren _))
   }
 }

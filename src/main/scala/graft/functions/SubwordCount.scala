@@ -23,21 +23,47 @@ import org.apache.spark.sql.types._
   */
 final class SubwordVocab(pieces: Array[String], val maxWordLen: Int)
     extends Serializable {
-  private val heads = new java.util.HashSet[String]()
-  private val conts = new java.util.HashSet[String]()
+
+  /** The reserved [UNK] id — vocabulary pieces are 1-based, in their
+    * literal order, so the id assignment is a pure function of the
+    * splatted vocabulary both engines share.
+    */
+  val UnkId = 0L
+
+  private val headIds = new java.util.HashMap[String, java.lang.Long]()
+  private val contIds = new java.util.HashMap[String, java.lang.Long]()
   private var maxHead = 0
   private var maxCont = 0
-  pieces.foreach { p =>
+  pieces.zipWithIndex.foreach { case (p, i) =>
+    val id = java.lang.Long.valueOf(i + 1L)
     if (p.startsWith("##")) {
       val s = p.substring(2)
       if (s.nonEmpty) {
-        conts.add(s)
+        contIds.put(s, id)
         if (s.length > maxCont) maxCont = s.length
       }
     } else if (p.nonEmpty) {
-      heads.add(p)
+      headIds.put(p, id)
       if (p.length > maxHead) maxHead = p.length
     }
+  }
+
+  /** Longest vocabulary piece matching `w` at `start`, packed as
+    * `(id << 8) | matchEnd` (maxWordLen < 256 keeps the end in the low
+    * byte), or −1 when nothing matches — the ONE matching routine both
+    * [[countWord]] and [[appendIds]] walk, so count and ids cannot
+    * diverge.
+    */
+  private def matchAt(w: String, start: Int): Long = {
+    val map = if (start == 0) headIds else contIds
+    val cap = if (start == 0) maxHead else maxCont
+    var end = math.min(w.length, start + cap)
+    while (end > start) {
+      val id = map.get(w.substring(start, end))
+      if (id != null) return (id.longValue() << 8) | end.toLong
+      end -= 1
+    }
+    -1L
   }
 
   /** Subword token count of ONE pre-token. Called from generated code. */
@@ -48,19 +74,48 @@ final class SubwordVocab(pieces: Array[String], val maxWordLen: Int)
     var start = 0
     var n = 0L
     while (start < len) {
-      val set = if (start == 0) heads else conts
-      val cap = if (start == 0) maxHead else maxCont
-      var end = math.min(len, start + cap)
-      var found = -1
-      while (end > start && found < 0) {
-        if (set.contains(w.substring(start, end))) found = end
-        else end -= 1
-      }
-      if (found < 0) return 1L // [UNK]: unrepresentable word, whole
+      val m = matchAt(w, start)
+      if (m < 0) return 1L // [UNK]: unrepresentable word, whole
       n += 1
-      start = found
+      start = (m & 0xffL).toInt
     }
     n
+  }
+
+  /** Append ONE pre-token's piece ids ([UNK] = [[UnkId]], whole-word). */
+  private def appendIds(w: String,
+      out: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+    val len = w.length
+    if (len == 0) return
+    if (len > maxWordLen) { out += UnkId; return }
+    val mark = out.length
+    var start = 0
+    while (start < len) {
+      val m = matchAt(w, start)
+      if (m < 0) { // unrepresentable: the whole word collapses to [UNK]
+        out.dropRightInPlace(out.length - mark)
+        out += UnkId
+        return
+      }
+      out += (m >>> 8)
+      start = (m & 0xffL).toInt
+    }
+  }
+
+  /** The trainer-ready id stream of a pre-tokenized word array — word
+    * order preserved, [UNK] whole-word collapses inline. Called from
+    * generated code (one call per row, the loop lives here).
+    */
+  def idsOf(words: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = words.numElements()
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) appendIds(words.getUTF8String(i).toString, buf)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
   }
 }
 
@@ -95,34 +150,12 @@ case class SubwordCount(words: Expression, vocab: Expression,
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def strArr(e: Expression) = e.dataType match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    }
-    if (!strArr(words) || !strArr(vocab))
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<string> words and vocab")
-    else if (!vocab.foldable || !maxWordLen.foldable)
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: vocab and maxWordLen must be foldable literals")
-    else if (maxWordLen.dataType != IntegerType)
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: maxWordLen must be an INT literal")
-    else TypeCheckResult.TypeCheckSuccess
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    SubwordCount.checkSubwordInputs(prettyName, words, vocab, maxWordLen)
 
   /** The vocabulary table, folded once per plan (both eval paths). */
-  @transient private lazy val table: SubwordVocab = {
-    val a = vocab.eval(null).asInstanceOf[ArrayData]
-    val pieces = new Array[String](a.numElements())
-    var i = 0
-    while (i < pieces.length) {
-      pieces(i) = if (a.isNullAt(i)) "" else a.getUTF8String(i).toString
-      i += 1
-    }
-    new SubwordVocab(pieces, maxWordLen.eval(null).asInstanceOf[Int])
-  }
+  @transient private lazy val table: SubwordVocab =
+    SubwordCount.foldVocab(vocab, maxWordLen)
 
   override def eval(input: InternalRow): Any = {
     val w = words.eval(input)
@@ -168,5 +201,93 @@ object SubwordCount {
     require(children.length == 3,
       "graft_subword_count(words, vocab, maxWordLen) takes three arguments")
     SubwordCount(children.head, children(1), children(2))
+  }
+
+  private[functions] def checkSubwordInputs(prettyName: String,
+      words: Expression, vocab: Expression,
+      maxWordLen: Expression): TypeCheckResult = {
+    def strArr(e: Expression) = e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (!strArr(words) || !strArr(vocab))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> words and vocab")
+    else if (!vocab.foldable || !maxWordLen.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: vocab and maxWordLen must be foldable literals")
+    else if (maxWordLen.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: maxWordLen must be an INT literal")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private[functions] def foldVocab(vocab: Expression,
+      maxWordLen: Expression): SubwordVocab = {
+    val a = vocab.eval(null).asInstanceOf[ArrayData]
+    val pieces = new Array[String](a.numElements())
+    var i = 0
+    while (i < pieces.length) {
+      pieces(i) = if (a.isNullAt(i)) "" else a.getUTF8String(i).toString
+      i += 1
+    }
+    new SubwordVocab(pieces, maxWordLen.eval(null).asInstanceOf[Int])
+  }
+}
+
+/** Native codegen subword ENCODER —
+  * `graft_subword_ids(words, vocab, maxWordLen)` → `array<bigint>`: the
+  * trainer-ready token-id stream of a pre-tokenized word array under the
+  * same greedy longest-match WordPiece walk as [[SubwordCount]] (one
+  * shared matching routine — count and ids cannot diverge). Piece ids
+  * are the 1-based position in the vocabulary literal; an
+  * unrepresentable or over-length word collapses to ONE
+  * [[SubwordVocab.UnkId]] (= 0), the BERT whole-word convention. Word
+  * order is preserved, so `input_ids` is the sequence a packing/shard
+  * stage ships to a trainer. Same codegen discipline as [[SubwordCount]]:
+  * the vocabulary folds once into a reference object and the generated
+  * per-row code is a single kernel call.
+  */
+case class SubwordIds(words: Expression, vocab: Expression,
+    maxWordLen: Expression) extends TernaryExpression {
+
+  override def first: Expression = words
+  override def second: Expression = vocab
+  override def third: Expression = maxWordLen
+
+  override def prettyName: String = "graft_subword_ids"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SubwordCount.checkSubwordInputs(prettyName, words, vocab, maxWordLen)
+
+  @transient private lazy val table: SubwordVocab =
+    SubwordCount.foldVocab(vocab, maxWordLen)
+
+  override def eval(input: InternalRow): Any = {
+    val w = words.eval(input)
+    if (w == null) return null
+    table.idsOf(w.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, _, _) => {
+      val ref = ctx.addReferenceObj("subwordVocab", table,
+        classOf[SubwordVocab].getName)
+      s"${ev.value} = $ref.idsOf($w);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): SubwordIds =
+    copy(words = newFirst, vocab = newSecond, maxWordLen = newThird)
+}
+
+object SubwordIds {
+  def fromChildren(children: Seq[Expression]): SubwordIds = {
+    require(children.length == 3,
+      "graft_subword_ids(words, vocab, maxWordLen) takes three arguments")
+    SubwordIds(children.head, children(1), children(2))
   }
 }

@@ -57,6 +57,25 @@ object TextAnalysis {
       s"CAST(size($bpeSpark) AS BIGINT) AS n_bpe_tokens",
       s"$subwordCountSql AS n_subwords")
 
+  /** The trainer-ready token-id stream as a SQL expression — the
+    * `graft_subword_ids` kernel over the same pre-tokens and folded
+    * vocabulary as [[subwordCountSql]] (ONE shared matching routine in
+    * the kernel, so `size(ids) == count` by construction).
+    */
+  val subwordIdsSql: String =
+    s"graft_subword_ids($bpeSpark, $subwordVocabSql, $SubwordMaxWordLen)"
+
+  /** Per-document token ids `(doc_id, input_ids, n_subwords)` — what a
+    * packing/shard stage ships to a trainer: piece ids are the 1-based
+    * vocabulary position, [UNK] = 0 per unrepresentable word, word order
+    * preserved. Still one narrow projection, no shuffle.
+    */
+  def subwordIds(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      s"$subwordIdsSql AS input_ids",
+      s"$subwordCountSql AS n_subwords")
+
   /** N-gram-profile language ID: score = marker-token hit-rate per language,
     * prediction = argmax with fixed tie order (en,de,es,fr,zh), 'und' when
     * no marker hits at all.

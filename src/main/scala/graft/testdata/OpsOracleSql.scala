@@ -33,13 +33,15 @@ object OpsOracleSql {
     * (the shared-data discipline of the header note).
     */
   private val subwordChain: String = {
-    val vocabRows = subwordVocab.map { p =>
+    // pid = 1-based position in the shared vocabulary literal; 0 is the
+    // reserved [UNK] — the exact id assignment the Spark kernel makes
+    val vocabRows = subwordVocab.zipWithIndex.map { case (p, i) =>
       val cont = p.startsWith("##")
       val piece = if (cont) p.substring(2) else p
-      s"('$piece', $cont, ${piece.length})"
+      s"('$piece', $cont, ${piece.length}, ${i + 1})"
     }.mkString(", ")
     val maxLen = SubwordMaxWordLen
-    s"""vocab(piece, is_cont, plen) AS (VALUES $vocabRows),
+    s"""vocab(piece, is_cont, plen, pid) AS (VALUES $vocabRows),
        |dw AS (
        |  SELECT doc_id, unnest($bpeDuck) AS word FROM documents
        |),
@@ -57,15 +59,19 @@ object OpsOracleSql {
        |  JOIN vocab v ON v.is_cont = (p.pos > 1)
        |  GROUP BY w.word, p.pos
        |),
-       |walk(word, pos, n) AS (
-       |  SELECT word, 1, 0 FROM words
+       |walk(word, pos, n, ids) AS (
+       |  SELECT word, 1, 0, CAST([] AS BIGINT[]) FROM words
        |  UNION ALL
-       |  SELECT wk.word, wk.pos + m.mlen, wk.n + 1
+       |  SELECT wk.word, wk.pos + m.mlen, wk.n + 1,
+       |         list_append(wk.ids, CAST(v2.pid AS BIGINT))
        |  FROM walk wk
        |  JOIN matches m ON m.word = wk.word AND m.pos = wk.pos
+       |  JOIN vocab v2 ON v2.is_cont = (wk.pos > 1) AND v2.plen = m.mlen
+       |    AND v2.piece = substr(wk.word, wk.pos, m.mlen)
        |  WHERE m.mlen IS NOT NULL
        |),
        |word_n AS (SELECT word, n FROM walk WHERE pos = length(word) + 1),
+       |word_ids AS (SELECT word, ids FROM walk WHERE pos = length(word) + 1),
        |doc_counts AS (
        |  SELECT dwc.doc_id,
        |    sum(dwc.cnt * coalesce(wn.n, 1)) AS n_subwords
@@ -81,6 +87,35 @@ object OpsOracleSql {
        |  CAST(len($bpeDuck) AS BIGINT) AS n_bpe_tokens,
        |  CAST(coalesce(dc.n_subwords, 0) AS BIGINT) AS n_subwords
        |FROM documents d
+       |LEFT JOIN doc_counts dc USING (doc_id)""".stripMargin
+
+  /** Mirrors `TextAnalysis.subwordIds`: per-word id lists from the
+    * recursive walk, re-assembled in DOCUMENT WORD ORDER via the
+    * ordinality-carrying unnest + an ordered list-of-lists flatten —
+    * [UNK]=0 per unrepresentable/over-length word, ids 1-based in the
+    * shared vocabulary literal.
+    */
+  val TEXT_SUBWORD_IDS: String =
+    s"""WITH RECURSIVE $subwordChain,
+       |dwo AS (
+       |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS idx
+       |  FROM (SELECT doc_id, $bpeDuck AS ws FROM documents)
+       |),
+       |wia AS (
+       |  SELECT w.word, coalesce(wi.ids, [CAST(0 AS BIGINT)]) AS ids
+       |  FROM (SELECT DISTINCT word FROM dwo) w
+       |  LEFT JOIN word_ids wi USING (word)
+       |),
+       |doc_ids AS (
+       |  SELECT dwo.doc_id, flatten(list(wia.ids ORDER BY dwo.idx)) AS input_ids
+       |  FROM dwo JOIN wia USING (word)
+       |  GROUP BY dwo.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(di.input_ids, CAST([] AS BIGINT[])) AS input_ids,
+       |  CAST(coalesce(dc.n_subwords, 0) AS BIGINT) AS n_subwords
+       |FROM documents d
+       |LEFT JOIN doc_ids di USING (doc_id)
        |LEFT JOIN doc_counts dc USING (doc_id)""".stripMargin
 
   val TEXT_TOKENS =

@@ -94,6 +94,56 @@ class SubwordSpec extends SparkSpec {
     assert(nulls(0L).contains(1L) && nulls(1L).isEmpty)
   }
 
+  private val pieceId: Map[String, Long] =
+    Portable.subwordVocab.zipWithIndex
+      .map { case (p, i) => p -> (i + 1L) }.toMap
+
+  private def refWordIds(w: String): Seq[Long] = {
+    if (w.length > Portable.SubwordMaxWordLen) return Seq(0L)
+    var start = 0
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    while (start < w.length) {
+      val candidates = (start + 1 to w.length).reverse.map(w.substring(start, _))
+      val hit = candidates.find(c =>
+        if (start == 0) headSet.contains(c) else contSet.contains(c))
+      hit match {
+        case None => return Seq(0L)
+        case Some(p) =>
+          out += pieceId(if (start == 0) p else "##" + p)
+          start += p.length
+      }
+    }
+    out.toSeq
+  }
+
+  private def refIds(text: String): Seq[Long] = {
+    val m = pre.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    while (m.find()) out ++= refWordIds(m.group())
+    out.toSeq
+  }
+
+  test("id streams are bit-identical to the driver reference corpus-wide") {
+    val got = TextAnalysis.subwordIds(docs).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      val (ids, n) = got(id)
+      assert(ids == refIds(text), s"doc $id ids diverged")
+      // the one-matching-routine contract: size(ids) == n_subwords
+      assert(ids.size.toLong == n, s"doc $id count/ids diverged")
+      assert(n == refCount(text), s"doc $id count diverged")
+    }
+    // ids decode: every non-UNK id indexes the shared vocabulary
+    val maxId = Portable.subwordVocab.size.toLong
+    assert(got.values.flatMap(_._1).forall(i => i >= 0L && i <= maxId))
+    // "joining" decodes to exactly (join, ##ing) through the id map
+    assert(refWordIds("joining") ==
+      Seq(pieceId("join"), pieceId("##ing")))
+  }
+
   test("the kernel stays inside whole-stage codegen") {
     spark.catalog.clearCache()
     val p = TextAnalysis.subwordTokens(docs).queryExecution.executedPlan
