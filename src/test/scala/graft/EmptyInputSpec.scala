@@ -31,6 +31,10 @@ class EmptyInputSpec extends SparkSpec {
   test("text + dedup + split operators return empty on an empty corpus") {
     val d = emptyDocs
     assert(TextAnalysis.tokenStats(d).count() == 0)
+    assert(TextAnalysis.subwordTokens(d).count() == 0)
+    assert(TextAnalysis.subwordIds(d).count() == 0)
+    assert(Packing.packBins(d,
+      nTokensSql = TextAnalysis.subwordCountSql).count() == 0)
     assert(TextAnalysis.qualityScore(d).count() == 0)
     assert(TextAnalysis.topTerms(d).count() == 0)
     assert(Retrieval.bm25TopK(d).count() == 0)
