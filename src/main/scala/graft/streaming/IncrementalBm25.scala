@@ -161,8 +161,21 @@ object IncrementalBm25 {
     */
   def searchStore(spark: SparkSession, root: String,
       k: Int = graft.ops.Portable.Bm25TopK,
+      maxTermDf: Option[Long] = None): DataFrame =
+    searchStoreWith(spark, root,
+      graft.ops.Portable.bm25Queries.map { case (q, ts) => (q.toLong, ts) },
+      k, maxTermDf)
+
+  /** [[searchStore]] for an ARBITRARY query batch — the store-backed twin
+    * of [[Retrieval.bm25TopKWith]], same driver-side-constant framing.
+    */
+  def searchStoreWith(spark: SparkSession, root: String,
+      queryBatch: Seq[(Long, Seq[String])],
+      k: Int = graft.ops.Portable.Bm25TopK,
       maxTermDf: Option[Long] = None): DataFrame = {
-    val queries = Retrieval.queriesDf(spark)
+    require(queryBatch.nonEmpty && queryBatch.forall(_._2.nonEmpty),
+      "searchStoreWith: every query needs at least one term")
+    val queries = Retrieval.queriesDfOf(spark, queryBatch)
     val terms = maxTermDf match {
       case None => queries.select("term")
       case Some(cap) =>
@@ -174,7 +187,8 @@ object IncrementalBm25 {
     val tf = priorPostings(spark, root, terms)
       .localCheckpoint() // feeds both df and the scoring join
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    Retrieval.scoreTf(tf, df, readStats(spark, root), queries, k)
+    Retrieval.scoreTf(tf, df, readStats(spark, root), queries, k,
+      queryBatch.map(_._2.size).max)
   }
 
   /** Drain the landing dir (Trigger.AvailableNow), indexing each

@@ -92,8 +92,11 @@ object SketchStoreMaintenance {
 
   /** Measure-then-act: list the live generation's daily store and fold
     * both stores iff its file count passed `maxFiles`. Below threshold
-    * the cost is the listing alone — no reads, no writes. A root whose
-    * daily store was never written has nothing to measure and no-ops.
+    * the cost is the listing alone — no reads, no writes. A CMS-ONLY
+    * deployment (no daily store) measures the CMS store instead — both
+    * drains append one file per batch, so either store's count tracks
+    * drain history, and a store that exists must be able to trigger its
+    * own fold. A root with neither store no-ops.
     */
   def maintain(
       spark: SparkSession,
@@ -101,10 +104,17 @@ object SketchStoreMaintenance {
       maxFiles: Long = DefaultMaxFiles,
       numFiles: Int = 1): Report = {
     val cur = currentRoot(spark, genRoot)
-    if (!StoragePaths.exists(spark, IncrementalSketchStore.dailyPath(cur)))
+    if (StoragePaths.exists(spark, IncrementalSketchStore.dailyPath(cur))) {
+      val r = FamilyMaintenance.maintain(spark, family, genRoot, maxFiles,
+        numFiles, targetBucketBytes = 64L << 20)
+      return Report(r.files, r.bytes, r.compacted, r.generation)
+    }
+    val cmsStore = IncrementalSketchStore.cmsPath(cur)
+    if (!StoragePaths.exists(spark, cmsStore))
       return Report(0L, 0L, compacted = false, None)
-    val r = FamilyMaintenance.maintain(spark, family, genRoot, maxFiles,
-      numFiles, targetBucketBytes = 64L << 20)
-    Report(r.files, r.bytes, r.compacted, r.generation)
+    val (files, bytes) = StoreMaintenance.fileStats(spark, cmsStore)
+    if (files <= maxFiles) Report(files, bytes, compacted = false, None)
+    else Report(files, bytes, compacted = true,
+      Some(compact(spark, genRoot, numFiles)))
   }
 }

@@ -81,6 +81,26 @@ class IncrementalBm25Spec extends SparkSpec {
       == docs.count())
   }
 
+  test("an arbitrary query batch searches the store ≡ the batch operator") {
+    val landing = Files.createTempDirectory("bm256-landing")
+    val ckpt = Files.createTempDirectory("bm256-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("bm256-root").toString + "/idx"
+    landParquet(landing, "b1.parquet", docs)
+    IncrementalBm25.run(spark, landing.toString, ckpt, root, docSchema)
+    // a user-supplied batch, including a query LONGER than the fixed
+    // batch's widest (the pivot width must follow the batch, not the
+    // battery constant) and an off-corpus term (zero hits, no crash)
+    val batch = Seq(
+      10L -> Seq("data", "join", "window", "scan", "merge"),
+      11L -> Seq("quetzalcoatl"),
+      12L -> Seq("hash"))
+    val got = topk(IncrementalBm25.searchStoreWith(spark, root, batch))
+    val want = topk(Retrieval.bm25TopKWith(docs, batch))
+    assert(want.nonEmpty && want.exists(_._1 == 10L))
+    assert(got == want)
+    assert(!want.exists(_._1 == 11L), "an off-corpus query scores no rows")
+  }
+
   test("the stop-term guard bounds the probe with the documented divergence") {
     val landing = Files.createTempDirectory("bm255-landing")
     val ckpt = Files.createTempDirectory("bm255-ckpt").toString + "/c"

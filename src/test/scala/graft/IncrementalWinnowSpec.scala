@@ -79,6 +79,27 @@ class IncrementalWinnowSpec extends SparkSpec {
     assert(!dup.getAs[Boolean]("kept") && dup.getAs[Long]("dup_of") == 1L)
   }
 
+  test("funnel counts decompose: a doubly-caught doc is attributed once") {
+    // Y overlaps BOTH a lower-id batch doc (X) and a stored doc (A) — the
+    // within-batch pass wins the attribution, so the counts decompose:
+    // nDroppedWithin + nDroppedStore + |admitted| == nDocs (the naive
+    // per-pass counts would double-count Y and sum to nDocs + 1)
+    val a = uniqText(1)
+    val stored = spark.createDataFrame(Seq(row(1L, a)).asJava, docSchema)
+    val storeFps = Dedup.winnowFingerprints(stored)
+      .select("doc_id", "h").distinct()
+    val storeSizes = storeFps.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+    val batch = spark.createDataFrame(
+      Seq(row(100L, a), row(101L, a)).asJava, docSchema)
+    val r = IncrementalWinnow.decideBatch(batch, storeFps, storeSizes)
+    val admitted = r.admitted.count()
+    assert(admitted == 0L, "both copies of a stored doc must drop")
+    assert(r.nDocs == 2L && r.nDroppedWithin == 1L && r.nDroppedStore == 1L,
+      s"got within=${r.nDroppedWithin} store=${r.nDroppedStore}")
+    assert(r.nDroppedWithin + r.nDroppedStore + admitted == r.nDocs)
+  }
+
   test("a re-crawled doc_id landing in a later batch is not re-decided") {
     val (landing, ckpt, root) = dirs()
     land(landing, "b1.parquet", Seq(row(1L, uniqText(1)), row(2L, uniqText(2))))

@@ -123,7 +123,7 @@ class SketchStoreMaintenanceSpec extends SparkSpec {
     assert(tripled == 3L * events.count())
   }
 
-  test("a root without a daily store no-ops instead of crashing") {
+  test("a CMS-only root measures the CMS store instead of going blind") {
     val genRoot = Files.createTempDirectory("skm4-gen").toString + "/sketch"
     val flat = Files.createTempDirectory("skm4-flat").toString + "/sketch"
     val landing = Files.createTempDirectory("skm4-landing")
@@ -136,8 +136,23 @@ class SketchStoreMaintenanceSpec extends SparkSpec {
     val cur = StoreMaintenance.resolveCurrent(spark, genRoot)
     assert(spark.read.parquet(IncrementalSketchStore.cmsPath(cur))
       .count() == 1)
-    // ...and maintain has nothing to measure, so it reports a no-op
+    val wantCms = cmsSnapshot(IncrementalSketchStore.cmsPath(cur))
+    // ...maintain measures the CMS store: quiet under threshold...
+    val r0 = SketchStoreMaintenance.maintain(spark, genRoot,
+      maxFiles = 1000000L)
+    assert(!r0.compacted && r0.generation.isEmpty && r0.dailyFiles > 0L)
+    // ...and a trip folds it through the same engine carry
     val r = SketchStoreMaintenance.maintain(spark, genRoot, maxFiles = 0L)
-    assert(!r.compacted && r.generation.isEmpty && r.dailyFiles == 0L)
+    assert(r.compacted && r.generation.isDefined)
+    val cur2 = StoreMaintenance.resolveCurrent(spark, genRoot)
+    assert(cmsSnapshot(IncrementalSketchStore.cmsPath(cur2)) == wantCms)
+    // a root with NEITHER store still no-ops instead of crashing
+    val bare = Files.createTempDirectory("skm5-gen").toString + "/sketch"
+    StoreMaintenance.publishGeneration(spark, bare, {
+      val g = "gen-00000"
+      new java.io.File(s"$bare/$g").mkdirs(); g
+    })
+    val rb = SketchStoreMaintenance.maintain(spark, bare, maxFiles = 0L)
+    assert(!rb.compacted && rb.generation.isEmpty && rb.dailyFiles == 0L)
   }
 }
