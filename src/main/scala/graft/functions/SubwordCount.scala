@@ -24,6 +24,11 @@ import org.apache.spark.sql.types._
 final class SubwordVocab(pieces: Array[String], val maxWordLen: Int)
     extends Serializable {
 
+  // matchAt packs the match end into the low byte of (id << 8) | end, so
+  // the walk is only correct when every cursor position fits in 8 bits.
+  require(maxWordLen >= 1 && maxWordLen <= 255,
+    s"maxWordLen must be in [1, 255] (packed-match invariant), got $maxWordLen")
+
   /** The reserved [UNK] id — vocabulary pieces are 1-based, in their
     * literal order, so the id assignment is a pure function of the
     * splatted vocabulary both engines share.
@@ -219,7 +224,15 @@ object SubwordCount {
     else if (maxWordLen.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName: maxWordLen must be an INT literal")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // Registered SQL surface: enforce the packed-match invariant here so
+      // an out-of-range bound is an analysis error, not a hung executor.
+      val m = maxWordLen.eval(null)
+      if (m == null || m.asInstanceOf[Int] < 1 || m.asInstanceOf[Int] > 255)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: maxWordLen must be in [1, 255], got $m")
+      else TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   private[functions] def foldVocab(vocab: Expression,

@@ -62,12 +62,15 @@ object Retrieval {
       count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     // postings for the query vocabulary only — the IN filter runs under
-    // the explode, before any shuffle
-    val termList = queryBatch.flatMap(_._2).distinct
-      .map(t => s"'${t.replace("'", "''")}'").mkString("(", ", ", ")")
+    // the explode, before any shuffle. Built as a Column In-expression,
+    // NOT splatted SQL text: query terms are arbitrary user strings
+    // (code/URLs with backslashes are the stated use-case) and SQL-literal
+    // escaping under Spark's backslash rules would silently transform or
+    // reject them.
+    val terms = queryBatch.flatMap(_._2).distinct
     val tf = base.select(col("doc_id"), col("dl"),
         explode(col("toks")).as("term"))
-      .filter(expr(s"term IN $termList"))
+      .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))

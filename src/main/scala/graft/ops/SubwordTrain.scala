@@ -57,8 +57,6 @@ object SubwordTrain {
   /** Default merge budget — fixture-sized; a real run passes its own. */
   val DefaultMerges = 50
 
-  private def esc(s: String): String = s.replace("'", "''")
-
   /** The distinct-word relation `(word, cnt, syms)` — ONE corpus scan;
     * every merge round works on this, never on documents.
     */
@@ -80,26 +78,33 @@ object SubwordTrain {
 
   /** Apply ONE merge left-to-right, non-overlapping (the paper's
     * replacement semantics: a just-merged symbol is not reconsidered
-    * within the same pass) — a built-in `aggregate` fold, no UDF.
+    * within the same pass) — a built-in `aggregate` fold, no UDF. The
+    * merge pair is bound as Column LITERALS, never SQL text: symbols come
+    * from the corpus (the [[Portable.bpeSpark]] punctuation alternative
+    * matches ANY non-alnum character, backslash and quote included), so a
+    * text splat would hit Spark's literal-escape rules on exactly the
+    * code/URL-heavy corpora this trainer targets.
     */
   private[graft] def applyMerge(words: DataFrame, s1: String,
       s2: String): DataFrame = {
-    val (a, b) = (esc(s1), esc(s2))
-    words.selectExpr("word", "cnt",
-      s"""aggregate(
-         |  syms,
-         |  named_struct('o', CAST(array() AS ARRAY<STRING>),
-         |               'p', CAST(NULL AS STRING)),
-         |  (acc, x) -> CASE
-         |    WHEN acc.p IS NULL THEN named_struct('o', acc.o, 'p', x)
-         |    WHEN acc.p = '$a' AND x = '$b' THEN
-         |      named_struct('o', array_append(acc.o, '$a' || '$b'),
-         |                   'p', CAST(NULL AS STRING))
-         |    ELSE named_struct('o', array_append(acc.o, acc.p), 'p', x)
-         |  END,
-         |  acc -> CASE WHEN acc.p IS NULL THEN acc.o
-         |              ELSE array_append(acc.o, acc.p) END) AS syms
-         |""".stripMargin)
+    val a = lit(s1)
+    val b = lit(s2)
+    val merged = lit(s1 + s2)
+    val nullStr = lit(null).cast("string")
+    val folded = aggregate(
+      col("syms"),
+      struct(lit(Array.empty[String]).as("o"), nullStr.as("p")),
+      (acc, x) => when(acc.getField("p").isNull,
+          struct(acc.getField("o").as("o"), x.as("p")))
+        .when(acc.getField("p") === a && x === b,
+          struct(array_append(acc.getField("o"), merged).as("o"),
+            nullStr.as("p")))
+        .otherwise(
+          struct(array_append(acc.getField("o"), acc.getField("p")).as("o"),
+            x.as("p"))),
+      acc => when(acc.getField("p").isNull, acc.getField("o"))
+        .otherwise(array_append(acc.getField("o"), acc.getField("p"))))
+    words.select(col("word"), col("cnt"), folded.as("syms"))
   }
 
   /** Learn up to `nMerges` BPE merges from the corpus. Returns the merge
@@ -161,11 +166,15 @@ object SubwordTrain {
     val pieces = words
       .selectExpr("posexplode(syms) AS (i, sym)", "word")
       .selectExpr("IF(i = 0, sym, '##' || sym) AS piece",
-        // the char floor: every character of every word, positional
         "word")
       .select("piece")
-      .unionAll(words.selectExpr("posexplode(split(word, '')) AS (i, c)")
-        .selectExpr("IF(i = 0, c, '##' || c) AS piece"))
+      // the char floor: every observed character BOTH ways (head and
+      // continuation), so a held-out word built from observed characters
+      // can never collapse to [UNK] regardless of where the character was
+      // seen during training — the train-on-sample/encode-everything
+      // deployment's guarantee.
+      .unionAll(words.selectExpr("explode(split(word, '')) AS c")
+        .selectExpr("explode(array(c, '##' || c)) AS piece"))
       .distinct()
       .collect().map(_.getString(0))
     words.unpersist(blocking = false)
