@@ -249,7 +249,9 @@ object SparkEntry {
     "text_subword_tokens" -> ((s, dir) =>
       TextAnalysis.subwordTokens(T.table(s, dir, "documents"))),
     "text_subword_ids" -> ((s, dir) =>
-      TextAnalysis.subwordIds(T.table(s, dir, "documents"))),
+      TextAnalysis.subwordIdsChecked(T.table(s, dir, "documents"))),
+    "text_subword_tokens_trained" -> ((s, dir) =>
+      TextAnalysis.subwordTokensTrained(T.table(s, dir, "documents"))),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(T.table(s, dir, "documents"))),
     "text_quality" -> ((s, dir) =>
@@ -552,6 +554,7 @@ object SparkEntry {
     "text_tokens" -> OO.TEXT_TOKENS,
     "text_subword_tokens" -> OO.TEXT_SUBWORD_TOKENS,
     "text_subword_ids" -> OO.TEXT_SUBWORD_IDS,
+    "text_subword_tokens_trained" -> OO.TEXT_SUBWORD_TOKENS_TRAINED,
     "text_langid" -> OO.TEXT_LANGID,
     "text_quality" -> OO.TEXT_QUALITY,
     "text_fingerprint" -> OO.TEXT_FINGERPRINT,

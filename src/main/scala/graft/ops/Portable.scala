@@ -214,6 +214,38 @@ object Portable {
     */
   val SubwordMaxWordLen = 48
 
+  /** The BPE training fixture: a small corpus LITERAL (deliberately not a
+    * testdata table, so the pinned vocabulary below cannot drift when the
+    * driver regenerates parquet) with repeated stems, digits, and
+    * punctuation so the learned merges exercise real head/continuation
+    * structure. Quote/backslash-free by construction — its derived pieces
+    * splat safely into both SQL dialects.
+    */
+  val subwordFixtureCorpus: Seq[String] = Seq(
+    "the market data pipeline packs training tokens into fixed budget bins",
+    "the trainer meters subword tokens, not whitespace tokens.",
+    "merge the most frequent pair of adjacent symbols each round.",
+    "deterministic tie break on count, then lexicographic order.",
+    "documents arrive continuously and land in training shards.",
+    "the vocabulary learned from the corpus replaces the fixture.",
+    "token budgets price code and url heavy documents correctly.",
+    "12345 67890 12345 tokens counted 99 times in 2048 token bins.",
+    "greedy longest match wordpiece over the learned inventory.",
+    "the serving kernel folds the vocabulary once per plan.")
+
+  /** Merge budget the pinned fixture vocabulary was trained at. */
+  val TrainedFixtureMerges = 25
+
+  /** The LEARNED vocabulary: `SubwordTrain.trainedVocab` over
+    * [[subwordFixtureCorpus]] at [[TrainedFixtureMerges]] merges, PINNED
+    * as a literal so the oracle SQL (a static text, no engine at build
+    * time) can splat the identical inventory into both dialects.
+    * `SubwordTrainSpec` re-derives it through the distributed trainer and
+    * asserts equality — the pin cannot drift from the training path it
+    * claims to capture.
+    */
+  val trainedFixtureVocab: Seq[String] = TrainedFixtureVocabPin.pieces
+
   /** One term's BM25 contribution — dialect-free arithmetic over BIGINT
     * `tf`/`df`/`dl`, BIGINT `n`, DOUBLE `avgdl` columns. Parenthesized
     * fully so both engines associate identically.

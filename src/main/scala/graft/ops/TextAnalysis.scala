@@ -30,11 +30,15 @@ object TextAnalysis {
         "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct_tokens",
         "CAST(nonspace AS DOUBLE) / nullif(size(toks), 0) AS avg_token_len")
 
-  /** SQL array literal of [[Portable.subwordVocab]] — splatted into the
-    * expression call so the vocabulary folds at plan build.
+  /** SQL array literal of a vocabulary — splatted into the expression
+    * call so the vocabulary folds at plan build. Quote-doubled, though
+    * both shipped vocabularies are quote-free by construction.
     */
-  private[graft] val subwordVocabSql: String =
-    subwordVocab.map(p => s"'$p'").mkString("array(", ", ", ")")
+  private[graft] def vocabSqlOf(vocab: Seq[String]): String =
+    vocab.map(p => s"'${p.replace("'", "''")}'")
+      .mkString("array(", ", ", ")")
+
+  private[graft] val subwordVocabSql: String = vocabSqlOf(subwordVocab)
 
   /** The subword token count of a document's text as a SQL expression —
     * [[Portable.bpeSpark]] pre-tokens through the native
@@ -46,6 +50,12 @@ object TextAnalysis {
   val subwordCountSql: String =
     s"graft_subword_count($bpeSpark, $subwordVocabSql, $SubwordMaxWordLen)"
 
+  /** [[subwordCountSql]] under an arbitrary vocabulary — what a deployment
+    * passes once it has TRAINED one ([[graft.ops.SubwordTrain]]).
+    */
+  def subwordCountSqlWith(vocab: Seq[String]): String =
+    s"graft_subword_count($bpeSpark, ${vocabSqlOf(vocab)}, $SubwordMaxWordLen)"
+
   /** Per-document subword token counts beside the proxy counts they
     * correct: `(doc_id, n_bpe_tokens, n_subwords)` — `n_subwords ≥
     * n_bpe_tokens` except where [UNK] collapses a word (asserted in the
@@ -56,6 +66,18 @@ object TextAnalysis {
       "doc_id",
       s"CAST(size($bpeSpark) AS BIGINT) AS n_bpe_tokens",
       s"$subwordCountSql AS n_subwords")
+
+  /** [[subwordTokens]] under the LEARNED fixture vocabulary
+    * ([[Portable.trainedFixtureVocab]] — the distributed BPE trainer's
+    * pinned output): the battery leg proving a TRAINED inventory — the
+    * one a real deployment serves — round-trips the cross-engine kernel,
+    * not just the hand-built fixture.
+    */
+  def subwordTokensTrained(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      s"CAST(size($bpeSpark) AS BIGINT) AS n_bpe_tokens",
+      s"${subwordCountSqlWith(trainedFixtureVocab)} AS n_subwords")
 
   /** The trainer-ready token-id stream as a SQL expression — the
     * `graft_subword_ids` kernel over the same pre-tokens and folded
@@ -75,6 +97,20 @@ object TextAnalysis {
       "doc_id",
       s"$subwordIdsSql AS input_ids",
       s"$subwordCountSql AS n_subwords")
+
+  /** [[subwordIds]] with the id stream rendered as a canonical '-'-joined
+    * string — the battery's CHECKED form. The cross-engine harness
+    * canonicalizes results by sorting columns, which array-typed cells
+    * cannot support, so the checked row carries `input_ids_str` (a
+    * bijective rendering of the id sequence: order and multiplicity
+    * preserved) while callers keep the array-valued [[subwordIds]]
+    * surface.
+    */
+  def subwordIdsChecked(docs: DataFrame): DataFrame =
+    subwordIds(docs).selectExpr(
+      "doc_id",
+      "array_join(input_ids, '-') AS input_ids_str",
+      "n_subwords")
 
   /** N-gram-profile language ID: score = marker-token hit-rate per language,
     * prediction = argmax with fixed tie order (en,de,es,fr,zh), 'und' when

@@ -32,10 +32,10 @@ object OpsOracleSql {
     * Vocabulary comes verbatim from [[graft.ops.Portable.subwordVocab]]
     * (the shared-data discipline of the header note).
     */
-  private val subwordChain: String = {
+  private def subwordChainFor(vocabPieces: Seq[String]): String = {
     // pid = 1-based position in the shared vocabulary literal; 0 is the
     // reserved [UNK] — the exact id assignment the Spark kernel makes
-    val vocabRows = subwordVocab.zipWithIndex.map { case (p, i) =>
+    val vocabRows = vocabPieces.zipWithIndex.map { case (p, i) =>
       val cont = p.startsWith("##")
       val piece = if (cont) p.substring(2) else p
       s"('$piece', $cont, ${piece.length}, ${i + 1})"
@@ -81,6 +81,9 @@ object OpsOracleSql {
        |)""".stripMargin
   }
 
+  /** The chain under the FIXTURE vocabulary — the default serving path. */
+  private val subwordChain: String = subwordChainFor(subwordVocab)
+
   val TEXT_SUBWORD_TOKENS: String =
     s"""WITH RECURSIVE $subwordChain
        |SELECT d.doc_id,
@@ -89,11 +92,27 @@ object OpsOracleSql {
        |FROM documents d
        |LEFT JOIN doc_counts dc USING (doc_id)""".stripMargin
 
-  /** Mirrors `TextAnalysis.subwordIds`: per-word id lists from the
+  /** Mirrors `TextAnalysis.subwordTokensTrained`: the same walk under the
+    * LEARNED vocabulary (`Portable.trainedFixtureVocab`, the distributed
+    * BPE trainer's pinned output) — proves the trained inventory, not
+    * just the hand-built fixture, round-trips the cross-engine kernel.
+    */
+  val TEXT_SUBWORD_TOKENS_TRAINED: String =
+    s"""WITH RECURSIVE ${subwordChainFor(trainedFixtureVocab)}
+       |SELECT d.doc_id,
+       |  CAST(len($bpeDuck) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(coalesce(dc.n_subwords, 0) AS BIGINT) AS n_subwords
+       |FROM documents d
+       |LEFT JOIN doc_counts dc USING (doc_id)""".stripMargin
+
+  /** Mirrors `TextAnalysis.subwordIdsChecked`: per-word id lists from the
     * recursive walk, re-assembled in DOCUMENT WORD ORDER via the
     * ordinality-carrying unnest + an ordered list-of-lists flatten —
     * [UNK]=0 per unrepresentable/over-length word, ids 1-based in the
-    * shared vocabulary literal.
+    * shared vocabulary literal. The checked column is the '-'-joined
+    * string form (`input_ids_str`): the harness canonicalization sorts
+    * columns, which array-typed cells cannot support; the join is
+    * bijective so the hash check still proves the full id sequence.
     */
   val TEXT_SUBWORD_IDS: String =
     s"""WITH RECURSIVE $subwordChain,
@@ -112,7 +131,8 @@ object OpsOracleSql {
        |  GROUP BY dwo.doc_id
        |)
        |SELECT d.doc_id,
-       |  coalesce(di.input_ids, CAST([] AS BIGINT[])) AS input_ids,
+       |  array_to_string(coalesce(di.input_ids, CAST([] AS BIGINT[])), '-')
+       |    AS input_ids_str,
        |  CAST(coalesce(dc.n_subwords, 0) AS BIGINT) AS n_subwords
        |FROM documents d
        |LEFT JOIN doc_ids di USING (doc_id)

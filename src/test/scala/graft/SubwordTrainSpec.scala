@@ -112,6 +112,25 @@ class SubwordTrainSpec extends SparkSpec {
       "the learned inventory must beat character-level tokenization")
   }
 
+  test("the pinned fixture vocabulary IS the trainer's output") {
+    // Portable.trainedFixtureVocab is a literal only because the oracle
+    // SQL is static text — this derivation through the DISTRIBUTED
+    // trainer is the ground truth, and the pin must never drift from it
+    import spark.implicits._
+    val fixture = Portable.subwordFixtureCorpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val derived = SubwordTrain.trainedVocab(
+      fixture, Portable.TrainedFixtureMerges)
+    assert(derived == Portable.trainedFixtureVocab,
+      s"pin drift: derived ${derived.size} pieces, pinned " +
+        s"${Portable.trainedFixtureVocab.size}; first diff at index ${
+          derived.zipAll(Portable.trainedFixtureVocab, "∅", "∅")
+            .indexWhere { case (a, b) => a != b }}")
+    // and the pinned pieces splat safely into both SQL dialects
+    assert(Portable.trainedFixtureVocab.forall(p =>
+      !p.contains("'") && !p.contains("\\")))
+  }
+
   test("greedy serving may legitimately differ from the BPE merge state") {
     // the documented serving convention: greedy longest-match over the
     // learned inventory can cross a merge boundary. Construct it
