@@ -549,6 +549,33 @@ object SkewSoak {
     val mkJson =
       f""""df_megakey":{"base_sec":${mkSecs(0)}%.2f,"x10_sec":${mkSecs(1)}%.2f,"time_growth":$mkGrowth%.1f,"hot_base":$mkBase,"hot_x10":${mkBase * 10},"legit_docs":3000}"""
 
+    // Band-occupancy mega-bucket: a planted IDENTICAL-text family ≫
+    // MaxBandOccupancy lands its every member in ONE bucket per band —
+    // the adversarial input for the occupancy degrade.
+    // [[Dedup.hotBucketRoots]] absorbs the bucket in map-side groupBy
+    // partials and the star branch emits family−1 candidates, so 10× the
+    // family must cost ≈linear (one more scan + 10× the star pairs
+    // verified), never the single-task window buffering or the df²
+    // candidate blowup an uncapped bucket would produce.
+    def bandMegaSec(hotN: Long): Double = {
+      val legit = spark.range(2000L).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 12).map(j => concat(lit(s"b${j}v"), col("id"))): _*)
+          .as("text"))
+      val hot = spark.range(hotN).select((col("id") + 2000000L).as("doc_id"),
+        lit("the identical near duplicate family document every member " +
+          "shares verbatim token for token").as("text"))
+      val docs = legit.unionByName(hot).localCheckpoint()
+      def go(): Long = Dedup.minhashPairs(docs).count()
+      go() // warm: codegen caches, excluded
+      timed(go())._1
+    }
+    val bmbBase = math.max(20000L, baseN * 10)
+    val bmbSecs = Seq(bmbBase, bmbBase * 10).map(bandMegaSec)
+    val bmbGrowth = bmbSecs(1) / bmbSecs(0)
+    val bmbJson =
+      f""""band_megabucket":{"base_sec":${bmbSecs(0)}%.2f,"x10_sec":${bmbSecs(1)}%.2f,"time_growth":$bmbGrowth%.1f,"family_base":$bmbBase,"family_x10":${bmbBase * 10},"legit_docs":2000}"""
+
     // BM25 posting-store probe: the incremental index's search fetches
     // postings with static pruning to the query vocabulary's term buckets
     // (bucketed BY term, so a probed term's every posting is in a touched
@@ -719,11 +746,15 @@ object SkewSoak {
       // mega-key: 10× the planted boilerplate key's rows over a fixed
       // legit workload — well under scan-linear means no task buffered it
       ("df_megakey" -> (mkGrowth < 5.0)) :+
+      // mega-bucket: 10× the planted identical family through the
+      // occupancy degrade — linear bar (the star pairs themselves grow
+      // 10×); a buffered window or df² bucket shows up as ≫10×
+      ("band_megabucket" -> (bmbGrowth < 15.0)) :+
       // history-free: 10× the off-vocabulary posting bulk, flat
       // term-keyed probe of a fixed query vocabulary
       ("bm25_postings_probe" -> (bmGrowth < 4.0)) :++
       admVerdicts
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,$dfFoldJson,$wfJson,$mkJson,$bmJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,$dfFoldJson,$wfJson,$mkJson,$bmbJson,$bmJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>

@@ -219,6 +219,31 @@ object Dedup {
       maxDf: Int): DataFrame =
     rel.join(broadcast(overCapKeys(rel, key, maxDf)), Seq(key), "left_anti")
 
+  /** Annotate each row of a bucket-keyed relation with its bucket's
+    * over-cap ROOT: `hot_root` = the bucket's `min(root)` struct when the
+    * bucket holds more than `cap` rows, NULL when the bucket is cold — the
+    * one primitive behind every band-occupancy degrade (LSH/SimHash/sign-LSH
+    * star candidates, the incremental-curation root election). The obvious
+    * spelling (`count/min over Window.partitionBy(bucket)`) buffers the
+    * hottest bucket's EVERY row in one task before the degrade can apply —
+    * and a giant near-duplicate family, dedup's target input, is exactly
+    * that mega-bucket. This spelling has no such key: the `groupBy` absorbs
+    * hot buckets in map-side partial aggregation, over-cap buckets are few
+    * by definition (each holds > cap rows, so their count is bounded by
+    * corpus/cap) and their stats BROADCAST, and the left join streams —
+    * unmatched rows are cold. Output is bit-identical to the window
+    * spelling. `rel` is scanned twice (stats + probe) — callers pass a
+    * persisted relation.
+    */
+  private[graft] def hotBucketRoots(rel: DataFrame, keys: Seq[String],
+      cap: Int, root: Column): DataFrame =
+    rel.join(
+      broadcast(rel.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("bdf"), min(root).as("hot_root"))
+        .filter(col("bdf") > cap)
+        .select(keys.map(col) :+ col("hot_root"): _*)),
+      keys, "left")
+
   /** MinHash-LSH near-duplicate pairs: bucket-join candidates (band buckets
     * hotter than `maxBandOccupancy` degrade to star candidates — see
     * [[MaxBandOccupancy]]), then exact Jaccard verification over the FULL
@@ -231,16 +256,17 @@ object Dedup {
     // recompute an unmaterialized cache, so fill it once up front
     val ds = docShingles(docs).persist()
     ds.count()
-    // occupancy count + bucket root as windows over the SAME
-    // (band_idx, band_val) partitioning the self-join shuffles on — no
-    // extra exchange
-    val wBucket = Window.partitionBy("band_idx", "band_val")
-    val bands = bandRows(docs, ds)
-      .withColumn("bdf", count(lit(1)).over(wBucket))
-      .withColumn("broot", min("doc_id").over(wBucket))
+    // band rows persist too: the occupancy degrade scans them twice
+    // (stats + probe — [[hotBucketRoots]], never a bucket window: a giant
+    // near-dup family is exactly the mega-bucket a window would buffer
+    // through one task) and the candidate legs read the result again
+    val bandRel = bandRows(docs, ds).persist()
+    bandRel.count()
+    val bands = hotBucketRoots(bandRel, Seq("band_idx", "band_val"),
+      maxBandOccupancy, struct(col("doc_id")))
     // cold buckets: full pairwise candidates (quadratic per bucket, bounded
     // by the cap); hot buckets: linear star candidates root→member
-    val cold = bands.filter(col("bdf") <= maxBandOccupancy)
+    val cold = bands.filter(col("hot_root").isNull)
       .select("doc_id", "band_idx", "band_val")
     val candCold = cold.as("a")
       .join(cold.as("b"),
@@ -249,10 +275,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
     val candHot = bands
-      .filter(col("bdf") > maxBandOccupancy && col("doc_id") =!= col("broot"))
-      .select(col("broot").as("a_id"), col("doc_id").as("b_id"))
+      .filter(col("hot_root").isNotNull &&
+        col("doc_id") =!= col("hot_root.doc_id"))
+      .select(col("hot_root.doc_id").as("a_id"), col("doc_id").as("b_id"))
     val cand = candCold.unionByName(candHot).distinct().persist()
-    materializeFreeing(verifyJaccard(cand, ds), ds, cand)
+    materializeFreeing(verifyJaccard(cand, ds), ds, cand, bandRel)
   }
 
   /** Exact n-gram Jaccard pairs through the inverted index — every pair
@@ -350,14 +377,13 @@ object Dedup {
     sig.count() // eager: both self-join legs (see minhashPairs)
     val nibRows = sig.select(col("doc_id"), col("simhash_sig"), posexplode(
       array((0 until SimhashBands).map(q => col(s"nib_$q")): _*)).as(Seq("q", "nib")))
-    val wBucket = Window.partitionBy("q", "nib")
-    // bucket root rides in a struct so the star branch has the root's
-    // signature too (min over (doc_id, sig) = row of the min doc_id)
-    val nb = nibRows
-      .withColumn("bdf", count(lit(1)).over(wBucket))
-      .withColumn("root",
-        min(struct(col("doc_id"), col("simhash_sig"))).over(wBucket))
-    val cold = nb.filter(col("bdf") <= maxBandOccupancy)
+    // bucket root rides in the hot_root struct so the star branch has the
+    // root's signature too (min over (doc_id, sig) = row of the min
+    // doc_id). [[hotBucketRoots]] scans nibRows twice, but it is a narrow
+    // projection over the persisted sig relation — no re-aggregation.
+    val nb = hotBucketRoots(nibRows, Seq("q", "nib"), maxBandOccupancy,
+      struct(col("doc_id"), col("simhash_sig")))
+    val cold = nb.filter(col("hot_root").isNull)
       .select("doc_id", "simhash_sig", "q", "nib")
     val candCold = cold.as("a")
       .join(cold.as("b"),
@@ -366,10 +392,10 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.simhash_sig").as("sh_a"), col("b.simhash_sig").as("sh_b"))
     val candHot = nb
-      .filter(col("bdf") > maxBandOccupancy &&
-        col("doc_id") =!= col("root.doc_id"))
-      .select(col("root.doc_id").as("a_id"), col("doc_id").as("b_id"),
-        col("root.simhash_sig").as("sh_a"), col("simhash_sig").as("sh_b"))
+      .filter(col("hot_root").isNotNull &&
+        col("doc_id") =!= col("hot_root.doc_id"))
+      .select(col("hot_root.doc_id").as("a_id"), col("doc_id").as("b_id"),
+        col("hot_root.simhash_sig").as("sh_a"), col("simhash_sig").as("sh_b"))
     materializeFreeing(
       candCold.unionByName(candHot)
         .distinct()

@@ -69,16 +69,19 @@ object HashSplit {
   def contaminatedTrainDocs(docs: DataFrame, minShared: Int = 1,
       maxDf: Int = Dedup.MaxShingleDf): DataFrame = {
     // persist + eager materialize: the shingle relation (the costliest
-    // intermediate — tokenize + window + distinct) feeds BOTH self-join
-    // legs; without it the split filters push into each leg and the whole
-    // pipeline runs twice
-    val sh = Dedup.docShingles(docs)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+    // intermediate — tokenize + distinct) feeds the df cap's two scans AND
+    // both self-join legs; without it the split filters push into each leg
+    // and the whole pipeline runs twice. The df cap itself is
+    // [[Dedup.dfCapped]] (groupBy partials + broadcast anti-join), never a
+    // partitionBy(h) window: a corpus-wide boilerplate shingle is exactly
+    // the mega-key a window would buffer through one task.
+    val raw = Dedup.docShingles(docs)
       .join(split(docs).select("doc_id", "split"), Seq("doc_id"))
       .persist()
+    raw.count()
+    val sh = Dedup.dfCapped(raw, "h", maxDf).persist()
     sh.count()
+    raw.unpersist(blocking = false)
     val train = sh.filter(col("split") === "train").select("doc_id", "h")
     val test = sh.filter(col("split") === "test")
       .select(col("doc_id").as("test_doc_id"), col("h"))

@@ -97,28 +97,32 @@ object Similarity {
       array((0 until bands).map(q => col(s"nib_$q")): _*))
       .as(Seq("q", "nib")))
 
-  /** Band rows + bucket occupancy + bucket root (min vec_id), PERSISTED and
-    * eagerly filled — the candidate legs below read it 2-3 times, and racing
-    * AQE stages would each recompute an unfilled cache (the shared-relation
-    * discipline of [[Dedup.minhashPairs]]). The occupancy/root windows ride
-    * the SAME (q, nib) partitioning the candidate self-join shuffles on — no
-    * extra exchange. Callers must free via [[Dedup.materializeFreeing]].
+  /** Band rows + over-cap bucket root (`hot_root` = bucket-min vec_id when
+    * the bucket exceeds `cap`, NULL when cold), PERSISTED and eagerly
+    * filled — the candidate legs below read it 2-3 times, and racing AQE
+    * stages would each recompute an unfilled cache (the shared-relation
+    * discipline of [[Dedup.minhashPairs]]). The degrade is
+    * [[Dedup.hotBucketRoots]] (groupBy partials + broadcast left join),
+    * never a bucket window: a giant family of near-identical embeddings —
+    * exactly dedup's target input — lands in ONE bucket per band, and a
+    * window would buffer that mega-bucket's every row in one task before
+    * the degrade could apply. Callers must free via
+    * [[Dedup.materializeFreeing]].
     *
     * Why a cap at all: `planes`/`bands` size EXPECTED occupancy; they cannot
-    * bound a data-dependent hot bucket. A giant family of near-identical
-    * embeddings — exactly dedup's target input — lands in ONE bucket per
-    * band and an uncapped self-join yields df² candidates from it. Buckets
-    * over `maxBandOccupancy` degrade to STAR candidates (bucket-min vec_id →
-    * member): df−1 pairs, family stays discoverable through its root.
+    * bound a data-dependent hot bucket. An uncapped self-join yields df²
+    * candidates from the hot bucket; buckets over `cap` degrade to STAR
+    * candidates (bucket-min vec_id → member): df−1 pairs, family stays
+    * discoverable through its root.
     */
   private def bandRowsWithOccupancy(emb: DataFrame, planes: Int,
-      bands: Int): DataFrame = {
-    val wBucket = Window.partitionBy("q", "nib")
-    val b = bandRows(emb, planes, bands)
-      .withColumn("bdf", count(lit(1)).over(wBucket))
-      .withColumn("broot", min("vec_id").over(wBucket))
-      .persist()
+      bands: Int, cap: Int): DataFrame = {
+    val raw = bandRows(emb, planes, bands).persist()
+    raw.count() // hotBucketRoots scans it twice (stats + probe)
+    val b = Dedup.hotBucketRoots(raw, Seq("q", "nib"), cap,
+      struct(col("vec_id"))).persist()
     b.count()
+    raw.unpersist(blocking = false)
     b
   }
 
@@ -159,8 +163,8 @@ object Similarity {
   def lshTopK(emb: DataFrame, k: Int = TopK, planes: Int = Planes,
       nBands: Int = NibbleBands,
       maxBandOccupancy: Int = Dedup.MaxBandOccupancy): DataFrame = {
-    val bands = bandRowsWithOccupancy(emb, planes, nBands)
-    val cold = bands.filter(col("bdf") <= maxBandOccupancy)
+    val bands = bandRowsWithOccupancy(emb, planes, nBands, maxBandOccupancy)
+    val cold = bands.filter(col("hot_root").isNull)
       .select("vec_id", "q", "nib")
     val candCold = cold.filter(col("vec_id") % QueryStride === 0).as("qa")
       .join(cold.as("qb"),
@@ -168,11 +172,12 @@ object Similarity {
           col("qa.vec_id") =!= col("qb.vec_id"))
       .select(col("qa.vec_id").as("a_id"), col("qb.vec_id").as("b_id"))
     val hot = bands
-      .filter(col("bdf") > maxBandOccupancy && col("vec_id") =!= col("broot"))
-    val candHot = hot.filter(col("broot") % QueryStride === 0)
-      .select(col("broot").as("a_id"), col("vec_id").as("b_id"))
+      .filter(col("hot_root").isNotNull &&
+        col("vec_id") =!= col("hot_root.vec_id"))
+    val candHot = hot.filter(col("hot_root.vec_id") % QueryStride === 0)
+      .select(col("hot_root.vec_id").as("a_id"), col("vec_id").as("b_id"))
       .unionByName(hot.filter(col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("a_id"), col("broot").as("b_id")))
+        .select(col("vec_id").as("a_id"), col("hot_root.vec_id").as("b_id")))
     val cand = candCold.unionByName(candHot).distinct()
     Dedup.materializeFreeing(
       scorePairs(cand, emb)
@@ -403,8 +408,8 @@ object Similarity {
   def lshNearDup(emb: DataFrame, planes: Int = Planes,
       nBands: Int = NibbleBands,
       maxBandOccupancy: Int = Dedup.MaxBandOccupancy): DataFrame = {
-    val bands = bandRowsWithOccupancy(emb, planes, nBands)
-    val cold = bands.filter(col("bdf") <= maxBandOccupancy)
+    val bands = bandRowsWithOccupancy(emb, planes, nBands, maxBandOccupancy)
+    val cold = bands.filter(col("hot_root").isNull)
       .select("vec_id", "q", "nib")
     val candCold = cold.as("qa")
       .join(cold.as("qb"),
@@ -412,8 +417,9 @@ object Similarity {
           col("qa.vec_id") < col("qb.vec_id"))
       .select(col("qa.vec_id").as("a_id"), col("qb.vec_id").as("b_id"))
     val candHot = bands
-      .filter(col("bdf") > maxBandOccupancy && col("vec_id") =!= col("broot"))
-      .select(col("broot").as("a_id"), col("vec_id").as("b_id"))
+      .filter(col("hot_root").isNotNull &&
+        col("vec_id") =!= col("hot_root.vec_id"))
+      .select(col("hot_root.vec_id").as("a_id"), col("vec_id").as("b_id"))
     val cand = candCold.unionByName(candHot).distinct()
     Dedup.materializeFreeing(
       scorePairs(cand, emb).filter(col("cos_sim") >= NearDupCosine),
@@ -517,14 +523,17 @@ object Similarity {
       threshold: Double = NearDupCosine, planes: Int = Planes,
       nBands: Int = NibbleBands,
       maxBandOccupancy: Int = Dedup.MaxBandOccupancy): DataFrame = {
-    val wB = Window.partitionBy("q", "nib")
-    val px = bandRows(probeEmb, planes, nBands)
-      .withColumn("bdf", count(lit(1)).over(wB))
-      .withColumn("broot", min("vec_id").over(wB))
-    val cold = px.filter(col("bdf") <= maxBandOccupancy)
+    // the probe side is broadcast-sized, but the degrade still rides
+    // [[Dedup.hotBucketRoots]] for uniformity — ONE spelling of the
+    // occupancy cap everywhere, so the no-bucket-windows plan assertion
+    // holds without exceptions (the double scan of the tiny probe is free)
+    val px = Dedup.hotBucketRoots(bandRows(probeEmb, planes, nBands),
+      Seq("q", "nib"), maxBandOccupancy, struct(col("vec_id")))
+    val cold = px.filter(col("hot_root").isNull)
       .select(col("vec_id").as("b_id"), col("q"), col("nib"))
-    val hot = px.filter(col("bdf") > maxBandOccupancy)
-      .select(col("broot").as("b_id"), col("q"), col("nib")).distinct()
+    val hot = px.filter(col("hot_root").isNotNull)
+      .select(col("hot_root.vec_id").as("b_id"), col("q"), col("nib"))
+      .distinct()
     val cand = bandRows(corpusEmb, planes, nBands)
       .join(broadcast(cold.unionByName(hot)), Seq("q", "nib"))
       .select(col("vec_id").as("a_id"), col("b_id")).distinct()

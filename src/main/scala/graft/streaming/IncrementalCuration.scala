@@ -280,11 +280,10 @@ object IncrementalCuration {
     */
   def duplicatesAgainst(newSigs: DataFrame, store: StoreView,
       maxBandOccupancy: Int = Dedup.MaxBandOccupancy): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val newBands = bandRowsOf(newSigs)
     // Only buckets the BATCH touches matter: occupancy of a bucket no new
     // doc probes is never consumed, so the store's band rows are
-    // semi-joined to the batch's distinct bucket keys BEFORE the windows —
+    // semi-joined to the batch's distinct bucket keys BEFORE the degrade —
     // per-batch cost scales with the touched slice of the store, not with
     // total history (and the pruned reader bounds the I/O the same way).
     val touched = newBands.select("band_idx", "band_val").distinct()
@@ -292,21 +291,23 @@ object IncrementalCuration {
       .select("doc_id", "band_idx", "band_val")
       .withColumn("prior", lit(true))
       .unionByName(newBands.withColumn("prior", lit(false)))
-    // occupancy count + root election ride the same (band_idx, band_val)
-    // partitioning the join shuffles on — no extra exchange. The root key
-    // leads with the prior flag (stored docs sort first): a new doc with a
-    // lower id than every stored member must NOT unseat the stored root,
-    // or the whole stored family would be filtered from the bucket and
-    // the new duplicate re-admitted.
-    val wBucket = Window.partitionBy("band_idx", "band_val")
-    val refB = ref.join(touched, Seq("band_idx", "band_val"))
-      .withColumn("bdf", count(lit(1)).over(wBucket))
-      .withColumn("rk", min(struct(
-        when(col("prior"), 0).otherwise(1).as("np"),
-        col("doc_id"))).over(wBucket))
-      .withColumn("broot", col("rk.doc_id"))
+    // occupancy + root election via [[Dedup.hotBucketRoots]] (groupBy
+    // partials + broadcast left join), never a bucket window: a borderline
+    // family accumulating across batches is exactly the mega-bucket a
+    // window would buffer through one task. The root key leads with the
+    // prior flag (stored docs sort first): a new doc with a lower id than
+    // every stored member must NOT unseat the stored root, or the whole
+    // stored family would be filtered from the bucket and the new
+    // duplicate re-admitted. The touched relation persists because the
+    // degrade scans it twice (stats + probe) and a re-read would re-fetch
+    // the store.
+    val refT = ref.join(touched, Seq("band_idx", "band_val")).persist()
+    refT.count()
+    val refB = Dedup.hotBucketRoots(refT, Seq("band_idx", "band_val"),
+      maxBandOccupancy,
+      struct(when(col("prior"), 0).otherwise(1).as("np"), col("doc_id")))
     val refKept = refB.filter(
-      col("bdf") <= maxBandOccupancy || col("doc_id") === col("broot"))
+      col("hot_root").isNull || col("doc_id") === col("hot_root.doc_id"))
     val cand = newBands.as("n")
       .join(refKept.as("o"),
         col("n.band_idx") === col("o.band_idx") &&
@@ -319,8 +320,10 @@ object IncrementalCuration {
       .distinct()
       .persist()
     // materialize candidates: the frame feeds both estimate legs, and the
-    // pruned sig reader needs the candidate ids to know its buckets
+    // pruned sig reader needs the candidate ids to know its buckets; the
+    // touched band relation only feeds the candidates, so free it now
     cand.count()
+    refT.unpersist(blocking = false)
     val refSigs = store
       .priorSigsOf(cand.select(col("ref_id").as("doc_id")).distinct())
       .unionByName(newSigs)

@@ -624,6 +624,7 @@ class PlanSpec extends SparkSpec {
       val docs = T.table(spark, sf, "documents")
       Dedup.ngramJaccardPairs(docs).count()
       Dedup.winnowOverlapPairs(docs).count()
+      graft.ops.HashSplit.contaminatedTrainDocs(docs).count()
       // listener delivery is async on a FIFO queue: once the marker
       // query's event arrives, every earlier event has been delivered
       spark.range(1).selectExpr("id as marker_df_cap").collect()
@@ -640,5 +641,65 @@ class PlanSpec extends SparkSpec {
     val ns = nodes(Dedup.dfCapped(fps, "h", Dedup.MaxShingleDf))
     assert(!ns.contains("Window"), ns)
     assert(ns.contains("BroadcastHashJoin"), ns)
+  }
+
+  test("band-occupancy caps never window over bucket keys") {
+    // the occupancy-degrade scale contract ([[Dedup.hotBucketRoots]]): a
+    // count/min-over-Window.partitionBy(bucket) spelling buffers the
+    // hottest bucket's EVERY row in one task before the star degrade can
+    // apply — and a giant near-dup family, dedup's target input, is
+    // exactly that mega-bucket. Same listener technique as the df-cap
+    // test: the operators materialize eagerly, so capture every plan the
+    // session executes while they run and assert none windows over a band
+    // bucket key. (Per-query rank windows partition by query_id/doc_id —
+    // bounded by k per group — and stay allowed.)
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val banned = Set("band_idx", "band_val", "q", "nib")
+    val offenders = new scala.collection.concurrent.TrieMap[String, String]()
+    val sawMarker = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = {
+        val p = qe.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.initialPlan
+          case other => other
+        }
+        p.foreach {
+          case w: WindowExec if w.partitionSpec
+              .flatMap(_.references.map(_.name).toSeq)
+              .exists(banned.contains) =>
+            offenders.put(w.verboseString(120), funcName)
+          case _ => ()
+        }
+        if (p.toString.contains("marker_band_cap")) sawMarker.set(true)
+      }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = T.table(spark, sf, "documents")
+      val emb = T.table(spark, sf, "embeddings")
+      Dedup.minhashPairs(docs).count()
+      Dedup.simhashPairs(docs).count()
+      Similarity.lshTopK(emb).count()
+      Similarity.lshNearDup(emb).count()
+      // the incremental twin's store-side root election, relation-backed
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      graft.streaming.IncrementalCuration.newDuplicates(
+        Dedup.minhashSignatures(batch),
+        Dedup.minhashSignatures(docs)).count()
+      spark.range(1).selectExpr("id as marker_band_cap").collect()
+      val deadline = System.currentTimeMillis + 30000
+      while (!sawMarker.get && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(sawMarker.get, "listener marker never delivered")
+    } finally spark.listenerManager.unregister(listener)
+    assert(offenders.isEmpty,
+      s"windows partitioned over band bucket keys:\n${offenders.mkString("\n")}")
   }
 }
