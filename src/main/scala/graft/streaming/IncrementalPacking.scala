@@ -57,6 +57,18 @@ object IncrementalPacking {
     Seq(binsPath(root), cursorPath(root))
   def shardsMarker(root: String): String = s"$root/_shards"
   def budgetMarker(root: String): String = s"$root/_budget"
+  def tokensSourceMarker(root: String): String = s"$root/_tokens_source"
+
+  /** The identity of an `n_tokens` source: md5 of the SQL text. The text
+    * embeds everything that prices a token — for the subword source, the
+    * splatted vocabulary literal and maxWordLen included — so two sources
+    * hash equal iff they count identically on every document.
+    */
+  def tokensSourceId(nTokensSql: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(nTokensSql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map("%02x".format(_)).mkString
+  }
 
   /** Schema of the packed-assignment store (plus the `batch` column). */
   val BinsSchema: StructType = StructType(Seq(
@@ -82,6 +94,17 @@ object IncrementalPacking {
     */
   def storedBudget(spark: SparkSession, root: String): Option[Int] =
     StoragePaths.readSmallFile(spark, budgetMarker(root)).map(_.trim.toInt)
+
+  /** The token-source identity this store was packed under
+    * ([[tokensSourceId]]). Frozen like the shard count and budget: the
+    * cursor history is a running sum in the SOURCE's unit, so a store
+    * packed on whitespace counts silently continued under subword counts
+    * (or a different vocabulary) would price every future bin in a
+    * different unit than the history it extends — the exact drift the
+    * `_budget` marker blocks, one knob over.
+    */
+  def storedTokensSource(spark: SparkSession, root: String): Option[String] =
+    StoragePaths.readSmallFile(spark, tokensSourceMarker(root)).map(_.trim)
 
   /** The per-shard cursor as of the latest batch STRICTLY BEFORE
     * `beforeBatchId` — `(shard, cum_tokens)`, missing shards implicitly
@@ -119,14 +142,15 @@ object IncrementalPacking {
     * order, with every span shifted by the shard's cursor. Returns the
     * assignment rows plus the post-batch cursor snapshot.
     */
-  def packBatch(docs: DataFrame, cur: DataFrame, shards: Int)
+  def packBatch(docs: DataFrame, cur: DataFrame, shards: Int,
+      nTokensSql: String = Packing.WhitespaceTokensSql)
       : (DataFrame, DataFrame) = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the batch operator's OWN shard-hash + token-count projection —
     // shared, not re-spelled, so drain≡batch can't silently diverge if
     // the salt or token expression ever changes
-    val packed = Packing.sized(docs, shards)
+    val packed = Packing.sized(docs, shards, nTokensSql)
       .withColumn("batch_cum", sum("n_tokens").over(w))
       .join(broadcast(cur), Seq("shard"), "left")
       .withColumn("cum_tokens",
@@ -225,7 +249,8 @@ object IncrementalPacking {
       checkpointDir: String,
       root: String,
       schema: StructType,
-      shards: Int = Packing.Shards): DataFrame = {
+      shards: Int = Packing.Shards,
+      nTokensSql: String = Packing.WhitespaceTokensSql): DataFrame = {
     // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
     // new checkpoint era's batch ids restart at 0 and would overwrite
     // the previous era's bin and cursor batches — silently un-packing
@@ -253,9 +278,11 @@ object IncrementalPacking {
                   s"shards, got $shards — pass the stored count")
             case None =>
               // markers FIRST, before any data write: data-present ⇒
-              // marker-present (budget before shards — `_shards` is the
-              // bootstrap key, so a crash between the two re-runs this
-              // branch and overwrites both)
+              // marker-present (tokens-source, then budget, then shards —
+              // `_shards` is the bootstrap key, so a crash between any
+              // two re-runs this branch and overwrites all three)
+              StoragePaths.writeSmallFile(spark, tokensSourceMarker(root),
+                tokensSourceId(nTokensSql))
               StoragePaths.writeSmallFile(
                 spark, budgetMarker(root), Packing.Budget.toString)
               StoragePaths.writeSmallFile(
@@ -276,9 +303,33 @@ object IncrementalPacking {
               StoragePaths.writeSmallFile(
                 spark, budgetMarker(root), Packing.Budget.toString)
           }
+          storedTokensSource(spark, root) match {
+            case Some(src) =>
+              // the token source is frozen with the budget: the cursor
+              // history is a running sum in the source's unit, so a
+              // different source (or vocabulary) must not extend it
+              require(src == tokensSourceId(nTokensSql),
+                s"IncrementalPacking: store at $root was packed under " +
+                  s"token source $src, this run passes " +
+                  s"${tokensSourceId(nTokensSql)} — pack with the stored " +
+                  "source (or compact to a fresh root to re-price)")
+            case None =>
+              // pre-marker store: before the marker existed, run() had no
+              // token-source knob, so the only source that has ever
+              // touched it is the whitespace default — record THAT, and
+              // let the check above catch a non-default caller
+              StoragePaths.writeSmallFile(spark, tokensSourceMarker(root),
+                tokensSourceId(Packing.WhitespaceTokensSql))
+              require(
+                tokensSourceId(nTokensSql) ==
+                  tokensSourceId(Packing.WhitespaceTokensSql),
+                s"IncrementalPacking: pre-marker store at $root was packed " +
+                  "on whitespace counts; cannot continue it under a " +
+                  "different token source")
+          }
           val uniq = batch.dropDuplicates("doc_id")
           val (bins, nextCursor) =
-            packBatch(uniq, cursor(spark, root, batchId), shards)
+            packBatch(uniq, cursor(spark, root, batchId), shards, nTokensSql)
           val stable = bins.localCheckpoint()
           val cursorStable = nextCursor.localCheckpoint()
           stable.write.mode("overwrite")

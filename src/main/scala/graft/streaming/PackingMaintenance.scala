@@ -19,11 +19,12 @@ import graft.streaming.FamilyMaintenance.{Carry, StoreSpec}
   * because the read is `MAX(cum_tokens)` per shard — deliberately not
   * `max_by(·, batch)`, so rows tying at `batch=-1` resolve identically
   * ([[IncrementalPacking.cursor]]). What MUST also cross the boundary
-  * is the frozen configuration: the `_shards` and `_budget` markers
-  * live at the root beside the stores, and a generation without them
-  * would re-bootstrap with the LIVE constants — silently re-binning a
-  * store packed under different ones, the exact drift the markers
-  * exist to block. The post-carry hook copies both verbatim.
+  * is the frozen configuration: the `_shards`, `_budget`, and
+  * `_tokens_source` markers live at the root beside the stores, and a
+  * generation without them would re-bootstrap with the LIVE constants —
+  * silently re-binning a store packed under different ones (or re-pricing
+  * it in a different token unit), the exact drift the markers exist to
+  * block. The post-carry hook copies all three verbatim.
   *
   * A compacted generation is a complete [[IncrementalPacking]] root at
   * `batch=-1`, and [[IncrementalPacking.run]] REFUSES a fresh
@@ -53,7 +54,8 @@ object PackingMaintenance {
       // they ride the hook: absent markers (a legacy pre-marker store)
       // stay absent — run()'s own heal path owns that case
       Seq(IncrementalPacking.shardsMarker _,
-        IncrementalPacking.budgetMarker _).foreach { m =>
+        IncrementalPacking.budgetMarker _,
+        IncrementalPacking.tokensSourceMarker _).foreach { m =>
         StoragePaths.readSmallFile(spark, m(src)).foreach(v =>
           StoragePaths.writeSmallFile(spark, m(dest), v))
       })

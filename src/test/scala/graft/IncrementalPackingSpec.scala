@@ -29,6 +29,9 @@ class IncrementalPackingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
 
+  private def deletePath(p: String): Unit =
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+
   test("a single drain reproduces the batch operator exactly") {
     val landing = Files.createTempDirectory("ipack-landing")
     val ckpt = Files.createTempDirectory("ipack-ckpt").toString + "/c"
@@ -185,6 +188,57 @@ class IncrementalPackingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("budget") ||
       e.getCause.getMessage.contains("budget"))
+  }
+
+  test("the token source freezes at bootstrap; a different source refuses") {
+    val landing = Files.createTempDirectory("ipack8-landing")
+    val ckpt = Files.createTempDirectory("ipack8-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("ipack8-root").toString + "/p"
+    val docs = corpus(0L, 200L)
+    landParquet(landing, "b1.parquet", docs)
+    // drain under the SUBWORD source: bins equal the batch operator under
+    // the same source, and the store records that source's identity
+    val sub = graft.ops.TextAnalysis.subwordCountSql
+    val bins = IncrementalPacking.run(
+      spark, landing.toString, ckpt, root, schema, nTokensSql = sub)
+    assert(binTuples(bins) == binTuples(
+      Packing.packBins(docs, nTokensSql = sub)))
+    assert(IncrementalPacking.storedTokensSource(spark, root)
+      .contains(IncrementalPacking.tokensSourceId(sub)))
+    // a rebuilt binary continuing this store on the whitespace default
+    // would price future bins in a different unit than the cursor
+    // history — the drain must refuse, loudly
+    landParquet(landing, "b2.parquet", corpus(200L, 300L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalPacking.run(spark, landing.toString, ckpt, root, schema)
+    }
+    assert(e.getMessage.contains("token source") ||
+      e.getCause.getMessage.contains("token source"))
+  }
+
+  test("a pre-marker store heals to the whitespace identity and refuses a non-default source") {
+    val landing = Files.createTempDirectory("ipack9-landing")
+    val ckpt = Files.createTempDirectory("ipack9-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("ipack9-root").toString + "/p"
+    landParquet(landing, "b1.parquet", corpus(0L, 100L))
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema)
+    // simulate a store written before the marker existed: only the
+    // whitespace default can ever have packed it
+    deletePath(IncrementalPacking.tokensSourceMarker(root))
+    landParquet(landing, "b2.parquet", corpus(100L, 200L))
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema)
+    assert(IncrementalPacking.storedTokensSource(spark, root)
+      .contains(IncrementalPacking.tokensSourceId(
+        Packing.WhitespaceTokensSql)),
+      "the heal path must record the whitespace identity")
+    deletePath(IncrementalPacking.tokensSourceMarker(root))
+    landParquet(landing, "b3.parquet", corpus(200L, 300L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
+        nTokensSql = graft.ops.TextAnalysis.subwordCountSql)
+    }
+    assert(e.getMessage.contains("whitespace") ||
+      e.getCause.getMessage.contains("whitespace"))
   }
 
   test("the shard count freezes at bootstrap") {

@@ -76,6 +76,10 @@ class PackingMaintenanceSpec extends SparkSpec {
       .contains(Packing.Shards))
     assert(IncrementalPacking.storedBudget(spark, cur)
       .contains(Packing.Budget))
+    assert(IncrementalPacking.storedTokensSource(spark, cur)
+      .contains(IncrementalPacking.tokensSourceId(
+        Packing.WhitespaceTokensSql)),
+      "the token-source marker must cross the generation boundary")
     // the carried cursor state equals the flat store's
     val before = IncrementalPacking.cursor(spark, flat, Long.MaxValue)
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
