@@ -4,11 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** The shared generation engine for MODEL-family maintenance — the one
   * spelling of the measure → counterfactual → retrain-into-next-generation
-  * → carry-history → publish loop that all nine drift loops instantiate
+  * → carry-history → publish loop that all ten drift loops instantiate
   * ([[PqMaintenance]], [[IvfMaintenance]], [[IvfPqMaintenance]],
   * [[SemDedupMaintenance]], [[DsirMaintenance]],
   * [[QualityFilterMaintenance]], [[LmFilterMaintenance]],
-  * [[TemperatureMaintenance]], [[LearnedEnsembleMaintenance]]) — the
+  * [[TemperatureMaintenance]], [[LearnedEnsembleMaintenance]],
+  * [[SubwordMaintenance]]) — the
   * model-side twin of [[FamilyMaintenance]] (the FACT-store engine),
   * built for the same reason the fact engine was: a review pass found
   * two bespoke fact loops had silently diverged, and the same fork risk

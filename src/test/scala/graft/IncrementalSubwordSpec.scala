@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{IncrementalSubword, SubwordMaintenance}
+
+/** Incremental subword serving: the vocabulary trains at bootstrap and
+  * freezes (store-absence keyed, the IncrementalDsir contract); every
+  * later batch prices under it even when its inventory no longer fits; a
+  * corrupt vocabulary store fails loudly; and an inventory-shifted window
+  * trips [[SubwordMaintenance]]'s counterfactual, after which the [UNK]
+  * rate recovers and the carried pricing history sits at `batch=-1`.
+  */
+class IncrementalSubwordSpec extends SparkSpec {
+
+  private val LowerWords = Seq("the", "market", "data", "pipeline", "token",
+    "budget", "merge", "round", "shard", "stream")
+  private val UpperWords = Seq("QUANTUM", "FLUX", "VORTEX", "PRISM",
+    "ZENITH", "KRYPTON", "JOVIAN", "WOMBAT", "GLYPH", "SPHINX")
+
+  /** Deterministic corpus: 6 tokens per doc drawn hash-driven from the
+    * word list. Lowercase trains the bootstrap inventory; the uppercase
+    * list shares NO characters with it (bpe pre-tokens are case-split
+    * runs), so under the frozen vocabulary every uppercase word
+    * whole-word-collapses to [UNK] — the planted inventory shift.
+    */
+  private def corpus(lo: Long, hi: Long,
+      words: Seq[String] = LowerWords): DataFrame = {
+    val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+    spark.range(lo, hi).toDF("doc_id").selectExpr(
+      "doc_id",
+      s"""array_join(transform(sequence(0, 5),
+         |  i -> element_at($arr,
+         |         CAST(pmod(hash(doc_id, i), ${words.size}) AS INT) + 1)),
+         |  ' ') AS text""".stripMargin.replaceAll("\n", " "))
+  }
+
+  private def schema = corpus(0L, 1L).schema
+  private val Merges = 12
+
+  private def ledgerTuples(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select("doc_id", "n_words", "n_subwords", "n_unk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+  test("a single drain prices under the bootstrap-trained vocabulary") {
+    val landing = Files.createTempDirectory("isw-landing")
+    val ckpt = Files.createTempDirectory("isw-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("isw-root").toString + "/s"
+    val docs = corpus(0L, 200L)
+    landParquet(landing, "b1.parquet", docs)
+    val ledger = IncrementalSubword.run(
+      spark, landing.toString, ckpt, root, schema, nMerges = Merges)
+    // the stored vocabulary IS the trainer's output over the bootstrap
+    // batch, and the ledger equals batch pricing under it
+    val stored = IncrementalSubword.readVocab(
+      spark, IncrementalSubword.vocabPath(root))
+    assert(stored ==
+      graft.ops.SubwordTrain.trainedVocab(docs, Merges))
+    assert(ledgerTuples(ledger) ==
+      ledgerTuples(IncrementalSubword.scoreBatch(docs, stored)))
+    // training words never hit [UNK] (the char-floor guarantee)
+    assert(ledger.filter(col("n_unk") > 0).count() == 0)
+    // the packing seam serves the STORED inventory
+    assert(IncrementalSubword.nTokensSqlOf(spark, root) ==
+      graft.ops.TextAnalysis.subwordCountSqlWith(stored))
+  }
+
+  test("later batches price under the FROZEN vocabulary") {
+    val landing = Files.createTempDirectory("isw2-landing")
+    val ckpt = Files.createTempDirectory("isw2-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("isw2-root").toString + "/s"
+    val b1 = corpus(0L, 200L)
+    landParquet(landing, "b1.parquet", b1)
+    IncrementalSubword.run(
+      spark, landing.toString, ckpt, root, schema, nMerges = Merges)
+    val frozen = IncrementalSubword.readVocab(
+      spark, IncrementalSubword.vocabPath(root))
+    // batch 2 arrives with an unseen character inventory; the vocabulary
+    // must NOT retrain mid-stream — every uppercase word collapses to one
+    // [UNK], which is the loud-in-the-ledger signal the drift loop reads
+    val b2 = corpus(200L, 400L, UpperWords)
+    landParquet(landing, "b2.parquet", b2)
+    IncrementalSubword.run(
+      spark, landing.toString, ckpt, root, schema, nMerges = Merges)
+    assert(IncrementalSubword.readVocab(
+      spark, IncrementalSubword.vocabPath(root)) == frozen,
+      "the vocabulary must stay frozen across batches")
+    val era2 = spark.read.parquet(IncrementalSubword.ledgerPath(root))
+      .filter(col("batch") >= 1)
+    assert(era2.count() == 200L)
+    assert(era2.filter(col("n_unk") =!= col("n_words")).count() == 0,
+      "every unseen-inventory word must whole-word-collapse under the " +
+        "frozen vocabulary")
+  }
+
+  test("a corrupt vocabulary store fails loudly") {
+    val landing = Files.createTempDirectory("isw3-landing")
+    val ckpt = Files.createTempDirectory("isw3-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("isw3-root").toString + "/s"
+    landParquet(landing, "b1.parquet", corpus(0L, 100L))
+    IncrementalSubword.run(
+      spark, landing.toString, ckpt, root, schema, nMerges = Merges)
+    // simulate a partial bootstrap write: drop pid 2 from the store
+    val path = IncrementalSubword.vocabPath(root)
+    val gapped = spark.read.parquet(path).filter(col("pid") =!= 2L)
+      .localCheckpoint()
+    gapped.coalesce(1).write.mode("overwrite").parquet(path)
+    landParquet(landing, "b2.parquet", corpus(100L, 200L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalSubword.run(
+        spark, landing.toString, ckpt, root, schema, nMerges = Merges)
+    }
+    assert(e.getMessage.contains("pid gap") ||
+      e.getCause.getMessage.contains("pid gap"))
+  }
+
+  test("inventory drift trips the counterfactual; the [UNK] rate recovers") {
+    val landing = Files.createTempDirectory("isw4-landing")
+    val ckpt = Files.createTempDirectory("isw4-ckpt").toString + "/c"
+    val flatRoot = Files.createTempDirectory("isw4-root").toString + "/s"
+    val genRoot = Files.createTempDirectory("isw4-gen").toString + "/g"
+    val boot = corpus(0L, 200L)
+    landParquet(landing, "b1.parquet", boot)
+    IncrementalSubword.run(
+      spark, landing.toString, ckpt, flatRoot, schema, nMerges = Merges)
+
+    val gen0 = SubwordMaintenance.adopt(spark, genRoot, flatRoot)
+    assert(SubwordMaintenance.currentRoot(spark, genRoot) == gen0)
+    // the adopt carried the model verbatim
+    assert(IncrementalSubword.readVocab(
+      spark, IncrementalSubword.vocabPath(gen0)) ==
+      IncrementalSubword.readVocab(
+        spark, IncrementalSubword.vocabPath(flatRoot)))
+    // below-threshold maintain is a pure read: the bootstrap window
+    // prices identically under live and candidate — no [UNK], no
+    // inflation — so nothing retrains
+    val noop = SubwordMaintenance.maintain(
+      spark, genRoot, boot, nMerges = Merges)
+    assert(!noop.retrained && noop.generation.isEmpty)
+    assert(noop.frozenUnkRate == 0.0)
+    assert(SubwordMaintenance.currentRoot(spark, genRoot) == gen0)
+
+    // DRIFT: the current window arrives in an unseen character
+    // inventory — under the frozen vocabulary EVERY word is [UNK]
+    // (id fidelity lost, budgets mispriced); under a window-trained
+    // candidate none is. The window (not the all-time union) is the
+    // measurement corpus — drift is a property of what arrives NOW
+    val drifted = corpus(200L, 500L, UpperWords)
+    val report = SubwordMaintenance.maintain(
+      spark, genRoot, drifted, nMerges = Merges)
+    assert(report.retrained,
+      s"[UNK] drift ${report.frozenUnkRate} vs " +
+        s"${report.candidateUnkRate} must trip the default threshold")
+    assert(report.frozenUnkRate == 1.0 && report.candidateUnkRate == 0.0)
+    val gen1 = report.generation.get
+    assert(SubwordMaintenance.currentRoot(spark, genRoot) == gen1)
+    // the carried pricing history survives intact, at batch=-1
+    val carried = spark.read.parquet(IncrementalSubword.ledgerPath(gen1))
+    assert(carried.count() ==
+      spark.read.parquet(IncrementalSubword.ledgerPath(gen0)).count())
+    assert(carried.filter(col("batch") =!= -1).count() == 0,
+      "carried history must land at batch=-1, below every future epoch")
+
+    // AFTER: the [UNK] rate under the retrained vocabulary recovers, and
+    // the stream re-enters on the new generation under a fresh checkpoint
+    val vocab1 = IncrementalSubword.readVocab(
+      spark, IncrementalSubword.vocabPath(gen1))
+    assert(SubwordMaintenance.windowRates(drifted, vocab1)._1 == 0.0)
+    val landing2 = Files.createTempDirectory("isw4-landing2")
+    val ckpt2 = Files.createTempDirectory("isw4-ckpt2").toString + "/c"
+    landParquet(landing2, "b2.parquet", drifted)
+    IncrementalSubword.run(
+      spark, landing2.toString, ckpt2, gen1, schema, nMerges = Merges)
+    val era = spark.read.parquet(IncrementalSubword.ledgerPath(gen1))
+      .filter(col("batch") >= 0)
+    assert(era.count() == drifted.count())
+    assert(era.filter(col("n_unk") > 0).count() == 0,
+      "post-retrain pricing must carry no [UNK] on the current window")
+  }
+}
