@@ -747,9 +747,10 @@ object SkewSoak {
       // legit workload — well under scan-linear means no task buffered it
       ("df_megakey" -> (mkGrowth < 5.0)) :+
       // mega-bucket: 10× the planted identical family through the
-      // occupancy degrade — linear bar (the star pairs themselves grow
-      // 10×); a buffered window or df² bucket shows up as ≫10×
-      ("band_megabucket" -> (bmbGrowth < 15.0)) :+
+      // occupancy degrade — observed 2.9× (sub-linear: the star pairs
+      // grow 10× but fixed scan costs dominate); gate at ~2× that. A
+      // buffered window or df² bucket shows up as ≫10×
+      ("band_megabucket" -> (bmbGrowth < 6.0)) :+
       // history-free: 10× the off-vocabulary posting bulk, flat
       // term-keyed probe of a fixed query vocabulary
       ("bm25_postings_probe" -> (bmGrowth < 4.0)) :++
