@@ -526,8 +526,11 @@ object Similarity {
     // the probe side is broadcast-sized, but the degrade still rides
     // [[Dedup.hotBucketRoots]] for uniformity — ONE spelling of the
     // occupancy cap everywhere, so the no-bucket-windows plan assertion
-    // holds without exceptions (the double scan of the tiny probe is free)
-    val px = Dedup.hotBucketRoots(bandRows(probeEmb, planes, nBands),
+    // holds without exceptions. The probe band rows localCheckpoint
+    // (eager, probe-sized) because the degrade scans them twice and the
+    // signature projection is `planes` dot products per row.
+    val px = Dedup.hotBucketRoots(
+      bandRows(probeEmb, planes, nBands).localCheckpoint(),
       Seq("q", "nib"), maxBandOccupancy, struct(col("vec_id")))
     val cold = px.filter(col("hot_root").isNull)
       .select(col("vec_id").as("b_id"), col("q"), col("nib"))
