@@ -31,11 +31,18 @@ object TextAnalysis {
         "CAST(nonspace AS DOUBLE) / nullif(size(toks), 0) AS avg_token_len")
 
   /** SQL array literal of a vocabulary — splatted into the expression
-    * call so the vocabulary folds at plan build. Quote-doubled, though
-    * both shipped vocabularies are quote-free by construction.
+    * call so the vocabulary folds at plan build. Escaped for SPARK's
+    * lexer (backslash doubled FIRST, then quote doubled — probed: a lone
+    * backslash silently transforms the literal, `''` works): a TRAINED
+    * vocabulary's character floor contains every punctuation character
+    * the corpus used, quote and backslash included, so unescaped splats
+    * corrupt exactly the code/URL-heavy corpora subword pricing targets.
+    * Spark-side only — the DuckDB oracle mirror has DIFFERENT rules
+    * (backslash is literal there) and builds its own literals.
     */
   private[graft] def vocabSqlOf(vocab: Seq[String]): String =
-    vocab.map(p => s"'${p.replace("'", "''")}'")
+    vocab.map(p =>
+      "'" + p.replace("\\", "\\\\").replace("'", "''") + "'")
       .mkString("array(", ", ", ")")
 
   private[graft] val subwordVocabSql: String = vocabSqlOf(subwordVocab)

@@ -34,11 +34,18 @@ object OpsOracleSql {
     */
   private def subwordChainFor(vocabPieces: Seq[String]): String = {
     // pid = 1-based position in the shared vocabulary literal; 0 is the
-    // reserved [UNK] — the exact id assignment the Spark kernel makes
+    // reserved [UNK] — the exact id assignment the Spark kernel makes.
+    // Backslashes are rejected rather than escaped: the two dialects
+    // disagree on them (Spark doubles, DuckDB is literal), so only
+    // backslash-free vocabularies are oracle-mirrorable — true of both
+    // shipped inventories, asserted in SubwordTrainSpec for the pin.
     val vocabRows = vocabPieces.zipWithIndex.map { case (p, i) =>
+      require(!p.contains("\\"),
+        s"oracle-mirrored vocabularies must be backslash-free, got: $p")
       val cont = p.startsWith("##")
-      val piece = if (cont) p.substring(2) else p
-      s"('$piece', $cont, ${piece.length}, ${i + 1})"
+      val piece = (if (cont) p.substring(2) else p).replace("'", "''")
+      val plen = (if (cont) p.substring(2) else p).length
+      s"('$piece', $cont, $plen, ${i + 1})"
     }.mkString(", ")
     val maxLen = SubwordMaxWordLen
     s"""vocab(piece, is_cont, plen, pid) AS (VALUES $vocabRows),

@@ -33,6 +33,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.tokenStats(d).count() == 0)
     assert(TextAnalysis.subwordTokens(d).count() == 0)
     assert(TextAnalysis.subwordIds(d).count() == 0)
+    assert(TextAnalysis.subwordIdsChecked(d).count() == 0)
+    assert(TextAnalysis.subwordTokensTrained(d).count() == 0)
+    assert(graft.streaming.IncrementalSubword.scoreBatch(
+      d, graft.ops.Portable.trainedFixtureVocab).count() == 0)
     assert(Packing.packBins(d,
       nTokensSql = TextAnalysis.subwordCountSql).count() == 0)
     assert(TextAnalysis.qualityScore(d).count() == 0)

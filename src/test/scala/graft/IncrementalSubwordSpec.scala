@@ -97,6 +97,31 @@ class IncrementalSubwordSpec extends SparkSpec {
         "frozen vocabulary")
   }
 
+  test("quote/backslash-bearing corpora train and price without corruption") {
+    // the character floor puts EVERY observed punctuation character into
+    // the trained inventory — quote and backslash included — and pricing
+    // splats that inventory into Spark SQL text: a wrong escape either
+    // throws at parse or silently transforms pieces (probed: a lone
+    // backslash eats the next character), which whole-word-collapses
+    // every affected word to [UNK]. Zero [UNK] on the training corpus is
+    // therefore the full round-trip proof.
+    import spark.implicits._
+    val docs = Seq(
+      (0L, """it's a c:\path\to\file with 'quotes' and \\ slashes"""),
+      (1L, """don't strip the \n or the \b sequences in code text"""),
+      (2L, """plain words beside 'quoted' ones and trailing \"""))
+      .toDF("doc_id", "text")
+    val vocab = graft.ops.SubwordTrain.trainedVocab(docs, Merges)
+    assert(vocab.exists(_.contains("'")) && vocab.exists(_.contains("\\")),
+      "the fixture must actually exercise both hostile characters")
+    val priced = IncrementalSubword.scoreBatch(docs, vocab).collect()
+    assert(priced.length == 3)
+    assert(priced.forall(_.getAs[Long]("n_unk") == 0L),
+      "a training word hit [UNK] — the vocabulary splat corrupted a piece")
+    assert(priced.forall(r =>
+      r.getAs[Long]("n_subwords") >= r.getAs[Long]("n_words")))
+  }
+
   test("a corrupt vocabulary store fails loudly") {
     val landing = Files.createTempDirectory("isw3-landing")
     val ckpt = Files.createTempDirectory("isw3-ckpt").toString + "/c"

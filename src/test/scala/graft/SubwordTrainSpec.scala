@@ -80,9 +80,8 @@ class SubwordTrainSpec extends SparkSpec {
     val vocab = SubwordTrain.trainedVocab(docs, nMerges = 30)
     assert(vocab.nonEmpty && vocab == vocab.sorted && vocab == vocab.distinct)
     // feed the learned vocabulary through the SAME serving kernel the
-    // fixture vocabulary uses
-    val vocabSql = vocab.map(p => s"'${p.replace("'", "''")}'")
-      .mkString("array(", ", ", ")")
+    // fixture vocabulary uses, via the shared Spark-correct splat
+    val vocabSql = TextAnalysis.vocabSqlOf(vocab)
     val counted = docs.selectExpr(
       "doc_id",
       s"CAST(size(${Portable.bpeSpark}) AS BIGINT) AS n_words",
