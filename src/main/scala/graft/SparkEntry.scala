@@ -252,6 +252,8 @@ object SparkEntry {
       TextAnalysis.subwordIdsChecked(T.table(s, dir, "documents"))),
     "text_subword_tokens_trained" -> ((s, dir) =>
       TextAnalysis.subwordTokensTrained(T.table(s, dir, "documents"))),
+    "text_subword_ids_trained" -> ((s, dir) =>
+      TextAnalysis.subwordIdsTrainedChecked(T.table(s, dir, "documents"))),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(T.table(s, dir, "documents"))),
     "text_quality" -> ((s, dir) =>
@@ -555,6 +557,7 @@ object SparkEntry {
     "text_subword_tokens" -> OO.TEXT_SUBWORD_TOKENS,
     "text_subword_ids" -> OO.TEXT_SUBWORD_IDS,
     "text_subword_tokens_trained" -> OO.TEXT_SUBWORD_TOKENS_TRAINED,
+    "text_subword_ids_trained" -> OO.TEXT_SUBWORD_IDS_TRAINED,
     "text_langid" -> OO.TEXT_LANGID,
     "text_quality" -> OO.TEXT_QUALITY,
     "text_fingerprint" -> OO.TEXT_FINGERPRINT,

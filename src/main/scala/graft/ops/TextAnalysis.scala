@@ -94,6 +94,10 @@ object TextAnalysis {
   val subwordIdsSql: String =
     s"graft_subword_ids($bpeSpark, $subwordVocabSql, $SubwordMaxWordLen)"
 
+  /** [[subwordIdsSql]] under an arbitrary vocabulary. */
+  def subwordIdsSqlWith(vocab: Seq[String]): String =
+    s"graft_subword_ids($bpeSpark, ${vocabSqlOf(vocab)}, $SubwordMaxWordLen)"
+
   /** Per-document token ids `(doc_id, input_ids, n_subwords)` — what a
     * packing/shard stage ships to a trainer: piece ids are the 1-based
     * vocabulary position, [UNK] = 0 per unrepresentable word, word order
@@ -114,7 +118,23 @@ object TextAnalysis {
     * surface.
     */
   def subwordIdsChecked(docs: DataFrame): DataFrame =
-    subwordIds(docs).selectExpr(
+    checkedIds(subwordIds(docs))
+
+  /** The id stream under the LEARNED fixture vocabulary, in the checked
+    * string form — completes [[subwordTokensTrained]]: the trained
+    * inventory's COUNTS and its ID ASSIGNMENT both round-trip the
+    * cross-engine kernel (ids are the 1-based pinned-vocabulary
+    * position, so a pin permutation that counts identically would still
+    * hash-mismatch here).
+    */
+  def subwordIdsTrainedChecked(docs: DataFrame): DataFrame =
+    checkedIds(docs.selectExpr(
+      "doc_id",
+      s"${subwordIdsSqlWith(trainedFixtureVocab)} AS input_ids",
+      s"${subwordCountSqlWith(trainedFixtureVocab)} AS n_subwords"))
+
+  private def checkedIds(df: DataFrame): DataFrame =
+    df.selectExpr(
       "doc_id",
       "array_join(input_ids, '-') AS input_ids_str",
       "n_subwords")

@@ -121,8 +121,16 @@ object OpsOracleSql {
     * columns, which array-typed cells cannot support; the join is
     * bijective so the hash check still proves the full id sequence.
     */
-  val TEXT_SUBWORD_IDS: String =
-    s"""WITH RECURSIVE $subwordChain,
+  val TEXT_SUBWORD_IDS: String = subwordIdsQueryFor(subwordVocab)
+
+  /** The id stream under the LEARNED pinned vocabulary — completes the
+    * trained-inventory check: counts AND id assignment round-trip.
+    */
+  val TEXT_SUBWORD_IDS_TRAINED: String =
+    subwordIdsQueryFor(trainedFixtureVocab)
+
+  private def subwordIdsQueryFor(vocab: Seq[String]): String =
+    s"""WITH RECURSIVE ${subwordChainFor(vocab)},
        |dwo AS (
        |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS idx
        |  FROM (SELECT doc_id, $bpeDuck AS ws FROM documents)
