@@ -122,6 +122,49 @@ class IncrementalSubwordSpec extends SparkSpec {
       r.getAs[Long]("n_subwords") >= r.getAs[Long]("n_words")))
   }
 
+  test("the stored vocabulary feeds packing, and the marker freezes it") {
+    // the deployment composition the family exists for: bootstrap the
+    // vocabulary store, price a packing store in ITS unit via
+    // nTokensSqlOf, and verify IncrementalPacking's _tokens_source marker
+    // recorded THIS vocabulary's identity — after which the whitespace
+    // default (a rebuilt binary losing the wiring) refuses to extend it
+    val landing = Files.createTempDirectory("isw5-landing")
+    val ckpt = Files.createTempDirectory("isw5-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("isw5-root").toString + "/s"
+    val docs = corpus(0L, 150L)
+    landParquet(landing, "b1.parquet", docs)
+    IncrementalSubword.run(
+      spark, landing.toString, ckpt, root, schema, nMerges = Merges)
+    val src = IncrementalSubword.nTokensSqlOf(spark, root)
+
+    val pLanding = Files.createTempDirectory("isw5-planding")
+    val pCkpt = Files.createTempDirectory("isw5-pckpt").toString + "/c"
+    val pRoot = Files.createTempDirectory("isw5-proot").toString + "/p"
+    landParquet(pLanding, "b1.parquet", docs)
+    val bins = graft.streaming.IncrementalPacking.run(
+      spark, pLanding.toString, pCkpt, pRoot, schema, nTokensSql = src)
+    // priced in the stored vocabulary's unit: bin n_tokens equals the
+    // store's own per-doc subword counts
+    val fromLedger = spark.read
+      .parquet(IncrementalSubword.ledgerPath(root))
+      .select("doc_id", "n_subwords").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bins.select("doc_id", "n_tokens").collect().foreach { r =>
+      assert(r.getLong(1) == fromLedger(r.getLong(0)),
+        s"doc ${r.getLong(0)} priced off-unit")
+    }
+    assert(graft.streaming.IncrementalPacking
+      .storedTokensSource(spark, pRoot)
+      .contains(graft.streaming.IncrementalPacking.tokensSourceId(src)))
+    landParquet(pLanding, "b2.parquet", corpus(150L, 300L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.IncrementalPacking.run(
+        spark, pLanding.toString, pCkpt, pRoot, schema)
+    }
+    assert(e.getMessage.contains("token source") ||
+      e.getCause.getMessage.contains("token source"))
+  }
+
   test("a corrupt vocabulary store fails loudly") {
     val landing = Files.createTempDirectory("isw3-landing")
     val ckpt = Files.createTempDirectory("isw3-ckpt").toString + "/c"

@@ -701,5 +701,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
     assert(offenders.isEmpty,
       s"windows partitioned over band bucket keys:\n${offenders.mkString("\n")}")
+    // and the helper itself is the broadcast left-join shape (the
+    // dfCapped twin below in the df-cap test): stats broadcast, no window
+    val rel = Dedup.minhashSignatures(T.table(spark, sf, "documents"))
+      .filter(col("n_shingles") > 0)
+      .selectExpr("doc_id", "band_0 AS band_val").localCheckpoint()
+    val ns = nodes(graft.ops.Dedup.hotBucketRoots(
+      rel, Seq("band_val"), 8, struct(col("doc_id"))))
+    assert(!ns.contains("Window"), ns)
+    assert(ns.contains("BroadcastHashJoin"), ns)
   }
 }
