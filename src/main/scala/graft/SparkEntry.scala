@@ -490,6 +490,8 @@ object SparkEntry {
       QualityClassifier.summary(T.table(s, dir, "documents"))),
     "curate_pack_bins" -> ((s, dir) =>
       Packing.packBins(T.table(s, dir, "documents"))),
+    "curate_bin_payloads" -> ((s, dir) =>
+      Packing.binPayloadsChecked(T.table(s, dir, "documents"))),
     "curate_pack_bins_subword" -> ((s, dir) =>
       Packing.packBins(T.table(s, dir, "documents"),
         nTokensSql = TextAnalysis.subwordCountSql)),
@@ -844,6 +846,7 @@ object SparkEntry {
     "quality_nb_select" -> OO.QUALITY_NB_SELECT,
     "quality_nb_summary" -> OO.QUALITY_NB_SUMMARY,
     "curate_pack_bins" -> OO.CURATE_PACK_BINS,
+    "curate_bin_payloads" -> OO.CURATE_BIN_PAYLOADS,
     "curate_pack_bins_subword" -> OO.CURATE_PACK_BINS_SUBWORD,
     "curate_pack_stats" -> OO.CURATE_PACK_STATS,
     "curate_epoch_plan" -> OO.CURATE_EPOCH_PLAN,

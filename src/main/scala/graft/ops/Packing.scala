@@ -149,6 +149,58 @@ object Packing {
         "order_hash", "reader_pos")
   }
 
+  /** Trainer-ready BIN PAYLOADS — the materialization a pretraining
+    * loader actually reads: one row per (shard, bin) carrying the
+    * concatenated subword token-id stream of its documents in doc_id
+    * order, under ONE vocabulary. This is the end of the funnel: the same
+    * kernel call prices AND encodes each document
+    * (`size(ids)` IS the count — the shared-matchAt contract of
+    * [[graft.functions.SubwordIds]]), so `bin_tokens ==
+    * size(input_ids)` by construction, never by reconciliation.
+    *
+    * Scale shape — the payload moves ONCE: the id streams are produced in
+    * a narrow projection, exchanged on `shard` for the packing window
+    * (the one payload-width shuffle), and the per-bin assembly reuses
+    * that exchange — `HashPartitioning(shard)` satisfies the aggregation's
+    * `ClusteredDistribution(shard, bin)`, so no second payload movement
+    * (asserted in `PlanSpec`). Per-bin state is bounded:
+    * [[Budget]] + one document's overflow tokens, the collect-and-sort
+    * inside each group is a ≤bin-sized array, and `shards` remains the
+    * 100 TB parallelism knob.
+    */
+  def binPayloads(docs: DataFrame, shards: Int = Shards,
+      vocab: Seq[String] = subwordVocab): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .selectExpr(
+        "doc_id",
+        s"${hexcastSpark("concat('pack:', CAST(doc_id AS STRING))")} % $shards AS shard",
+        s"${TextAnalysis.subwordIdsSqlWith(vocab)} AS ids")
+      .withColumn("n_tokens", expr("CAST(size(ids) AS BIGINT)"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")) / Budget).cast("long"))
+      .groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        // ordered concatenation: collect the bounded per-bin rows, sort
+        // by the leading doc_id struct field, flatten the id streams
+        flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+          x => x.getField("ids"))).as("input_ids"))
+  }
+
+  /** [[binPayloads]] in the battery's checked form — the id stream as the
+    * canonical '-'-joined string (the [[TextAnalysis.subwordIdsChecked]]
+    * convention: the harness canonicalization cannot sort array cells;
+    * the join is bijective over the sequence).
+    */
+  def binPayloadsChecked(docs: DataFrame): DataFrame =
+    binPayloads(docs).selectExpr("shard", "bin", "n_docs", "bin_tokens",
+      "array_join(input_ids, '-') AS input_ids_str")
+
   /** Fill/waste calibration surface, one row per shard:
     * `(shard, n_docs, n_bins, total_tokens, max_bin_tokens,
     * overflow_bins)` — `overflow_bins` counts bins whose contents exceed

@@ -129,9 +129,13 @@ object OpsOracleSql {
   val TEXT_SUBWORD_IDS_TRAINED: String =
     subwordIdsQueryFor(trainedFixtureVocab)
 
-  private def subwordIdsQueryFor(vocab: Seq[String]): String =
-    s"""WITH RECURSIVE ${subwordChainFor(vocab)},
-       |dwo AS (
+  /** Per-document id-stream CTEs (assume a `subwordChainFor` vocabulary
+    * is installed above): `doc_ids (doc_id, input_ids)` — word id lists
+    * reassembled in DOCUMENT WORD ORDER, [UNK]=[0] per word absent from
+    * the walk (unrepresentable or over-length).
+    */
+  private def subwordDocIdsCtes: String =
+    s"""dwo AS (
        |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS idx
        |  FROM (SELECT doc_id, $bpeDuck AS ws FROM documents)
        |),
@@ -144,7 +148,11 @@ object OpsOracleSql {
        |  SELECT dwo.doc_id, flatten(list(wia.ids ORDER BY dwo.idx)) AS input_ids
        |  FROM dwo JOIN wia USING (word)
        |  GROUP BY dwo.doc_id
-       |)
+       |)""".stripMargin
+
+  private def subwordIdsQueryFor(vocab: Seq[String]): String =
+    s"""WITH RECURSIVE ${subwordChainFor(vocab)},
+       |$subwordDocIdsCtes
        |SELECT d.doc_id,
        |  array_to_string(coalesce(di.input_ids, CAST([] AS BIGINT[])), '-')
        |    AS input_ids_str,
@@ -2151,6 +2159,32 @@ object OpsOracleSql {
          |         CAST(coalesce(dc.n_subwords, 0) AS BIGINT) AS n_tokens
          |  FROM documents d LEFT JOIN doc_counts dc USING (doc_id)""".stripMargin)}
        |SELECT doc_id, shard, n_tokens, bin, bin_offset FROM pk_bins""".stripMargin
+
+  /** Mirrors `Packing.binPayloadsChecked`: per-(shard, bin) concatenated
+    * id streams in doc_id order, sized by the SAME per-doc id lengths the
+    * payloads carry, checked as the '-'-joined string form.
+    */
+  val CURATE_BIN_PAYLOADS: String =
+    s"""WITH RECURSIVE $subwordChain,
+       |$subwordDocIdsCtes,
+       |per_doc AS (
+       |  SELECT d.doc_id,
+       |         coalesce(di.input_ids, CAST([] AS BIGINT[])) AS input_ids
+       |  FROM documents d LEFT JOIN doc_ids di USING (doc_id)
+       |),
+       |${packChainFrom(
+      s"""
+         |  SELECT doc_id,
+         |         ${hexcastDuck("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard,
+         |         CAST(len(input_ids) AS BIGINT) AS n_tokens
+         |  FROM per_doc""".stripMargin)}
+       |SELECT pb.shard, pb.bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(pb.n_tokens) AS BIGINT) AS bin_tokens,
+       |  array_to_string(flatten(list(pd.input_ids ORDER BY pd.doc_id)), '-')
+       |    AS input_ids_str
+       |FROM pk_bins pb JOIN per_doc pd USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
 
   /** Mirrors [[graft.ops.Packing.stats]]. */
   val CURATE_PACK_STATS: String =

@@ -59,6 +59,47 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("bin payloads: sized by their own ids, concatenated in doc order") {
+    import graft.ops.{Portable, TextAnalysis}
+    val payloads = Packing.binPayloads(docs).collect()
+    assert(payloads.nonEmpty)
+    // the payload length IS the bin's token total (one kernel prices and
+    // encodes), and bins agree with packBins under the same source
+    payloads.foreach { r =>
+      assert(r.getSeq[Long](r.fieldIndex("input_ids")).size.toLong ==
+        r.getAs[Long]("bin_tokens"), s"payload/size drift at $r")
+    }
+    val binsByKey = Packing.packBins(docs,
+        nTokensSql = TextAnalysis.subwordCountSql)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"))).toMap
+    payloads.foreach { r =>
+      val k = (r.getAs[Long]("shard"), r.getAs[Long]("bin"))
+      assert(binsByKey(k) ==
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens")),
+        s"payload bin $k disagrees with packBins")
+    }
+    // per-document concatenation order: a bin's stream equals its member
+    // docs' own id streams joined in doc_id order
+    val perDoc = docs.selectExpr("doc_id",
+        s"${TextAnalysis.subwordIdsSqlWith(Portable.subwordVocab)} AS ids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val members = Packing.packBins(docs,
+        nTokensSql = TextAnalysis.subwordCountSql)
+      .collect()
+      .groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")))
+    payloads.foreach { r =>
+      val k = (r.getAs[Long]("shard"), r.getAs[Long]("bin"))
+      val want = members(k).map(_.getAs[Long]("doc_id")).sorted
+        .flatMap(perDoc(_)).toList
+      assert(r.getSeq[Long](r.fieldIndex("input_ids")).toList == want,
+        s"payload order drift at bin $k")
+    }
+  }
+
   test("offsets stay inside the budget; bins are dense from 0 per shard") {
     val b = Packing.packBins(docs)
     assert(b.filter(col("bin_offset") < 0 ||

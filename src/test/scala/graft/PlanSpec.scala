@@ -563,6 +563,30 @@ class PlanSpec extends SparkSpec {
       exchanges.head.child.output.map(_.name).mkString(","))
   }
 
+  test("bin payloads: the id streams move through exactly ONE exchange") {
+    spark.catalog.clearCache()
+    val df = graft.ops.Packing.binPayloads(T.table(spark, sf, "documents"))
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    // the payload-width shuffle happens once, on shard, and the per-bin
+    // assembly reuses it — HashPartitioning(shard) satisfies the
+    // aggregation's ClusteredDistribution(shard, bin); a second exchange
+    // would move every token id twice
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1, p.toString)
+    assert(!exchanges.head.child.output.map(_.name).contains("text"),
+      exchanges.head.child.output.map(_.name).mkString(","))
+    // no global sort either — ordering is per shard partition
+    import org.apache.spark.sql.execution.SortExec
+    assert(p.collect { case s: SortExec if s.global => s }.isEmpty,
+      p.toString)
+  }
+
   test("incremental packing batch: cursor broadcast, one batch shuffle, local sort") {
     import org.apache.spark.sql.execution.SortExec
     spark.catalog.clearCache()
