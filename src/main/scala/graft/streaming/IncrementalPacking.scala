@@ -171,6 +171,43 @@ object IncrementalPacking {
     (bins, nextCursor)
   }
 
+  /** One batch's trainer-feed PAYLOAD FRAGMENTS — the incremental shape of
+    * [[Packing.binPayloads]]: `(shard, bin, n_docs, bin_tokens,
+    * input_ids)` rows for exactly the bins this batch touches, with the
+    * id streams concatenated in the batch's own doc_id order. Bins
+    * already shipped never move, but a batch EXTENDS its shard's boundary
+    * bin (the bin the cursor points into), so a payload-materializing
+    * drain writes per-batch FRAGMENTS (`…/payloads/batch=N`, the house
+    * overwrite contract — this relation is a pure function of
+    * (batch, cursor), so replays rewrite identical rows) and a loader
+    * reads bin B as its fragments concatenated in batch order. Over an
+    * ordered drain the concatenation equals [[Packing.binPayloads]] of
+    * the union corpus fragment-for-token (asserted in the spec) — the
+    * family's drain≡batch contract extended to the payload bytes.
+    *
+    * The token source is the SUBWORD kernel under `vocab` (one call
+    * prices and encodes — `bin_tokens == size(input_ids)` by the
+    * shared-matchAt contract), so a drain wiring this beside [[run]] must
+    * pass `nTokensSql = TextAnalysis.subwordCountSqlWith(vocab)` there:
+    * the `_tokens_source` marker then freezes the SAME vocabulary both
+    * relations are priced in.
+    */
+  def packBatchPayloads(docs: DataFrame, cur: DataFrame, shards: Int,
+      vocab: Seq[String]): DataFrame = {
+    val (bins, _) = packBatch(docs, cur, shards,
+      graft.ops.TextAnalysis.subwordCountSqlWith(vocab))
+    val ids = docs.selectExpr("doc_id",
+      s"${graft.ops.TextAnalysis.subwordIdsSqlWith(vocab)} AS ids")
+    bins.join(ids, Seq("doc_id"))
+      .groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+          x => x.getField("ids"))).as("input_ids"))
+  }
+
   /** The fill/waste calibration surface over the ACCUMULATED bin store —
     * the [[Packing.stats]] aggregation applied to everything drained so
     * far: `(shard, n_docs, n_bins, total_tokens, max_bin_tokens,

@@ -190,6 +190,52 @@ class IncrementalPackingSpec extends SparkSpec {
       e.getCause.getMessage.contains("budget"))
   }
 
+  test("payload fragments concatenate to the batch operator's bin payloads") {
+    import graft.ops.{Packing, Portable}
+    val vocab = Portable.subwordVocab
+    val b1 = corpus(0L, 180L)
+    val b2 = corpus(180L, 300L)
+    // an ordered two-batch drain's fragments: batch 1 from the empty
+    // cursor, batch 2 from batch 1's post-state
+    val cur0 = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cum_tokens",
+          org.apache.spark.sql.types.LongType))))
+    val src = graft.ops.TextAnalysis.subwordCountSqlWith(vocab)
+    val (_, cur1) = IncrementalPacking.packBatch(
+      b1, cur0, Packing.Shards, src)
+    val frag1 = IncrementalPacking.packBatchPayloads(
+      b1, cur0, Packing.Shards, vocab).collect()
+    val frag2 = IncrementalPacking.packBatchPayloads(
+      b2, cur1.localCheckpoint(), Packing.Shards, vocab).collect()
+    def byBin(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+          r.getSeq[Long](r.fieldIndex("input_ids")).toList)).toMap
+    val (m1, m2) = (byBin(frag1), byBin(frag2))
+    // fragments within one drain: batch 2 may EXTEND batch 1's boundary
+    // bins but never rewrite them — concatenated in batch order, every
+    // bin equals the batch operator over the union corpus
+    val whole = byBin(Packing.binPayloads(
+      b1.unionAll(b2), Packing.Shards, vocab).collect())
+    val stitched = (m1.keySet ++ m2.keySet).map { k =>
+      val (d1, t1, i1) = m1.getOrElse(k, (0L, 0L, Nil))
+      val (d2, t2, i2) = m2.getOrElse(k, (0L, 0L, Nil))
+      k -> (d1 + d2, t1 + t2, i1 ++ i2)
+    }.toMap
+    assert(stitched == whole,
+      "fragment concatenation must reproduce the batch operator")
+    // and at least one boundary bin was genuinely extended (both batches
+    // contributed), so the stitching contract was actually exercised
+    assert((m1.keySet & m2.keySet).nonEmpty)
+    // replay determinism: the fragment relation is a pure function
+    assert(byBin(IncrementalPacking.packBatchPayloads(
+      b2, cur1, Packing.Shards, vocab).collect()) == m2)
+  }
+
   test("the token source freezes at bootstrap; a different source refuses") {
     val landing = Files.createTempDirectory("ipack8-landing")
     val ckpt = Files.createTempDirectory("ipack8-ckpt").toString + "/c"
