@@ -47,14 +47,16 @@ object IncrementalPacking {
 
   def binsPath(root: String): String = s"$root/bins"
   def cursorPath(root: String): String = s"$root/cursor"
+  def payloadsPath(root: String): String = s"$root/payloads"
 
   /** The ACCUMULATING stores under a packing root — the list the
-    * fresh-era guard walks. Both survive a
-    * [[StoreMaintenance.compact]] to `batch=-1` (the cursor read is
-    * compaction-safe).
+    * fresh-era guard walks (payloads only exist when [[run]] was given a
+    * `payloadVocab`; an absent store guards as trivially clean). All
+    * survive maintenance to `batch=-1` (the cursor read is
+    * compaction-safe; payload fragments fold in batch order).
     */
   def storePaths(root: String): Seq[String] =
-    Seq(binsPath(root), cursorPath(root))
+    Seq(binsPath(root), cursorPath(root), payloadsPath(root))
   def shardsMarker(root: String): String = s"$root/_shards"
   def budgetMarker(root: String): String = s"$root/_budget"
   def tokensSourceMarker(root: String): String = s"$root/_tokens_source"
@@ -193,9 +195,18 @@ object IncrementalPacking {
     * relations are priced in.
     */
   def packBatchPayloads(docs: DataFrame, cur: DataFrame, shards: Int,
+      vocab: Seq[String]): DataFrame =
+    payloadsFromBins(docs,
+      packBatch(docs, cur, shards,
+        graft.ops.TextAnalysis.subwordCountSqlWith(vocab))._1,
+      vocab)
+
+  /** The fragment assembly over an ALREADY-COMPUTED batch bin relation —
+    * the seam [[run]] uses so the per-batch window runs once, feeding
+    * both the bin write and the payload write.
+    */
+  private def payloadsFromBins(docs: DataFrame, bins: DataFrame,
       vocab: Seq[String]): DataFrame = {
-    val (bins, _) = packBatch(docs, cur, shards,
-      graft.ops.TextAnalysis.subwordCountSqlWith(vocab))
     val ids = docs.selectExpr("doc_id",
       s"${graft.ops.TextAnalysis.subwordIdsSqlWith(vocab)} AS ids")
     bins.join(ids, Seq("doc_id"))
@@ -206,6 +217,73 @@ object IncrementalPacking {
         flatten(transform(
           array_sort(collect_list(struct(col("doc_id"), col("ids")))),
           x => x.getField("ids"))).as("input_ids"))
+  }
+
+  /** The accumulated trainer feed: one row per (shard, bin) with its
+    * fragments concatenated in BATCH ORDER — [[StoreMaintenance]]'s
+    * `batch=-1` sorts below every live epoch, so a folded generation's
+    * single fragment keeps its place when fresh eras append after it.
+    * Over an ordered drain this equals [[graft.ops.Packing.binPayloads]]
+    * of the whole corpus (asserted in the spec).
+    */
+  def payloadStreams(spark: SparkSession, root: String): DataFrame = {
+    val path = payloadsPath(root)
+    if (!StoragePaths.exists(spark, path))
+      emptyOf(spark, org.apache.spark.sql.types.StructType(Seq(
+        StructField("shard", LongType), StructField("bin", LongType),
+        StructField("n_docs", LongType), StructField("bin_tokens", LongType),
+        StructField("input_ids", org.apache.spark.sql.types.ArrayType(
+          LongType, containsNull = false)))))
+    else
+      spark.read.parquet(path)
+        .groupBy("shard", "bin")
+        .agg(
+          sum("n_docs").as("n_docs"),
+          sum("bin_tokens").as("bin_tokens"),
+          flatten(transform(
+            array_sort(collect_list(struct(
+              col("batch").cast("long").as("b"), col("input_ids")))),
+            x => x.getField("input_ids"))).as("input_ids"))
+  }
+
+  /** Fold accumulated payload fragments into ONE fragment per bin at
+    * `batch=-1`, concatenated in batch order — the payload store's
+    * maintenance carry. `Carry.Rows` would be WRONG here: it lands every
+    * fragment at one batch id, erasing the batch order the concatenation
+    * depends on, so the fold pre-concatenates (exactly what
+    * [[payloadStreams]] computes) and verifies by exact token totals on
+    * both the summed counters and the materialized id lengths.
+    */
+  private[streaming] def foldPayloads(spark: SparkSession, src: String,
+      dest: String): Unit = {
+    if (!StoragePaths.exists(spark, src)) return
+    val all = spark.read.parquet(src)
+    val want = all.agg(
+      coalesce(sum("bin_tokens"), lit(0L)),
+      coalesce(sum(size(col("input_ids")).cast("long")), lit(0L)))
+      .collect().head
+    val folded = spark.read.parquet(src)
+      .groupBy("shard", "bin")
+      .agg(
+        sum("n_docs").as("n_docs"),
+        sum("bin_tokens").as("bin_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(
+            col("batch").cast("long").as("b"), col("input_ids")))),
+          x => x.getField("input_ids"))).as("input_ids"))
+      .localCheckpoint()
+    val got = folded.agg(
+      coalesce(sum("bin_tokens"), lit(0L)),
+      coalesce(sum(size(col("input_ids")).cast("long")), lit(0L)))
+      .collect().head
+    require(got.getLong(0) == want.getLong(0) &&
+      got.getLong(1) == want.getLong(1) &&
+      want.getLong(0) == want.getLong(1),
+      s"IncrementalPacking.foldPayloads: token totals diverged folding " +
+        s"$src (counters ${want.getLong(0)}→${got.getLong(0)}, ids " +
+        s"${want.getLong(1)}→${got.getLong(1)}) — not publishing")
+    folded.coalesce(1).write.mode("errorifexists")
+      .parquet(s"$dest/batch=${StoreMaintenance.CompactedBatch}")
   }
 
   /** The fill/waste calibration surface over the ACCUMULATED bin store —
@@ -278,7 +356,13 @@ object IncrementalPacking {
   /** Drain the landing dir (Trigger.AvailableNow), packing every batch
     * against the per-shard cursors. Assignment rows land in
     * `root/bins/batch=N`, the post-batch cursor snapshot in
-    * `root/cursor/batch=N`. Returns the accumulated bin store.
+    * `root/cursor/batch=N`; with `payloadVocab` set, the batch's
+    * trainer-feed payload fragments land in `root/payloads/batch=N` too
+    * ([[packBatchPayloads]] semantics — the batch's ONE packing window
+    * feeds both writes). The payload vocabulary must BE the run's token
+    * source: fragments priced in a different unit than the bins would
+    * desynchronize the feed from the cursor history, so the mismatch
+    * refuses loudly up front. Returns the accumulated bin store.
     */
   def run(
       spark: SparkSession,
@@ -287,7 +371,14 @@ object IncrementalPacking {
       root: String,
       schema: StructType,
       shards: Int = Packing.Shards,
-      nTokensSql: String = Packing.WhitespaceTokensSql): DataFrame = {
+      nTokensSql: String = Packing.WhitespaceTokensSql,
+      payloadVocab: Option[Seq[String]] = None): DataFrame = {
+    payloadVocab.foreach { v =>
+      require(nTokensSql == graft.ops.TextAnalysis.subwordCountSqlWith(v),
+        "IncrementalPacking.run: payloadVocab must BE the run's token " +
+          "source — pass nTokensSql = TextAnalysis.subwordCountSqlWith(" +
+          "vocab) so bins and payload fragments are priced in one unit")
+    }
     // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
     // new checkpoint era's batch ids restart at 0 and would overwrite
     // the previous era's bin and cursor batches — silently un-packing
@@ -373,6 +464,14 @@ object IncrementalPacking {
             .parquet(s"${binsPath(root)}/batch=$batchId")
           cursorStable.coalesce(1).write.mode("overwrite")
             .parquet(s"${cursorPath(root)}/batch=$batchId")
+          payloadVocab.foreach { v =>
+            // the batch's payload fragments off the SAME materialized
+            // bins (a pure function of (batch, cursor) like the bins
+            // themselves, so the overwrite is replay-idempotent)
+            payloadsFromBins(uniq, stable, v)
+              .write.mode("overwrite")
+              .parquet(s"${payloadsPath(root)}/batch=$batchId")
+          }
         }
         ()
       }

@@ -47,7 +47,16 @@ object PackingMaintenance {
     measureStore = "bins",
     stores = Seq(
       StoreSpec("bins", IncrementalPacking.binsPath _, Carry.Rows()),
-      StoreSpec("cursor", IncrementalPacking.cursorPath _, Carry.Rows())),
+      StoreSpec("cursor", IncrementalPacking.cursorPath _, Carry.Rows()),
+      // payload fragments CANNOT carry row-preserving: landing every
+      // fragment at one batch id erases the batch order their
+      // concatenation depends on, so the carry pre-concatenates per bin
+      // (token-total verified) — see IncrementalPacking.foldPayloads.
+      // Optional: the store only exists when run() was given a vocabulary.
+      StoreSpec("payloads", IncrementalPacking.payloadsPath _,
+        Carry.Custom((spark, src, dest, _, _) =>
+          IncrementalPacking.foldPayloads(spark, src, dest)),
+        optional = true)),
     pinStorePaths = Some(IncrementalPacking.storePaths _),
     postCarry = (spark, src, dest) =>
       // the frozen-config markers are root-level, not store-level, so

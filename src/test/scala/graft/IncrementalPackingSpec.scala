@@ -236,6 +236,37 @@ class IncrementalPackingSpec extends SparkSpec {
       b2, cur1, Packing.Shards, vocab).collect()) == m2)
   }
 
+  test("a payload drain accumulates the trainer feed; unit mismatch refuses") {
+    import graft.ops.{Packing, Portable, TextAnalysis}
+    val vocab = Portable.subwordVocab
+    val src = TextAnalysis.subwordCountSqlWith(vocab)
+    val landing = Files.createTempDirectory("ipay-landing")
+    val ckpt = Files.createTempDirectory("ipay-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("ipay-root").toString + "/p"
+    val b1 = corpus(0L, 180L)
+    val b2 = corpus(180L, 300L)
+    landParquet(landing, "b1.parquet", b1)
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
+      nTokensSql = src, payloadVocab = Some(vocab))
+    landParquet(landing, "b2.parquet", b2)
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
+      nTokensSql = src, payloadVocab = Some(vocab))
+    def streams(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+          r.getSeq[Long](r.fieldIndex("input_ids")).toList)).toMap
+    // the accumulated feed equals the batch operator over the union
+    assert(streams(IncrementalPacking.payloadStreams(spark, root)) ==
+      streams(Packing.binPayloads(b1.unionAll(b2), Packing.Shards, vocab)))
+    // a payload vocabulary that is NOT the run's token source refuses
+    // before any write — one unit for bins and fragments
+    val e = intercept[IllegalArgumentException] {
+      IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
+        payloadVocab = Some(vocab))
+    }
+    assert(e.getMessage.contains("token source"))
+  }
+
   test("the token source freezes at bootstrap; a different source refuses") {
     val landing = Files.createTempDirectory("ipack8-landing")
     val ckpt = Files.createTempDirectory("ipack8-ckpt").toString + "/c"

@@ -97,6 +97,59 @@ class PackingMaintenanceSpec extends SparkSpec {
       packed.unionAll(b3))))
   }
 
+  test("compaction folds payload fragments in batch order; a fresh era extends the feed") {
+    import graft.ops.{Portable, TextAnalysis}
+    val vocab = Portable.subwordVocab
+    val src = TextAnalysis.subwordCountSqlWith(vocab)
+    val landing = Files.createTempDirectory("pmp-landing")
+    val ckpt = Files.createTempDirectory("pmp-ckpt").toString + "/c"
+    val flat = Files.createTempDirectory("pmp-flat").toString + "/p"
+    val b1 = corpus(0L, 150L)
+    val b2 = corpus(150L, 260L)
+    landParquet(landing, "b1.parquet", b1)
+    IncrementalPacking.run(spark, landing.toString, ckpt, flat, schema,
+      nTokensSql = src, payloadVocab = Some(vocab))
+    landParquet(landing, "b2.parquet", b2)
+    IncrementalPacking.run(spark, landing.toString, ckpt, flat, schema,
+      nTokensSql = src, payloadVocab = Some(vocab))
+    val genRoot = Files.createTempDirectory("pmp-gen").toString + "/p"
+    PackingMaintenance.adopt(spark, genRoot, flat)
+    def streams(root: String) =
+      IncrementalPacking.payloadStreams(spark, root).collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+            r.getSeq[Long](r.fieldIndex("input_ids")).toList)).toMap
+    val before = streams(flat)
+    assert(before.nonEmpty)
+    // adopt + compaction both pre-concatenate the fragments — the served
+    // feed is bit-identical across every generation boundary
+    val gen0 = StoreMaintenance.resolveCurrent(spark, genRoot)
+    assert(streams(gen0) == before)
+    PackingMaintenance.maintain(spark, genRoot, maxFiles = 0L)
+    val gen1 = StoreMaintenance.resolveCurrent(spark, genRoot)
+    assert(streams(gen1) == before)
+    // the folded store holds ONE fragment per bin, all at batch=-1
+    val folded = spark.read.parquet(IncrementalPacking.payloadsPath(gen1))
+    assert(folded.filter(col("batch") =!= -1).count() == 0)
+    assert(folded.groupBy("shard", "bin").count()
+      .filter(col("count") > 1).count() == 0)
+    // a fresh era appends after the fold and the feed still equals the
+    // batch operator over the whole corpus — batch=-1 sorts first, so
+    // the carried fragment keeps its place in every concatenation
+    val landing2 = Files.createTempDirectory("pmp-landing2")
+    val ckpt2 = Files.createTempDirectory("pmp-ckpt2").toString + "/c"
+    val b3 = corpus(260L, 360L)
+    landParquet(landing2, "b3.parquet", b3)
+    IncrementalPacking.run(spark, landing2.toString, ckpt2, gen1, schema,
+      nTokensSql = src, payloadVocab = Some(vocab))
+    val whole = Packing.binPayloads(
+      b1.unionAll(b2).unionAll(b3), Packing.Shards, vocab).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+          r.getSeq[Long](r.fieldIndex("input_ids")).toList)).toMap
+    assert(streams(gen1) == whole)
+  }
+
   test("a second fresh era refuses until the next compaction") {
     val (genRoot, _, packed) = adoptedStore()
     PackingMaintenance.maintain(spark, genRoot, maxFiles = 0L)
