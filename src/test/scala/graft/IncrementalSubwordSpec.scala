@@ -141,8 +141,13 @@ class IncrementalSubwordSpec extends SparkSpec {
     val pCkpt = Files.createTempDirectory("isw5-pckpt").toString + "/c"
     val pRoot = Files.createTempDirectory("isw5-proot").toString + "/p"
     landParquet(pLanding, "b1.parquet", docs)
+    // the full composition: the STORED vocabulary prices the bins AND
+    // feeds the payload fragments — one inventory end to end
+    val storedVocab = IncrementalSubword.readVocab(
+      spark, IncrementalSubword.vocabPath(root))
     val bins = graft.streaming.IncrementalPacking.run(
-      spark, pLanding.toString, pCkpt, pRoot, schema, nTokensSql = src)
+      spark, pLanding.toString, pCkpt, pRoot, schema, nTokensSql = src,
+      payloadVocab = Some(storedVocab))
     // priced in the stored vocabulary's unit: bin n_tokens equals the
     // store's own per-doc subword counts
     val fromLedger = spark.read
@@ -156,6 +161,15 @@ class IncrementalSubwordSpec extends SparkSpec {
     assert(graft.streaming.IncrementalPacking
       .storedTokensSource(spark, pRoot)
       .contains(graft.streaming.IncrementalPacking.tokensSourceId(src)))
+    // the payload feed is priced in the same unit: every bin's id stream
+    // length equals its bin_tokens counter
+    val feed = graft.streaming.IncrementalPacking
+      .payloadStreams(spark, pRoot).collect()
+    assert(feed.nonEmpty)
+    feed.foreach { r =>
+      assert(r.getSeq[Long](r.fieldIndex("input_ids")).size.toLong ==
+        r.getAs[Long]("bin_tokens"))
+    }
     landParquet(pLanding, "b2.parquet", corpus(150L, 300L))
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       graft.streaming.IncrementalPacking.run(
