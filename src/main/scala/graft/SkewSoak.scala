@@ -365,6 +365,27 @@ object SkewSoak {
     val pkJson =
       f""""pack_scaled_shards":{"base_sec":${pkSecs(0)}%.2f,"x10_sec":${pkSecs(1)}%.2f,"time_growth":$pkGrowth%.1f,"base_n":$pkBaseN,"x10_n":${pkBaseN * 10},"base_shards":8,"x10_shards":80}"""
 
+    // Payload-assembly leg: 10× docs with 10× shards through the
+    // trainer-feed materialization — the one operator whose JOB is to
+    // move the corpus id streams. The payload rides exactly ONE exchange
+    // (the per-bin assembly reuses the shard partitioning) and per-bin
+    // state is budget-bounded, so growth must be ≈linear; a second
+    // payload movement or an unbounded assembly shows up as ≫10×.
+    def payloadSec(n: Long, shards: Int): Double = {
+      val docs = packDocs(n).cache()
+      docs.count()
+      val sec = timed(
+        graft.ops.Packing.binPayloads(docs, shards).count())._1
+      docs.unpersist(blocking = false)
+      sec
+    }
+    payloadSec(500L, 4) // warm: JIT + codegen caches, excluded
+    val plSecs = Seq((pkBaseN, 8), (pkBaseN * 10, 80))
+      .map { case (n, s) => payloadSec(n, s) }
+    val plGrowth = plSecs(1) / plSecs(0)
+    val plJson =
+      f""""payload_scaled_shards":{"base_sec":${plSecs(0)}%.2f,"x10_sec":${plSecs(1)}%.2f,"time_growth":$plGrowth%.1f,"base_n":$pkBaseN,"x10_n":${pkBaseN * 10},"base_shards":8,"x10_shards":80}"""
+
     // Epoch-plan leg: 10× docs with 10× shards AND 10× readers (the
     // deployment sizing rule), measured through the BIN SEAM — the bin
     // relation is materialized once (the multi-epoch deployment shape;
@@ -730,6 +751,10 @@ object SkewSoak {
       // the gate matches the claim so a regression to quadratic cannot
       // hide under a linear bar
       ("pack_scaled_shards" -> (pkGrowth < 5.0)) :+
+      // payload-width materialization: observed 1.4× on 10× docs (the
+      // per-shard window amortizes); gate matches pack_scaled_shards' bar
+      // — a second payload movement or unbounded assembly cannot hide
+      ("payload_scaled_shards" -> (plGrowth < 5.0)) :+
       // linear bar, tightened once the bin seam made the plan id-width
       // only (no tokenize of text can hide in here anymore): 10× bins
       // with 10× readers through the bin aggregate and one reader-keyed
@@ -755,7 +780,7 @@ object SkewSoak {
       // term-keyed probe of a fixed query vocabulary
       ("bm25_postings_probe" -> (bmGrowth < 4.0)) :++
       admVerdicts
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$epJson,$bpJson,$dfFoldJson,$wfJson,$mkJson,$bmbJson,$bmJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$plJson,$epJson,$bpJson,$dfFoldJson,$wfJson,$mkJson,$bmbJson,$bmJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>
