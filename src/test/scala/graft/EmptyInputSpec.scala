@@ -39,6 +39,7 @@ class EmptyInputSpec extends SparkSpec {
       d, graft.ops.Portable.trainedFixtureVocab).count() == 0)
     assert(Packing.packBins(d,
       nTokensSql = TextAnalysis.subwordCountSql).count() == 0)
+    assert(Packing.binPayloads(d).count() == 0)
     assert(TextAnalysis.qualityScore(d).count() == 0)
     assert(TextAnalysis.topTerms(d).count() == 0)
     assert(Retrieval.bm25TopK(d).count() == 0)
