@@ -230,19 +230,36 @@ object Dedup {
     * that mega-bucket. This spelling has no such key: the `groupBy` absorbs
     * hot buckets in map-side partial aggregation, over-cap buckets are few
     * by definition (each holds > cap rows, so their count is bounded by
-    * corpus/cap) and their stats BROADCAST, and the left join streams —
+    * `rel`/cap) and their stats BROADCAST, and the left join streams —
     * unmatched rows are cold. Output is bit-identical to the window
     * spelling. `rel` is scanned twice (stats + probe) — callers pass a
     * persisted relation.
+    *
+    * The broadcast bound is `relRows / cap` — at the advertised 100 TB on
+    * a heavily duplicated corpus that quotient can reach 10^7–10^8 rows,
+    * where the occupancy degrade's own broadcast would become the failure
+    * mode (driver memory / broadcast size limits). Callers therefore pass
+    * `relRows` (the count they already took to eager-fill `rel`), and when
+    * the bound exceeds [[MaxBroadcastRoots]] the stats side falls back to
+    * an ordinary shuffled left join — same rows, the exchange sized by the
+    * planner instead of a forced driver collect. The hint is a BOUND, not
+    * a measurement: the actual over-cap relation is usually far smaller,
+    * so the fallback only engages at genuine bulk.
     */
+  private[graft] val MaxBroadcastRoots = 4000000L
+
   private[graft] def hotBucketRoots(rel: DataFrame, keys: Seq[String],
-      cap: Int, root: Column): DataFrame =
-    rel.join(
-      broadcast(rel.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("bdf"), min(root).as("hot_root"))
-        .filter(col("bdf") > cap)
-        .select(keys.map(col) :+ col("hot_root"): _*)),
-      keys, "left")
+      cap: Int, root: Column, relRows: Option[Long] = None): DataFrame = {
+    val stats = rel.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bdf"), min(root).as("hot_root"))
+      .filter(col("bdf") > cap)
+      .select(keys.map(col) :+ col("hot_root"): _*)
+    val statsSized =
+      if (relRows.forall(_ / cap.max(1) <= MaxBroadcastRoots))
+        broadcast(stats)
+      else stats
+    rel.join(statsSized, keys, "left")
+  }
 
   /** MinHash-LSH near-duplicate pairs: bucket-join candidates (band buckets
     * hotter than `maxBandOccupancy` degrade to star candidates — see
@@ -261,9 +278,9 @@ object Dedup {
     // near-dup family is exactly the mega-bucket a window would buffer
     // through one task) and the candidate legs read the result again
     val bandRel = bandRows(docs, ds).persist()
-    bandRel.count()
+    val bandN = bandRel.count()
     val bands = hotBucketRoots(bandRel, Seq("band_idx", "band_val"),
-      maxBandOccupancy, struct(col("doc_id")))
+      maxBandOccupancy, struct(col("doc_id")), relRows = Some(bandN))
     // cold buckets: full pairwise candidates (quadratic per bucket, bounded
     // by the cap); hot buckets: linear star candidates root→member
     val cold = bands.filter(col("hot_root").isNull)
@@ -374,7 +391,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame,
       maxBandOccupancy: Int = MaxBandOccupancy): DataFrame = {
     val sig = simhash(docs).persist()
-    sig.count() // eager: both self-join legs (see minhashPairs)
+    val sigN = sig.count() // eager: both self-join legs (see minhashPairs)
     val nibRows = sig.select(col("doc_id"), col("simhash_sig"), posexplode(
       array((0 until SimhashBands).map(q => col(s"nib_$q")): _*)).as(Seq("q", "nib")))
     // bucket root rides in the hot_root struct so the star branch has the
@@ -382,7 +399,8 @@ object Dedup {
     // doc_id). [[hotBucketRoots]] scans nibRows twice, but it is a narrow
     // projection over the persisted sig relation — no re-aggregation.
     val nb = hotBucketRoots(nibRows, Seq("q", "nib"), maxBandOccupancy,
-      struct(col("doc_id"), col("simhash_sig")))
+      struct(col("doc_id"), col("simhash_sig")),
+      relRows = Some(sigN * SimhashBands))
     val cold = nb.filter(col("hot_root").isNull)
       .select("doc_id", "simhash_sig", "q", "nib")
     val candCold = cold.as("a")

@@ -55,6 +55,16 @@ object Packing {
     */
   val WhitespaceTokensSql: String = s"CAST(size($tokensSpark) AS BIGINT)"
 
+  /** The shard-hash projection — the ONE spelling of how a document is
+    * routed to its packing stream, shared by [[sized]] (and through it
+    * every bin assignment, batch and incremental) and [[binPayloads]]'
+    * payload leg. A salt or expression change here changes BOTH or
+    * neither; a re-spelled copy could silently desync the payload feed
+    * from the bin assignments with only test-level detection.
+    */
+  private def shardSql(shards: Int): String =
+    s"${hexcastSpark("concat('pack:', CAST(doc_id AS STRING))")} % $shards"
+
   /** `(doc_id, shard, n_tokens)` — `nTokensSql` counts (see
     * [[WhitespaceTokensSql]]) and the md5 shard assignment. Text is
     * dropped HERE, before any shuffle.
@@ -62,7 +72,7 @@ object Packing {
   private[graft] def sized(docs: DataFrame, shards: Int,
       nTokensSql: String = WhitespaceTokensSql): DataFrame =
     docs.selectExpr("doc_id",
-      s"${hexcastSpark("concat('pack:', CAST(doc_id AS STRING))")} % $shards AS shard",
+      s"${shardSql(shards)} AS shard",
       s"CAST(($nTokensSql) AS BIGINT) AS n_tokens")
 
   /** Packed assignment `(doc_id, shard, n_tokens, bin, bin_offset)`:
@@ -175,7 +185,11 @@ object Packing {
     docs
       .selectExpr(
         "doc_id",
-        s"${hexcastSpark("concat('pack:', CAST(doc_id AS STRING))")} % $shards AS shard",
+        // [[shardSql]] — the shared routing spelling; the token count is
+        // derived from the SAME kernel call that produces the ids
+        // (size(ids)), not a second sized() pass, so each document is
+        // encoded exactly once
+        s"${shardSql(shards)} AS shard",
         s"${TextAnalysis.subwordIdsSqlWith(vocab)} AS ids")
       .withColumn("n_tokens", expr("CAST(size(ids) AS BIGINT)"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))

@@ -118,9 +118,9 @@ object Similarity {
   private def bandRowsWithOccupancy(emb: DataFrame, planes: Int,
       bands: Int, cap: Int): DataFrame = {
     val raw = bandRows(emb, planes, bands).persist()
-    raw.count() // hotBucketRoots scans it twice (stats + probe)
+    val rawN = raw.count() // hotBucketRoots scans it twice (stats + probe)
     val b = Dedup.hotBucketRoots(raw, Seq("q", "nib"), cap,
-      struct(col("vec_id"))).persist()
+      struct(col("vec_id")), relRows = Some(rawN)).persist()
     b.count()
     raw.unpersist(blocking = false)
     b

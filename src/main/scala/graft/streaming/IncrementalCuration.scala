@@ -302,10 +302,11 @@ object IncrementalCuration {
     // degrade scans it twice (stats + probe) and a re-read would re-fetch
     // the store.
     val refT = ref.join(touched, Seq("band_idx", "band_val")).persist()
-    refT.count()
+    val refN = refT.count()
     val refB = Dedup.hotBucketRoots(refT, Seq("band_idx", "band_val"),
       maxBandOccupancy,
-      struct(when(col("prior"), 0).otherwise(1).as("np"), col("doc_id")))
+      struct(when(col("prior"), 0).otherwise(1).as("np"), col("doc_id")),
+      relRows = Some(refN))
     val refKept = refB.filter(
       col("hot_root").isNull || col("doc_id") === col("hot_root.doc_id"))
     val cand = newBands.as("n")

@@ -60,6 +60,7 @@ object IncrementalPacking {
   def shardsMarker(root: String): String = s"$root/_shards"
   def budgetMarker(root: String): String = s"$root/_budget"
   def tokensSourceMarker(root: String): String = s"$root/_tokens_source"
+  def payloadsMarker(root: String): String = s"$root/_payloads"
 
   /** The identity of an `n_tokens` source: md5 of the SQL text. The text
     * embeds everything that prices a token — for the subword source, the
@@ -107,6 +108,19 @@ object IncrementalPacking {
     */
   def storedTokensSource(spark: SparkSession, root: String): Option[String] =
     StoragePaths.readSmallFile(spark, tokensSourceMarker(root)).map(_.trim)
+
+  /** Whether this store has materialized payload fragments from its FIRST
+    * batch (`"1"`) or never (`"0"`). Frozen like the other config: payload
+    * fragments are written per batch only when [[run]] is passed a
+    * `payloadVocab`, and nothing else records that choice — so enabling it
+    * on a root whose earlier batches drained without it (or dropping it
+    * later) would pass every other marker while [[payloadStreams]] silently
+    * serves a trainer feed MISSING (or never gaining) those batches'
+    * tokens even though bins and cursor include them. The marker makes the
+    * disagreement refuse loudly instead.
+    */
+  def storedPayloadsEnabled(spark: SparkSession, root: String): Option[Boolean] =
+    StoragePaths.readSmallFile(spark, payloadsMarker(root)).map(_.trim == "1")
 
   /** The per-shard cursor as of the latest batch STRICTLY BEFORE
     * `beforeBatchId` — `(shard, cum_tokens)`, missing shards implicitly
@@ -255,7 +269,7 @@ object IncrementalPacking {
     * both the summed counters and the materialized id lengths.
     */
   private[streaming] def foldPayloads(spark: SparkSession, src: String,
-      dest: String): Unit = {
+      dest: String, numFiles: Int = 1): Unit = {
     if (!StoragePaths.exists(spark, src)) return
     val all = spark.read.parquet(src)
     val want = all.agg(
@@ -282,7 +296,11 @@ object IncrementalPacking {
       s"IncrementalPacking.foldPayloads: token totals diverged folding " +
         s"$src (counters ${want.getLong(0)}→${got.getLong(0)}, ids " +
         s"${want.getLong(1)}→${got.getLong(1)}) — not publishing")
-    folded.coalesce(1).write.mode("errorifexists")
+    // the folded relation is the ACCUMULATED trainer feed — corpus-scale
+    // token ids, not a small cursor — so the maintenance loop's numFiles
+    // knob sizes the write like the Rows/Fold carries, never a forced
+    // single task/file
+    folded.repartition(numFiles).write.mode("errorifexists")
       .parquet(s"$dest/batch=${StoreMaintenance.CompactedBatch}")
   }
 
@@ -406,11 +424,13 @@ object IncrementalPacking {
                   s"shards, got $shards — pass the stored count")
             case None =>
               // markers FIRST, before any data write: data-present ⇒
-              // marker-present (tokens-source, then budget, then shards —
-              // `_shards` is the bootstrap key, so a crash between any
-              // two re-runs this branch and overwrites all three)
+              // marker-present (tokens-source, then payloads, then budget,
+              // then shards — `_shards` is the bootstrap key, so a crash
+              // between any two re-runs this branch and overwrites all)
               StoragePaths.writeSmallFile(spark, tokensSourceMarker(root),
                 tokensSourceId(nTokensSql))
+              StoragePaths.writeSmallFile(spark, payloadsMarker(root),
+                if (payloadVocab.isDefined) "1" else "0")
               StoragePaths.writeSmallFile(
                 spark, budgetMarker(root), Packing.Budget.toString)
               StoragePaths.writeSmallFile(
@@ -454,6 +474,41 @@ object IncrementalPacking {
                 s"IncrementalPacking: pre-marker store at $root was packed " +
                   "on whitespace counts; cannot continue it under a " +
                   "different token source")
+          }
+          storedPayloadsEnabled(spark, root) match {
+            case Some(enabled) =>
+              // payload materialization is frozen with the rest of the
+              // config: a store that drained batches without fragments
+              // must not start writing them mid-history (payloadStreams
+              // would silently serve a feed missing the early batches'
+              // tokens), and one that has them must not stop (the feed
+              // would silently freeze while bins keep growing)
+              require(enabled == payloadVocab.isDefined,
+                s"IncrementalPacking: store at $root was " +
+                  (if (enabled) "draining payload fragments from its " +
+                    "first batch, this run passes no payloadVocab — the " +
+                    "trainer feed would silently freeze"
+                  else "created WITHOUT payload fragments, this run " +
+                    "passes a payloadVocab — payloadStreams would " +
+                    "silently miss the earlier batches' tokens") +
+                  "; continue with the stored choice (or compact to a " +
+                  "fresh root)")
+            case None =>
+              // pre-marker store: infer the only history it can have had
+              // from the payloads store itself (fragments exist iff every
+              // prior drain passed a vocabulary — partial histories were
+              // impossible because payloadVocab also pins nTokensSql,
+              // which the _tokens_source marker froze from batch 0)
+              val had = StoragePaths.exists(spark, payloadsPath(root))
+              StoragePaths.writeSmallFile(spark, payloadsMarker(root),
+                if (had) "1" else "0")
+              require(had == payloadVocab.isDefined,
+                s"IncrementalPacking: pre-marker store at $root " +
+                  (if (had) "holds payload fragments but this run passes " +
+                    "no payloadVocab"
+                  else "has no payload fragments but this run passes a " +
+                    "payloadVocab") +
+                  " — continue with the stored history's choice")
           }
           val uniq = batch.dropDuplicates("doc_id")
           val (bins, nextCursor) =

@@ -19,12 +19,13 @@ import graft.streaming.FamilyMaintenance.{Carry, StoreSpec}
   * because the read is `MAX(cum_tokens)` per shard — deliberately not
   * `max_by(·, batch)`, so rows tying at `batch=-1` resolve identically
   * ([[IncrementalPacking.cursor]]). What MUST also cross the boundary
-  * is the frozen configuration: the `_shards`, `_budget`, and
-  * `_tokens_source` markers live at the root beside the stores, and a
-  * generation without them would re-bootstrap with the LIVE constants —
-  * silently re-binning a store packed under different ones (or re-pricing
-  * it in a different token unit), the exact drift the markers exist to
-  * block. The post-carry hook copies all three verbatim.
+  * is the frozen configuration: the `_shards`, `_budget`,
+  * `_tokens_source`, and `_payloads` markers live at the root beside the
+  * stores, and a generation without them would re-bootstrap with the LIVE
+  * constants — silently re-binning a store packed under different ones
+  * (or re-pricing it in a different token unit, or flipping payload
+  * materialization mid-history), the exact drift the markers exist to
+  * block. The post-carry hook copies all four verbatim.
   *
   * A compacted generation is a complete [[IncrementalPacking]] root at
   * `batch=-1`, and [[IncrementalPacking.run]] REFUSES a fresh
@@ -54,8 +55,8 @@ object PackingMaintenance {
       // (token-total verified) — see IncrementalPacking.foldPayloads.
       // Optional: the store only exists when run() was given a vocabulary.
       StoreSpec("payloads", IncrementalPacking.payloadsPath _,
-        Carry.Custom((spark, src, dest, _, _) =>
-          IncrementalPacking.foldPayloads(spark, src, dest)),
+        Carry.Custom((spark, src, dest, numFiles, _) =>
+          IncrementalPacking.foldPayloads(spark, src, dest, numFiles)),
         optional = true)),
     pinStorePaths = Some(IncrementalPacking.storePaths _),
     postCarry = (spark, src, dest) =>
@@ -64,7 +65,8 @@ object PackingMaintenance {
       // stay absent — run()'s own heal path owns that case
       Seq(IncrementalPacking.shardsMarker _,
         IncrementalPacking.budgetMarker _,
-        IncrementalPacking.tokensSourceMarker _).foreach { m =>
+        IncrementalPacking.tokensSourceMarker _,
+        IncrementalPacking.payloadsMarker _).foreach { m =>
         StoragePaths.readSmallFile(spark, m(src)).foreach(v =>
           StoragePaths.writeSmallFile(spark, m(dest), v))
       })

@@ -267,6 +267,54 @@ class IncrementalPackingSpec extends SparkSpec {
     assert(e.getMessage.contains("token source"))
   }
 
+  test("payload materialization freezes at bootstrap; flipping it refuses") {
+    import graft.ops.{Portable, TextAnalysis}
+    val vocab = Portable.subwordVocab
+    val src = TextAnalysis.subwordCountSqlWith(vocab)
+    // off→on: a store whose early batches drained WITHOUT fragments must
+    // not start writing them mid-history — payloadStreams would silently
+    // serve a feed missing those batches' tokens while bins include them
+    val landing = Files.createTempDirectory("ipaym-landing")
+    val ckpt = Files.createTempDirectory("ipaym-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("ipaym-root").toString + "/p"
+    landParquet(landing, "b1.parquet", corpus(0L, 100L))
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
+      nTokensSql = src)
+    assert(IncrementalPacking.storedPayloadsEnabled(spark, root)
+      .contains(false))
+    landParquet(landing, "b2.parquet", corpus(100L, 200L))
+    val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
+        nTokensSql = src, payloadVocab = Some(vocab))
+    }
+    assert(e1.getMessage.contains("WITHOUT payload fragments") ||
+      e1.getCause.getMessage.contains("WITHOUT payload fragments"))
+    // on→off: a store draining fragments from batch 0 must not stop — the
+    // trainer feed would silently freeze while bins keep growing
+    val landing2 = Files.createTempDirectory("ipaym2-landing")
+    val ckpt2 = Files.createTempDirectory("ipaym2-ckpt").toString + "/c"
+    val root2 = Files.createTempDirectory("ipaym2-root").toString + "/p"
+    landParquet(landing2, "b1.parquet", corpus(0L, 100L))
+    IncrementalPacking.run(spark, landing2.toString, ckpt2, root2, schema,
+      nTokensSql = src, payloadVocab = Some(vocab))
+    assert(IncrementalPacking.storedPayloadsEnabled(spark, root2)
+      .contains(true))
+    landParquet(landing2, "b2.parquet", corpus(100L, 200L))
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalPacking.run(spark, landing2.toString, ckpt2, root2, schema,
+        nTokensSql = src)
+    }
+    assert(e2.getMessage.contains("silently freeze") ||
+      e2.getCause.getMessage.contains("silently freeze"))
+    // pre-marker store: heal from the payloads store's own existence —
+    // fragments present means every prior drain wrote them
+    deletePath(IncrementalPacking.payloadsMarker(root2))
+    IncrementalPacking.run(spark, landing2.toString, ckpt2, root2, schema,
+      nTokensSql = src, payloadVocab = Some(vocab))
+    assert(IncrementalPacking.storedPayloadsEnabled(spark, root2)
+      .contains(true), "the heal path must infer '1' from the fragments")
+  }
+
   test("the token source freezes at bootstrap; a different source refuses") {
     val landing = Files.createTempDirectory("ipack8-landing")
     val ckpt = Files.createTempDirectory("ipack8-ckpt").toString + "/c"
