@@ -408,6 +408,33 @@ object SkewSoak {
     val epJson =
       f""""epoch_scaled_readers":{"base_sec":${epSecs(0)}%.2f,"x10_sec":${epSecs(1)}%.2f,"time_growth":$epGrowth%.1f,"base_n":$pkBaseN,"x10_n":${pkBaseN * 10},"base_readers":8,"x10_readers":80}"""
 
+    // Reader-feed leg: 10× bins with 10× readers through the trainer
+    // fetch — the plan is dealt from the payload relation's own id-width
+    // stats (column pruning strips the id streams from the planning
+    // legs) and the payloads cross exactly ONE join, so growth must be
+    // ≈linear in the served bytes; a second payload movement, a
+    // re-aggregation per leg, or a global position sort shows up as ≫10×.
+    def feedPayloads(bins: Long, shards: Long): DataFrame =
+      spark.range(bins).select(
+        (col("id") % shards).as("shard"), (col("id") / shards).as("bin"),
+        lit(3L).as("n_docs"), lit(64L).as("bin_tokens"),
+        expr("transform(sequence(0, 63), i -> id * 64 + CAST(i AS BIGINT))")
+          .as("input_ids"))
+    def feedSec(bins: Long, shards: Long, readers: Int): Double = {
+      val pay = feedPayloads(bins, shards).cache()
+      pay.count()
+      val sec = timed(
+        graft.ops.Packing.readerFeedFrom(pay, 1, readers).count())._1
+      pay.unpersist(blocking = false)
+      sec
+    }
+    feedSec(500L, 4, 4) // warm: JIT + codegen caches, excluded
+    val rfSecs = Seq((pkBaseN, 8L, 8), (pkBaseN * 10, 80L, 80))
+      .map { case (b, s, r) => feedSec(b, s, r) }
+    val rfGrowth = rfSecs(1) / rfSecs(0)
+    val rfJson =
+      f""""reader_feed_scaled":{"base_sec":${rfSecs(0)}%.2f,"x10_sec":${rfSecs(1)}%.2f,"time_growth":$rfGrowth%.1f,"base_bins":$pkBaseN,"x10_bins":${pkBaseN * 10},"base_readers":8,"x10_readers":80}"""
+
     // Boilerplate df-store probe leg: fixed probe batch, delta-summed df
     // store grown 10×, flat probe time — the same history-free contract
     // as chunk_membership, pinned on IncrementalBoilerplate.priorDf's
@@ -760,6 +787,9 @@ object SkewSoak {
       // with 10× readers through the bin aggregate and one reader-keyed
       // id-width shuffle
       ("epoch_scaled_readers" -> (epGrowth < 5.0)) :+
+      // 10× bins with 10× readers through the trainer fetch: id-width
+      // planning + one payload join — the payload_scaled_shards bar
+      ("reader_feed_scaled" -> (rfGrowth < 5.0)) :+
       // history-free: 10× the df store, flat probe (the chunk_membership
       // rationale on the delta-summed read)
       ("boilerplate_df_probe" -> (bpGrowth < 4.0)) :+
@@ -780,7 +810,7 @@ object SkewSoak {
       // term-keyed probe of a fixed query vocabulary
       ("bm25_postings_probe" -> (bmGrowth < 4.0)) :++
       admVerdicts
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$plJson,$epJson,$bpJson,$dfFoldJson,$wfJson,$mkJson,$bmbJson,$bmJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$plJson,$epJson,$rfJson,$bpJson,$dfFoldJson,$wfJson,$mkJson,$bmbJson,$bmJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>

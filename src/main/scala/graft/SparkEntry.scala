@@ -499,6 +499,10 @@ object SparkEntry {
       Packing.stats(T.table(s, dir, "documents"))),
     "curate_epoch_plan" -> ((s, dir) =>
       Packing.epochPlan(T.table(s, dir, "documents"))),
+    // the trainer-reader fetch: epoch plan ⋈ bin payloads — the one join
+    // a training loop actually issues, (reader, reader_pos) → input_ids
+    "curate_reader_feed" -> ((s, dir) =>
+      Packing.readerFeedChecked(T.table(s, dir, "documents"))),
     "quality_lm_model" -> ((s, dir) =>
       LmPerplexity.modelTable(T.table(s, dir, "documents"))),
     "quality_lm_ppl" -> ((s, dir) =>
@@ -850,6 +854,7 @@ object SparkEntry {
     "curate_pack_bins_subword" -> OO.CURATE_PACK_BINS_SUBWORD,
     "curate_pack_stats" -> OO.CURATE_PACK_STATS,
     "curate_epoch_plan" -> OO.CURATE_EPOCH_PLAN,
+    "curate_reader_feed" -> OO.CURATE_READER_FEED,
     "quality_lm_model" -> OO.QUALITY_LM_MODEL,
     "quality_lm_ppl" -> OO.QUALITY_LM_PPL,
     "quality_lm_select" -> OO.QUALITY_LM_SELECT,

@@ -143,12 +143,25 @@ object Packing {
     * [[graft.streaming.IncrementalPacking.epochPlanAt]] applies it.
     */
   def epochPlanFrom(bins: DataFrame, epoch: Int = 1,
-      readers: Int = Readers): DataFrame = {
+      readers: Int = Readers): DataFrame =
+    dealEpoch(
+      bins.groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens")),
+      epoch, readers)
+
+  /** The dealing step under [[epochPlanFrom]], over rows ALREADY per
+    * (shard, bin) carrying `(n_docs, bin_tokens)` — the seam
+    * [[readerFeedFrom]] uses so a plan can be derived from a payload
+    * relation's own per-bin rows without re-aggregating doc-level bins.
+    * ONE spelling of the salted hash + deal + position, so the plan a
+    * trainer fetched payloads under is bit-identical to the plan derived
+    * standalone.
+    */
+  private[graft] def dealEpoch(binStats: DataFrame, epoch: Int,
+      readers: Int): DataFrame = {
     require(epoch >= 0, s"epochPlan: epoch must be non-negative, got $epoch")
     require(readers > 0, s"epochPlan: readers must be positive, got $readers")
-    bins
-      .groupBy("shard", "bin")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+    binStats
       .withColumn("order_hash", expr(hexcastSpark(
         s"concat('epoch:$epoch:', CAST(shard AS STRING), ':', CAST(bin AS STRING))")))
       .withColumn("reader", col("order_hash") % readers)
@@ -158,6 +171,30 @@ object Packing {
       .select("shard", "bin", "n_docs", "bin_tokens", "reader",
         "order_hash", "reader_pos")
   }
+
+  /** The trainer-reader FETCH — the one join a training loop actually
+    * issues: compose an epoch's plan with the bin payloads so each reader
+    * stream serves `(reader, reader_pos) → input_ids` in plan order. The
+    * planning side is ID-WIDTH throughout (the deal runs on the payload
+    * relation's own `(shard, bin, n_docs, bin_tokens)` stats — never the
+    * id streams), and the payload column crosses exactly ONE join: the
+    * plan relation keyed back onto `payloads` by (shard, bin), where the
+    * payload side's aggregation partitioning is reused (asserted in
+    * `PlanSpec`). Epoch-independence is inherited from [[dealEpoch]]:
+    * the fetched payload bytes are identical across epochs, only
+    * (reader, reader_pos) re-deal.
+    *
+    * `payloads` is read twice (stats + fetch) — callers pass a persisted
+    * or store-backed relation ([[binPayloads]] output or
+    * [[graft.streaming.IncrementalPacking.payloadStreams]]).
+    */
+  def readerFeedFrom(payloads: DataFrame, epoch: Int = 1,
+      readers: Int = Readers): DataFrame =
+    dealEpoch(payloads.select("shard", "bin", "n_docs", "bin_tokens"),
+      epoch, readers)
+      .join(payloads.select("shard", "bin", "input_ids"), Seq("shard", "bin"))
+      .select("reader", "reader_pos", "shard", "bin", "n_docs",
+        "bin_tokens", "order_hash", "input_ids")
 
   /** Trainer-ready BIN PAYLOADS — the materialization a pretraining
     * loader actually reads: one row per (shard, bin) carrying the
@@ -213,6 +250,26 @@ object Packing {
     */
   def binPayloadsChecked(docs: DataFrame): DataFrame =
     binPayloads(docs).selectExpr("shard", "bin", "n_docs", "bin_tokens",
+      "array_join(input_ids, '-') AS input_ids_str")
+
+  /** [[readerFeedFrom]] over a corpus in one call — tokenize + pack +
+    * deal + fetch. The payload relation is materialized ONCE (persist,
+    * the [[graft.ops.Dedup.minhashPairs]] shared-relation discipline):
+    * both the stats leg and the fetch leg read the cache, so the corpus
+    * is encoded exactly once, not once per leg.
+    */
+  def readerFeed(docs: DataFrame, epoch: Int = 1, readers: Int = Readers,
+      shards: Int = Shards, vocab: Seq[String] = subwordVocab): DataFrame = {
+    val payloads = binPayloads(docs, shards, vocab).persist()
+    payloads.count()
+    Dedup.materializeFreeing(
+      readerFeedFrom(payloads, epoch, readers), payloads)
+  }
+
+  /** [[readerFeed]] in the battery's checked string form. */
+  def readerFeedChecked(docs: DataFrame): DataFrame =
+    readerFeed(docs).selectExpr("reader", "reader_pos", "shard", "bin",
+      "n_docs", "bin_tokens", "order_hash",
       "array_join(input_ids, '-') AS input_ids_str")
 
   /** Fill/waste calibration surface, one row per shard:

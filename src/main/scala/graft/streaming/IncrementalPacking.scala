@@ -240,7 +240,8 @@ object IncrementalPacking {
     * Over an ordered drain this equals [[graft.ops.Packing.binPayloads]]
     * of the whole corpus (asserted in the spec).
     */
-  def payloadStreams(spark: SparkSession, root: String): DataFrame = {
+  def payloadStreams(spark: SparkSession, root: String,
+      upToBatch: Option[Long] = None): DataFrame = {
     val path = payloadsPath(root)
     if (!StoragePaths.exists(spark, path))
       emptyOf(spark, org.apache.spark.sql.types.StructType(Seq(
@@ -250,6 +251,13 @@ object IncrementalPacking {
           LongType, containsNull = false)))))
     else
       spark.read.parquet(path)
+        // the epoch-plan pin, applied to the payload side too: fragments
+        // of batches past the high-water mark extend shard-boundary bins
+        // the pinned plan sized as-of-pin, so an unpinned read would
+        // serve MORE tokens than the plan's bin_tokens promise (batch=-1
+        // folds sort below every pin — always included)
+        .filter(upToBatch.fold(lit(true))(hw =>
+          col("batch").cast("long") <= hw))
         .groupBy("shard", "bin")
         .agg(
           sum("n_docs").as("n_docs"),
@@ -369,6 +377,36 @@ object IncrementalPacking {
           .drop("batch")
     }
     Packing.epochPlanFrom(bins, epoch, readers)
+  }
+
+  /** The trainer-reader FETCH over a store — [[epochPlanAt]] composed
+    * with [[payloadStreams]] at ONE pin: each reader stream's
+    * `(reader, reader_pos) → input_ids`, the join a training loop
+    * actually issues. Both sides are pinned at the same batch high-water
+    * mark (default: the latest bins batch at call time), so the plan's
+    * `bin_tokens` promise and the served id stream agree even while a
+    * drain keeps extending shard-boundary bins past the pin. The plan is
+    * dealt from the payload store's OWN per-bin stats (identical to
+    * [[epochPlanAt]]'s by the drain≡batch contract — pinned in the spec —
+    * and one store read instead of two; parquet column pruning keeps the
+    * stats leg id-width); the payload column crosses exactly ONE
+    * exchange — the fragment concatenation inside [[payloadStreams]],
+    * whose (shard, bin) partitioning the fetch join reuses (asserted in
+    * `PlanSpec`).
+    *
+    * Store contract: the `_payloads` marker guarantees fragments exist
+    * for every drained batch or none — a feed over a fragment-less root
+    * is empty, never silently partial.
+    */
+  def readerFeed(
+      spark: SparkSession,
+      root: String,
+      epoch: Int,
+      readers: Int = Packing.Readers,
+      upToBatch: Option[Long] = None): DataFrame = {
+    val pin = upToBatch.orElse(latestBinsBatch(spark, root))
+    Packing.readerFeedFrom(
+      payloadStreams(spark, root, pin), epoch, readers)
   }
 
   /** Drain the landing dir (Trigger.AvailableNow), packing every batch

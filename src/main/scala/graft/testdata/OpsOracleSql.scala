@@ -2186,6 +2186,46 @@ object OpsOracleSql {
        |FROM pk_bins pb JOIN per_doc pd USING (doc_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors `Packing.readerFeedChecked`: the trainer-reader fetch —
+    * the bin-payload chain's per-bin rows dealt by the epoch-1 salted
+    * hash into reader streams (the [[CURATE_EPOCH_PLAN]] dealing over
+    * the PAYLOAD relation's own stats), each row carrying its
+    * concatenated id stream in the checked string form.
+    */
+  val CURATE_READER_FEED: String = {
+    val readers = graft.ops.Packing.Readers
+    s"""WITH RECURSIVE $subwordChain,
+       |$subwordDocIdsCtes,
+       |per_doc AS (
+       |  SELECT d.doc_id,
+       |         coalesce(di.input_ids, CAST([] AS BIGINT[])) AS input_ids
+       |  FROM documents d LEFT JOIN doc_ids di USING (doc_id)
+       |),
+       |${packChainFrom(
+      s"""
+         |  SELECT doc_id,
+         |         ${hexcastDuck("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard,
+         |         CAST(len(input_ids) AS BIGINT) AS n_tokens
+         |  FROM per_doc""".stripMargin)},
+       |rf_payloads AS (
+       |  SELECT pb.shard, pb.bin,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(pb.n_tokens) AS BIGINT) AS bin_tokens,
+       |    array_to_string(flatten(list(pd.input_ids ORDER BY pd.doc_id)), '-')
+       |      AS input_ids_str
+       |  FROM pk_bins pb JOIN per_doc pd USING (doc_id)
+       |  GROUP BY 1, 2),
+       |rf_hash AS (
+       |  SELECT *,
+       |    ${hexcastDuck("concat('epoch:1:', CAST(shard AS VARCHAR), ':', CAST(bin AS VARCHAR))")} AS order_hash
+       |  FROM rf_payloads)
+       |SELECT order_hash % $readers AS reader,
+       |       CAST(row_number() OVER (PARTITION BY order_hash % $readers
+       |         ORDER BY order_hash, shard, bin) AS BIGINT) AS reader_pos,
+       |       shard, bin, n_docs, bin_tokens, order_hash, input_ids_str
+       |FROM rf_hash""".stripMargin
+  }
+
   /** Mirrors [[graft.ops.Packing.stats]]. */
   val CURATE_PACK_STATS: String =
     s"""WITH $packChain,

@@ -267,6 +267,47 @@ class IncrementalPackingSpec extends SparkSpec {
     assert(e.getMessage.contains("token source"))
   }
 
+  test("reader feed over a store ≡ the batch fetch; the pin holds under appends") {
+    import graft.ops.{Packing, Portable, TextAnalysis}
+    val vocab = Portable.subwordVocab
+    val src = TextAnalysis.subwordCountSqlWith(vocab)
+    val landing = Files.createTempDirectory("irf-landing")
+    val ckpt = Files.createTempDirectory("irf-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("irf-root").toString + "/p"
+    val b1 = corpus(0L, 180L)
+    val b2 = corpus(180L, 300L)
+    landParquet(landing, "b1.parquet", b1)
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
+      nTokensSql = src, payloadVocab = Some(vocab))
+    landParquet(landing, "b2.parquet", b2)
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
+      nTokensSql = src, payloadVocab = Some(vocab))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("reader"), r.getAs[Long]("reader_pos"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+          r.getSeq[Long](r.fieldIndex("input_ids")).toList)).toMap
+    // an ordered drain's feed equals the batch operator's fetch over the
+    // union corpus — every bin exactly once, same deal, same payloads
+    val storeFeed = rows(IncrementalPacking.readerFeed(spark, root, 1))
+    val batchFeed = rows(Packing.readerFeed(
+      b1.unionAll(b2), 1, vocab = vocab))
+    assert(storeFeed == batchFeed)
+    // the feed's deal is the pinned epoch plan's deal (the epochPlanAt
+    // composition, derived here from the payload store's own stats)
+    val plan = IncrementalPacking.epochPlanAt(spark, root, 1).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("reader"), r.getAs[Long]("reader_pos"))).toMap
+    assert(storeFeed.view.mapValues(v => (v._1, v._2)).toMap == plan)
+    // pin stability: a feed pinned at batch 0 ignores batch 1's
+    // fragments — including the boundary-bin EXTENSIONS batch 1 wrote —
+    // and re-deriving it after more data landed is bit-identical
+    val pinned = rows(
+      IncrementalPacking.readerFeed(spark, root, 1, upToBatch = Some(0L)))
+    val b1Only = rows(Packing.readerFeed(b1, 1, vocab = vocab))
+    assert(pinned == b1Only)
+  }
+
   test("payload materialization freezes at bootstrap; flipping it refuses") {
     import graft.ops.{Portable, TextAnalysis}
     val vocab = Portable.subwordVocab

@@ -166,6 +166,44 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("reader feed: the fetch serves every planned bin its own payload") {
+    val payloads = Packing.binPayloads(docs).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+          r.getSeq[Long](r.fieldIndex("input_ids")).toList)).toMap
+    // the plan the feed must agree with: epochPlanFrom over the SAME
+    // subword-sized bins the payloads were packed under
+    val plan = Packing.epochPlanFrom(
+      Packing.packBins(docs,
+        nTokensSql = graft.ops.TextAnalysis.subwordCountSql), 1).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("reader"), r.getAs[Long]("reader_pos"))).toMap
+    def feed(epoch: Int) = Packing.readerFeed(docs, epoch).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("reader"), r.getAs[Long]("reader_pos"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+          r.getSeq[Long](r.fieldIndex("input_ids")).toList)).toMap
+    val f1 = feed(1)
+    // feed rows ≡ plan rows: every planned bin served exactly once, at
+    // the plan's own (reader, reader_pos)
+    assert(f1.keySet == plan.keySet)
+    f1.foreach { case (k, (reader, pos, nDocs, binTokens, ids)) =>
+      assert((reader, pos) == plan(k), s"deal diverged at $k")
+      val (pDocs, pTokens, pIds) = payloads(k)
+      assert((nDocs, binTokens, ids) == (pDocs, pTokens, pIds),
+        s"payload diverged at $k")
+      assert(ids.size.toLong == binTokens, s"id count != bin_tokens at $k")
+    }
+    // epoch independence: the served bytes are identical across epochs,
+    // only (reader, reader_pos) re-deal
+    val f2 = feed(2)
+    assert(f2.keySet == f1.keySet)
+    assert(f1.view.mapValues(v => (v._3, v._4, v._5)).toMap ==
+      f2.view.mapValues(v => (v._3, v._4, v._5)).toMap)
+    assert(f1.view.mapValues(v => (v._1, v._2)).toMap !=
+      f2.view.mapValues(v => (v._1, v._2)).toMap)
+  }
+
   test("stats agrees with packBins and conserves tokens; overflow is bounded") {
     val bins = Packing.packBins(docs)
     val st = Packing.stats(docs).collect()

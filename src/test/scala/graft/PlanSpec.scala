@@ -587,6 +587,43 @@ class PlanSpec extends SparkSpec {
       p.toString)
   }
 
+  test("reader feed: id-width planning, payloads cross ONE exchange") {
+    spark.catalog.clearCache()
+    import spark.implicits._
+    // a payload store as the drain writes it: per-batch fragment rows
+    val root = java.nio.file.Files.createTempDirectory("plan-rf").toString
+    spark.range(64).select(
+      (col("id") % 8).as("shard"), (col("id") / 8).as("bin"),
+      lit(2L).as("n_docs"), lit(6L).as("bin_tokens"),
+      expr("sequence(id, id + 5)").as("input_ids"))
+      .write.parquet(s"$root/payloads/batch=0")
+    val df = graft.ops.Packing.readerFeedFrom(
+      graft.streaming.IncrementalPacking.payloadStreams(spark, root), 1)
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the id streams move ONCE — the fragment-concatenation aggregate's
+    // exchange, whose (shard, bin) partitioning the fetch join reuses.
+    // Every other exchange (the stats aggregate, the reader deal) is
+    // id-width: column pruning strips input_ids from the planning legs
+    def wide(e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec) =
+      e.child.output.exists(a =>
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          a.dataType == org.apache.spark.sql.types.BinaryType)
+    assert(exchanges.count(wide) == 1,
+      exchanges.map(_.child.output.map(a => s"${a.name}:${a.dataType}")
+        .mkString("[", ",", "]")).mkString("\n") + "\n" + p.toString)
+    // no global sort anywhere — positions order within reader partitions
+    import org.apache.spark.sql.execution.SortExec
+    assert(p.collect { case s: SortExec if s.global => s }.isEmpty,
+      p.toString)
+  }
+
   test("incremental packing batch: cursor broadcast, one batch shuffle, local sort") {
     import org.apache.spark.sql.execution.SortExec
     spark.catalog.clearCache()
