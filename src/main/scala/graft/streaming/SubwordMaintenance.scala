@@ -32,7 +32,12 @@ import graft.streaming.DriftMaintenance.{Kind, Outcome, Store}
   * `_tokens_source` marker hashes the OLD vocabulary must not be extended
   * under the new one — [[IncrementalPacking]] refuses on its own marker,
   * and the deployment answer is a fresh packing root priced in the new
-  * unit, exactly the boundary the marker exists to make loud.
+  * unit, exactly the boundary the marker exists to make loud. That
+  * answer is OPERATED by [[PackingMigration]]: [[PackingMigration
+  * .repackUnderVocab]] stands up the successor root (old shipped bins
+  * stay servable, untouched), and [[PackingMigration.eraFeed]] serves
+  * the combined trainer feed across the era boundary, each bin priced
+  * in its own era's unit.
   */
 object SubwordMaintenance {
 

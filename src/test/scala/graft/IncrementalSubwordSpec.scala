@@ -263,4 +263,114 @@ class IncrementalSubwordSpec extends SparkSpec {
     assert(era.filter(col("n_unk") > 0).count() == 0,
       "post-retrain pricing must carry no [UNK] on the current window")
   }
+
+  test("a retrain migrates packing to a fresh root; the era feed spans both units") {
+    import graft.streaming.{IncrementalPacking, PackingMigration}
+    // era 0: bootstrap the vocabulary, pack + feed a payload-enabled
+    // root in ITS unit — the pre-drift deployment
+    val landing = Files.createTempDirectory("ismg-landing")
+    val ckpt = Files.createTempDirectory("ismg-ckpt").toString + "/c"
+    val flatRoot = Files.createTempDirectory("ismg-root").toString + "/s"
+    val genRoot = Files.createTempDirectory("ismg-gen").toString + "/g"
+    val boot = corpus(0L, 200L)
+    landParquet(landing, "b1.parquet", boot)
+    IncrementalSubword.run(
+      spark, landing.toString, ckpt, flatRoot, schema, nMerges = Merges)
+    SubwordMaintenance.adopt(spark, genRoot, flatRoot)
+    val gen0 = SubwordMaintenance.currentRoot(spark, genRoot)
+    val vocab0 = IncrementalSubword.readVocab(
+      spark, IncrementalSubword.vocabPath(gen0))
+    val src0 = IncrementalSubword.nTokensSqlOf(spark, gen0)
+    val pLanding = Files.createTempDirectory("ismg-planding")
+    val pCkpt = Files.createTempDirectory("ismg-pckpt").toString + "/c"
+    val root0 = Files.createTempDirectory("ismg-proot").toString + "/p0"
+    landParquet(pLanding, "b1.parquet", boot)
+    IncrementalPacking.run(spark, pLanding.toString, pCkpt, root0, schema,
+      nTokensSql = src0, payloadVocab = Some(vocab0))
+
+    // drift trips the retrain: the next window arrives in an unseen
+    // character inventory and SubwordMaintenance ships generation 1
+    val drifted = corpus(200L, 400L, UpperWords)
+    val report = SubwordMaintenance.maintain(
+      spark, genRoot, drifted, nMerges = Merges)
+    assert(report.retrained)
+    val gen1 = report.generation.get
+    val vocab1 = IncrementalSubword.readVocab(
+      spark, IncrementalSubword.vocabPath(gen1))
+
+    // the old root REFUSES the new unit — the _tokens_source mismatch
+    // stays loud (this is the guard the migration exists to answer)
+    landParquet(pLanding, "b2.parquet", drifted)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalPacking.run(spark, pLanding.toString, pCkpt, root0, schema,
+        nTokensSql = IncrementalSubword.nTokensSqlOf(spark, gen1),
+        payloadVocab = Some(vocab1))
+    }
+    assert(e.getMessage.contains("token source") ||
+      e.getCause.getMessage.contains("token source"))
+
+    // the runbook: stand up the successor root under the NEW unit — the
+    // drifted window drains there; the old root's shipped bins and
+    // fragments stay byte-identical (servable, untouched)
+    val before = spark.read.parquet(IncrementalPacking.binsPath(root0))
+      .collect().map(_.toString).sorted.toSeq
+    val pLanding2 = Files.createTempDirectory("ismg-planding2")
+    val pCkpt2 = Files.createTempDirectory("ismg-pckpt2").toString + "/c"
+    val root1 = Files.createTempDirectory("ismg-proot1").toString + "/p1"
+    landParquet(pLanding2, "b1.parquet", drifted)
+    PackingMigration.repackUnderVocab(spark, root0, root1,
+      pLanding2.toString, pCkpt2, schema, vocab1)
+    assert(spark.read.parquet(IncrementalPacking.binsPath(root0))
+      .collect().map(_.toString).sorted.toSeq == before,
+      "the old root's shipped bins must not move")
+    // the successor inherited the payload choice and shard count, and
+    // froze the NEW unit
+    assert(IncrementalPacking.storedPayloadsEnabled(spark, root1)
+      .contains(true))
+    assert(IncrementalPacking.storedShards(spark, root1) ==
+      IncrementalPacking.storedShards(spark, root0))
+    assert(IncrementalPacking.storedTokensSource(spark, root1).contains(
+      IncrementalPacking.tokensSourceId(
+        graft.ops.TextAnalysis.subwordCountSqlWith(vocab1))))
+
+    // the combined trainer feed: every bin of every era exactly once,
+    // each priced in its own era's unit
+    val feed = PackingMigration.eraFeed(spark, Seq(root0, root1), 1)
+      .collect()
+    val byEra = feed.groupBy(_.getAs[Long]("era"))
+    assert(byEra.keySet == Set(0L, 1L))
+    val keys = feed.map(r => (r.getAs[Long]("era"), r.getAs[Long]("shard"),
+      r.getAs[Long]("bin")))
+    assert(keys.distinct.length == keys.length,
+      "every (era, shard, bin) must be served exactly once")
+    feed.foreach { r =>
+      assert(r.getSeq[Long](r.fieldIndex("input_ids")).size.toLong ==
+        r.getAs[Long]("bin_tokens"),
+        "each era's id stream must match its own unit's bin_tokens")
+    }
+    // era payloads equal each root's own feed — the union adds nothing
+    def own(root: String) = IncrementalPacking.payloadStreams(spark, root)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        r.getSeq[Long](r.fieldIndex("input_ids")).toList).toMap
+    assert(byEra(0L).map(r => (r.getAs[Long]("shard"),
+      r.getAs[Long]("bin")) ->
+      r.getSeq[Long](r.fieldIndex("input_ids")).toList).toMap == own(root0))
+    assert(byEra(1L).map(r => (r.getAs[Long]("shard"),
+      r.getAs[Long]("bin")) ->
+      r.getSeq[Long](r.fieldIndex("input_ids")).toList).toMap == own(root1))
+    // reader positions are contiguous per reader across the MERGED stream
+    feed.groupBy(_.getAs[Long]("reader")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("reader_pos")).sorted.toSeq ==
+        (1L to rows.length.toLong))
+    }
+
+    // the runbook refuses a pointless era: a vocabulary pricing
+    // identically to the old root's source must keep draining there
+    val e2 = intercept[IllegalArgumentException] {
+      PackingMigration.repackUnderVocab(spark, root0,
+        Files.createTempDirectory("ismg-proot2").toString + "/p2",
+        pLanding2.toString, pCkpt2 + "x", schema, vocab0)
+    }
+    assert(e2.getMessage.contains("prices identically"))
+  }
 }
