@@ -70,6 +70,17 @@ object SparkEntry {
     memo(s, dir, "curateaudit")(
       Curation.audit(T.table(s, dir, "documents"), dupClusters(s, dir)))
 
+  /** The exact cosine top-k ground truth — shared by its own checked
+    * query (`sim_brute_topk`) and the PQ recall gate
+    * (`sim_pq_recall_err`), which grades approximate search against it.
+    * Memoized NOT prewarmed: the battery runs queries in sorted-name
+    * order, so the quadratic exact search is charged to `sim_brute_topk`
+    * (the query that IS that search) and the gate reads the cache.
+    */
+  private def bruteTopK(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "brutetopk")(
+      Similarity.bruteTopK(T.table(s, dir, "embeddings")))
+
   /** Forces every memoized shared relation (the int→fct→dim mart chain and
     * the dup-cluster resolution) to materialize NOW, so callers timing
     * individual queries can report the shared build as its own line instead
@@ -311,8 +322,7 @@ object SparkEntry {
         .select("doc_id", "cluster_id", "quality_score", "is_keeper")),
     "sim_signatures" -> ((s, dir) =>
       Similarity.signatures(T.table(s, dir, "embeddings"))),
-    "sim_brute_topk" -> ((s, dir) =>
-      Similarity.bruteTopK(T.table(s, dir, "embeddings"))),
+    "sim_brute_topk" -> ((s, dir) => bruteTopK(s, dir)),
     "sim_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(T.table(s, dir, "embeddings"))),
     "sim_lsh_neardup" -> ((s, dir) =>
@@ -331,9 +341,11 @@ object SparkEntry {
       Pq.ivfpqTopK(T.table(s, dir, "embeddings"))),
     // accuracy gate, not values: the driver hash-checks that PQ recall
     // against the exact top-k clears the declared floors (the sketch
-    // `_err` convention)
+    // `_err` convention). The exact ground truth is the memoized
+    // sim_brute_topk relation — computed once per battery, not twice
     "sim_pq_recall_err" -> ((s, dir) =>
-      Pq.adcRecallGate(T.table(s, dir, "embeddings"))),
+      Pq.adcRecallGateWith(T.table(s, dir, "embeddings"),
+        bruteTopK(s, dir))),
     "events_hourly" -> ((s, dir) => Events.hourly(T.events(s, dir))),
     "events_hopping" -> ((s, dir) => Events.hopping(T.events(s, dir))),
     "events_sessions" -> ((s, dir) => Events.sessionize(T.events(s, dir))),

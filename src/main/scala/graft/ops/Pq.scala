@@ -497,7 +497,17 @@ object Pq {
     * must be zero. One row per method:
     * `(method, n_exact, n_overlap, recall_micro, floor_micro, violations)`.
     */
-  def adcRecallGate(emb: DataFrame): DataFrame = {
+  def adcRecallGate(emb: DataFrame): DataFrame =
+    adcRecallGateWith(emb, Similarity.bruteTopK(emb))
+
+  /** [[adcRecallGate]] over an ALREADY-COMPUTED exact top-k relation —
+    * the ground-truth reuse seam: a battery run materializes
+    * [[Similarity.bruteTopK]] once (its own checked query) and the gate
+    * reads that relation instead of re-running the quadratic exact
+    * search, roughly halving the battery's most expensive row. The gate
+    * itself is unchanged — same floors, same integerized recall.
+    */
+  def adcRecallGateWith(emb: DataFrame, exactTopK: DataFrame): DataFrame = {
     // TWO codebook collects, deliberately: since the residual change the
     // legs gate DIFFERENT quantizers — exhaustive ADC scores raw-vector
     // codes, IVFPQ scores residual codes — so each trains its own book
@@ -512,7 +522,7 @@ object Pq {
     if (book.isEmpty || rBook.isEmpty) return emptyResult(emb, gateSchema)
     val codes = codesWith(emb, book)
     val queries = emb.filter(col("vec_id") % Similarity.QueryStride === 0)
-    val exact = Similarity.bruteTopK(emb).select("query_id", "neighbor_id")
+    val exact = exactTopK.select("query_id", "neighbor_id")
     def leg(method: String, approx: DataFrame, floorMicro: Long): DataFrame = {
       val overlap = exact.join(approx.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"))
