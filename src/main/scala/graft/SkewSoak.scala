@@ -292,8 +292,11 @@ object SkewSoak {
     // SemDeDup hot-list leg: every vector points near one axis, so the
     // whole corpus lands in ONE IVF list — the degenerate corpus the
     // occupancy cap and the id-width two-phase head election exist for.
-    // Candidate volume is members × cap (linear), and the election never
-    // sorts vectors in one task, so time must grow ≈10×, not ≈100×.
+    // Candidate volume is members × cap (linear), the election never
+    // sorts vectors in one task, and the dup join BROADCASTS the bounded
+    // head so the hot list's pairs spread across every task instead of
+    // funneling through one list_id partition — observed near-flat
+    // (fixed scan/broadcast costs dominate at these sizes).
     def hotListVecs(n: Long): DataFrame =
       spark.range(n).select(col("id").as("vec_id"),
         array(lit(1.0f),
@@ -767,8 +770,11 @@ object SkewSoak {
       // cannot tell flat from quadratic-with-small-constant
       ("ivfpq_hotlist" -> (ipqGrowth < 8.0)) :+
       ("source_cap_wide" -> (scGrowth < 8.0)) :+
-      // sub-linear on 10× input (observed 5.0–5.8×); gate at ~2× that
-      ("semdedup_hotlist" -> (sdGrowth < 10.0)) :+
+      // near-flat since the dup join broadcasts the bounded head
+      // (observed ~1.1–1.5×: the one-list corpus no longer funnels its
+      // member × head pairs through a single list_id-keyed task); gate
+      // at the sibling flat bar — a shuffled-join regression shows as ≫5×
+      ("semdedup_hotlist" -> (sdGrowth < 5.0)) :+
       // linear bar: 10× the corpus through a broadcast probe of a fixed
       // eval set — superlinear growth means the probe side stopped
       // broadcasting or candidates stopped being per-row bounded

@@ -389,8 +389,12 @@ object Similarity {
     // list (assignment rnk = 1) so the pair set is unchanged, and the
     // IVFPQ residual path needs the list to pick the right per-(query,
     // list) distance-table slice
+    // the capped-list side BROADCASTS (≤ cap × lists id-width rows by
+    // construction): the only equi-key is list_id (NumLists values), so
+    // a shuffled join would cap parallelism at the list count — a probed
+    // hot list's every (query × member) candidate through one task
     val cand = probes
-      .join(assign, Seq("list_id"))
+      .join(broadcast(assign), Seq("list_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select("query_id", "list_id", "vec_id")
       .distinct()
@@ -486,8 +490,15 @@ object Similarity {
     val head = assign.join(broadcast(headIds), Seq("list_id", "vec_id"))
       .select(col("list_id"), col("vec_id").as("h_id"),
         col("embedding").as("h_emb"), col("norm").as("h_norm"))
+    // the head side BROADCASTS (≤ cap × lists rows by construction — the
+    // same bound that makes the election collect-safe): the probe join's
+    // only equi-key is list_id, whose cardinality is NumLists, so a
+    // shuffled join caps parallelism at the list count — a planted
+    // one-list corpus would push its every (member × head) pair through
+    // ONE task. Broadcast keeps the corpus side in place at full
+    // parallelism and moves no assignment rows at all.
     val dupOf = assign.as("a")
-      .join(head.as("h"),
+      .join(broadcast(head.as("h")),
         col("a.list_id") === col("h.list_id") &&
           col("h.h_id") < col("a.vec_id") &&
           (expr(Dedup.dot("a.embedding", "h.h_emb")) /

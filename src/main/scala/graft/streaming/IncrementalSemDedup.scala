@@ -142,8 +142,12 @@ object IncrementalSemDedup {
       .drop("lrnk")
       .persist()
     newHead.count() // eager: read by the dup join and the head write
+    // broadcast the bounded head (≤ cap × lists rows): the join's only
+    // equi-key is list_id (NumLists values), so a shuffled join would
+    // push a hot list's every (member × head) pair through one task —
+    // the [[Similarity.semDedupPlan]] reasoning, batch-shaped
     val dupOf = batch.as("a")
-      .join(newHead.as("h"),
+      .join(broadcast(newHead.as("h")),
         col("a.list_id") === col("h.list_id") &&
           col("h.vec_id") < col("a.vec_id") &&
           (expr(Dedup.dot("a.embedding", "h.embedding")) /
