@@ -70,8 +70,23 @@ object Bench {
     val qs = lines.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = martBuild + results.map(_._2).sum
+    // the same-host A/B pair (tools/bench_ab.sh): interleaved re-runs of
+    // the PREVIOUS round's HEAD beside this one, committed as
+    // bench/ab_latest.json — embedded here so the round's BENCH artifact
+    // carries both numbers and the trend can report the same-host RATIO
+    // instead of comparing raw totals captured on different host states
+    val abPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_AB_JSON", "bench/ab_latest.json"))
+    val ab =
+      if (java.nio.file.Files.exists(abPath)) {
+        val s = new String(java.nio.file.Files.readAllBytes(abPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (s.startsWith("{") && !s.contains("\n"))
+          s""","same_host_ab":$s"""
+        else ""
+      } else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ab}"""
     println(line)
     // also land the line as a repo artifact (driver captures of stdout are
     // front-truncated): `tools/bench_trend.py` and the judge read the file

@@ -35,6 +35,18 @@ def load(path):
     return out
 
 
+def load_ab(path):
+    """The same-host A/B pair embedded by graft.Bench (tools/bench_ab.sh):
+    the only round-over-round comparison that controls for host state."""
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        ab = doc.get("same_host_ab") if isinstance(doc, dict) else None
+        return ab if isinstance(ab, dict) else None
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
 def main():
     paths = sys.argv[1:]
     rounds = [(re.sub(r".*BENCH_|.*bench_|.*/|\.json|_local", "", p) or p,
@@ -52,6 +64,14 @@ def main():
     counts = " / ".join(str(len(qs)) for _, qs in rounds)
     print(f"| **total (visible)** | {totals} |")
     print(f"(queries visible per round: {counts})")
+    for path in paths:
+        ab = load_ab(path)
+        if ab:
+            print(f"(same-host Δ in {path}: {ab['cur_ref']} = "
+                  f"{ab['same_host_ratio']:.2f}× of {ab['prev_ref']} — "
+                  f"best {ab['cur_best']:.1f}s vs {ab['prev_best']:.1f}s, "
+                  f"interleaved on one host; trust this ratio over the "
+                  f"raw cross-host columns)")
 
 
 if __name__ == "__main__":
