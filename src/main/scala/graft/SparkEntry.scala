@@ -504,6 +504,10 @@ object SparkEntry {
       Packing.packBins(T.table(s, dir, "documents"))),
     "curate_bin_payloads" -> ((s, dir) =>
       Packing.binPayloadsChecked(T.table(s, dir, "documents"))),
+    // interleaved multimodal packing: image-carrying docs contribute a
+    // placeholder slot; the sidecar keys the media catalog per bin
+    "curate_bin_payloads_mm" -> ((s, dir) =>
+      Packing.binPayloadsMmChecked(T.table(s, dir, "documents"))),
     "curate_pack_bins_subword" -> ((s, dir) =>
       Packing.packBins(T.table(s, dir, "documents"),
         nTokensSql = TextAnalysis.subwordCountSql)),
@@ -863,6 +867,7 @@ object SparkEntry {
     "quality_nb_summary" -> OO.QUALITY_NB_SUMMARY,
     "curate_pack_bins" -> OO.CURATE_PACK_BINS,
     "curate_bin_payloads" -> OO.CURATE_BIN_PAYLOADS,
+    "curate_bin_payloads_mm" -> OO.CURATE_BIN_PAYLOADS_MM,
     "curate_pack_bins_subword" -> OO.CURATE_PACK_BINS_SUBWORD,
     "curate_pack_stats" -> OO.CURATE_PACK_STATS,
     "curate_epoch_plan" -> OO.CURATE_EPOCH_PLAN,

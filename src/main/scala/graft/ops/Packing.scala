@@ -252,6 +252,90 @@ object Packing {
     binPayloads(docs).selectExpr("shard", "bin", "n_docs", "bin_tokens",
       "array_join(input_ids, '-') AS input_ids_str")
 
+  /** Documents that carry an interleavable media payload — ONE spelling
+    * of the carriage rule, mirroring [[Multimodal.media]]'s type
+    * assignment (`doc_id % 3 == 0` ⇒ 'image'): the image-typed documents
+    * are the ones a vision-language trainer interleaves. A deployment
+    * replaces this with its own media-linkage predicate; the packing
+    * math is rule-agnostic.
+    */
+  val MediaCarriageSql: String = "doc_id % 3 = 0"
+
+  /** The reserved placeholder id marking a media slot inside an
+    * interleaved id stream. Negative by design: real subword ids are
+    * ≥ 0 (0 = [UNK]), so the sentinel can never collide and a loader
+    * indexing a slot that is NOT `-1` knows the feed is corrupt.
+    */
+  val MediaSlotId: Long = -1L
+
+  /** [[binPayloads]] with the MEDIA LEG — interleaved multimodal packing,
+    * the trainer feed of a vision-language run: documents carrying media
+    * ([[MediaCarriageSql]]) contribute one [[MediaSlotId]] placeholder at
+    * the HEAD of their id stream (the image-first interleaving
+    * convention), the placeholder occupies one token of the bin budget
+    * (media costs context, so it must price), and each bin rides a
+    * SIDECAR `media_slots` array of `(slot, media_ref)` structs — `slot`
+    * indexes the bin's concatenated `input_ids` (always a [[MediaSlotId]]
+    * cell), `media_ref` keys [[Multimodal.media]]'s catalog for the
+    * payload fetch.
+    *
+    * The slot offset is STREAM-relative, not budget-relative: a bin whose
+    * predecessor overflowed starts its stream at a non-zero span offset,
+    * so `slot = bin_offset − min(bin_offset over the bin)` — the span
+    * arithmetic stays id-width and the sidecar is derived in the SAME
+    * one-exchange aggregation as the payload itself (asserted in
+    * `PlanSpec`): no second payload movement, no media bytes moved at all
+    * (the sidecar carries refs; payloads stay in the catalog).
+    */
+  def binPayloadsMm(docs: DataFrame, shards: Int = Shards,
+      vocab: Seq[String] = subwordVocab): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .selectExpr(
+        "doc_id",
+        s"${shardSql(shards)} AS shard",
+        s"${TextAnalysis.subwordIdsSqlWith(vocab)} AS raw_ids")
+      // the interleave: one kernel call (raw_ids is a column ref in both
+      // branches), placeholder prepended only for carriers
+      .withColumn("ids",
+        when(expr(MediaCarriageSql),
+          concat(array(lit(MediaSlotId)), col("raw_ids")))
+          .otherwise(col("raw_ids")))
+      .withColumn("n_tokens", expr("CAST(size(ids) AS BIGINT)"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")) / Budget).cast("long"))
+      .withColumn("bin_offset",
+        (col("cum_tokens") - col("n_tokens")) - col("bin") * Budget)
+      .groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+          x => x.getField("ids"))).as("input_ids"),
+        min("bin_offset").as("base_off"),
+        // collect_list drops the nulls the `when` leaves for non-carriers
+        array_sort(collect_list(when(expr(MediaCarriageSql),
+          struct(col("bin_offset"), col("doc_id"))))).as("raw_slots"))
+      .withColumn("media_slots", expr(
+        "transform(raw_slots, s -> named_struct(" +
+          "'slot', s.bin_offset - base_off, 'media_ref', s.doc_id))"))
+      .select("shard", "bin", "n_docs", "bin_tokens", "input_ids",
+        "media_slots")
+  }
+
+  /** [[binPayloadsMm]] in the battery's checked string form — ids joined
+    * '-', slots as '-'-joined `slot:media_ref` pairs in slot order.
+    */
+  def binPayloadsMmChecked(docs: DataFrame): DataFrame =
+    binPayloadsMm(docs).selectExpr("shard", "bin", "n_docs", "bin_tokens",
+      "array_join(input_ids, '-') AS input_ids_str",
+      "array_join(transform(media_slots, s -> concat(" +
+        "CAST(s.slot AS STRING), ':', CAST(s.media_ref AS STRING))), '-')" +
+        " AS media_slots_str")
+
   /** [[readerFeedFrom]] over a corpus in one call — tokenize + pack +
     * deal + fetch. The payload relation is materialized ONCE (persist,
     * the [[graft.ops.Dedup.minhashPairs]] shared-relation discipline):

@@ -2186,6 +2186,49 @@ object OpsOracleSql {
        |FROM pk_bins pb JOIN per_doc pd USING (doc_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors `Packing.binPayloadsMmChecked` — interleaved multimodal
+    * packing: image-carrying docs (`doc_id % 3 = 0`, the
+    * [[graft.ops.Multimodal]] type rule) prepend one `-1` placeholder to
+    * their id stream (the placeholder prices one budget token), and each
+    * bin's sidecar lists `(stream-slot, media_ref)` pairs where the slot
+    * is the span offset relative to the bin's FIRST span (a predecessor's
+    * overflow shifts the stream start).
+    */
+  val CURATE_BIN_PAYLOADS_MM: String =
+    s"""WITH RECURSIVE $subwordChain,
+       |$subwordDocIdsCtes,
+       |per_doc AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN d.doc_id % 3 = 0
+       |              THEN [CAST(-1 AS BIGINT)] ||
+       |                   coalesce(di.input_ids, CAST([] AS BIGINT[]))
+       |              ELSE coalesce(di.input_ids, CAST([] AS BIGINT[]))
+       |         END AS input_ids
+       |  FROM documents d LEFT JOIN doc_ids di USING (doc_id)
+       |),
+       |${packChainFrom(
+      s"""
+         |  SELECT doc_id,
+         |         ${hexcastDuck("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard,
+         |         CAST(len(input_ids) AS BIGINT) AS n_tokens
+         |  FROM per_doc""".stripMargin)},
+       |mm_based AS (
+       |  SELECT pb.*,
+       |         pb.bin_offset - min(pb.bin_offset)
+       |           OVER (PARTITION BY pb.shard, pb.bin) AS slot
+       |  FROM pk_bins pb)
+       |SELECT mb.shard, mb.bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(mb.n_tokens) AS BIGINT) AS bin_tokens,
+       |  array_to_string(flatten(list(pd.input_ids ORDER BY pd.doc_id)), '-')
+       |    AS input_ids_str,
+       |  coalesce(array_to_string(
+       |    list(CAST(mb.slot AS VARCHAR) || ':' || CAST(mb.doc_id AS VARCHAR)
+       |         ORDER BY mb.slot, mb.doc_id)
+       |      FILTER (WHERE mb.doc_id % 3 = 0), '-'), '') AS media_slots_str
+       |FROM mm_based mb JOIN per_doc pd USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Mirrors `Packing.readerFeedChecked`: the trainer-reader fetch —
     * the bin-payload chain's per-bin rows dealt by the epoch-1 salted
     * hash into reader streams (the [[CURATE_EPOCH_PLAN]] dealing over

@@ -166,6 +166,43 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("interleaved multimodal packing conserves slots and refs") {
+    val rows = Packing.binPayloadsMm(docs).collect()
+    val carriers = docs.filter(expr(Packing.MediaCarriageSql))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    var slotTotal = 0L
+    val refs = scala.collection.mutable.Set.empty[Long]
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](r.fieldIndex("input_ids"))
+      val slots = r.getSeq[org.apache.spark.sql.Row](
+        r.fieldIndex("media_slots"))
+      // every sidecar slot indexes a placeholder cell of THIS bin's
+      // concatenated stream — the stream-relative offset contract
+      slots.foreach { s =>
+        val off = s.getAs[Long]("slot")
+        assert(off >= 0 && off < ids.size, s"slot $off out of stream")
+        assert(ids(off.toInt) == Packing.MediaSlotId,
+          s"slot $off does not point at a placeholder")
+        refs += s.getAs[Long]("media_ref")
+      }
+      // slot conservation per bin: sidecar entries == placeholder cells
+      assert(slots.size.toLong ==
+        ids.count(_ == Packing.MediaSlotId).toLong,
+        s"bin (${r.getAs[Long]("shard")},${r.getAs[Long]("bin")}) " +
+          "sidecar != placeholders")
+      // the budget prices the placeholders: stream length == bin_tokens
+      assert(ids.size.toLong == r.getAs[Long]("bin_tokens"))
+      slotTotal += slots.size
+    }
+    // global conservation: one slot per carrier document, refs exact
+    assert(slotTotal == carriers.size.toLong)
+    assert(refs.toSet == carriers)
+    // every ref resolves in the media catalog (the payload fetch key)
+    val catalog = graft.ops.Multimodal.catalog(docs)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(refs.subsetOf(catalog))
+  }
+
   test("reader feed: the fetch serves every planned bin its own payload") {
     val payloads = Packing.binPayloads(docs).collect()
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->

@@ -587,6 +587,28 @@ class PlanSpec extends SparkSpec {
       p.toString)
   }
 
+  test("interleaved multimodal payloads still cross exactly ONE exchange") {
+    spark.catalog.clearCache()
+    val df = graft.ops.Packing.binPayloadsMm(T.table(spark, sf, "documents"))
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    // the media leg adds slot arithmetic and the sidecar aggregate to the
+    // SAME shard exchange + per-bin assembly — no second payload movement,
+    // and no media bytes at all (the sidecar carries refs)
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1, p.toString)
+    assert(!exchanges.head.child.output.map(_.name).contains("text"),
+      exchanges.head.child.output.map(_.name).mkString(","))
+    import org.apache.spark.sql.execution.SortExec
+    assert(p.collect { case s: SortExec if s.global => s }.isEmpty,
+      p.toString)
+  }
+
   test("reader feed: id-width planning, payloads cross ONE exchange") {
     spark.catalog.clearCache()
     import spark.implicits._
