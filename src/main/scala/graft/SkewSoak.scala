@@ -431,7 +431,11 @@ object SkewSoak {
       pay.unpersist(blocking = false)
       sec
     }
-    feedSec(500L, 4, 4) // warm: JIT + codegen caches, excluded
+    // warm twice — tiny shapes for JIT/codegen, then the REAL base shape:
+    // the measured base is ~0.2 s, small enough that a first-touch cache
+    // effect alone can halve it and double the reported growth
+    feedSec(500L, 4, 4)
+    feedSec(pkBaseN, 8L, 8)
     val rfSecs = Seq((pkBaseN, 8L, 8), (pkBaseN * 10, 80L, 80))
       .map { case (b, s, r) => feedSec(b, s, r) }
     val rfGrowth = rfSecs(1) / rfSecs(0)
@@ -793,9 +797,14 @@ object SkewSoak {
       // with 10× readers through the bin aggregate and one reader-keyed
       // id-width shuffle
       ("epoch_scaled_readers" -> (epGrowth < 5.0)) :+
-      // 10× bins with 10× readers through the trainer fetch: id-width
-      // planning + one payload join — the payload_scaled_shards bar
-      ("reader_feed_scaled" -> (rfGrowth < 5.0)) :+
+      // LINEAR bar, deliberately not the flat 5× of its epoch sibling:
+      // the fetch's whole job is to MOVE the served bytes, and 10× bins
+      // is 10× bytes — a correct implementation converges toward 10× as
+      // fixed costs amortize (observed 2.2–4.8 across host states).
+      // Gate at ~2× the observed ceiling (the ivfpq_hotlist convention);
+      // a second payload movement or a per-leg re-aggregation of the
+      // fragment store shows as ≫10×, which this still catches
+      ("reader_feed_scaled" -> (rfGrowth < 8.0)) :+
       // history-free: 10× the df store, flat probe (the chunk_membership
       // rationale on the delta-summed read)
       ("boilerplate_df_probe" -> (bpGrowth < 4.0)) :+
