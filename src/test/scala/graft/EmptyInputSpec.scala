@@ -71,6 +71,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Packing.packBins(d).count() == 0)
     assert(Packing.stats(d).count() == 0)
     assert(Packing.epochPlan(d).count() == 0)
+    assert(Packing.binPayloadsMm(d).count() == 0)
+    assert(Packing.readerFeed(d).count() == 0)
     assert(Dedup.boilerplateChunks(d).count() == 0)
     assert(Dedup.boilerplateDocs(d).count() == 0)
     // the one-row stats reports read 0, never NULL, on an occurrence-free

@@ -306,6 +306,9 @@ class IncrementalPackingSpec extends SparkSpec {
       IncrementalPacking.readerFeed(spark, root, 1, upToBatch = Some(0L)))
     val b1Only = rows(Packing.readerFeed(b1, 1, vocab = vocab))
     assert(pinned == b1Only)
+    // a root that never existed serves an empty feed, not a crash
+    assert(IncrementalPacking.readerFeed(
+      spark, root + "-nowhere", 1).count() == 0)
   }
 
   test("payload materialization freezes at bootstrap; flipping it refuses") {

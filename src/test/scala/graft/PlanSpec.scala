@@ -646,6 +646,40 @@ class PlanSpec extends SparkSpec {
       p.toString)
   }
 
+  test("era feed: one payload exchange per era, id-width everywhere else") {
+    spark.catalog.clearCache()
+    val base = java.nio.file.Files.createTempDirectory("plan-era").toString
+    val roots = Seq(s"$base/p0", s"$base/p1")
+    roots.zipWithIndex.foreach { case (r, i) =>
+      spark.range(32).select(
+        (col("id") % 4).as("shard"), (col("id") / 4).as("bin"),
+        lit(2L).as("n_docs"), lit(6L).as("bin_tokens"),
+        expr(s"sequence(id * 10 + $i, id * 10 + $i + 5)").as("input_ids"))
+        .write.parquet(s"$r/payloads/batch=0")
+    }
+    val df = graft.streaming.PackingMigration.eraFeed(spark, roots, 1)
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    def wide(e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec) =
+      e.child.output.exists(a =>
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          a.dataType == org.apache.spark.sql.types.BinaryType)
+    // each era's fragment concatenation moves its payload once; the
+    // union, deal, and fetch legs above them stay id-width
+    assert(exchanges.count(wide) == roots.size,
+      exchanges.map(_.child.output.map(a => s"${a.name}:${a.dataType}")
+        .mkString("[", ",", "]")).mkString("\n") + "\n" + p.toString)
+    import org.apache.spark.sql.execution.SortExec
+    assert(p.collect { case s: SortExec if s.global => s }.isEmpty,
+      p.toString)
+  }
+
   test("incremental packing batch: cursor broadcast, one batch shuffle, local sort") {
     import org.apache.spark.sql.execution.SortExec
     spark.catalog.clearCache()
