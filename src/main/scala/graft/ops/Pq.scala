@@ -500,14 +500,20 @@ object Pq {
   def adcRecallGate(emb: DataFrame): DataFrame =
     adcRecallGateWith(emb, Similarity.bruteTopK(emb))
 
-  /** [[adcRecallGate]] over an ALREADY-COMPUTED exact top-k relation —
-    * the ground-truth reuse seam: a battery run materializes
-    * [[Similarity.bruteTopK]] once (its own checked query) and the gate
-    * reads that relation instead of re-running the quadratic exact
-    * search, roughly halving the battery's most expensive row. The gate
-    * itself is unchanged — same floors, same integerized recall.
+  /** [[adcRecallGate]] over ALREADY-COMPUTED search relations — the
+    * reuse seam: a battery run materializes [[Similarity.bruteTopK]],
+    * [[adcTopK]], and [[ivfpqTopK]] as their own checked queries, and
+    * the gate grades THOSE relations instead of re-running all three
+    * searches (`adcApprox`/`ivfpqApprox` must be the default-argument
+    * [[adcTopK]]/[[ivfpqTopK]] results — the same relations the battery
+    * checks). The gate itself is unchanged — same floors, same
+    * integerized recall; the codebook emptiness degrade still guards
+    * first, so degenerate corpora return the empty gate, never a
+    * zero-recall violation row.
     */
-  def adcRecallGateWith(emb: DataFrame, exactTopK: DataFrame): DataFrame = {
+  def adcRecallGateWith(emb: DataFrame, exactTopK: DataFrame,
+      adcApprox: Option[DataFrame] = None,
+      ivfpqApprox: Option[DataFrame] = None): DataFrame = {
     // TWO codebook collects, deliberately: since the residual change the
     // legs gate DIFFERENT quantizers — exhaustive ADC scores raw-vector
     // codes, IVFPQ scores residual codes — so each trains its own book
@@ -520,7 +526,6 @@ object Pq {
     // honors, instead of encoding against zero centroids
     val rBook = residualCodebook(emb)
     if (book.isEmpty || rBook.isEmpty) return emptyResult(emb, gateSchema)
-    val codes = codesWith(emb, book)
     val queries = emb.filter(col("vec_id") % Similarity.QueryStride === 0)
     val exact = exactTopK.select("query_id", "neighbor_id")
     def leg(method: String, approx: DataFrame, floorMicro: Long): DataFrame = {
@@ -536,10 +541,12 @@ object Pq {
         .withColumn("violations",
           when(col("recall_micro") >= col("floor_micro"), 0L).otherwise(1L))
     }
-    leg("adc", adcSearch(codes, queries, book), AdcRecallFloorMicro)
+    leg("adc",
+      adcApprox.getOrElse(adcSearch(codesWith(emb, book), queries, book)),
+      AdcRecallFloorMicro)
       .unionByName(leg("ivfpq",
-        ivfpqTopKWith(emb, rBook, Similarity.TopK,
-          Similarity.MaxListOccupancy, byResidual = true),
+        ivfpqApprox.getOrElse(ivfpqTopKWith(emb, rBook, Similarity.TopK,
+          Similarity.MaxListOccupancy, byResidual = true)),
         IvfpqRecallFloorMicro))
   }
 
