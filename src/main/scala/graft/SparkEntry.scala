@@ -530,6 +530,10 @@ object SparkEntry {
     // a training loop actually issues, (reader, reader_pos) → input_ids
     "curate_reader_feed" -> ((s, dir) =>
       Packing.readerFeedChecked(T.table(s, dir, "documents"))),
+    // the vision-language loader's fetch: the media sidecar rides the
+    // same single payload join as the id streams
+    "curate_reader_feed_mm" -> ((s, dir) =>
+      Packing.readerFeedMmChecked(T.table(s, dir, "documents"))),
     "quality_lm_model" -> ((s, dir) =>
       LmPerplexity.modelTable(T.table(s, dir, "documents"))),
     "quality_lm_ppl" -> ((s, dir) =>
@@ -883,6 +887,7 @@ object SparkEntry {
     "curate_pack_stats" -> OO.CURATE_PACK_STATS,
     "curate_epoch_plan" -> OO.CURATE_EPOCH_PLAN,
     "curate_reader_feed" -> OO.CURATE_READER_FEED,
+    "curate_reader_feed_mm" -> OO.CURATE_READER_FEED_MM,
     "quality_lm_model" -> OO.QUALITY_LM_MODEL,
     "quality_lm_ppl" -> OO.QUALITY_LM_PPL,
     "quality_lm_select" -> OO.QUALITY_LM_SELECT,

@@ -356,6 +356,38 @@ object Packing {
       "n_docs", "bin_tokens", "order_hash",
       "array_join(input_ids, '-') AS input_ids_str")
 
+  /** The MULTIMODAL trainer-reader fetch — [[readerFeedFrom]]'s deal and
+    * single payload join over [[binPayloadsMm]], with the media sidecar
+    * riding the fetch: `(reader, reader_pos) → (input_ids, media_slots)`
+    * is what a vision-language loader issues, resolving each slot's
+    * `media_ref` against the catalog only for the bins it actually
+    * fetches. Same discipline as [[readerFeed]]: the payload relation is
+    * materialized once, the deal runs on its id-width stats, and ids +
+    * sidecar cross the one fetch join together.
+    */
+  def readerFeedMm(docs: DataFrame, epoch: Int = 1, readers: Int = Readers,
+      shards: Int = Shards, vocab: Seq[String] = subwordVocab): DataFrame = {
+    val payloads = binPayloadsMm(docs, shards, vocab).persist()
+    payloads.count()
+    Dedup.materializeFreeing(
+      dealEpoch(payloads.select("shard", "bin", "n_docs", "bin_tokens"),
+        epoch, readers)
+        .join(payloads.select("shard", "bin", "input_ids", "media_slots"),
+          Seq("shard", "bin"))
+        .select("reader", "reader_pos", "shard", "bin", "n_docs",
+          "bin_tokens", "order_hash", "input_ids", "media_slots"),
+      payloads)
+  }
+
+  /** [[readerFeedMm]] in the battery's checked string form. */
+  def readerFeedMmChecked(docs: DataFrame): DataFrame =
+    readerFeedMm(docs).selectExpr("reader", "reader_pos", "shard", "bin",
+      "n_docs", "bin_tokens", "order_hash",
+      "array_join(input_ids, '-') AS input_ids_str",
+      "array_join(transform(media_slots, s -> concat(" +
+        "CAST(s.slot AS STRING), ':', CAST(s.media_ref AS STRING))), '-')" +
+        " AS media_slots_str")
+
   /** Fill/waste calibration surface, one row per shard:
     * `(shard, n_docs, n_bins, total_tokens, max_bin_tokens,
     * overflow_bins)` — `overflow_bins` counts bins whose contents exceed

@@ -2229,6 +2229,58 @@ object OpsOracleSql {
        |FROM mm_based mb JOIN per_doc pd USING (doc_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors `Packing.readerFeedMmChecked` — the [[CURATE_BIN_PAYLOADS_MM]]
+    * per-bin rows dealt by the epoch-1 salted hash, ids and media sidecar
+    * riding the same fetch.
+    */
+  val CURATE_READER_FEED_MM: String = {
+    val readers = graft.ops.Packing.Readers
+    s"""WITH RECURSIVE $subwordChain,
+       |$subwordDocIdsCtes,
+       |per_doc AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN d.doc_id % 3 = 0
+       |              THEN [CAST(-1 AS BIGINT)] ||
+       |                   coalesce(di.input_ids, CAST([] AS BIGINT[]))
+       |              ELSE coalesce(di.input_ids, CAST([] AS BIGINT[]))
+       |         END AS input_ids
+       |  FROM documents d LEFT JOIN doc_ids di USING (doc_id)
+       |),
+       |${packChainFrom(
+      s"""
+         |  SELECT doc_id,
+         |         ${hexcastDuck("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard,
+         |         CAST(len(input_ids) AS BIGINT) AS n_tokens
+         |  FROM per_doc""".stripMargin)},
+       |mm_based AS (
+       |  SELECT pb.*,
+       |         pb.bin_offset - min(pb.bin_offset)
+       |           OVER (PARTITION BY pb.shard, pb.bin) AS slot
+       |  FROM pk_bins pb),
+       |mm_payloads AS (
+       |  SELECT mb.shard, mb.bin,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(mb.n_tokens) AS BIGINT) AS bin_tokens,
+       |    array_to_string(flatten(list(pd.input_ids ORDER BY pd.doc_id)), '-')
+       |      AS input_ids_str,
+       |    coalesce(array_to_string(
+       |      list(CAST(mb.slot AS VARCHAR) || ':' || CAST(mb.doc_id AS VARCHAR)
+       |           ORDER BY mb.slot, mb.doc_id)
+       |        FILTER (WHERE mb.doc_id % 3 = 0), '-'), '') AS media_slots_str
+       |  FROM mm_based mb JOIN per_doc pd USING (doc_id)
+       |  GROUP BY 1, 2),
+       |mm_hash AS (
+       |  SELECT *,
+       |    ${hexcastDuck("concat('epoch:1:', CAST(shard AS VARCHAR), ':', CAST(bin AS VARCHAR))")} AS order_hash
+       |  FROM mm_payloads)
+       |SELECT order_hash % $readers AS reader,
+       |       CAST(row_number() OVER (PARTITION BY order_hash % $readers
+       |         ORDER BY order_hash, shard, bin) AS BIGINT) AS reader_pos,
+       |       shard, bin, n_docs, bin_tokens, order_hash, input_ids_str,
+       |       media_slots_str
+       |FROM mm_hash""".stripMargin
+  }
+
   /** Mirrors `Packing.readerFeedChecked`: the trainer-reader fetch —
     * the bin-payload chain's per-bin rows dealt by the epoch-1 salted
     * hash into reader streams (the [[CURATE_EPOCH_PLAN]] dealing over

@@ -241,6 +241,36 @@ class PackingSpec extends SparkSpec {
       f2.view.mapValues(v => (v._1, v._2)).toMap)
   }
 
+  test("multimodal reader feed serves ids and sidecar through one fetch") {
+    def slotKey(r: org.apache.spark.sql.Row) =
+      r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("media_slots"))
+        .map(s => (s.getAs[Long]("slot"), s.getAs[Long]("media_ref")))
+        .toList
+    val payloads = Packing.binPayloadsMm(docs).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getSeq[Long](r.fieldIndex("input_ids")).toList, slotKey(r)))
+      .toMap
+    val feed = Packing.readerFeedMm(docs).collect()
+    // the fetch serves every mm bin exactly once, ids AND sidecar
+    // byte-identical to the payload relation's own rows
+    assert(feed.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")))
+      .toSet == payloads.keySet)
+    assert(feed.length == payloads.size)
+    feed.foreach { r =>
+      val k = (r.getAs[Long]("shard"), r.getAs[Long]("bin"))
+      assert((r.getSeq[Long](r.fieldIndex("input_ids")).toList,
+        slotKey(r)) == payloads(k), s"payload or sidecar diverged at $k")
+    }
+    // the deal is the SAME hash/deal as the text-only feed over the same
+    // bin stats (mm bins differ from plain bins — the placeholders price
+    // — so compare against dealEpoch over the mm relation via reader_pos
+    // contiguity per reader)
+    feed.groupBy(_.getAs[Long]("reader")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("reader_pos")).sorted.toSeq ==
+        (1L to rows.length.toLong))
+    }
+  }
+
   test("stats agrees with packBins and conserves tokens; overflow is bounded") {
     val bins = Packing.packBins(docs)
     val st = Packing.stats(docs).collect()
