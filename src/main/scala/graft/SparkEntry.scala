@@ -214,6 +214,49 @@ object SparkEntry {
       |GROUP BY source, split
       |ORDER BY source, split""".stripMargin
 
+  /** Land one parquet FILE for a streaming file source (which does not
+    * recurse into the directory a DataFrame write produces) — the
+    * [[queries]]-side twin of the spec helper, used by the era-feed
+    * battery row to stand up real incremental drains.
+    */
+  private def landOne(df: DataFrame, landing: String, name: String): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-land")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(landing, name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** The operated vocabulary-retrain migration, walked for the battery:
+    * era 0 drains the even doc_ids under the FIXTURE vocabulary, the
+    * retrain ships the TRAINED successor, era 1 repacks the odd doc_ids
+    * under it via [[graft.streaming.PackingMigration.repackUnderVocab]],
+    * and the combined feed serves every bin of both eras exactly once —
+    * the most fumble-prone trainer-feed surface, oracle-checked
+    * cross-engine instead of only spec-asserted.
+    */
+  private def eraFeedDemo(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{IncrementalPacking, PackingMigration}
+    val docs = T.table(s, dir, "documents").select("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-erafeed").toString
+    landOne(docs.filter("doc_id % 2 = 0"), s"$base/land0", "b0.parquet")
+    IncrementalPacking.run(s, s"$base/land0", s"$base/ckpt0",
+      s"$base/root0", docs.schema,
+      nTokensSql = TextAnalysis.subwordCountSqlWith(Portable.subwordVocab),
+      payloadVocab = Some(Portable.subwordVocab))
+    landOne(docs.filter("doc_id % 2 = 1"), s"$base/land1", "b1.parquet")
+    PackingMigration.repackUnderVocab(s, s"$base/root0", s"$base/root1",
+      s"$base/land1", s"$base/ckpt1", docs.schema,
+      Portable.trainedFixtureVocab)
+    PackingMigration.eraFeedChecked(
+      s, Seq(s"$base/root0", s"$base/root1"), epoch = 1)
+  }
+
   /** The ad-hoc SQL surface proof: plain ANSI SQL over the registered mart
     * views, oracle-checked like every DataFrame query. Aggregates are
     * order-independent (counts, integer sums, min/max) so the cross-engine
@@ -534,6 +577,13 @@ object SparkEntry {
     // same single payload join as the id streams
     "curate_reader_feed_mm" -> ((s, dir) =>
       Packing.readerFeedMmChecked(T.table(s, dir, "documents"))),
+    // the last mile: each fetched slot's media BYTES resolved against the
+    // catalog, fingerprinted per (reader, reader_pos, slot)
+    "curate_reader_feed_bytes" -> ((s, dir) =>
+      Packing.readerFeedBytesChecked(T.table(s, dir, "documents"))),
+    // the multi-era feed after an operated vocabulary-retrain migration:
+    // two real incremental drains, one combined era-salted fetch
+    "curate_era_feed" -> ((s, dir) => eraFeedDemo(s, dir)),
     "quality_lm_model" -> ((s, dir) =>
       LmPerplexity.modelTable(T.table(s, dir, "documents"))),
     "quality_lm_ppl" -> ((s, dir) =>
@@ -888,6 +938,8 @@ object SparkEntry {
     "curate_epoch_plan" -> OO.CURATE_EPOCH_PLAN,
     "curate_reader_feed" -> OO.CURATE_READER_FEED,
     "curate_reader_feed_mm" -> OO.CURATE_READER_FEED_MM,
+    "curate_reader_feed_bytes" -> OO.CURATE_READER_FEED_BYTES,
+    "curate_era_feed" -> OO.CURATE_ERA_FEED,
     "quality_lm_model" -> OO.QUALITY_LM_MODEL,
     "quality_lm_ppl" -> OO.QUALITY_LM_PPL,
     "quality_lm_select" -> OO.QUALITY_LM_SELECT,

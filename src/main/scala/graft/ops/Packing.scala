@@ -252,14 +252,38 @@ object Packing {
     binPayloads(docs).selectExpr("shard", "bin", "n_docs", "bin_tokens",
       "array_join(input_ids, '-') AS input_ids_str")
 
-  /** Documents that carry an interleavable media payload — ONE spelling
-    * of the carriage rule, mirroring [[Multimodal.media]]'s type
-    * assignment (`doc_id % 3 == 0` ⇒ 'image'): the image-typed documents
-    * are the ones a vision-language trainer interleaves. A deployment
-    * replaces this with its own media-linkage predicate; the packing
-    * math is rule-agnostic.
+  /** The DEFAULT carriage rule — which documents carry an interleavable
+    * media payload — mirroring [[Multimodal.media]]'s type assignment
+    * (`doc_id % 3 == 0` ⇒ 'image'): the image-typed documents are the
+    * ones a vision-language trainer interleaves. It is a default, not
+    * the only behavior: [[binPayloadsMm]] / [[readerFeedMm]] (and the
+    * incremental drain) take `carriageSql` / `mediaRefSql` parameters,
+    * so a corpus whose carriage is a data column (`media_id IS NOT
+    * NULL`, a type flag, …) passes its own predicate and ref expression
+    * without touching the operator. The packing math is rule-agnostic.
     */
   val MediaCarriageSql: String = "doc_id % 3 = 0"
+
+  /** The default media-ref expression: the catalog key a bin's sidecar
+    * carries per slot. The fixture catalog ([[Multimodal.media]]) keys
+    * media by `doc_id`, so the default is the identity; a deployment
+    * whose documents reference a separate asset table passes its own
+    * BIGINT-valued column expression.
+    */
+  val MediaRefSql: String = "doc_id"
+
+  /** The `n_tokens` source of an INTERLEAVED multimodal run — the subword
+    * count plus one budget token per media placeholder. ONE spelling,
+    * shared by [[binPayloadsMm]]'s pricing and
+    * [[graft.streaming.IncrementalPacking]]'s mm drain (whose
+    * `_tokens_source` marker freezes it, carriage predicate included):
+    * media costs context, so a carrier document prices its placeholder
+    * exactly as the interleaved id stream carries it.
+    */
+  def mmTokensSqlWith(vocab: Seq[String],
+      carriageSql: String = MediaCarriageSql): String =
+    s"(CASE WHEN ($carriageSql) THEN 1 ELSE 0 END) + " +
+      s"(${TextAnalysis.subwordCountSqlWith(vocab)})"
 
   /** The reserved placeholder id marking a media slot inside an
     * interleaved id stream. Negative by design: real subword ids are
@@ -288,18 +312,22 @@ object Packing {
     * (the sidecar carries refs; payloads stay in the catalog).
     */
   def binPayloadsMm(docs: DataFrame, shards: Int = Shards,
-      vocab: Seq[String] = subwordVocab): DataFrame = {
+      vocab: Seq[String] = subwordVocab,
+      carriageSql: String = MediaCarriageSql,
+      mediaRefSql: String = MediaRefSql): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .selectExpr(
         "doc_id",
         s"${shardSql(shards)} AS shard",
-        s"${TextAnalysis.subwordIdsSqlWith(vocab)} AS raw_ids")
+        s"${TextAnalysis.subwordIdsSqlWith(vocab)} AS raw_ids",
+        s"CAST(($carriageSql) AS BOOLEAN) AS has_media",
+        s"CAST(($mediaRefSql) AS BIGINT) AS media_ref")
       // the interleave: one kernel call (raw_ids is a column ref in both
       // branches), placeholder prepended only for carriers
       .withColumn("ids",
-        when(expr(MediaCarriageSql),
+        when(col("has_media"),
           concat(array(lit(MediaSlotId)), col("raw_ids")))
           .otherwise(col("raw_ids")))
       .withColumn("n_tokens", expr("CAST(size(ids) AS BIGINT)"))
@@ -317,11 +345,12 @@ object Packing {
           x => x.getField("ids"))).as("input_ids"),
         min("bin_offset").as("base_off"),
         // collect_list drops the nulls the `when` leaves for non-carriers
-        array_sort(collect_list(when(expr(MediaCarriageSql),
-          struct(col("bin_offset"), col("doc_id"))))).as("raw_slots"))
+        array_sort(collect_list(when(col("has_media"),
+          struct(col("bin_offset").as("off"), col("media_ref")))))
+          .as("raw_slots"))
       .withColumn("media_slots", expr(
         "transform(raw_slots, s -> named_struct(" +
-          "'slot', s.bin_offset - base_off, 'media_ref', s.doc_id))"))
+          "'slot', s.off - base_off, 'media_ref', s.media_ref))"))
       .select("shard", "bin", "n_docs", "bin_tokens", "input_ids",
         "media_slots")
   }
@@ -366,18 +395,30 @@ object Packing {
     * sidecar cross the one fetch join together.
     */
   def readerFeedMm(docs: DataFrame, epoch: Int = 1, readers: Int = Readers,
-      shards: Int = Shards, vocab: Seq[String] = subwordVocab): DataFrame = {
-    val payloads = binPayloadsMm(docs, shards, vocab).persist()
+      shards: Int = Shards, vocab: Seq[String] = subwordVocab,
+      carriageSql: String = MediaCarriageSql,
+      mediaRefSql: String = MediaRefSql): DataFrame = {
+    val payloads =
+      binPayloadsMm(docs, shards, vocab, carriageSql, mediaRefSql).persist()
     payloads.count()
     Dedup.materializeFreeing(
-      dealEpoch(payloads.select("shard", "bin", "n_docs", "bin_tokens"),
-        epoch, readers)
-        .join(payloads.select("shard", "bin", "input_ids", "media_slots"),
-          Seq("shard", "bin"))
-        .select("reader", "reader_pos", "shard", "bin", "n_docs",
-          "bin_tokens", "order_hash", "input_ids", "media_slots"),
-      payloads)
+      readerFeedMmFrom(payloads, epoch, readers), payloads)
   }
+
+  /** The mm fetch over an ALREADY-MATERIALIZED mm payload relation —
+    * [[readerFeedFrom]]'s seam with the sidecar riding the one payload
+    * join. ONE spelling, shared by the batch [[readerFeedMm]] and the
+    * store-backed [[graft.streaming.IncrementalPacking.readerFeedMm]],
+    * so the two feeds cannot drift.
+    */
+  def readerFeedMmFrom(payloads: DataFrame, epoch: Int = 1,
+      readers: Int = Readers): DataFrame =
+    dealEpoch(payloads.select("shard", "bin", "n_docs", "bin_tokens"),
+      epoch, readers)
+      .join(payloads.select("shard", "bin", "input_ids", "media_slots"),
+        Seq("shard", "bin"))
+      .select("reader", "reader_pos", "shard", "bin", "n_docs",
+        "bin_tokens", "order_hash", "input_ids", "media_slots")
 
   /** [[readerFeedMm]] in the battery's checked string form. */
   def readerFeedMmChecked(docs: DataFrame): DataFrame =
@@ -387,6 +428,51 @@ object Packing {
       "array_join(transform(media_slots, s -> concat(" +
         "CAST(s.slot AS STRING), ':', CAST(s.media_ref AS STRING))), '-')" +
         " AS media_slots_str")
+
+  /** The LAST MILE of the vision-language loader — resolve a fetched
+    * feed's media refs against the catalog and serve the actual payload
+    * BYTES per slot: `(reader, reader_pos, shard, bin, slot, media_ref,
+    * media_type, n_bytes, payload)`. This is the join the trainer's data
+    * worker issues after [[readerFeedMm]] (or the store-backed feed)
+    * hands it `(slot, media_ref)` sidecars; until here the refs were
+    * id-width and no media byte had moved.
+    *
+    * Scale shape: the ref side (the exploded sidecar) is id-width — the
+    * feed's `input_ids` are dropped BEFORE the explode, so the join
+    * moves media bytes and nothing else, exactly once. Only fetched
+    * bins' refs reach the join (inner join on `media_ref`): a reader
+    * fetching its own position range probes the catalog for exactly its
+    * slots — at full-epoch scale the catalog is read once either way,
+    * and AQE picks the broadcast side when the fetched window is small.
+    *
+    * `catalog` is [[Multimodal.media]]'s shape: `(media_id, media_type,
+    * payload, n_bytes, …)` — payload stays an opaque binary column
+    * (decode is [[Multimodal.decodeFeatures]]'s seam, downstream).
+    */
+  def fetchMediaPayloads(feed: DataFrame, catalog: DataFrame): DataFrame =
+    feed
+      // id-width refs only: the token ids never enter the byte fetch
+      .select(col("reader"), col("reader_pos"), col("shard"), col("bin"),
+        explode(col("media_slots")).as("s"))
+      .select(col("reader"), col("reader_pos"), col("shard"), col("bin"),
+        col("s.slot").as("slot"), col("s.media_ref").as("media_ref"))
+      .join(catalog.select(col("media_id").as("media_ref"),
+        col("media_type"), col("n_bytes"), col("payload")),
+        Seq("media_ref"))
+      .select("reader", "reader_pos", "shard", "bin", "slot", "media_ref",
+        "media_type", "n_bytes", "payload")
+
+  /** [[fetchMediaPayloads]] over [[readerFeedMm]] in the battery's
+    * checked form — the payload reported as the md5 of its lowercase
+    * hex (the [[Multimodal.catalog]] fingerprint convention: the
+    * catalog's payloads are deterministic md5 chunks, so the hash check
+    * proves the right BYTES landed on the right slot cross-engine).
+    */
+  def readerFeedBytesChecked(docs: DataFrame): DataFrame =
+    fetchMediaPayloads(readerFeedMm(docs), Multimodal.media(docs))
+      .selectExpr("reader", "reader_pos", "shard", "bin", "slot",
+        "media_ref", "media_type", "n_bytes",
+        "md5(lower(hex(payload))) AS payload_md5")
 
   /** Fill/waste calibration surface, one row per shard:
     * `(shard, n_docs, n_bins, total_tokens, max_bin_tokens,

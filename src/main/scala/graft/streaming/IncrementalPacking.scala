@@ -109,18 +109,35 @@ object IncrementalPacking {
   def storedTokensSource(spark: SparkSession, root: String): Option[String] =
     StoragePaths.readSmallFile(spark, tokensSourceMarker(root)).map(_.trim)
 
-  /** Whether this store has materialized payload fragments from its FIRST
-    * batch (`"1"`) or never (`"0"`). Frozen like the other config: payload
-    * fragments are written per batch only when [[run]] is passed a
-    * `payloadVocab`, and nothing else records that choice — so enabling it
-    * on a root whose earlier batches drained without it (or dropping it
-    * later) would pass every other marker while [[payloadStreams]] silently
-    * serves a trainer feed MISSING (or never gaining) those batches'
-    * tokens even though bins and cursor include them. The marker makes the
-    * disagreement refuse loudly instead.
+  /** The identity of an interleaved-multimodal payload configuration —
+    * the `_payloads` marker value of an mm root: `"mm:" + md5(carriage +
+    * "\n" + mediaRef)`. The carriage predicate already freezes through
+    * `_tokens_source` (it prices the placeholder), but the REF expression
+    * prices nothing — without this, a drain continuing under a different
+    * `mediaRefSql` would keep every token identical while the sidecar
+    * silently started keying a different catalog.
+    */
+  def payloadsModeMm(carriageSql: String, mediaRefSql: String): String =
+    "mm:" + tokensSourceId(carriageSql + "\n" + mediaRefSql)
+
+  /** The payload-materialization MODE this store froze at bootstrap:
+    * `"0"` (no fragments), `"1"` (text-only fragments), or `"mm:…"`
+    * (interleaved multimodal fragments under a specific carriage + ref
+    * configuration, [[payloadsModeMm]]). Frozen like the other config:
+    * fragments are written per batch only as [[run]] was configured, and
+    * nothing else records that choice — so flipping any of it mid-history
+    * would pass every other marker while [[payloadStreams]] /
+    * [[payloadStreamsMm]] silently served a desynced trainer feed. The
+    * marker makes the disagreement refuse loudly instead.
+    */
+  def storedPayloadsMode(spark: SparkSession, root: String): Option[String] =
+    StoragePaths.readSmallFile(spark, payloadsMarker(root)).map(_.trim)
+
+  /** Whether this store materializes payload fragments at all (either
+    * mode) — the surface [[PackingMigration]] inherits across eras.
     */
   def storedPayloadsEnabled(spark: SparkSession, root: String): Option[Boolean] =
-    StoragePaths.readSmallFile(spark, payloadsMarker(root)).map(_.trim == "1")
+    storedPayloadsMode(spark, root).map(_ != "0")
 
   /** The per-shard cursor as of the latest batch STRICTLY BEFORE
     * `beforeBatchId` — `(shard, cum_tokens)`, missing shards implicitly
@@ -233,6 +250,114 @@ object IncrementalPacking {
           x => x.getField("ids"))).as("input_ids"))
   }
 
+  /** One batch's INTERLEAVED MULTIMODAL payload fragments — the
+    * incremental shape of [[graft.ops.Packing.binPayloadsMm]]: the text
+    * fragment columns plus the media sidecar's RAW coordinates. The final
+    * sidecar slot is STREAM-relative (`slot = bin_offset − min bin_offset
+    * over the WHOLE bin`), but a batch only sees its own fragment — a
+    * boundary bin's true base offset may live in an EARLIER batch's
+    * fragment — so fragments carry the un-rebased `(off = bin_offset,
+    * media_ref)` pairs plus the fragment's own `frag_base_off`, and
+    * [[payloadStreamsMm]] rebases against the min across all fragments at
+    * read time. The bins must have been priced under
+    * [[graft.ops.Packing.mmTokensSqlWith]] (placeholder included), so
+    * `bin_tokens == size(input_ids)` holds fragment-for-fragment.
+    */
+  def packBatchPayloadsMm(docs: DataFrame, cur: DataFrame, shards: Int,
+      vocab: Seq[String],
+      carriageSql: String = graft.ops.Packing.MediaCarriageSql,
+      mediaRefSql: String = graft.ops.Packing.MediaRefSql): DataFrame =
+    payloadsMmFromBins(docs,
+      packBatch(docs, cur, shards,
+        graft.ops.Packing.mmTokensSqlWith(vocab, carriageSql))._1,
+      vocab, carriageSql, mediaRefSql)
+
+  /** The mm fragment assembly over an ALREADY-COMPUTED batch bin
+    * relation — [[payloadsFromBins]]' seam with the interleave and the
+    * raw sidecar coordinates, mirroring [[graft.ops.Packing
+    * .binPayloadsMm]]'s aggregation exactly (same placeholder position,
+    * same `(off, media_ref)` sort order).
+    */
+  private def payloadsMmFromBins(docs: DataFrame, bins: DataFrame,
+      vocab: Seq[String], carriageSql: String,
+      mediaRefSql: String): DataFrame = {
+    val ids = docs.selectExpr("doc_id",
+      s"${graft.ops.TextAnalysis.subwordIdsSqlWith(vocab)} AS raw_ids",
+      s"CAST(($carriageSql) AS BOOLEAN) AS has_media",
+      s"CAST(($mediaRefSql) AS BIGINT) AS media_ref")
+    bins.join(ids, Seq("doc_id"))
+      .withColumn("ids",
+        when(col("has_media"), concat(
+          array(lit(graft.ops.Packing.MediaSlotId)), col("raw_ids")))
+          .otherwise(col("raw_ids")))
+      .groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+          x => x.getField("ids"))).as("input_ids"),
+        min("bin_offset").as("frag_base_off"),
+        array_sort(collect_list(when(col("has_media"),
+          struct(col("bin_offset").as("off"), col("media_ref")))))
+          .as("media_offs"))
+  }
+
+  /** The accumulated MULTIMODAL trainer feed — [[payloadStreams]] with
+    * the sidecar: fragments concatenate in batch order, the bin's base
+    * offset is the min `frag_base_off` across its fragments (offsets grow
+    * monotonically with the stream, so the earliest fragment holds it),
+    * and every raw `(off, media_ref)` pair rebases against it — a
+    * boundary bin whose media arrived in a LATER batch still gets
+    * stream-relative slots that index the CONCATENATED `input_ids`
+    * correctly. Over an ordered drain this equals
+    * [[graft.ops.Packing.binPayloadsMm]] of the whole corpus, sidecar
+    * included (asserted in the spec). Refuses a non-mm root: serving a
+    * text store through the mm reader (or vice versa,
+    * [[payloadStreams]]' own guard) would silently desync a trainer.
+    */
+  def payloadStreamsMm(spark: SparkSession, root: String,
+      upToBatch: Option[Long] = None): DataFrame = {
+    storedPayloadsMode(spark, root).foreach(m => require(m.startsWith("mm:"),
+      s"IncrementalPacking.payloadStreamsMm: store at $root materializes " +
+        s"payload mode '$m', not interleaved multimodal — a text feed has " +
+        "no sidecar; read it with payloadStreams"))
+    val path = payloadsPath(root)
+    if (!StoragePaths.exists(spark, path))
+      emptyOf(spark, org.apache.spark.sql.types.StructType(Seq(
+        StructField("shard", LongType), StructField("bin", LongType),
+        StructField("n_docs", LongType), StructField("bin_tokens", LongType),
+        StructField("input_ids", org.apache.spark.sql.types.ArrayType(
+          LongType, containsNull = false)),
+        StructField("media_slots", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            StructField("slot", LongType),
+            StructField("media_ref", LongType))), containsNull = false)))))
+    else
+      spark.read.parquet(path)
+        // the same pin as payloadStreams — see its scaladoc
+        .filter(upToBatch.fold(lit(true))(hw =>
+          col("batch").cast("long") <= hw))
+        .groupBy("shard", "bin")
+        .agg(
+          sum("n_docs").as("n_docs"),
+          sum("bin_tokens").as("bin_tokens"),
+          flatten(transform(
+            array_sort(collect_list(struct(
+              col("batch").cast("long").as("b"), col("input_ids")))),
+            x => x.getField("input_ids"))).as("input_ids"),
+          min("frag_base_off").as("base_off"),
+          flatten(collect_list(col("media_offs"))).as("offs_raw"))
+        .withColumn("media_slots", expr(
+          // re-sort after the merge: fragment order is batch order, and
+          // offsets are monotone across batches, but the sort makes the
+          // sidecar order a property of the DATA, not the fold path
+          "transform(array_sort(offs_raw), o -> named_struct(" +
+            "'slot', o.off - base_off, 'media_ref', o.media_ref))"))
+        .select("shard", "bin", "n_docs", "bin_tokens", "input_ids",
+          "media_slots")
+  }
+
   /** The accumulated trainer feed: one row per (shard, bin) with its
     * fragments concatenated in BATCH ORDER — [[StoreMaintenance]]'s
     * `batch=-1` sorts below every live epoch, so a folded generation's
@@ -242,6 +367,11 @@ object IncrementalPacking {
     */
   def payloadStreams(spark: SparkSession, root: String,
       upToBatch: Option[Long] = None): DataFrame = {
+    storedPayloadsMode(spark, root).foreach(m => require(!m.startsWith("mm:"),
+      s"IncrementalPacking.payloadStreams: store at $root materializes " +
+        "interleaved multimodal fragments — its id streams carry media " +
+        "placeholders a text trainer cannot price; read it with " +
+        "payloadStreamsMm"))
     val path = payloadsPath(root)
     if (!StoragePaths.exists(spark, path))
       emptyOf(spark, org.apache.spark.sql.types.StructType(Seq(
@@ -280,30 +410,47 @@ object IncrementalPacking {
       dest: String, numFiles: Int = 1): Unit = {
     if (!StoragePaths.exists(spark, src)) return
     val all = spark.read.parquet(src)
+    // mm fragments fold the same way, PLUS the sidecar carry: the merged
+    // raw (off, media_ref) pairs stay UN-rebased (payloadStreamsMm rebases
+    // at read time against min frag_base_off — which the fold preserves as
+    // the min across the folded generation), verified by slot count
+    val mm = all.columns.contains("media_offs")
     val want = all.agg(
       coalesce(sum("bin_tokens"), lit(0L)),
-      coalesce(sum(size(col("input_ids")).cast("long")), lit(0L)))
+      coalesce(sum(size(col("input_ids")).cast("long")), lit(0L)),
+      if (mm) coalesce(sum(size(col("media_offs")).cast("long")), lit(0L))
+      else lit(0L))
       .collect().head
+    val textAggs = Seq(
+      sum("n_docs").as("n_docs"),
+      sum("bin_tokens").as("bin_tokens"),
+      flatten(transform(
+        array_sort(collect_list(struct(
+          col("batch").cast("long").as("b"), col("input_ids")))),
+        x => x.getField("input_ids"))).as("input_ids"))
+    val aggs = if (mm) textAggs ++ Seq(
+      min("frag_base_off").as("frag_base_off"),
+      array_sort(flatten(collect_list(col("media_offs"))))
+        .as("media_offs"))
+    else textAggs
     val folded = spark.read.parquet(src)
       .groupBy("shard", "bin")
-      .agg(
-        sum("n_docs").as("n_docs"),
-        sum("bin_tokens").as("bin_tokens"),
-        flatten(transform(
-          array_sort(collect_list(struct(
-            col("batch").cast("long").as("b"), col("input_ids")))),
-          x => x.getField("input_ids"))).as("input_ids"))
+      .agg(aggs.head, aggs.tail: _*)
       .localCheckpoint()
     val got = folded.agg(
       coalesce(sum("bin_tokens"), lit(0L)),
-      coalesce(sum(size(col("input_ids")).cast("long")), lit(0L)))
+      coalesce(sum(size(col("input_ids")).cast("long")), lit(0L)),
+      if (mm) coalesce(sum(size(col("media_offs")).cast("long")), lit(0L))
+      else lit(0L))
       .collect().head
     require(got.getLong(0) == want.getLong(0) &&
       got.getLong(1) == want.getLong(1) &&
-      want.getLong(0) == want.getLong(1),
-      s"IncrementalPacking.foldPayloads: token totals diverged folding " +
-        s"$src (counters ${want.getLong(0)}→${got.getLong(0)}, ids " +
-        s"${want.getLong(1)}→${got.getLong(1)}) — not publishing")
+      want.getLong(0) == want.getLong(1) &&
+      got.getLong(2) == want.getLong(2),
+      s"IncrementalPacking.foldPayloads: token/slot totals diverged " +
+        s"folding $src (counters ${want.getLong(0)}→${got.getLong(0)}, " +
+        s"ids ${want.getLong(1)}→${got.getLong(1)}, slots " +
+        s"${want.getLong(2)}→${got.getLong(2)}) — not publishing")
     // the folded relation is the ACCUMULATED trainer feed — corpus-scale
     // token ids, not a small cursor — so the maintenance loop's numFiles
     // knob sizes the write like the Rows/Fold carries, never a forced
@@ -409,6 +556,25 @@ object IncrementalPacking {
       payloadStreams(spark, root, pin), epoch, readers)
   }
 
+  /** The MULTIMODAL trainer-reader fetch over a store — [[readerFeed]]
+    * with the sidecar riding the one payload join: `(reader, reader_pos)
+    * → (input_ids, media_slots)` over [[payloadStreamsMm]] at one pin,
+    * through the SAME [[graft.ops.Packing.readerFeedMmFrom]] spelling the
+    * batch operator serves (drain ≡ batch, sidecar included — asserted in
+    * the spec). Inherits the mode guard: a text root refuses here instead
+    * of serving a feed with no slots.
+    */
+  def readerFeedMm(
+      spark: SparkSession,
+      root: String,
+      epoch: Int,
+      readers: Int = Packing.Readers,
+      upToBatch: Option[Long] = None): DataFrame = {
+    val pin = upToBatch.orElse(latestBinsBatch(spark, root))
+    Packing.readerFeedMmFrom(
+      payloadStreamsMm(spark, root, pin), epoch, readers)
+  }
+
   /** Drain the landing dir (Trigger.AvailableNow), packing every batch
     * against the per-shard cursors. Assignment rows land in
     * `root/bins/batch=N`, the post-batch cursor snapshot in
@@ -428,13 +594,35 @@ object IncrementalPacking {
       schema: StructType,
       shards: Int = Packing.Shards,
       nTokensSql: String = Packing.WhitespaceTokensSql,
-      payloadVocab: Option[Seq[String]] = None): DataFrame = {
+      payloadVocab: Option[Seq[String]] = None,
+      mmCarriageSql: Option[String] = None,
+      mmMediaRefSql: String = Packing.MediaRefSql): DataFrame = {
+    require(mmCarriageSql.isEmpty || payloadVocab.isDefined,
+      "IncrementalPacking.run: mmCarriageSql configures the payload " +
+        "fragments' media sidecar — it needs a payloadVocab to interleave")
     payloadVocab.foreach { v =>
-      require(nTokensSql == graft.ops.TextAnalysis.subwordCountSqlWith(v),
-        "IncrementalPacking.run: payloadVocab must BE the run's token " +
-          "source — pass nTokensSql = TextAnalysis.subwordCountSqlWith(" +
-          "vocab) so bins and payload fragments are priced in one unit")
+      mmCarriageSql match {
+        case Some(carriage) =>
+          // the mm unit prices the placeholder: one budget token per
+          // carrier, exactly as the interleaved id stream carries it
+          require(nTokensSql == Packing.mmTokensSqlWith(v, carriage),
+            "IncrementalPacking.run: an interleaved-multimodal drain must " +
+              "price placeholders — pass nTokensSql = Packing." +
+              "mmTokensSqlWith(vocab, carriageSql) so bins and mm " +
+              "fragments are priced in one unit")
+        case None =>
+          require(nTokensSql ==
+            graft.ops.TextAnalysis.subwordCountSqlWith(v),
+            "IncrementalPacking.run: payloadVocab must BE the run's token " +
+              "source — pass nTokensSql = TextAnalysis.subwordCountSqlWith(" +
+              "vocab) so bins and payload fragments are priced in one unit")
+      }
     }
+    // the payload-materialization MODE this run drains under — what the
+    // _payloads marker freezes at bootstrap
+    val runMode: String =
+      if (payloadVocab.isEmpty) "0"
+      else mmCarriageSql.fold("1")(c => payloadsModeMm(c, mmMediaRefSql))
     // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
     // new checkpoint era's batch ids restart at 0 and would overwrite
     // the previous era's bin and cursor batches — silently un-packing
@@ -468,7 +656,7 @@ object IncrementalPacking {
               StoragePaths.writeSmallFile(spark, tokensSourceMarker(root),
                 tokensSourceId(nTokensSql))
               StoragePaths.writeSmallFile(spark, payloadsMarker(root),
-                if (payloadVocab.isDefined) "1" else "0")
+                runMode)
               StoragePaths.writeSmallFile(
                 spark, budgetMarker(root), Packing.Budget.toString)
               StoragePaths.writeSmallFile(
@@ -513,40 +701,37 @@ object IncrementalPacking {
                   "on whitespace counts; cannot continue it under a " +
                   "different token source")
           }
-          storedPayloadsEnabled(spark, root) match {
-            case Some(enabled) =>
+          storedPayloadsMode(spark, root) match {
+            case Some(mode) =>
               // payload materialization is frozen with the rest of the
               // config: a store that drained batches without fragments
               // must not start writing them mid-history (payloadStreams
               // would silently serve a feed missing the early batches'
-              // tokens), and one that has them must not stop (the feed
-              // would silently freeze while bins keep growing)
-              require(enabled == payloadVocab.isDefined,
-                s"IncrementalPacking: store at $root was " +
-                  (if (enabled) "draining payload fragments from its " +
-                    "first batch, this run passes no payloadVocab — the " +
-                    "trainer feed would silently freeze"
-                  else "created WITHOUT payload fragments, this run " +
-                    "passes a payloadVocab — payloadStreams would " +
-                    "silently miss the earlier batches' tokens") +
-                  "; continue with the stored choice (or compact to a " +
-                  "fresh root)")
+              // tokens), one that has them must not stop (the feed would
+              // silently freeze while bins keep growing), and an mm store
+              // must keep its carriage + ref configuration (a changed ref
+              // expression keys a different catalog with identical tokens)
+              require(mode == runMode,
+                s"IncrementalPacking: store at $root froze payload mode " +
+                  s"'$mode' at bootstrap, this run drains under " +
+                  s"'$runMode' — continue with the stored configuration " +
+                  "(or compact to a fresh root)")
             case None =>
               // pre-marker store: infer the only history it can have had
               // from the payloads store itself (fragments exist iff every
               // prior drain passed a vocabulary — partial histories were
               // impossible because payloadVocab also pins nTokensSql,
-              // which the _tokens_source marker froze from batch 0)
+              // which the _tokens_source marker froze from batch 0; mm
+              // stores postdate the marker, so the healed mode is "1"/"0")
               val had = StoragePaths.exists(spark, payloadsPath(root))
               StoragePaths.writeSmallFile(spark, payloadsMarker(root),
                 if (had) "1" else "0")
-              require(had == payloadVocab.isDefined,
-                s"IncrementalPacking: pre-marker store at $root " +
-                  (if (had) "holds payload fragments but this run passes " +
-                    "no payloadVocab"
-                  else "has no payload fragments but this run passes a " +
-                    "payloadVocab") +
-                  " — continue with the stored history's choice")
+              require((if (had) "1" else "0") == runMode,
+                s"IncrementalPacking: pre-marker store at $root healed " +
+                  s"to payload mode '${if (had) "1" else "0"}' (" +
+                  (if (had) "fragments present" else "no fragments") +
+                  s"), this run drains under '$runMode' — continue with " +
+                  "the stored history's choice")
           }
           val uniq = batch.dropDuplicates("doc_id")
           val (bins, nextCursor) =
@@ -560,8 +745,10 @@ object IncrementalPacking {
           payloadVocab.foreach { v =>
             // the batch's payload fragments off the SAME materialized
             // bins (a pure function of (batch, cursor) like the bins
-            // themselves, so the overwrite is replay-idempotent)
-            payloadsFromBins(uniq, stable, v)
+            // themselves, so the overwrite is replay-idempotent); the mm
+            // sidecar rides the same one packing window
+            mmCarriageSql.fold(payloadsFromBins(uniq, stable, v))(c =>
+              payloadsMmFromBins(uniq, stable, v, c, mmMediaRefSql))
               .write.mode("overwrite")
               .parquet(s"${payloadsPath(root)}/batch=$batchId")
           }

@@ -68,7 +68,9 @@ object PackingMigration {
       checkpointDir: String,
       schema: StructType,
       vocab: Seq[String],
-      shards: Option[Int] = None): DataFrame = {
+      shards: Option[Int] = None,
+      mmCarriageSql: Option[String] = None,
+      mmMediaRefSql: String = Packing.MediaRefSql): DataFrame = {
     val oldShards = IncrementalPacking.storedShards(spark, oldRoot)
     require(oldShards.isDefined,
       s"PackingMigration.repackUnderVocab: no packing store at $oldRoot " +
@@ -79,7 +81,31 @@ object PackingMigration {
         "packing store — the successor must be a FRESH root (continuing " +
         "an existing one is IncrementalPacking.run's job, under its own " +
         "markers)")
-    val newSrc = TextAnalysis.subwordCountSqlWith(vocab)
+    // the era boundary changes exactly ONE thing — the token unit — so
+    // the payload MODE (none / text / mm-with-this-carriage) must carry
+    // over: a successor that silently dropped the sidecar (or sprouted
+    // one, or re-keyed the catalog) would starve or desync the combined
+    // feed. The old mode decides which run shape is legal here.
+    val oldMode = IncrementalPacking.storedPayloadsMode(spark, oldRoot)
+      // pre-marker old store: infer exactly as run()'s heal path does
+      .getOrElse(if (StoragePaths.exists(
+        spark, IncrementalPacking.payloadsPath(oldRoot))) "1" else "0")
+    if (oldMode.startsWith("mm:")) {
+      require(mmCarriageSql.isDefined &&
+        IncrementalPacking.payloadsModeMm(
+          mmCarriageSql.get, mmMediaRefSql) == oldMode,
+        s"PackingMigration.repackUnderVocab: $oldRoot froze interleaved-" +
+          s"multimodal payload mode '$oldMode' — the successor must pass " +
+          "the SAME mmCarriageSql/mmMediaRefSql (an era re-prices the " +
+          "token unit, it does not re-key the media catalog)")
+    } else {
+      require(mmCarriageSql.isEmpty,
+        s"PackingMigration.repackUnderVocab: $oldRoot froze payload mode " +
+          s"'$oldMode' (no media sidecar) — a successor must not sprout " +
+          "one mid-corpus; stand up an mm deployment from its first root")
+    }
+    val newSrc = mmCarriageSql.fold(TextAnalysis.subwordCountSqlWith(vocab))(
+      c => Packing.mmTokensSqlWith(vocab, c))
     val newId = IncrementalPacking.tokensSourceId(newSrc)
     require(!IncrementalPacking.storedTokensSource(spark, oldRoot)
       .contains(newId),
@@ -87,16 +113,13 @@ object PackingMigration {
         s"identically to $oldRoot's stored token source ($newId) — " +
         "nothing re-priced, so keep draining the old root instead of " +
         "splitting the corpus across a pointless era boundary")
-    val payloadsOn = IncrementalPacking
-      .storedPayloadsEnabled(spark, oldRoot)
-      // pre-marker old store: infer exactly as run()'s heal path does
-      .getOrElse(StoragePaths.exists(
-        spark, IncrementalPacking.payloadsPath(oldRoot)))
     IncrementalPacking.run(
       spark, landingDir, checkpointDir, newRoot, schema,
       shards = shards.orElse(oldShards).get,
       nTokensSql = newSrc,
-      payloadVocab = if (payloadsOn) Some(vocab) else None)
+      payloadVocab = if (oldMode != "0") Some(vocab) else None,
+      mmCarriageSql = mmCarriageSql,
+      mmMediaRefSql = mmMediaRefSql)
   }
 
   /** The era audit surface: one local row per root —
@@ -155,12 +178,66 @@ object PackingMigration {
     */
   def eraFeed(spark: SparkSession, roots: Seq[String], epoch: Int,
       readers: Int = Packing.Readers,
+      pins: Seq[Option[Long]] = Seq.empty): DataFrame =
+    eraDealFetch(eraPayloadStreams(spark, roots, pins), epoch, readers,
+      Seq("input_ids"))
+
+  /** [[eraFeed]] in the battery's checked string form. */
+  def eraFeedChecked(spark: SparkSession, roots: Seq[String], epoch: Int,
+      readers: Int = Packing.Readers): DataFrame =
+    eraFeed(spark, roots, epoch, readers)
+      .selectExpr("era", "reader", "reader_pos", "shard", "bin", "n_docs",
+        "bin_tokens", "order_hash",
+        "array_join(input_ids, '-') AS input_ids_str")
+
+  /** The combined MULTIMODAL multi-era payload relation —
+    * [[eraPayloadStreams]] over mm roots, sidecar included. Each root's
+    * own mode guard ([[IncrementalPacking.payloadStreamsMm]]) refuses a
+    * text root: a feed mixing sidecar-less eras into a vision-language
+    * loader would starve it silently.
+    */
+  def eraPayloadStreamsMm(spark: SparkSession, roots: Seq[String],
       pins: Seq[Option[Long]] = Seq.empty): DataFrame = {
+    require(roots.nonEmpty, "PackingMigration.eraPayloadStreamsMm: no roots")
+    require(pins.isEmpty || pins.size == roots.size,
+      "PackingMigration.eraPayloadStreamsMm: pass one pin per root or none")
+    roots.zipWithIndex.map { case (r, i) =>
+      require(IncrementalPacking.storedPayloadsMode(spark, r)
+        .exists(_.startsWith("mm:")),
+        s"PackingMigration.eraPayloadStreamsMm: root $r is not an " +
+          "interleaved-multimodal store — its bins carry no sidecar; " +
+          "serve text roots with eraPayloadStreams")
+      val pin = if (pins.isEmpty) {
+        IncrementalPacking.latestBinsBatch(spark, r)
+      } else pins(i)
+      IncrementalPacking.payloadStreamsMm(spark, r, pin)
+        .withColumn("era", lit(i.toLong))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The MULTIMODAL combined trainer-reader fetch — [[eraFeed]] with the
+    * `(slot, media_ref)` sidecar riding each era's one payload join:
+    * `(era, reader, reader_pos, …, input_ids, media_slots)`, every era's
+    * bins exactly once under the era-salted deal, each priced (and
+    * placeholder-interleaved) in its own era's unit.
+    */
+  def eraFeedMm(spark: SparkSession, roots: Seq[String], epoch: Int,
+      readers: Int = Packing.Readers,
+      pins: Seq[Option[Long]] = Seq.empty): DataFrame =
+    eraDealFetch(eraPayloadStreamsMm(spark, roots, pins), epoch, readers,
+      Seq("input_ids", "media_slots"))
+
+  /** The era-salted deal + single payload fetch under [[eraFeed]] /
+    * [[eraFeedMm]] — ONE spelling of the multi-era serving math, so the
+    * text and mm feeds cannot drift. The planning leg is id-width (column
+    * pruning strips `payloadCols` from the deal, exactly as in
+    * [[Packing.readerFeedFrom]]); the payload columns cross the one fetch
+    * join together.
+    */
+  private def eraDealFetch(payloads: DataFrame, epoch: Int, readers: Int,
+      payloadCols: Seq[String]): DataFrame = {
     require(epoch >= 0, s"eraFeed: epoch must be non-negative, got $epoch")
     require(readers > 0, s"eraFeed: readers must be positive, got $readers")
-    val payloads = eraPayloadStreams(spark, roots, pins)
-    // id-width planning stats: column pruning strips input_ids from this
-    // leg, exactly as in Packing.readerFeedFrom
     val plan = payloads
       .select("era", "shard", "bin", "n_docs", "bin_tokens")
       .withColumn("order_hash", expr(Portable.hexcastSpark(
@@ -172,9 +249,10 @@ object PackingMigration {
           .orderBy("order_hash", "era", "shard", "bin"))
         .cast("long"))
     plan
-      .join(payloads.select("era", "shard", "bin", "input_ids"),
+      .join(payloads.select(
+        (Seq("era", "shard", "bin") ++ payloadCols).map(col): _*),
         Seq("era", "shard", "bin"))
-      .select("era", "reader", "reader_pos", "shard", "bin", "n_docs",
-        "bin_tokens", "order_hash", "input_ids")
+      .select((Seq("era", "reader", "reader_pos", "shard", "bin", "n_docs",
+        "bin_tokens", "order_hash") ++ payloadCols).map(col): _*)
   }
 }

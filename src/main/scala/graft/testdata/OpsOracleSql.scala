@@ -32,13 +32,17 @@ object OpsOracleSql {
     * Vocabulary comes verbatim from [[graft.ops.Portable.subwordVocab]]
     * (the shared-data discipline of the header note).
     */
-  private def subwordChainFor(vocabPieces: Seq[String]): String = {
+  private def subwordChainFor(vocabPieces: Seq[String], cp: String = "",
+      docsRel: String = "documents"): String = {
     // pid = 1-based position in the shared vocabulary literal; 0 is the
     // reserved [UNK] — the exact id assignment the Spark kernel makes.
     // Backslashes are rejected rather than escaped: the two dialects
     // disagree on them (Spark doubles, DuckDB is literal), so only
     // backslash-free vocabularies are oracle-mirrorable — true of both
     // shipped inventories, asserted in SubwordTrainSpec for the pin.
+    // `cp` prefixes every CTE name so two chains (e.g. two ERAS under
+    // different vocabularies) compose in one WITH RECURSIVE; `docsRel`
+    // narrows the corpus (an era packs its own admission slice).
     val vocabRows = vocabPieces.zipWithIndex.map { case (p, i) =>
       require(!p.contains("\\"),
         s"oracle-mirrored vocabularies must be backslash-free, got: $p")
@@ -48,42 +52,42 @@ object OpsOracleSql {
       s"('$piece', $cont, $plen, ${i + 1})"
     }.mkString(", ")
     val maxLen = SubwordMaxWordLen
-    s"""vocab(piece, is_cont, plen, pid) AS (VALUES $vocabRows),
-       |dw AS (
-       |  SELECT doc_id, unnest($bpeDuck) AS word FROM documents
+    s"""${cp}vocab(piece, is_cont, plen, pid) AS (VALUES $vocabRows),
+       |${cp}dw AS (
+       |  SELECT doc_id, unnest($bpeDuck) AS word FROM $docsRel
        |),
-       |dwc AS (SELECT doc_id, word, count(*) AS cnt FROM dw GROUP BY 1, 2),
-       |words AS (
-       |  SELECT DISTINCT word FROM dwc WHERE length(word) <= $maxLen
+       |${cp}dwc AS (SELECT doc_id, word, count(*) AS cnt FROM ${cp}dw GROUP BY 1, 2),
+       |${cp}words AS (
+       |  SELECT DISTINCT word FROM ${cp}dwc WHERE length(word) <= $maxLen
        |),
-       |matches AS (
+       |${cp}matches AS (
        |  SELECT w.word, p.pos,
        |    max(CASE WHEN substr(w.word, p.pos, v.plen) = v.piece
        |        THEN v.plen END) AS mlen
-       |  FROM words w
+       |  FROM ${cp}words w
        |  JOIN (SELECT unnest(range(1, ${maxLen + 1})) AS pos) p
        |    ON p.pos <= length(w.word)
-       |  JOIN vocab v ON v.is_cont = (p.pos > 1)
+       |  JOIN ${cp}vocab v ON v.is_cont = (p.pos > 1)
        |  GROUP BY w.word, p.pos
        |),
-       |walk(word, pos, n, ids) AS (
-       |  SELECT word, 1, 0, CAST([] AS BIGINT[]) FROM words
+       |${cp}walk(word, pos, n, ids) AS (
+       |  SELECT word, 1, 0, CAST([] AS BIGINT[]) FROM ${cp}words
        |  UNION ALL
        |  SELECT wk.word, wk.pos + m.mlen, wk.n + 1,
        |         list_append(wk.ids, CAST(v2.pid AS BIGINT))
-       |  FROM walk wk
-       |  JOIN matches m ON m.word = wk.word AND m.pos = wk.pos
-       |  JOIN vocab v2 ON v2.is_cont = (wk.pos > 1) AND v2.plen = m.mlen
+       |  FROM ${cp}walk wk
+       |  JOIN ${cp}matches m ON m.word = wk.word AND m.pos = wk.pos
+       |  JOIN ${cp}vocab v2 ON v2.is_cont = (wk.pos > 1) AND v2.plen = m.mlen
        |    AND v2.piece = substr(wk.word, wk.pos, m.mlen)
        |  WHERE m.mlen IS NOT NULL
        |),
-       |word_n AS (SELECT word, n FROM walk WHERE pos = length(word) + 1),
-       |word_ids AS (SELECT word, ids FROM walk WHERE pos = length(word) + 1),
-       |doc_counts AS (
+       |${cp}word_n AS (SELECT word, n FROM ${cp}walk WHERE pos = length(word) + 1),
+       |${cp}word_ids AS (SELECT word, ids FROM ${cp}walk WHERE pos = length(word) + 1),
+       |${cp}doc_counts AS (
        |  SELECT dwc.doc_id,
        |    sum(dwc.cnt * coalesce(wn.n, 1)) AS n_subwords
-       |  FROM dwc
-       |  LEFT JOIN word_n wn USING (word)
+       |  FROM ${cp}dwc dwc
+       |  LEFT JOIN ${cp}word_n wn USING (word)
        |  GROUP BY dwc.doc_id
        |)""".stripMargin
   }
@@ -134,25 +138,26 @@ object OpsOracleSql {
     * reassembled in DOCUMENT WORD ORDER, [UNK]=[0] per word absent from
     * the walk (unrepresentable or over-length).
     */
-  private def subwordDocIdsCtes: String =
-    s"""dwo AS (
+  private def subwordDocIdsCtes(cp: String = "",
+      docsRel: String = "documents"): String =
+    s"""${cp}dwo AS (
        |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS idx
-       |  FROM (SELECT doc_id, $bpeDuck AS ws FROM documents)
+       |  FROM (SELECT doc_id, $bpeDuck AS ws FROM $docsRel)
        |),
-       |wia AS (
+       |${cp}wia AS (
        |  SELECT w.word, coalesce(wi.ids, [CAST(0 AS BIGINT)]) AS ids
-       |  FROM (SELECT DISTINCT word FROM dwo) w
-       |  LEFT JOIN word_ids wi USING (word)
+       |  FROM (SELECT DISTINCT word FROM ${cp}dwo) w
+       |  LEFT JOIN ${cp}word_ids wi USING (word)
        |),
-       |doc_ids AS (
+       |${cp}doc_ids AS (
        |  SELECT dwo.doc_id, flatten(list(wia.ids ORDER BY dwo.idx)) AS input_ids
-       |  FROM dwo JOIN wia USING (word)
+       |  FROM ${cp}dwo dwo JOIN ${cp}wia wia USING (word)
        |  GROUP BY dwo.doc_id
        |)""".stripMargin
 
   private def subwordIdsQueryFor(vocab: Seq[String]): String =
     s"""WITH RECURSIVE ${subwordChainFor(vocab)},
-       |$subwordDocIdsCtes
+       |${subwordDocIdsCtes()}
        |SELECT d.doc_id,
        |  array_to_string(coalesce(di.input_ids, CAST([] AS BIGINT[])), '-')
        |    AS input_ids_str,
@@ -2118,20 +2123,20 @@ object OpsOracleSql {
     * md5 shard, per-shard running token sum ordered by doc_id,
     * bin = floor(span-start / budget).
     */
-  private def packChainFrom(sized: String): String =
-    s"""pk_sized AS ($sized),
-       |pk_cum AS (
+  private def packChainFrom(sized: String, cp: String = ""): String =
+    s"""${cp}pk_sized AS ($sized),
+       |${cp}pk_cum AS (
        |  SELECT doc_id, shard, n_tokens,
        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-       |  FROM pk_sized),
-       |pk_bins AS (
+       |  FROM ${cp}pk_sized),
+       |${cp}pk_bins AS (
        |  SELECT doc_id, shard, n_tokens,
        |         CAST(floor((cum_tokens - n_tokens) / $PackBudget) AS BIGINT) AS bin,
        |         CAST((cum_tokens - n_tokens)
        |           - CAST(floor((cum_tokens - n_tokens) / $PackBudget) AS BIGINT) * $PackBudget
        |           AS BIGINT) AS bin_offset
-       |  FROM pk_cum)""".stripMargin
+       |  FROM ${cp}pk_cum)""".stripMargin
 
   /** The default whitespace-count sizing. */
   private val packChain: String = packChainFrom(
@@ -2166,7 +2171,7 @@ object OpsOracleSql {
     */
   val CURATE_BIN_PAYLOADS: String =
     s"""WITH RECURSIVE $subwordChain,
-       |$subwordDocIdsCtes,
+       |${subwordDocIdsCtes()},
        |per_doc AS (
        |  SELECT d.doc_id,
        |         coalesce(di.input_ids, CAST([] AS BIGINT[])) AS input_ids
@@ -2196,7 +2201,7 @@ object OpsOracleSql {
     */
   val CURATE_BIN_PAYLOADS_MM: String =
     s"""WITH RECURSIVE $subwordChain,
-       |$subwordDocIdsCtes,
+       |${subwordDocIdsCtes()},
        |per_doc AS (
        |  SELECT d.doc_id,
        |         CASE WHEN d.doc_id % 3 = 0
@@ -2236,7 +2241,7 @@ object OpsOracleSql {
   val CURATE_READER_FEED_MM: String = {
     val readers = graft.ops.Packing.Readers
     s"""WITH RECURSIVE $subwordChain,
-       |$subwordDocIdsCtes,
+       |${subwordDocIdsCtes()},
        |per_doc AS (
        |  SELECT d.doc_id,
        |         CASE WHEN d.doc_id % 3 = 0
@@ -2290,7 +2295,7 @@ object OpsOracleSql {
   val CURATE_READER_FEED: String = {
     val readers = graft.ops.Packing.Readers
     s"""WITH RECURSIVE $subwordChain,
-       |$subwordDocIdsCtes,
+       |${subwordDocIdsCtes()},
        |per_doc AS (
        |  SELECT d.doc_id,
        |         coalesce(di.input_ids, CAST([] AS BIGINT[])) AS input_ids
@@ -2356,6 +2361,108 @@ object OpsOracleSql {
        |       CAST(row_number() OVER (PARTITION BY order_hash % $readers
        |         ORDER BY order_hash, shard, bin) AS BIGINT) AS reader_pos
        |FROM ep_hash""".stripMargin
+  }
+
+  /** Mirrors `Packing.readerFeedBytesChecked` — the vision-language
+    * loader's LAST MILE: the [[CURATE_READER_FEED_MM]] deal joined back
+    * onto the per-carrier slot rows and the media catalog's payload
+    * bytes, one row per `(reader, reader_pos, slot)` fingerprinted by
+    * the payload's md5 (the [[MEDIA_CATALOG]] convention — the catalog's
+    * payloads are deterministic md5 chunks of the text).
+    */
+  val CURATE_READER_FEED_BYTES: String = {
+    val readers = graft.ops.Packing.Readers
+    s"""WITH RECURSIVE $subwordChain,
+       |${subwordDocIdsCtes()},
+       |per_doc AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN d.doc_id % 3 = 0
+       |              THEN [CAST(-1 AS BIGINT)] ||
+       |                   coalesce(di.input_ids, CAST([] AS BIGINT[]))
+       |              ELSE coalesce(di.input_ids, CAST([] AS BIGINT[]))
+       |         END AS input_ids
+       |  FROM documents d LEFT JOIN doc_ids di USING (doc_id)
+       |),
+       |${packChainFrom(
+      s"""
+         |  SELECT doc_id,
+         |         ${hexcastDuck("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard,
+         |         CAST(len(input_ids) AS BIGINT) AS n_tokens
+         |  FROM per_doc""".stripMargin)},
+       |mm_based AS (
+       |  SELECT pb.*,
+       |         pb.bin_offset - min(pb.bin_offset)
+       |           OVER (PARTITION BY pb.shard, pb.bin) AS slot
+       |  FROM pk_bins pb),
+       |mm_stats AS (
+       |  SELECT shard, bin FROM pk_bins GROUP BY 1, 2),
+       |mm_plan AS (
+       |  SELECT shard, bin, order_hash % $readers AS reader,
+       |         CAST(row_number() OVER (PARTITION BY order_hash % $readers
+       |           ORDER BY order_hash, shard, bin) AS BIGINT) AS reader_pos
+       |  FROM (SELECT *,
+       |    ${hexcastDuck("concat('epoch:1:', CAST(shard AS VARCHAR), ':', CAST(bin AS VARCHAR))")} AS order_hash
+       |    FROM mm_stats)),
+       |$mmBase
+       |SELECT p.reader, p.reader_pos, p.shard, p.bin,
+       |       CAST(mb.slot AS BIGINT) AS slot, mb.doc_id AS media_ref,
+       |       m.media_type,
+       |       CAST(length(m.payload_hex) / 2 AS BIGINT) AS n_bytes,
+       |       md5(m.payload_hex) AS payload_md5
+       |FROM mm_plan p
+       |JOIN mm_based mb USING (shard, bin)
+       |JOIN mm m ON m.media_id = mb.doc_id
+       |WHERE mb.doc_id % 3 = 0""".stripMargin
+  }
+
+  /** Mirrors `PackingMigration.eraFeedChecked` over the battery's
+    * two-era stand-up (even doc_ids packed under the FIXTURE vocabulary,
+    * odd doc_ids under the TRAINED successor via `repackUnderVocab`):
+    * each era's packing chain runs under its own vocabulary and corpus
+    * slice, the combined deal is salted with (epoch, era, shard, bin),
+    * and every bin's `bin_tokens` is priced in its own era's unit.
+    */
+  val CURATE_ERA_FEED: String = {
+    val readers = graft.ops.Packing.Readers
+    def eraChain(cp: String, vocab: Seq[String], filt: String): String = {
+      val rel = s"(SELECT * FROM documents WHERE $filt)"
+      s"""${subwordChainFor(vocab, cp, rel)},
+         |${subwordDocIdsCtes(cp, rel)},
+         |${cp}per_doc AS (
+         |  SELECT d.doc_id,
+         |         coalesce(di.input_ids, CAST([] AS BIGINT[])) AS input_ids
+         |  FROM $rel d LEFT JOIN ${cp}doc_ids di USING (doc_id)
+         |),
+         |${packChainFrom(
+        s"""
+           |  SELECT doc_id,
+           |         ${hexcastDuck("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard,
+           |         CAST(len(input_ids) AS BIGINT) AS n_tokens
+           |  FROM ${cp}per_doc""".stripMargin, cp)},
+         |${cp}pay AS (
+         |  SELECT pb.shard, pb.bin,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(pb.n_tokens) AS BIGINT) AS bin_tokens,
+         |    array_to_string(flatten(list(pd.input_ids ORDER BY pd.doc_id)), '-')
+         |      AS input_ids_str
+         |  FROM ${cp}pk_bins pb JOIN ${cp}per_doc pd USING (doc_id)
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    s"""WITH RECURSIVE ${eraChain("e0", subwordVocab, "doc_id % 2 = 0")},
+       |${eraChain("e1", trainedFixtureVocab, "doc_id % 2 = 1")},
+       |eras AS (
+       |  SELECT CAST(0 AS BIGINT) AS era, * FROM e0pay
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT) AS era, * FROM e1pay),
+       |eh AS (
+       |  SELECT *,
+       |    ${hexcastDuck("concat('epoch:1:', CAST(era AS VARCHAR), ':', CAST(shard AS VARCHAR), ':', CAST(bin AS VARCHAR))")} AS order_hash
+       |  FROM eras)
+       |SELECT era, order_hash % $readers AS reader,
+       |       CAST(row_number() OVER (PARTITION BY order_hash % $readers
+       |         ORDER BY order_hash, era, shard, bin) AS BIGINT) AS reader_pos,
+       |       shard, bin, n_docs, bin_tokens, order_hash, input_ids_str
+       |FROM eh""".stripMargin
   }
 
   /** Mirrors SparkEntry's ad-hoc `sql_nb_by_lang` over the registered

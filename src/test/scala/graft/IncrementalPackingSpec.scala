@@ -331,8 +331,8 @@ class IncrementalPackingSpec extends SparkSpec {
       IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
         nTokensSql = src, payloadVocab = Some(vocab))
     }
-    assert(e1.getMessage.contains("WITHOUT payload fragments") ||
-      e1.getCause.getMessage.contains("WITHOUT payload fragments"))
+    assert(e1.getMessage.contains("froze payload mode '0'") ||
+      e1.getCause.getMessage.contains("froze payload mode '0'"))
     // on→off: a store draining fragments from batch 0 must not stop — the
     // trainer feed would silently freeze while bins keep growing
     val landing2 = Files.createTempDirectory("ipaym2-landing")
@@ -348,8 +348,8 @@ class IncrementalPackingSpec extends SparkSpec {
       IncrementalPacking.run(spark, landing2.toString, ckpt2, root2, schema,
         nTokensSql = src)
     }
-    assert(e2.getMessage.contains("silently freeze") ||
-      e2.getCause.getMessage.contains("silently freeze"))
+    assert(e2.getMessage.contains("froze payload mode '1'") ||
+      e2.getCause.getMessage.contains("froze payload mode '1'"))
     // pre-marker store: heal from the payloads store's own existence —
     // fragments present means every prior drain wrote them
     deletePath(IncrementalPacking.payloadsMarker(root2))
@@ -357,6 +357,169 @@ class IncrementalPackingSpec extends SparkSpec {
       nTokensSql = src, payloadVocab = Some(vocab))
     assert(IncrementalPacking.storedPayloadsEnabled(spark, root2)
       .contains(true), "the heal path must infer '1' from the fragments")
+  }
+
+  test("an mm drain reproduces the batch operator, sidecar included; the mode freezes") {
+    import graft.ops.{Packing, Portable}
+    val vocab = Portable.subwordVocab
+    val carriage = Packing.MediaCarriageSql
+    val src = Packing.mmTokensSqlWith(vocab, carriage)
+    val landing = Files.createTempDirectory("imm-landing")
+    val ckpt = Files.createTempDirectory("imm-ckpt").toString + "/c"
+    val root = Files.createTempDirectory("imm-root").toString + "/p"
+    val b1 = corpus(0L, 180L)
+    val b2 = corpus(180L, 300L)
+    landParquet(landing, "b1.parquet", b1)
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
+      nTokensSql = src, payloadVocab = Some(vocab),
+      mmCarriageSql = Some(carriage))
+    landParquet(landing, "b2.parquet", b2)
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
+      nTokensSql = src, payloadVocab = Some(vocab),
+      mmCarriageSql = Some(carriage))
+    assert(IncrementalPacking.storedPayloadsMode(spark, root).contains(
+      IncrementalPacking.payloadsModeMm(carriage, Packing.MediaRefSql)))
+    def mmRows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+          r.getSeq[Long](r.fieldIndex("input_ids")).toList,
+          r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("media_slots"))
+            .map(s => (s.getLong(0), s.getLong(1))).toList)).toMap
+    // ordered drain ≡ batch operator bin-for-bin, token-for-token,
+    // INCLUDING the (slot, media_ref) sidecar
+    val stored = mmRows(IncrementalPacking.payloadStreamsMm(spark, root))
+    val whole = mmRows(Packing.binPayloadsMm(
+      b1.unionAll(b2), Packing.Shards, vocab))
+    assert(stored == whole)
+    // the boundary-bin slot shift was genuinely exercised: some bin's
+    // fragments span both batches AND its batch-2 fragment carries media
+    // (whose slots only rebase correctly against batch 1's base offset)
+    val frags = spark.read.parquet(IncrementalPacking.payloadsPath(root))
+    val byBinBatches = frags.groupBy("shard", "bin")
+      .agg(countDistinct(col("batch")).as("nb"),
+        sum(expr("size(media_offs)")).as("slots"),
+        max(when(col("batch").cast("long") === 1L,
+          expr("size(media_offs)")).otherwise(0L)).as("late_slots"))
+    assert(byBinBatches
+      .filter(col("nb") > 1 && col("late_slots") > 0).count() > 0,
+      "fixture must exercise a boundary bin with media in the later batch")
+    // every slot indexes a placeholder cell of the concatenated stream
+    val badSlots = IncrementalPacking.payloadStreamsMm(spark, root)
+      .selectExpr("filter(media_slots, s -> " +
+        s"element_at(input_ids, CAST(s.slot + 1 AS INT)) != " +
+        s"${Packing.MediaSlotId}L) AS bad")
+      .filter(expr("size(bad) > 0"))
+    assert(badSlots.count() == 0)
+    // the store-backed mm fetch ≡ the batch fetch, sidecar riding
+    def feedRows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("reader"), r.getAs[Long]("reader_pos"),
+          r.getSeq[Long](r.fieldIndex("input_ids")).toList,
+          r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("media_slots"))
+            .map(s => (s.getLong(0), s.getLong(1))).toList)).toMap
+    assert(feedRows(IncrementalPacking.readerFeedMm(spark, root, 1)) ==
+      feedRows(Packing.readerFeedMm(b1.unionAll(b2), 1, vocab = vocab)))
+    // replay: batch 1 re-executes from the strictly-before cursor and
+    // rewrites identical fragments (sidecar included)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ckpt, "commits", "1"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
+      nTokensSql = src, payloadVocab = Some(vocab),
+      mmCarriageSql = Some(carriage))
+    assert(mmRows(IncrementalPacking.payloadStreamsMm(spark, root)) == whole)
+    // the mode froze: continuing WITHOUT the sidecar refuses loudly…
+    landParquet(landing, "b3.parquet", corpus(300L, 350L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
+        nTokensSql = graft.ops.TextAnalysis.subwordCountSqlWith(vocab),
+        payloadVocab = Some(vocab))
+    }
+    assert(e.getMessage.contains("token source") ||
+      e.getCause.getMessage.contains("token source") ||
+      e.getMessage.contains("froze payload mode") ||
+      e.getCause.getMessage.contains("froze payload mode"))
+    // …and so does a re-keyed catalog (same tokens, different media_ref)
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalPacking.run(spark, landing.toString, ckpt, root, schema,
+        nTokensSql = src, payloadVocab = Some(vocab),
+        mmCarriageSql = Some(carriage), mmMediaRefSql = "doc_id + 1")
+    }
+    assert(e2.getMessage.contains("froze payload mode") ||
+      e2.getCause.getMessage.contains("froze payload mode"))
+    // the mode guard on the READ side: a text reader refuses this store
+    val e3 = intercept[IllegalArgumentException] {
+      IncrementalPacking.payloadStreams(spark, root)
+    }
+    assert(e3.getMessage.contains("multimodal"), e3.getMessage)
+  }
+
+  test("an mm era migration serves the combined feed with sidecars across eras") {
+    import graft.ops.{Packing, Portable}
+    val vocab = Portable.subwordVocab
+    val vocab2 = Portable.trainedFixtureVocab
+    val carriage = Packing.MediaCarriageSql
+    val landing0 = Files.createTempDirectory("immera-l0")
+    val ckpt0 = Files.createTempDirectory("immera-c0").toString + "/c"
+    val root0 = Files.createTempDirectory("immera-r0").toString + "/p"
+    val landing1 = Files.createTempDirectory("immera-l1")
+    val ckpt1 = Files.createTempDirectory("immera-c1").toString + "/c"
+    val root1 = Files.createTempDirectory("immera-r1").toString + "/p"
+    val b0 = corpus(0L, 150L)
+    val b1 = corpus(150L, 260L)
+    landParquet(landing0, "b0.parquet", b0)
+    IncrementalPacking.run(spark, landing0.toString, ckpt0, root0, schema,
+      nTokensSql = Packing.mmTokensSqlWith(vocab, carriage),
+      payloadVocab = Some(vocab), mmCarriageSql = Some(carriage))
+    // the retrain ships vocab2; the successor inherits the mm mode but a
+    // successor trying to DROP the sidecar refuses
+    landParquet(landing1, "b1.parquet", b1)
+    val eDrop = intercept[IllegalArgumentException] {
+      graft.streaming.PackingMigration.repackUnderVocab(spark, root0,
+        root1, landing1.toString, ckpt1, schema, vocab2)
+    }
+    assert(eDrop.getMessage.contains("SAME mmCarriageSql"), eDrop.getMessage)
+    graft.streaming.PackingMigration.repackUnderVocab(spark, root0,
+      root1, landing1.toString, ckpt1, schema, vocab2,
+      mmCarriageSql = Some(carriage))
+    // the combined mm feed: every era's bins exactly once, each equal to
+    // its own batch operator under its own vocabulary, sidecars riding
+    val feed = graft.streaming.PackingMigration.eraFeedMm(
+      spark, Seq(root0, root1), epoch = 1)
+    def byEraBin(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("era"), r.getAs[Long]("shard"),
+        r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("bin_tokens"),
+          r.getSeq[Long](r.fieldIndex("input_ids")).toList,
+          r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("media_slots"))
+            .map(s => (s.getLong(0), s.getLong(1))).toList)).toMap
+    val served = byEraBin(feed)
+    def batchMm(docs: DataFrame, v: Seq[String], era: Long) =
+      Packing.binPayloadsMm(docs, Packing.Shards, v).collect()
+        .map(r => (era, r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+          (r.getAs[Long]("bin_tokens"),
+            r.getSeq[Long](r.fieldIndex("input_ids")).toList,
+            r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("media_slots"))
+              .map(s => (s.getLong(0), s.getLong(1))).toList)).toMap
+    assert(served == batchMm(b0, vocab, 0L) ++ batchMm(b1, vocab2, 1L))
+    // each era's bin_tokens is priced in its own unit and equals its
+    // served stream's length (placeholders included)
+    assert(feed.filter(expr("bin_tokens != size(input_ids)")).count() == 0)
+    // a text root cannot sneak into the mm feed
+    val landingT = Files.createTempDirectory("immera-lt")
+    val ckptT = Files.createTempDirectory("immera-ct").toString + "/c"
+    val rootT = Files.createTempDirectory("immera-rt").toString + "/p"
+    landParquet(landingT, "b.parquet", corpus(0L, 50L))
+    IncrementalPacking.run(spark, landingT.toString, ckptT, rootT, schema,
+      nTokensSql = graft.ops.TextAnalysis.subwordCountSqlWith(vocab),
+      payloadVocab = Some(vocab))
+    val eMix = intercept[IllegalArgumentException] {
+      graft.streaming.PackingMigration.eraFeedMm(
+        spark, Seq(root0, rootT), 1).collect()
+    }
+    assert(eMix.getMessage.contains("not an interleaved-multimodal"),
+      eMix.getMessage)
   }
 
   test("the token source freezes at bootstrap; a different source refuses") {

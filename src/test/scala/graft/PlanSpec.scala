@@ -680,6 +680,71 @@ class PlanSpec extends SparkSpec {
       p.toString)
   }
 
+  test("mm store feed: sidecar rides the ONE payload exchange; byte fetch moves bytes once") {
+    spark.catalog.clearCache()
+    // an mm payload store as the drain writes it: fragments carrying the
+    // raw sidecar coordinates beside the id streams
+    val root = java.nio.file.Files.createTempDirectory("plan-rfmm").toString
+    spark.range(64).select(
+      (col("id") % 8).as("shard"), (col("id") / 8).as("bin"),
+      lit(2L).as("n_docs"), lit(6L).as("bin_tokens"),
+      expr("concat(array(-1L), sequence(id, id + 4))").as("input_ids"),
+      lit(0L).as("frag_base_off"),
+      expr("array(named_struct('off', 0L, 'media_ref', id))")
+        .as("media_offs"))
+      .write.parquet(s"$root/payloads/batch=0")
+    val feed = graft.ops.Packing.readerFeedMmFrom(
+      graft.streaming.IncrementalPacking.payloadStreamsMm(spark, root), 1)
+    def initial(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case other => other
+      }
+    def wide(e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec) =
+      e.child.output.exists(a =>
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          a.dataType == org.apache.spark.sql.types.BinaryType)
+    val p = initial(feed)
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // ids AND sidecar move once — the fragment concatenation's exchange,
+    // whose (shard, bin) partitioning the fetch join reuses; the planning
+    // legs prune both payload columns away
+    assert(exchanges.count(wide) == 1,
+      exchanges.map(_.child.output.map(a => s"${a.name}:${a.dataType}")
+        .mkString("[", ",", "]")).mkString("\n") + "\n" + p.toString)
+    import org.apache.spark.sql.execution.SortExec
+    assert(p.collect { case s: SortExec if s.global => s }.isEmpty,
+      p.toString)
+    // the byte fetch: media BYTES cross at most one exchange (zero when
+    // the ref side broadcasts — the bytes then never leave their scan),
+    // and the ref side is id-width: input_ids are dropped BEFORE the
+    // explode, so no exchange carries ids and bytes together
+    val docs = T.table(spark, sf, "documents")
+    val fetch = graft.ops.Packing.fetchMediaPayloads(
+      feed.localCheckpoint(), graft.ops.Multimodal.media(docs))
+    val fp = initial(fetch)
+    val fEx = fp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    def binary(e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec) =
+      e.child.output.exists(_.dataType ==
+        org.apache.spark.sql.types.BinaryType)
+    assert(fEx.count(binary) <= 1,
+      fEx.map(_.child.output.map(a => s"${a.name}:${a.dataType}")
+        .mkString("[", ",", "]")).mkString("\n") + "\n" + fp.toString)
+    assert(!fEx.exists(e => binary(e) &&
+      e.child.output.exists(_.name == "input_ids")), fp.toString)
+    // only fetched bins' refs probe the catalog: a one-reader fetch
+    // serves exactly that reader's slots, none of the others'
+    val one = graft.ops.Packing.fetchMediaPayloads(
+      feed.filter(col("reader") === 0).localCheckpoint(),
+      graft.ops.Multimodal.media(docs))
+    assert(one.filter(col("reader") =!= 0).count() == 0)
+  }
+
   test("incremental packing batch: cursor broadcast, one batch shuffle, local sort") {
     import org.apache.spark.sql.execution.SortExec
     spark.catalog.clearCache()
