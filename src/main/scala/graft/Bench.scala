@@ -81,9 +81,27 @@ object Bench {
       if (java.nio.file.Files.exists(abPath)) {
         val s = new String(java.nio.file.Files.readAllBytes(abPath),
           java.nio.charset.StandardCharsets.UTF_8).trim
-        if (s.startsWith("{") && !s.contains("\n"))
-          s""","same_host_ab":$s"""
-        else ""
+        if (s.startsWith("{") && !s.contains("\n")) {
+          // the pair is authoritative only for the HEAD it measured: an
+          // A/B captured at an earlier commit of the round must not be
+          // stamped into a later HEAD's artifact as the same-host ratio,
+          // so compare its cur_ref to the live HEAD and tag a mismatch
+          // (the trend then qualifies the ratio instead of trusting it)
+          val curRef = "\"cur_ref\"\\s*:\\s*\"([0-9a-f]+)\"".r
+            .findFirstMatchIn(s).map(_.group(1))
+          val headRef = try {
+            val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+            val out = new String(p.getInputStream.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+          val stale = (curRef, headRef) match {
+            case (Some(c), Some(h)) => !h.startsWith(c) && !c.startsWith(h)
+            case _ => false // unverifiable ≠ stale; keep the pair untagged
+          }
+          s""","same_host_ab":$s""" +
+            (if (stale) s""","same_host_ab_ref_mismatch":true""" else "")
+        } else ""
       } else ""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ab}"""

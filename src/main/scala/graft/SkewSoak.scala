@@ -669,6 +669,39 @@ object SkewSoak {
     val bmJson =
       f""""bm25_postings_probe":{"base_sec":${bmSecs(0)}%.2f,"x10_sec":${bmSecs(1)}%.2f,"time_growth":$bmGrowth%.1f,"store_base":$bmBaseN,"store_x10":${bmBaseN * 10},"batch":$bmBatch}"""
 
+    // Media byte-fetch probe leg: fixed fetch window, byte CATALOG grown
+    // 10× — flat probe time, because the catalog store is id-bucketed
+    // with bucket count ∝ catalog size (bucket SIZE is the bounded
+    // quantity, the ann_membership policy), so the fetch's partition-
+    // pruned read touches ≤ window-distinct-ref buckets either way.
+    val mfBatch = 12
+    def mediaFetchSec(n: Long): Double = {
+      val root = java.nio.file.Files.createTempDirectory("soak-mcat").toString
+      val media = spark.range(n).select(col("id").as("media_id"),
+        lit("image").as("media_type"), lit(32L).as("n_bytes"),
+        expr("CAST(md5(CAST(id AS STRING)) AS BINARY)").as("payload"))
+      graft.streaming.MediaCatalogStore.write(
+        media, root, buckets = math.max(16, (n / 1500).toInt))
+      val window = spark.range(mfBatch.toLong).select(
+        lit(0L).as("reader"), (col("id") + 1L).as("reader_pos"),
+        lit(0L).as("shard"), col("id").as("bin"),
+        expr(s"array(named_struct('slot', CAST(0 AS BIGINT), " +
+          s"'media_ref', (id * ${n / (mfBatch + 1)} + 7) % $n))")
+          .as("media_slots")).persist()
+      window.count()
+      def go(): Long = graft.streaming.MediaCatalogStore
+        .fetch(spark, root, window).count()
+      go() // warm: codegen + file-index caches, excluded
+      val sec = timed(go())._1
+      window.unpersist(blocking = false)
+      sec
+    }
+    val mfBaseN = baseN * 10
+    val mfSecs = Seq(mfBaseN, mfBaseN * 10).map(mediaFetchSec)
+    val mfGrowth = mfSecs(1) / mfSecs(0)
+    val mfJson =
+      f""""media_fetch_probe":{"base_sec":${mfSecs(0)}%.2f,"x10_sec":${mfSecs(1)}%.2f,"time_growth":$mfGrowth%.1f,"catalog_base":$mfBaseN,"catalog_x10":${mfBaseN * 10},"batch":$mfBatch}"""
+
     // Learned-admission scoring legs (NB / LM / DSIR): the frozen model
     // tables are BOUNDED (NB/DSIR ≤1024 rows, LM ≤B² observed seed
     // bigrams), so scoring a FIXED batch against a model trained on a 10×
@@ -739,9 +772,10 @@ object SkewSoak {
       admJsons += f""""${fam}_batch_scaled":{"base_sec":${bSecs(0)}%.2f,"x10_sec":${bSecs(1)}%.2f,"time_growth":$bGrowth%.1f,"batch_base":$admBase,"batch_x10":${admBase * 10},"train_n":$admBase}"""
       // flat bar (4× admits scheduler noise at these tiny absolute times
       // without admitting train-corpus-proportional growth); linear bar
-      // (the capped-join rationale)
+      // at ~2× the observed multi-round ceiling (the ivfpq_hotlist
+      // convention — 30× couldn't tell linear from quadratic here)
       admVerdicts += (s"${fam}_model_scaled" -> (mGrowth < 4.0))
-      admVerdicts += (s"${fam}_batch_scaled" -> (bGrowth < 30.0))
+      admVerdicts += (s"${fam}_batch_scaled" -> (bGrowth < 8.0))
     }
 
     val base = results.head._2.toMap
@@ -779,10 +813,15 @@ object SkewSoak {
       // member × head pairs through a single list_id-keyed task); gate
       // at the sibling flat bar — a shuffled-join regression shows as ≫5×
       ("semdedup_hotlist" -> (sdGrowth < 5.0)) :+
-      // linear bar: 10× the corpus through a broadcast probe of a fixed
-      // eval set — superlinear growth means the probe side stopped
-      // broadcasting or candidates stopped being per-row bounded
-      ("decontam_probe" -> (dcGrowth < 30.0)) :+
+      // the model is linear in the corpus, but at this leg's absolute
+      // size fixed costs dominate and the MEASUREMENT is flat — 1.0–1.2×
+      // across three rounds of driver-scale captures — so the gate
+      // matches the observed behavior (~3× the ceiling, the flat-bar
+      // convention) instead of the 30× that couldn't tell flat from
+      // quadratic-with-small-constant; superlinear growth here means the
+      // eval side stopped broadcasting or candidates stopped being
+      // per-row bounded
+      ("decontam_probe" -> (dcGrowth < 4.0)) :+
       // claims FLAT (10× docs with 10× shards through one id-width
       // shuffle and constant per-shard window work; observed 0.9–2.2×) —
       // the gate matches the claim so a regression to quadratic cannot
@@ -799,12 +838,16 @@ object SkewSoak {
       ("epoch_scaled_readers" -> (epGrowth < 5.0)) :+
       // LINEAR bar, deliberately not the flat 5× of its epoch sibling:
       // the fetch's whole job is to MOVE the served bytes, and 10× bins
-      // is 10× bytes — a correct implementation converges toward 10× as
-      // fixed costs amortize (observed 2.2–4.8 across host states).
-      // Gate at ~2× the observed ceiling (the ivfpq_hotlist convention);
-      // a second payload movement or a per-leg re-aggregation of the
-      // fragment store shows as ≫10×, which this still catches
-      ("reader_feed_scaled" -> (rfGrowth < 8.0)) :+
+      // is 10× bytes — a correct implementation CONVERGES TOWARD 10× as
+      // fixed costs amortize (observed 2.2–4.8 across host states), so
+      // the gate must sit ABOVE that asymptote, not at ~2× the sample
+      // ceiling: an 8× bar would spuriously fail a correct build the
+      // first time fixed costs fully amortize (and the warmup note below
+      // admits one cache effect can double the reported growth). 15×
+      // still catches the regressions this leg exists for — a second
+      // payload movement or a per-leg re-aggregation of the fragment
+      // store shows as ≫10×
+      ("reader_feed_scaled" -> (rfGrowth < 15.0)) :+
       // history-free: 10× the df store, flat probe (the chunk_membership
       // rationale on the delta-summed read)
       ("boilerplate_df_probe" -> (bpGrowth < 4.0)) :+
@@ -823,9 +866,13 @@ object SkewSoak {
       ("band_megabucket" -> (bmbGrowth < 6.0)) :+
       // history-free: 10× the off-vocabulary posting bulk, flat
       // term-keyed probe of a fixed query vocabulary
-      ("bm25_postings_probe" -> (bmGrowth < 4.0)) :++
+      ("bm25_postings_probe" -> (bmGrowth < 4.0)) :+
+      // history-free: 10× the byte catalog, flat window fetch (the
+      // id-bucketed store's partition-pruned probe — ann_membership's
+      // rationale applied to media bytes)
+      ("media_fetch_probe" -> (mfGrowth < 4.0)) :++
       admVerdicts
-    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$plJson,$epJson,$rfJson,$bpJson,$dfFoldJson,$wfJson,$mkJson,$bmbJson,$bmJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
+    println(s"""{"harness":"skew_soak","base_n":$baseN,"hot_fraction":0.3,${perOp.mkString(",")},$annJson,$curJson,$chunkJson,$pqmJson,$ipqJson,$scJson,$sdJson,$dcJson,$pkJson,$plJson,$epJson,$rfJson,$bpJson,$dfFoldJson,$wfJson,$mkJson,$bmbJson,$bmJson,$mfJson,${admJsons.mkString(",")},"linear":${verdicts.forall(_._2)}}""")
     spark.stop()
     if (!verdicts.forall(_._2)) {
       verdicts.filterNot(_._2).foreach { case (n, _) =>

@@ -241,10 +241,18 @@ object Dedup {
     * mode (driver memory / broadcast size limits). Callers therefore pass
     * `relRows` (the count they already took to eager-fill `rel`), and when
     * the bound exceeds [[MaxBroadcastRoots]] the stats side falls back to
-    * an ordinary shuffled left join — same rows, the exchange sized by the
-    * planner instead of a forced driver collect. The hint is a BOUND, not
-    * a measurement: the actual over-cap relation is usually far smaller,
-    * so the fallback only engages at genuine bulk.
+    * a SALTED shuffled left join ([[SkewJoin.saltedJoin]]) — same rows,
+    * the exchange sized by the planner instead of a forced driver
+    * collect. The salt matters: a plain key-partitioned left join here
+    * would funnel the mega-bucket's rows — the exact hot-key layout the
+    * broadcast existed to avoid — through one reducer, with only AQE's
+    * optional skew split standing between it and a single-task stall;
+    * the repo's own hot-key idioms ban that reliance, so the fallback
+    * spreads each bucket over the session's shuffle-partition count by a
+    * deterministic full-row hash (stats rows are one per over-cap key, so
+    * the replicated build side stays key-count-sized). The hint is a
+    * BOUND, not a measurement: the actual over-cap relation is usually
+    * far smaller, so the fallback only engages at genuine bulk.
     */
   private[graft] val MaxBroadcastRoots = 4000000L
 
@@ -254,11 +262,13 @@ object Dedup {
       .agg(count(lit(1)).as("bdf"), min(root).as("hot_root"))
       .filter(col("bdf") > cap)
       .select(keys.map(col) :+ col("hot_root"): _*)
-    val statsSized =
-      if (relRows.forall(_ / cap.max(1) <= MaxBroadcastRoots))
-        broadcast(stats)
-      else stats
-    rel.join(statsSized, keys, "left")
+    if (relRows.forall(_ / cap.max(1) <= MaxBroadcastRoots))
+      rel.join(broadcast(stats), keys, "left")
+    else
+      SkewJoin.saltedJoin(rel, stats, keys,
+        salts = rel.sparkSession.conf.get(
+          "spark.sql.shuffle.partitions", "32").toInt.max(1),
+        saltBy = hash(rel.columns.map(col): _*), joinType = "left")
   }
 
   /** MinHash-LSH near-duplicate pairs: bucket-join candidates (band buckets

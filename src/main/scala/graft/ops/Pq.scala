@@ -506,27 +506,58 @@ object Pq {
     * the gate grades THOSE relations instead of re-running all three
     * searches (`adcApprox`/`ivfpqApprox` must be the default-argument
     * [[adcTopK]]/[[ivfpqTopK]] results — the same relations the battery
-    * checks). The gate itself is unchanged — same floors, same
-    * integerized recall; the codebook emptiness degrade still guards
-    * first, so degenerate corpora return the empty gate, never a
-    * zero-recall violation row.
+    * checks). That contract is CHECKED, not trusted: a supplied relation
+    * must carry the search schema and its ranks must fit the default k —
+    * a caller grading a different-k (or different-shape) search refuses
+    * loudly instead of stamping the wrong recall into the gate. The gate
+    * itself is unchanged — same floors, same integerized recall; when
+    * BOTH overrides are supplied no codebook trains at all (the gate
+    * pays for the overlap joins plus one rank probe per relation), and
+    * the degenerate-corpus degrade rides that probe: empty approx
+    * relations mean the searches degraded to their emptyResult contract,
+    * so the gate returns the empty result too, never a zero-recall
+    * violation row.
     */
   def adcRecallGateWith(emb: DataFrame, exactTopK: DataFrame,
       adcApprox: Option[DataFrame] = None,
       ivfpqApprox: Option[DataFrame] = None): DataFrame = {
-    // TWO codebook collects, deliberately: since the residual change the
-    // legs gate DIFFERENT quantizers — exhaustive ADC scores raw-vector
-    // codes, IVFPQ scores residual codes — so each trains its own book
-    // exactly once and threads it through its leg (the raw book also
-    // feeds the encode relation both ADC scans share)
-    val book = codebook(emb)
-    // BOTH quantizers must be trainable or the gate cannot grade: a
-    // corpus carrying the raw seeds but not the residual seeds (or vice
-    // versa) degrades to the emptyResult contract every degenerate path
-    // honors, instead of encoding against zero centroids
-    val rBook = residualCodebook(emb)
-    if (book.isEmpty || rBook.isEmpty) return emptyResult(emb, gateSchema)
-    val queries = emb.filter(col("vec_id") % Similarity.QueryStride === 0)
+    // shape check on every supplied relation: the search schema, with
+    // ranks bounded by the default k the gate's floors were declared at
+    val supplied = Seq("adcApprox" -> adcApprox, "ivfpqApprox" -> ivfpqApprox)
+    supplied.foreach {
+      case (n, Some(df)) =>
+        require(adcSchema.fieldNames.forall(df.columns.contains),
+          s"adcRecallGateWith: $n must be a default-configuration search " +
+            s"relation ${adcSchema.fieldNames.mkString("(", ", ", ")")}, " +
+            s"got ${df.columns.mkString("(", ", ", ")")}")
+      case _ => ()
+    }
+    val bothSupplied = adcApprox.isDefined && ivfpqApprox.isDefined
+    // trains at most once per quantizer, and only when some leg needs it
+    lazy val trainedBooks: (Seq[CodebookEntry], Seq[CodebookEntry]) =
+      (codebook(emb), residualCodebook(emb))
+    val degenerate =
+      if (bothSupplied) {
+        // one tiny agg per relation doubles as the emptiness probe (null
+        // max = empty relation) and the row-shape check (a search built
+        // at a different k would carry ranks past the default)
+        supplied.flatMap(_._2).exists { df =>
+          val m = df.agg(max("rank")).head()
+          if (!m.isNullAt(0)) require(m.getInt(0) <= Similarity.TopK,
+            s"adcRecallGateWith: supplied relation carries rank " +
+              s"${m.getInt(0)} > the default k ${Similarity.TopK} — the " +
+              "gate's floors grade the default-configuration search only")
+          m.isNullAt(0)
+        }
+      } else {
+        // TWO codebook collects, deliberately: since the residual change
+        // the legs gate DIFFERENT quantizers — exhaustive ADC scores
+        // raw-vector codes, IVFPQ scores residual codes — and BOTH must
+        // be trainable or the gate cannot grade (the emptyResult contract
+        // every degenerate path honors)
+        trainedBooks._1.isEmpty || trainedBooks._2.isEmpty
+      }
+    if (degenerate) return emptyResult(emb, gateSchema)
     val exact = exactTopK.select("query_id", "neighbor_id")
     def leg(method: String, approx: DataFrame, floorMicro: Long): DataFrame = {
       val overlap = exact.join(approx.select("query_id", "neighbor_id"),
@@ -541,12 +572,16 @@ object Pq {
         .withColumn("violations",
           when(col("recall_micro") >= col("floor_micro"), 0L).otherwise(1L))
     }
+    def queries = emb.filter(col("vec_id") % Similarity.QueryStride === 0)
     leg("adc",
-      adcApprox.getOrElse(adcSearch(codesWith(emb, book), queries, book)),
+      adcApprox.getOrElse {
+        val book = trainedBooks._1
+        adcSearch(codesWith(emb, book), queries, book)
+      },
       AdcRecallFloorMicro)
       .unionByName(leg("ivfpq",
-        ivfpqApprox.getOrElse(ivfpqTopKWith(emb, rBook, Similarity.TopK,
-          Similarity.MaxListOccupancy, byResidual = true)),
+        ivfpqApprox.getOrElse(ivfpqTopKWith(emb, trainedBooks._2,
+          Similarity.TopK, Similarity.MaxListOccupancy, byResidual = true)),
         IvfpqRecallFloorMicro))
   }
 

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Packing
+
+/** The media catalog as a probe-able STORE — the serving layout behind
+  * [[graft.ops.Packing.fetchMediaPayloads]] at corpus scale. The relation
+  * form of the catalog ([[graft.ops.Multimodal.media]]) is fine when the
+  * whole epoch is fetched (every byte is read once either way), but a
+  * loader fetching ONE reader's window must not scan a 100 TB byte
+  * catalog to resolve a handful of refs: this store lands the payload
+  * bytes id-bucketed by `media_ref` (the [[IncrementalAnnIndex.idBucket]]
+  * discipline — `pmod(xxhash64(ref), buckets)` as a partition column), so
+  * a fetch reads ONLY the buckets its window's refs touch, via static
+  * partition pruning. Bucket count is a store property frozen in the
+  * [[IncrementalAnnIndex.IdBucketsMarker]] file (probing with a different
+  * count would look in the wrong partitions); size it so one bucket's
+  * bytes fit a task comfortably — bucket SIZE, not count, is the bounded
+  * quantity, exactly as in the ANN/BM25 stores.
+  */
+object MediaCatalogStore {
+
+  def mediaPath(root: String): String = s"$root/media"
+
+  /** Land the catalog relation as the bucketed serving layout. `media` is
+    * [[graft.ops.Multimodal.media]]'s shape; only the fetch-relevant
+    * columns are stored (the payload BYTES plus typed metadata — the hex
+    * mirror and dimension struct stay derivable upstream).
+    */
+  def write(media: DataFrame, root: String, buckets: Int): Unit = {
+    require(buckets > 0, s"MediaCatalogStore.write: buckets must be " +
+      s"positive, got $buckets")
+    val spark = media.sparkSession
+    media
+      .select(col("media_id"), col("media_type"), col("n_bytes"),
+        col("payload"))
+      .withColumn("id_bucket",
+        IncrementalAnnIndex.idBucket(col("media_id"), buckets))
+      .repartition(col("id_bucket"))
+      .write.partitionBy("id_bucket").parquet(mediaPath(root))
+    StoragePaths.writeSmallFile(spark,
+      s"${mediaPath(root)}/${IncrementalAnnIndex.IdBucketsMarker}",
+      buckets.toString)
+  }
+
+  /** The catalog slice a feed's refs touch: the store read pruned to the
+    * refs' id buckets (collecting at most `buckets` distinct bucket
+    * numbers to the driver — the bounded collect of the ANN membership
+    * probe). Probe I/O is ∝ touched buckets, independent of catalog
+    * size — the property the soak's `media_fetch_probe` leg measures.
+    */
+  def touchedCatalog(spark: SparkSession, root: String,
+      feed: DataFrame): DataFrame = {
+    val buckets = IncrementalAnnIndex.bucketCount(spark, mediaPath(root))
+      .getOrElse(throw new IllegalArgumentException(
+        s"MediaCatalogStore: no bucketed catalog at $root (missing " +
+          s"${IncrementalAnnIndex.IdBucketsMarker})"))
+    val touched = feed
+      .select(explode(col("media_slots")).as("s"))
+      .select(IncrementalAnnIndex.idBucket(col("s.media_ref"), buckets)
+        .as("id_bucket"))
+      .distinct().collect().map(_.getInt(0))
+    spark.read.parquet(mediaPath(root))
+      .filter(col("id_bucket").isin(touched.map(Integer.valueOf): _*))
+      .select("media_id", "media_type", "n_bytes", "payload")
+  }
+
+  /** The byte fetch against the store: [[Packing.fetchMediaPayloads]]'s
+    * exact join over the PRUNED catalog read — same rows as the relation
+    * form (spec-asserted), probe I/O bounded by the window's buckets.
+    */
+  def fetch(spark: SparkSession, root: String, feed: DataFrame): DataFrame =
+    Packing.fetchMediaPayloads(feed, touchedCatalog(spark, root, feed))
+}

@@ -271,6 +271,74 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("media byte fetch resolves every slot against the catalog; carriage is a parameter") {
+    val media = graft.ops.Multimodal.media(docs)
+    val feed = Packing.readerFeedMm(docs).localCheckpoint()
+    val fetched = Packing.fetchMediaPayloads(feed, media).collect()
+    // one byte-fetch row per sidecar slot, keyed exactly by the feed
+    val slotCount = feed.agg(sum(size(col("media_slots")))).head().getLong(0)
+    assert(fetched.length.toLong == slotCount)
+    // the BYTES are the catalog's, slot-for-slot: fingerprint both sides
+    val catMd5 = media.selectExpr("media_id",
+      "md5(lower(hex(payload))) AS m").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    fetched.foreach { r =>
+      val got = java.security.MessageDigest.getInstance("MD5")
+        .digest(org.apache.commons.codec.binary.Hex.encodeHexString(
+          r.getAs[Array[Byte]]("payload")).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got == catMd5(r.getAs[Long]("media_ref")),
+        s"bytes diverged for ref ${r.getAs[Long]("media_ref")}")
+      assert(r.getAs[Long]("n_bytes") ==
+        r.getAs[Array[Byte]]("payload").length.toLong)
+    }
+    // carriage is a PARAMETER, not the fixture rule: a data-driven
+    // predicate + ref expression re-route the sidecar without edits
+    val alt = Packing.binPayloadsMm(docs, vocab = graft.ops.Portable
+      .subwordVocab, carriageSql = "doc_id % 5 = 1",
+      mediaRefSql = "doc_id * 10")
+    val altSlots = alt.select(explode(col("media_slots")).as("s"))
+      .select("s.media_ref").collect().map(_.getLong(0)).toSet
+    val altCarriers = docs.filter("doc_id % 5 = 1")
+      .select((col("doc_id") * 10).as("r")).collect().map(_.getLong(0)).toSet
+    assert(altSlots == altCarriers)
+    // and the alternative carriage still prices its placeholders
+    assert(alt.filter(expr("bin_tokens != size(input_ids)")).count() == 0)
+  }
+
+  test("bucketed catalog store: pruned fetch ≡ relation fetch") {
+    import graft.streaming.MediaCatalogStore
+    val root = java.nio.file.Files.createTempDirectory("mcat").toString
+    val media = graft.ops.Multimodal.media(docs)
+    MediaCatalogStore.write(media, root, buckets = 64)
+    // a small position window of one reader — the loader shape the
+    // pruning exists for (a full-epoch fetch reads every byte either way)
+    val window = Packing.readerFeedMm(docs)
+      .filter(col("reader") === 0 && col("reader_pos") <= 3)
+      .localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "reader", "reader_pos", "slot", "media_ref", "media_type", "n_bytes",
+      "md5(lower(hex(payload))) AS m").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getString(6))).toSet
+    val viaStore = MediaCatalogStore.fetch(spark, root, window)
+    assert(rows(viaStore) == rows(
+      Packing.fetchMediaPayloads(window, media)))
+    // the store read is PRUNED: the window's refs touch a strict subset
+    // of the catalog's bucket partitions (input_file_name reflects the
+    // files actually scanned AFTER partition pruning; .inputFiles would
+    // list the unpruned relation)
+    def scannedBuckets(df: org.apache.spark.sql.DataFrame) =
+      df.select(input_file_name().as("f")).distinct().collect()
+        .map(_.getString(0).split("/id_bucket=")(1).split("/")(0)).toSet
+    val touched = scannedBuckets(
+      MediaCatalogStore.touchedCatalog(spark, root, window))
+    val all = scannedBuckets(
+      spark.read.parquet(MediaCatalogStore.mediaPath(root)))
+    assert(touched.subsetOf(all) && touched.size < all.size,
+      s"expected a pruned probe, touched ${touched.size}/${all.size}")
+  }
+
   test("stats agrees with packBins and conserves tokens; overflow is bounded") {
     val bins = Packing.packBins(docs)
     val st = Packing.stats(docs).collect()

@@ -892,5 +892,27 @@ class PlanSpec extends SparkSpec {
       rel, Seq("band_val"), 8, struct(col("doc_id"))))
     assert(!ns.contains("Window"), ns)
     assert(ns.contains("BroadcastHashJoin"), ns)
+    // the degrade's own degrade: above MaxBroadcastRoots the stats side
+    // falls back to a SALTED shuffled join — the probe exchange hashes on
+    // (bucket keys..., salt), never the bucket key alone, so a mega-bucket
+    // spreads across reducers without relying on AQE's optional skew split
+    val fb = graft.ops.Dedup.hotBucketRoots(rel, Seq("band_val"), 8,
+      struct(col("doc_id")), relRows = Some(Long.MaxValue / 16))
+    val fbPlan = (fb.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }).toString
+    assert(fbPlan.contains(graft.ops.SkewJoin.SaltCol), fbPlan)
+    // (no anti-broadcast assertion: the fix removes the FORCED broadcast
+    // of an unbounded side; when the actual stats relation is small the
+    // planner may still broadcast the salted build side — that sizing
+    // decision is exactly what the fallback hands back to the planner)
+    // bit-identical output either way — the fallback changes the exchange,
+    // never the rows
+    val viaB = graft.ops.Dedup.hotBucketRoots(rel, Seq("band_val"), 8,
+      struct(col("doc_id")))
+    assert(fb.exceptAll(viaB).count() == 0 &&
+      viaB.exceptAll(fb).count() == 0)
   }
 }

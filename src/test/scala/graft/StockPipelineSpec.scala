@@ -117,7 +117,14 @@ class StockPipelineSpec extends SparkSpec {
     assert(ex.getMessage.contains("volume"), ex.getMessage)
     // fail-fast: the drifted model aborted BEFORE writing its table
     assert(!Files.exists(Paths.get(s"$store/int_russell_daily")))
-    // (that the UNDRIFTED DAG passes the same contracts is the first
-    // test's full run — not re-proven here with a fourth DAG build)
+    // a store left behind by the aborted run is still buildable: the
+    // undrifted DAG rebuilds into the SAME store (a bounded 180-day
+    // slice — slice semantics are the first test's proof; what this
+    // re-proves is store reusability after a contract abort)
+    val maxD = stg.agg(max("trade_date")).head().getDate(0)
+    val slice = stg.filter(col("trade_date") >= date_sub(lit(maxD), 180))
+    val rebuilt = StockPipeline.run(spark, slice, const, store)
+    assert(rebuilt("int_russell_daily").count() > 0)
+    assert(Files.exists(Paths.get(s"$store/int_russell_daily")))
   }
 }
