@@ -40,10 +40,14 @@ class CurationMaintenanceSpec extends SparkSpec {
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select("doc_id").collect().map(_.getLong(0)).toSet
 
-  /** Drain two batches (docs 1–8 then 9–16) into a flat family root and
-    * adopt it into the generation layout; returns (genRoot, flatRoot).
+  /** ONE shared flat family root (docs 1–8 then 9–16, two drained
+    * batches), built once per suite — `adopt` only READS the flat root
+    * (it carries into a new generation dir), so every test adopts this
+    * same store into its own fresh generation root: isolation preserved
+    * at the generation layer, the two streaming drains paid once instead
+    * of once per test (the StockPipelineSpec suite-time treatment).
     */
-  private def adoptedStore(): (String, String) = {
+  private lazy val flatStore: String = {
     val landing = Files.createTempDirectory("cm-landing")
     val ckpt = Files.createTempDirectory("cm-ckpt").toString + "/c"
     val flat = Files.createTempDirectory("cm-flat").toString + "/cur"
@@ -51,9 +55,14 @@ class CurationMaintenanceSpec extends SparkSpec {
     IncrementalCuration.runRoot(spark, landing.toString, ckpt, flat, docSchema)
     land(landing, "b2.parquet", (9L to 16L).map(i => row(i, goodText(i.toInt))))
     IncrementalCuration.runRoot(spark, landing.toString, ckpt, flat, docSchema)
+    flat
+  }
+
+  /** Adopt the shared flat store into a FRESH generation root. */
+  private def adoptedStore(): (String, String) = {
     val genRoot = Files.createTempDirectory("cm-gen").toString + "/cur"
-    CurationMaintenance.adopt(spark, genRoot, flat)
-    (genRoot, flat)
+    CurationMaintenance.adopt(spark, genRoot, flatStore)
+    (genRoot, flatStore)
   }
 
   test("under threshold the monitor lists and does nothing") {

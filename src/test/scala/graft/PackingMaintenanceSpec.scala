@@ -150,6 +150,62 @@ class PackingMaintenanceSpec extends SparkSpec {
     assert(streams(gen1) == whole)
   }
 
+  test("compaction carries the mm sidecar; a fresh era extends the interleaved feed") {
+    import graft.ops.{Portable}
+    val vocab = Portable.subwordVocab
+    val carriage = Packing.MediaCarriageSql
+    val src = Packing.mmTokensSqlWith(vocab, carriage)
+    val landing = Files.createTempDirectory("pmm-landing")
+    val ckpt = Files.createTempDirectory("pmm-ckpt").toString + "/c"
+    val flat = Files.createTempDirectory("pmm-flat").toString + "/p"
+    val b1 = corpus(0L, 120L)
+    val b2 = corpus(120L, 200L)
+    landParquet(landing, "b1.parquet", b1)
+    IncrementalPacking.run(spark, landing.toString, ckpt, flat, schema,
+      nTokensSql = src, payloadVocab = Some(vocab),
+      mmCarriageSql = Some(carriage))
+    landParquet(landing, "b2.parquet", b2)
+    IncrementalPacking.run(spark, landing.toString, ckpt, flat, schema,
+      nTokensSql = src, payloadVocab = Some(vocab),
+      mmCarriageSql = Some(carriage))
+    val genRoot = Files.createTempDirectory("pmm-gen").toString + "/p"
+    PackingMaintenance.adopt(spark, genRoot, flat)
+    def mm(root: String) =
+      IncrementalPacking.payloadStreamsMm(spark, root).collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+          (r.getAs[Long]("bin_tokens"),
+            r.getSeq[Long](r.fieldIndex("input_ids")).toList,
+            r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("media_slots"))
+              .map(s => (s.getLong(0), s.getLong(1))).toList)).toMap
+    val before = mm(flat)
+    assert(before.exists(_._2._3.nonEmpty), "fixture must carry media")
+    PackingMaintenance.maintain(spark, genRoot, maxFiles = 0L)
+    val gen1 = StoreMaintenance.resolveCurrent(spark, genRoot)
+    // the fold pre-concatenates ids AND merges the raw sidecar pairs —
+    // the served interleaved feed is bit-identical across the boundary,
+    // and the mm mode marker crossed with the other frozen config
+    assert(mm(gen1) == before)
+    assert(IncrementalPacking.storedPayloadsMode(spark, gen1).contains(
+      IncrementalPacking.payloadsModeMm(carriage, Packing.MediaRefSql)))
+    // a fresh era extends the feed; slots of the boundary bin stay
+    // stream-relative because the folded fragment kept its base offset
+    val landing2 = Files.createTempDirectory("pmm-landing2")
+    val ckpt2 = Files.createTempDirectory("pmm-ckpt2").toString + "/c"
+    val b3 = corpus(200L, 260L)
+    landParquet(landing2, "b3.parquet", b3)
+    IncrementalPacking.run(spark, landing2.toString, ckpt2, gen1, schema,
+      nTokensSql = src, payloadVocab = Some(vocab),
+      mmCarriageSql = Some(carriage))
+    val whole = Packing.binPayloadsMm(
+      b1.unionAll(b2).unionAll(b3), Packing.Shards, vocab).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("bin_tokens"),
+          r.getSeq[Long](r.fieldIndex("input_ids")).toList,
+          r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("media_slots"))
+            .map(s => (s.getLong(0), s.getLong(1))).toList)).toMap
+    assert(mm(gen1) == whole)
+  }
+
   test("a second fresh era refuses until the next compaction") {
     val (genRoot, _, packed) = adoptedStore()
     PackingMaintenance.maintain(spark, genRoot, maxFiles = 0L)

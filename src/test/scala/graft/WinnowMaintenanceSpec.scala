@@ -32,12 +32,16 @@ class WinnowMaintenanceSpec extends SparkSpec {
 
   private val long1 = uniqText(1)
 
-  /** Drain two batches (docs 1–8 then 9–16 — wide enough that both
-    * batches populate overlapping fingerprint buckets, so the flat store
-    * holds ~2× the files one folded generation does) into a flat root and
-    * adopt it into the generation layout; returns (genRoot, flatRoot).
+  /** ONE shared flat root (docs 1–8 then 9–16, two drained batches —
+    * wide enough that both batches populate overlapping fingerprint
+    * buckets, so the flat store holds ~2× the files one folded
+    * generation does), built once per suite — `adopt` only READS the
+    * flat root, so every test adopts this same store into its own fresh
+    * generation root: isolation preserved at the generation layer, the
+    * two streaming drains paid once instead of once per test (the
+    * StockPipelineSpec suite-time treatment).
     */
-  private def adoptedStore(): (String, String) = {
+  private lazy val flatStore: String = {
     val landing = Files.createTempDirectory("wm-landing")
     val ckpt = Files.createTempDirectory("wm-ckpt").toString + "/c"
     val flat = Files.createTempDirectory("wm-flat").toString + "/winnow"
@@ -46,9 +50,14 @@ class WinnowMaintenanceSpec extends SparkSpec {
     IncrementalWinnow.run(spark, landing.toString, ckpt, flat, docSchema)
     land(landing, "b2.parquet", (9L to 16L).map(i => row(i, uniqText(i))))
     IncrementalWinnow.run(spark, landing.toString, ckpt, flat, docSchema)
+    flat
+  }
+
+  /** Adopt the shared flat store into a FRESH generation root. */
+  private def adoptedStore(): (String, String) = {
     val genRoot = Files.createTempDirectory("wm-gen").toString + "/winnow"
-    WinnowMaintenance.adopt(spark, genRoot, flat)
-    (genRoot, flat)
+    WinnowMaintenance.adopt(spark, genRoot, flatStore)
+    (genRoot, flatStore)
   }
 
   test("under threshold the monitor lists and does nothing") {
