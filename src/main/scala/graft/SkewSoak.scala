@@ -827,9 +827,13 @@ object SkewSoak {
       // the gate matches the claim so a regression to quadratic cannot
       // hide under a linear bar
       ("pack_scaled_shards" -> (pkGrowth < 5.0)) :+
-      // payload-width materialization: observed 1.4× on 10× docs (the
-      // per-shard window amortizes); gate matches pack_scaled_shards' bar
-      // — a second payload movement or unbounded assembly cannot hide
+      // payload-width materialization: LINEAR in the moved bytes, not
+      // flat — 10× docs is 10× payload through the one exchange, with
+      // fixed costs amortizing (observed 1.4 / 2.7 / 2.4 across r12–r14
+      // host states; the early 1.4 was the fixed-cost-dominated end, and
+      // a fresh-host r14 re-measure reproduced ~2.4, so the claim is
+      // pinned linear — see BASELINE.md). Gate ~2× the observed ceiling;
+      // a second payload movement or unbounded assembly shows as ≫10×
       ("payload_scaled_shards" -> (plGrowth < 5.0)) :+
       // linear bar, tightened once the bin seam made the plan id-width
       // only (no tokenize of text can hide in here anymore): 10× bins

@@ -48,12 +48,18 @@ object MediaCatalogStore {
   /** The catalog slice a feed's refs touch: the store read pruned to the
     * refs' id buckets (collecting at most `buckets` distinct bucket
     * numbers to the driver — the bounded collect of the ANN membership
-    * probe). Probe I/O is ∝ touched buckets, independent of catalog
-    * size — the property the soak's `media_fetch_probe` leg measures.
+    * probe), with the leaf directories ENUMERATED explicitly so even the
+    * file LISTING is window-bounded — a plain partition-filtered read
+    * would still list every bucket dir of a catalog whose bucket count
+    * grew with its size (the chunk-store lesson,
+    * [[StoragePaths.readTouchedBuckets]]). Probe I/O is ∝ touched
+    * buckets, independent of catalog size — the property the soak's
+    * `media_fetch_probe` leg measures.
     */
   def touchedCatalog(spark: SparkSession, root: String,
       feed: DataFrame): DataFrame = {
-    val buckets = IncrementalAnnIndex.bucketCount(spark, mediaPath(root))
+    val path = mediaPath(root)
+    val buckets = IncrementalAnnIndex.bucketCount(spark, path)
       .getOrElse(throw new IllegalArgumentException(
         s"MediaCatalogStore: no bucketed catalog at $root (missing " +
           s"${IncrementalAnnIndex.IdBucketsMarker})"))
@@ -62,9 +68,17 @@ object MediaCatalogStore {
       .select(IncrementalAnnIndex.idBucket(col("s.media_ref"), buckets)
         .as("id_bucket"))
       .distinct().collect().map(_.getInt(0))
-    spark.read.parquet(mediaPath(root))
-      .filter(col("id_bucket").isin(touched.map(Integer.valueOf): _*))
-      .select("media_id", "media_type", "n_bytes", "payload")
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = touched.toSeq
+      .map(b => new org.apache.hadoop.fs.Path(fsPath, s"id_bucket=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (dirs.isEmpty)
+      spark.read.parquet(path).limit(0)
+        .select("media_id", "media_type", "n_bytes", "payload")
+    else
+      spark.read.option("basePath", path).parquet(dirs: _*)
+        .select("media_id", "media_type", "n_bytes", "payload")
   }
 
   /** The byte fetch against the store: [[Packing.fetchMediaPayloads]]'s
