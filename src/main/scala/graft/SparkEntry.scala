@@ -565,6 +565,12 @@ object SparkEntry {
     "curate_pack_bins_subword" -> ((s, dir) =>
       Packing.packBins(T.table(s, dir, "documents"),
         nTokensSql = TextAnalysis.subwordCountSql)),
+    // the attention-mask surface: per-doc span coordinates inside each
+    // bin's stream, in the unit the payload feed prices with — the
+    // boundaries a packed trainer masks cross-document attention on
+    "curate_bin_manifest" -> ((s, dir) =>
+      Packing.binManifest(T.table(s, dir, "documents"),
+        nTokensSql = TextAnalysis.subwordCountSql)),
     "curate_pack_stats" -> ((s, dir) =>
       Packing.stats(T.table(s, dir, "documents"))),
     "curate_epoch_plan" -> ((s, dir) =>
@@ -934,6 +940,7 @@ object SparkEntry {
     "curate_bin_payloads" -> OO.CURATE_BIN_PAYLOADS,
     "curate_bin_payloads_mm" -> OO.CURATE_BIN_PAYLOADS_MM,
     "curate_pack_bins_subword" -> OO.CURATE_PACK_BINS_SUBWORD,
+    "curate_bin_manifest" -> OO.CURATE_BIN_MANIFEST,
     "curate_pack_stats" -> OO.CURATE_PACK_STATS,
     "curate_epoch_plan" -> OO.CURATE_EPOCH_PLAN,
     "curate_reader_feed" -> OO.CURATE_READER_FEED,

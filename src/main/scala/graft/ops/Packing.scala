@@ -474,6 +474,47 @@ object Packing {
         "media_ref", "media_type", "n_bytes",
         "md5(lower(hex(payload))) AS payload_md5")
 
+  /** The BIN MANIFEST — per-document span coordinates inside each bin's
+    * concatenated stream: `(shard, bin, doc_id, span_start, span_len)`,
+    * where `span_start` is the document's offset in the bin's
+    * `input_ids` (stream-relative: `bin_offset − min(bin_offset over the
+    * bin)`, the [[binPayloadsMm]] slot arithmetic applied to EVERY
+    * document) and `span_len` its token count in the bin's pricing unit.
+    * This is the attention-mask surface a packed trainer needs: cross-
+    * document attention masking and per-example position reset both key
+    * off exactly these boundaries (the T5 pack-then-mask recipe), and
+    * without it a loader can only treat a bin as one undifferentiated
+    * stream. The spans TILE the stream by construction — contiguous,
+    * non-overlapping, summing to `bin_tokens` — asserted in
+    * `PackingSpec` against the payload relation itself.
+    *
+    * Pass the SAME `nTokensSql` the payload feed prices with (the
+    * subword source for [[binPayloads]]-backed feeds, [[mmTokensSqlWith]]
+    * for interleaved ones — an mm carrier's span starts AT its
+    * placeholder, so `media_slots` are exactly its carriers'
+    * `span_start`s). Scale shape: one id-width window over (shard, bin)
+    * groups — each group is budget-bounded by construction (a bin holds
+    * ≤ budget + overflow tokens), so the per-group buffer is bounded the
+    * way the per-query rank windows are, never a hot-key hazard.
+    */
+  def binManifest(docs: DataFrame, shards: Int = Shards,
+      nTokensSql: String = WhitespaceTokensSql): DataFrame =
+    manifestFromBins(packBins(docs, shards, nTokensSql))
+
+  /** [[binManifest]] over an ALREADY-MATERIALIZED packed-assignment
+    * relation ([[packBins]] output or the
+    * [[graft.streaming.IncrementalPacking]] bins store) — the manifest is
+    * a pure id-width derivation of the bin coordinates, so a store-backed
+    * trainer gets it without touching text.
+    */
+  def manifestFromBins(bins: DataFrame): DataFrame =
+    bins
+      .withColumn("base_off", min("bin_offset").over(
+        Window.partitionBy("shard", "bin")))
+      .select(col("shard"), col("bin"), col("doc_id"),
+        (col("bin_offset") - col("base_off")).as("span_start"),
+        col("n_tokens").as("span_len"))
+
   /** Fill/waste calibration surface, one row per shard:
     * `(shard, n_docs, n_bins, total_tokens, max_bin_tokens,
     * overflow_bins)` — `overflow_bins` counts bins whose contents exceed

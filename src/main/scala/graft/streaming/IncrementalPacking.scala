@@ -483,6 +483,30 @@ object IncrementalPacking {
           .as("overflow_bins"))
   }
 
+  /** The BIN MANIFEST over the store — [[graft.ops.Packing.binManifest]]
+    * read straight off the accumulated bin relation (the store already
+    * holds `(doc_id, shard, n_tokens, bin, bin_offset)`, so the
+    * attention-mask surface is a pure id-width window, no text touched
+    * and no re-tokenize). Same pin semantics as [[epochPlanAt]]: spans of
+    * a boundary bin computed at a pin stay correct for the fragments a
+    * feed pinned at the SAME batch serves, because both read exactly the
+    * as-of-pin rows. Drain ≡ batch is inherited from the bins store
+    * (offsets continue the cursor), asserted in the spec.
+    */
+  def binManifest(
+      spark: SparkSession,
+      root: String,
+      upToBatch: Option[Long] = None): DataFrame = {
+    val bins = upToBatch.orElse(latestBinsBatch(spark, root)) match {
+      case None => emptyOf(spark, BinsSchema)
+      case Some(hw) =>
+        spark.read.parquet(binsPath(root))
+          .filter(col("batch").cast("long") <= hw)
+          .drop("batch")
+    }
+    graft.ops.Packing.manifestFromBins(bins)
+  }
+
   /** Latest batch id present in the bins store — the natural epoch pin
     * for [[epochPlanAt]]. None when nothing has been drained yet.
     */

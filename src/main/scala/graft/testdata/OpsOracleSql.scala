@@ -2165,6 +2165,26 @@ object OpsOracleSql {
          |  FROM documents d LEFT JOIN doc_counts dc USING (doc_id)""".stripMargin)}
        |SELECT doc_id, shard, n_tokens, bin, bin_offset FROM pk_bins""".stripMargin
 
+  /** Mirrors `Packing.binManifest(docs, nTokensSql = subwordCountSql)` —
+    * the attention-mask surface: per-document span coordinates inside
+    * each bin's concatenated stream, sized in the SAME subword unit the
+    * payload feed prices with (`span_start` = the mm slot arithmetic
+    * applied to every document, `span_len` = the doc's token count).
+    */
+  val CURATE_BIN_MANIFEST: String =
+    s"""WITH RECURSIVE $subwordChain,
+       |${packChainFrom(
+      s"""
+         |  SELECT d.doc_id,
+         |         ${hexcastDuck("'pack:' || CAST(d.doc_id AS VARCHAR)")} % $PackShards AS shard,
+         |         CAST(coalesce(dc.n_subwords, 0) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN doc_counts dc USING (doc_id)""".stripMargin)}
+       |SELECT shard, bin, doc_id,
+       |       CAST(bin_offset - min(bin_offset)
+       |         OVER (PARTITION BY shard, bin) AS BIGINT) AS span_start,
+       |       CAST(n_tokens AS BIGINT) AS span_len
+       |FROM pk_bins""".stripMargin
+
   /** Mirrors `Packing.binPayloadsChecked`: per-(shard, bin) concatenated
     * id streams in doc_id order, sized by the SAME per-doc id lengths the
     * payloads carry, checked as the '-'-joined string form.

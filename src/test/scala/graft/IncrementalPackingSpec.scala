@@ -258,6 +258,15 @@ class IncrementalPackingSpec extends SparkSpec {
     // the accumulated feed equals the batch operator over the union
     assert(streams(IncrementalPacking.payloadStreams(spark, root)) ==
       streams(Packing.binPayloads(b1.unionAll(b2), Packing.Shards, vocab)))
+    // …and so does the store-backed attention-mask surface: spans read
+    // straight off the bins store, no text touched (offsets continued
+    // the cursor, so boundary-bin spans stay stream-relative)
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin"),
+        r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("span_start"), r.getAs[Long]("span_len"))).toMap
+    assert(spans(IncrementalPacking.binManifest(spark, root)) ==
+      spans(Packing.binManifest(b1.unionAll(b2), nTokensSql = src)))
     // a payload vocabulary that is NOT the run's token source refuses
     // before any write — one unit for bins and fragments
     val e = intercept[IllegalArgumentException] {

@@ -339,6 +339,57 @@ class PackingSpec extends SparkSpec {
       s"expected a pruned probe, touched ${touched.size}/${all.size}")
   }
 
+  test("bin manifest: spans tile each bin's stream and carve the right ids") {
+    val nTok = graft.ops.TextAnalysis.subwordCountSql
+    val manifest = Packing.binManifest(docs, nTokensSql = nTok).collect()
+      .groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")))
+    val payloads = Packing.binPayloads(docs).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("bin_tokens"),
+          r.getSeq[Long](r.fieldIndex("input_ids")).toList)).toMap
+    // the per-doc id streams, for carving checks
+    val docIds = docs.selectExpr("doc_id",
+      s"${graft.ops.TextAnalysis.subwordIdsSqlWith(
+        graft.ops.Portable.subwordVocab)} AS ids").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Long](r.fieldIndex("ids")).toList).toMap
+    assert(manifest.keySet == payloads.keySet)
+    manifest.foreach { case (k, rows) =>
+      val (binTokens, ids) = payloads(k)
+      val spans = rows.map(r => (r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_len"), r.getAs[Long]("doc_id")))
+        .sortBy(_._1)
+      // spans TILE the stream: contiguous from 0, summing to bin_tokens
+      assert(spans.head._1 == 0L, s"first span of $k starts at 0")
+      spans.sliding(2).foreach {
+        case Array((s0, l0, _), (s1, _, _)) => assert(s0 + l0 == s1,
+          s"spans of $k must be contiguous")
+        case _ => ()
+      }
+      assert(spans.map(_._2).sum == binTokens)
+      assert(binTokens.toInt == ids.size)
+      // and each span carves exactly its document's id stream
+      spans.foreach { case (start, len, docId) =>
+        assert(ids.slice(start.toInt, (start + len).toInt) ==
+          docIds(docId), s"span of doc $docId in $k carves wrong ids")
+      }
+    }
+    // the mm sidecar is the manifest restricted to carriers: each
+    // carrier's slot == its span_start under the mm pricing unit
+    val mmManifest = Packing.binManifest(docs,
+      nTokensSql = Packing.mmTokensSqlWith(graft.ops.Portable.subwordVocab))
+      .filter(expr(Packing.MediaCarriageSql)).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin"),
+        r.getAs[Long]("doc_id")) -> r.getAs[Long]("span_start")).toMap
+    val mmSlots = Packing.binPayloadsMm(docs)
+      .select(col("shard"), col("bin"), explode(col("media_slots")).as("s"))
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin"),
+        r.getAs[org.apache.spark.sql.Row]("s").getAs[Long]("media_ref")) ->
+        r.getAs[org.apache.spark.sql.Row]("s").getAs[Long]("slot")).toMap
+    assert(mmManifest == mmSlots,
+      "carrier span_starts must be exactly the mm sidecar's slots")
+  }
+
   test("stats agrees with packBins and conserves tokens; overflow is bounded") {
     val bins = Packing.packBins(docs)
     val st = Packing.stats(docs).collect()
