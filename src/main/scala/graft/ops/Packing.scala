@@ -515,6 +515,29 @@ object Packing {
         (col("bin_offset") - col("base_off")).as("span_start"),
         col("n_tokens").as("span_len"))
 
+  /** The manifest RIDING a fetched feed — compose any reader-feed
+    * relation (text or mm, batch or store-backed) with a [[binManifest]]
+    * relation so each served row carries its own `doc_spans` array
+    * (`(doc_id, span_start, span_len)` structs in stream order): the
+    * loader's attention mask arrives WITH the tokens instead of through
+    * a join the caller writes. Both sides are keyed by the same
+    * (shard, bin) coordinates; the span aggregation is id-width (≤ bin
+    * docs per group, budget-bounded), so the join adds no payload
+    * movement — the feed's `input_ids` pass through untouched.
+    */
+  def feedWithSpans(feed: DataFrame, manifest: DataFrame): DataFrame =
+    feed.join(
+      manifest
+        .groupBy("shard", "bin")
+        .agg(array_sort(collect_list(struct(
+          col("span_start"), col("span_len"), col("doc_id"))))
+          .as("raw_spans"))
+        .withColumn("doc_spans", expr(
+          "transform(raw_spans, s -> named_struct('doc_id', s.doc_id, " +
+            "'span_start', s.span_start, 'span_len', s.span_len))"))
+        .select("shard", "bin", "doc_spans"),
+      Seq("shard", "bin"))
+
   /** Fill/waste calibration surface, one row per shard:
     * `(shard, n_docs, n_bins, total_tokens, max_bin_tokens,
     * overflow_bins)` — `overflow_bins` counts bins whose contents exceed

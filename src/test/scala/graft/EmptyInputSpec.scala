@@ -73,6 +73,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(Packing.epochPlan(d).count() == 0)
     assert(Packing.binPayloadsMm(d).count() == 0)
     assert(Packing.readerFeed(d).count() == 0)
+    assert(Packing.readerFeedMm(d).count() == 0)
+    assert(Packing.binManifest(d).count() == 0)
+    assert(Packing.fetchMediaPayloads(
+      Packing.readerFeedMm(d), Multimodal.media(d)).count() == 0)
+    // a store root that never existed serves empty mm relations, not a
+    // crash (the text twins are covered in IncrementalPackingSpec)
+    assert(graft.streaming.IncrementalPacking.payloadStreamsMm(
+      spark, "/tmp/graft-nowhere-mm").count() == 0)
+    assert(graft.streaming.IncrementalPacking.binManifest(
+      spark, "/tmp/graft-nowhere-mm").count() == 0)
     assert(Dedup.boilerplateChunks(d).count() == 0)
     assert(Dedup.boilerplateDocs(d).count() == 0)
     // the one-row stats reports read 0, never NULL, on an occurrence-free

@@ -388,6 +388,22 @@ class PackingSpec extends SparkSpec {
         r.getAs[org.apache.spark.sql.Row]("s").getAs[Long]("slot")).toMap
     assert(mmManifest == mmSlots,
       "carrier span_starts must be exactly the mm sidecar's slots")
+    // the composed fetch: spans ride the served rows — every feed row's
+    // doc_spans tile ITS OWN input_ids (stream order, exact lengths)
+    val feed = Packing.readerFeed(docs).localCheckpoint()
+    val withSpans = Packing.feedWithSpans(feed,
+      Packing.binManifest(docs, nTokensSql = nTok)).collect()
+    assert(withSpans.length.toLong == feed.count())
+    withSpans.foreach { r =>
+      val ids = r.getSeq[Long](r.fieldIndex("input_ids"))
+      val sp = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("doc_spans"))
+        .map(s => (s.getAs[Long]("span_start"), s.getAs[Long]("span_len")))
+      assert(sp.head._1 == 0L && sp.map(_._2).sum == ids.size.toLong)
+      sp.sliding(2).foreach {
+        case Seq((s0, l0), (s1, _)) => assert(s0 + l0 == s1)
+        case _ => ()
+      }
+    }
   }
 
   test("stats agrees with packBins and conserves tokens; overflow is bounded") {
