@@ -90,7 +90,14 @@ object Bench {
           val curRef = "\"cur_ref\"\\s*:\\s*\"([0-9a-f]+)\"".r
             .findFirstMatchIn(s).map(_.group(1))
           val headRef = try {
-            val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+            // resolve HEAD of the repo the ARTIFACT belongs to (the A/B
+            // json's parent dir), not the JVM's working directory — a
+            // bench launched from elsewhere must not compare against some
+            // unrelated repo's HEAD and false-tag a valid pair
+            val pb = new ProcessBuilder("git", "rev-parse", "HEAD")
+            Option(abPath.toAbsolutePath.getParent)
+              .foreach(d => pb.directory(d.toFile))
+            val p = pb.start()
             val out = new String(p.getInputStream.readAllBytes(),
               java.nio.charset.StandardCharsets.UTF_8).trim
             if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None

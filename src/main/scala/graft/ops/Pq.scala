@@ -536,27 +536,27 @@ object Pq {
     // trains at most once per quantizer, and only when some leg needs it
     lazy val trainedBooks: (Seq[CodebookEntry], Seq[CodebookEntry]) =
       (codebook(emb), residualCodebook(emb))
-    val degenerate =
-      if (bothSupplied) {
-        // one tiny agg per relation doubles as the emptiness probe (null
-        // max = empty relation) and the row-shape check (a search built
-        // at a different k would carry ranks past the default)
-        supplied.flatMap(_._2).exists { df =>
-          val m = df.agg(max("rank")).head()
-          if (!m.isNullAt(0)) require(m.getInt(0) <= Similarity.TopK,
-            s"adcRecallGateWith: supplied relation carries rank " +
-              s"${m.getInt(0)} > the default k ${Similarity.TopK} — the " +
-              "gate's floors grade the default-configuration search only")
-          m.isNullAt(0)
-        }
-      } else {
-        // TWO codebook collects, deliberately: since the residual change
-        // the legs gate DIFFERENT quantizers — exhaustive ADC scores
-        // raw-vector codes, IVFPQ scores residual codes — and BOTH must
-        // be trainable or the gate cannot grade (the emptyResult contract
-        // every degenerate path honors)
-        trainedBooks._1.isEmpty || trainedBooks._2.isEmpty
-      }
+    // EVERY supplied relation is probed, not just the both-supplied case
+    // (a single-override caller must not bypass the contract): one tiny
+    // agg doubles as the emptiness probe (null max = empty relation — a
+    // degraded search, so the gate degrades too instead of stamping a
+    // zero-recall violation row) and the row-shape check (a search built
+    // at a different k would carry ranks past the default)
+    val anySuppliedEmpty = supplied.flatMap(_._2).exists { df =>
+      val m = df.agg(max("rank")).head()
+      if (!m.isNullAt(0)) require(m.getInt(0) <= Similarity.TopK,
+        s"adcRecallGateWith: supplied relation carries rank " +
+          s"${m.getInt(0)} > the default k ${Similarity.TopK} — the " +
+          "gate's floors grade the default-configuration search only")
+      m.isNullAt(0)
+    }
+    // with both legs supplied no codebook trains at all; any leg the gate
+    // must run itself needs BOTH quantizers trainable (the residual split:
+    // exhaustive ADC scores raw-vector codes, IVFPQ residual codes) or it
+    // degrades to the emptyResult contract every degenerate path honors
+    val degenerate = anySuppliedEmpty ||
+      (!bothSupplied &&
+        (trainedBooks._1.isEmpty || trainedBooks._2.isEmpty))
     if (degenerate) return emptyResult(emb, gateSchema)
     val exact = exactTopK.select("query_id", "neighbor_id")
     def leg(method: String, approx: DataFrame, floorMicro: Long): DataFrame = {

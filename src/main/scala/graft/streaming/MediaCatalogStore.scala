@@ -74,8 +74,19 @@ object MediaCatalogStore {
       .map(b => new org.apache.hadoop.fs.Path(fsPath, s"id_bucket=$b"))
       .filter(fs.exists(_)).map(_.toString)
     if (dirs.isEmpty)
-      spark.read.parquet(path).limit(0)
-        .select("media_id", "media_type", "n_bytes", "payload")
+      // static empty schema, never a limit(0) over the root read — that
+      // would partition-discover every bucket dir, re-paying the exact
+      // listing this function exists to bound
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("media_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("media_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_bytes",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.BinaryType))))
     else
       spark.read.option("basePath", path).parquet(dirs: _*)
         .select("media_id", "media_type", "n_bytes", "payload")
