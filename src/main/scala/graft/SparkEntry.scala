@@ -220,7 +220,7 @@ object SparkEntry {
     * battery row to stand up real incremental drains.
     */
   private def landOne(df: DataFrame, landing: String, name: String): Unit = {
-    val stage = java.nio.file.Files.createTempDirectory("graft-land")
+    val stage = TempDirs.scratch("graft-land")
     df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     import scala.jdk.CollectionConverters._
     val part = java.nio.file.Files.list(stage).iterator().asScala
@@ -242,8 +242,7 @@ object SparkEntry {
   private def eraFeedDemo(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.{IncrementalPacking, PackingMigration}
     val docs = T.table(s, dir, "documents").select("doc_id", "text")
-    val base = java.nio.file.Files
-      .createTempDirectory("graft-erafeed").toString
+    val base = TempDirs.scratch("graft-erafeed").toString
     landOne(docs.filter("doc_id % 2 = 0"), s"$base/land0", "b0.parquet")
     IncrementalPacking.run(s, s"$base/land0", s"$base/ckpt0",
       s"$base/root0", docs.schema,

@@ -1,0 +1,40 @@
+package graft
+
+/** Scratch directories for battery demos and soak legs: created like
+  * `Files.createTempDirectory`, but swept by one JVM shutdown hook so a
+  * battery + soak run leaves /tmp as it found it. The dirs must OUTLIVE
+  * the creating call — a memoized demo root (the era-feed walk) is read
+  * by queries that run long after the walk built it, and a soak leg's
+  * store is probed across timed runs — so a `finally` delete at the call
+  * site would be wrong; process exit is the correct lifetime.
+  */
+object TempDirs {
+
+  private val created =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      created.forEach { p =>
+        try deleteRecursively(p)
+        catch { case _: Throwable => () } // best-effort sweep at exit
+      }
+    }))
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
+  /** A fresh scratch directory, registered for the exit-time sweep. */
+  def scratch(prefix: String): java.nio.file.Path = {
+    hookInstalled
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    created.add(p)
+    p
+  }
+}

@@ -248,9 +248,10 @@ object Dedup {
     * broadcast existed to avoid — through one reducer, with only AQE's
     * optional skew split standing between it and a single-task stall;
     * the repo's own hot-key idioms ban that reliance, so the fallback
-    * spreads each bucket over the session's shuffle-partition count by a
-    * deterministic full-row hash (stats rows are one per over-cap key, so
-    * the replicated build side stays key-count-sized). The hint is a
+    * spreads each bucket over min(shuffle partitions, 64) reducers by a
+    * deterministic full-row hash (stats rows are one per over-cap key,
+    * and the 64-salt cap keeps the per-salt replication bounded even
+    * under a production-tuned partition count). The hint is a
     * BOUND, not a measurement: the actual over-cap relation is usually
     * far smaller, so the fallback only engages at genuine bulk.
     */
@@ -265,9 +266,17 @@ object Dedup {
     if (relRows.forall(_ / cap.max(1) <= MaxBroadcastRoots))
       rel.join(broadcast(stats), keys, "left")
     else
+      // salts are capped INDEPENDENTLY of the session's shuffle-partition
+      // count: the build side replicates once per salt, so a
+      // production-tuned partition count (2000+) would multiply the
+      // over-cap stats rows thousands-fold through the exchange — the
+      // fallback costing more than the skew it avoids. 64 salts bound
+      // the replication while still spreading any mega-key across 64
+      // reducers (the hot key the broadcast existed to avoid is ONE
+      // key's rows; 64-way is the difference between a stall and a scan)
       SkewJoin.saltedJoin(rel, stats, keys,
         salts = rel.sparkSession.conf.get(
-          "spark.sql.shuffle.partitions", "32").toInt.max(1),
+          "spark.sql.shuffle.partitions", "32").toInt.min(64).max(1),
         saltBy = hash(rel.columns.map(col): _*), joinType = "left")
   }
 

@@ -507,9 +507,10 @@ object Pq {
     * searches (`adcApprox`/`ivfpqApprox` must be the default-argument
     * [[adcTopK]]/[[ivfpqTopK]] results — the same relations the battery
     * checks). That contract is CHECKED, not trusted: a supplied relation
-    * must carry the search schema and its ranks must fit the default k —
-    * a caller grading a different-k (or different-shape) search refuses
-    * loudly instead of stamping the wrong recall into the gate. The gate
+    * must carry the search schema and its max rank must EQUAL the
+    * default k — a caller grading a different-k (smaller or larger) or
+    * different-shape search refuses loudly instead of stamping the
+    * wrong recall into the gate. The gate
     * itself is unchanged — same floors, same integerized recall; when
     * BOTH overrides are supplied no codebook trains at all (the gate
     * pays for the overlap joins plus one rank probe per relation), and
@@ -540,14 +541,21 @@ object Pq {
     // (a single-override caller must not bypass the contract): one tiny
     // agg doubles as the emptiness probe (null max = empty relation — a
     // degraded search, so the gate degrades too instead of stamping a
-    // zero-recall violation row) and the row-shape check (a search built
-    // at a different k would carry ranks past the default)
+    // zero-recall violation row) and the row-shape check. The max rank
+    // must EQUAL the default k, not merely fit under it: a relation
+    // searched at a SMALLER k would pass a <= check and be graded
+    // against default-k floors — a spurious low-recall violation, the
+    // exact wrong-verdict the probe exists to refuse (any default-k
+    // search over a non-degenerate corpus fills rank k for some query;
+    // a corpus too small to do so degrades through the empty contract
+    // upstream, never through a partial ranking)
     val anySuppliedEmpty = supplied.flatMap(_._2).exists { df =>
       val m = df.agg(max("rank")).head()
-      if (!m.isNullAt(0)) require(m.getInt(0) <= Similarity.TopK,
-        s"adcRecallGateWith: supplied relation carries rank " +
-          s"${m.getInt(0)} > the default k ${Similarity.TopK} — the " +
-          "gate's floors grade the default-configuration search only")
+      if (!m.isNullAt(0)) require(m.getInt(0) == Similarity.TopK,
+        s"adcRecallGateWith: supplied relation's max rank " +
+          s"${m.getInt(0)} != the default k ${Similarity.TopK} — the " +
+          "gate's floors grade the default-configuration search only " +
+          "(a smaller- or larger-k search would stamp the wrong recall)")
       m.isNullAt(0)
     }
     // with both legs supplied no codebook trains at all; any leg the gate

@@ -496,16 +496,26 @@ object IncrementalPacking {
   def binManifest(
       spark: SparkSession,
       root: String,
-      upToBatch: Option[Long] = None): DataFrame = {
-    val bins = upToBatch.orElse(latestBinsBatch(spark, root)) match {
-      case None => emptyOf(spark, BinsSchema)
-      case Some(hw) =>
+      upToBatch: Option[Long] = None): DataFrame =
+    graft.ops.Packing.manifestFromBins(binsUpTo(spark, root, upToBatch))
+
+  /** The bin store pinned at a batch high-water mark, degrading to the
+    * typed empty relation when the store does not exist — whether the pin
+    * was defaulted (latestBinsBatch = None) or EXPLICIT: a caller pinning
+    * a not-yet-drained root must get the same empty-store contract as the
+    * unpinned read, not an AnalysisException from the raw parquet read.
+    */
+  private def binsUpTo(
+      spark: SparkSession,
+      root: String,
+      upToBatch: Option[Long]): DataFrame =
+    upToBatch.orElse(latestBinsBatch(spark, root)) match {
+      case Some(hw) if StoragePaths.exists(spark, binsPath(root)) =>
         spark.read.parquet(binsPath(root))
           .filter(col("batch").cast("long") <= hw)
           .drop("batch")
+      case _ => emptyOf(spark, BinsSchema)
     }
-    graft.ops.Packing.manifestFromBins(bins)
-  }
 
   /** Latest batch id present in the bins store — the natural epoch pin
     * for [[epochPlanAt]]. None when nothing has been drained yet.
@@ -539,16 +549,8 @@ object IncrementalPacking {
       root: String,
       epoch: Int,
       readers: Int = Packing.Readers,
-      upToBatch: Option[Long] = None): DataFrame = {
-    val bins = upToBatch.orElse(latestBinsBatch(spark, root)) match {
-      case None => emptyOf(spark, BinsSchema)
-      case Some(hw) =>
-        spark.read.parquet(binsPath(root))
-          .filter(col("batch").cast("long") <= hw)
-          .drop("batch")
-    }
-    Packing.epochPlanFrom(bins, epoch, readers)
-  }
+      upToBatch: Option[Long] = None): DataFrame =
+    Packing.epochPlanFrom(binsUpTo(spark, root, upToBatch), epoch, readers)
 
   /** The trainer-reader FETCH over a store — [[epochPlanAt]] composed
     * with [[payloadStreams]] at ONE pin: each reader stream's
