@@ -674,14 +674,33 @@ object SkewSoak {
     // with bucket count ∝ catalog size (bucket SIZE is the bounded
     // quantity, the ann_membership policy), so the fetch's partition-
     // pruned read touches ≤ window-distinct-ref buckets either way.
+    // The catalog is GROWN BY A DRAIN on top of the bootstrap (a real
+    // crawl's shape: batch=-1 history plus live epoch dirs), so the leg
+    // measures the probe over the store the incremental path actually
+    // produces, not just the one-shot layout.
     val mfBatch = 12
     def mediaFetchSec(n: Long): Double = {
       val root = TempDirs.scratch("soak-mcat").toString
-      val media = spark.range(n).select(col("id").as("media_id"),
-        lit("image").as("media_type"), lit(32L).as("n_bytes"),
-        expr("CAST(md5(CAST(id AS STRING)) AS BINARY)").as("payload"))
+      def mediaRows(lo: Long, hi: Long) =
+        spark.range(lo, hi).select(col("id").as("media_id"),
+          lit("image").as("media_type"), lit(32L).as("n_bytes"),
+          expr("CAST(md5(CAST(id AS STRING)) AS BINARY)").as("payload"))
+      val drainN = 2000L.min(n / 2)
       graft.streaming.MediaCatalogStore.write(
-        media, root, buckets = math.max(16, (n / 1500).toInt))
+        mediaRows(0L, n - drainN), root,
+        buckets = math.max(16, (n / 1500).toInt))
+      // land the tail as one streamed batch and drain it in
+      val land = java.nio.file.Files
+        .createDirectories(java.nio.file.Paths.get(s"$root/land"))
+      val stage = TempDirs.scratch("soak-mcat-stage")
+      mediaRows(n - drainN, n).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, land.resolve("b0.parquet"))
+      graft.streaming.MediaCatalogStore.run(spark, land.toString,
+        s"$root/ck", root, mediaRows(0L, 1L).schema)
       val window = spark.range(mfBatch.toLong).select(
         lit(0L).as("reader"), (col("id") + 1L).as("reader_pos"),
         lit(0L).as("shard"), col("id").as("bin"),

@@ -1,33 +1,75 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
 
 import graft.ops.Packing
 
-/** The media catalog as a probe-able STORE — the serving layout behind
-  * [[graft.ops.Packing.fetchMediaPayloads]] at corpus scale. The relation
-  * form of the catalog ([[graft.ops.Multimodal.media]]) is fine when the
-  * whole epoch is fetched (every byte is read once either way), but a
-  * loader fetching ONE reader's window must not scan a 100 TB byte
-  * catalog to resolve a handful of refs: this store lands the payload
-  * bytes id-bucketed by `media_ref` (the [[IncrementalAnnIndex.idBucket]]
-  * discipline — `pmod(xxhash64(ref), buckets)` as a partition column), so
-  * a fetch reads ONLY the buckets its window's refs touch, via static
-  * partition pruning. Bucket count is a store property frozen in the
-  * [[IncrementalAnnIndex.IdBucketsMarker]] file (probing with a different
-  * count would look in the wrong partitions); size it so one bucket's
-  * bytes fit a task comfortably — bucket SIZE, not count, is the bounded
-  * quantity, exactly as in the ANN/BM25 stores.
+/** The media catalog as a probe-able, GROWING store — the serving layout
+  * behind [[graft.ops.Packing.fetchMediaPayloads]] at corpus scale, with
+  * the same incremental discipline as every other serving store
+  * ([[IncrementalAnnIndex]], [[IncrementalBm25]]): an ongoing VLM crawl
+  * lands new media with every batch, so the catalog needs a per-batch
+  * APPEND drain, not a rewrite-the-world bootstrap.
+  *
+  * Layout: payload rows land id-bucketed by `media_ref` under
+  * `media/batch=N/id_bucket=B` with `B = pmod(xxhash64(media_id),
+  * buckets)` — the [[IncrementalAnnIndex.idBucket]] discipline — so a
+  * loader fetching ONE reader's window reads only the buckets its refs
+  * touch, via explicitly enumerated leaf dirs (even the file LISTING is
+  * window-bounded, [[StoragePaths.readTouchedBuckets]]). The bucket count
+  * is a store property frozen in the [[IncrementalAnnIndex
+  * .IdBucketsMarker]] file (probing with a different count would look in
+  * the wrong partitions); bucket SIZE, not count, is the bounded quantity,
+  * and [[MediaCatalogMaintenance]] re-sizes the count from measured bytes
+  * as the catalog grows.
+  *
+  * Re-landed media_ids (a re-crawl) are IGNORED — first write wins,
+  * exactly the [[IncrementalAnnIndex]] `add` semantics (replacing a
+  * byte payload mid-corpus needs an explicit remove+add runbook): the
+  * membership check is a media_id anti-join against only the batch's
+  * touched id buckets. Exactly-once follows the house pattern:
+  * checkpointed file tracking + per-batch overwrite directories; the
+  * membership read excludes the batch's own partition so an
+  * at-least-once replay rewrites identical rows.
   */
 object MediaCatalogStore {
 
   def mediaPath(root: String): String = s"$root/media"
 
-  /** Land the catalog relation as the bucketed serving layout. `media` is
-    * [[graft.ops.Multimodal.media]]'s shape; only the fetch-relevant
-    * columns are stored (the payload BYTES plus typed metadata — the hex
-    * mirror and dimension struct stay derivable upstream).
+  /** The family's store list — what [[MediaCatalogMaintenance]] pins its
+    * carry against, so a store added here cannot silently miss it.
+    */
+  def storePaths(root: String): Seq[String] = Seq(mediaPath(root))
+
+  /** Default id-bucket count for a fresh store (the fresh-store seed
+    * only — the store's actual count lives in its marker, and
+    * maintenance re-sizes it from measured bytes).
+    */
+  val DefaultBuckets = 64
+
+  /** The fetch-relevant catalog projection every write lands: the payload
+    * BYTES plus typed metadata (the hex mirror and dimension struct stay
+    * derivable upstream).
+    */
+  val CatalogSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("payload", BinaryType)))
+
+  private def emptyCatalog(spark: SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), CatalogSchema)
+
+  /** Land a whole catalog relation as the bucketed serving layout in one
+    * shot — the bootstrap path. `media` is [[graft.ops.Multimodal.media]]'s
+    * shape. The rows land at `batch=-1` ([[StoreMaintenance
+    * .CompactedBatch]], below every streaming epoch), so a bootstrapped
+    * store IS a valid drain root: [[run]] under a fresh checkpoint appends
+    * `batch=0` beside it and the membership probe still sees every
+    * bootstrapped row.
     */
   def write(media: DataFrame, root: String, buckets: Int): Unit = {
     require(buckets > 0, s"MediaCatalogStore.write: buckets must be " +
@@ -39,22 +81,94 @@ object MediaCatalogStore {
       .withColumn("id_bucket",
         IncrementalAnnIndex.idBucket(col("media_id"), buckets))
       .repartition(col("id_bucket"))
-      .write.partitionBy("id_bucket").parquet(mediaPath(root))
+      .write.partitionBy("id_bucket")
+      .parquet(s"${mediaPath(root)}/batch=${StoreMaintenance.CompactedBatch}")
+    // marker AFTER the data write (marker-present ⇒ data-present, the
+    // streaming writer's ordering)
     StoragePaths.writeSmallFile(spark,
       s"${mediaPath(root)}/${IncrementalAnnIndex.IdBucketsMarker}",
       buckets.toString)
   }
 
+  /** Stored media_ids a batch could collide with — the first-write-wins
+    * membership probe, read with static partition pruning to the batch's
+    * touched id buckets and the batch's OWN partition excluded (the
+    * replay contract: a replay after a crash-post-write must not
+    * anti-join the batch against its own previously written rows).
+    */
+  private def priorIds(
+      spark: SparkSession,
+      root: String,
+      batchIds: DataFrame,
+      excludeBatchId: Long): DataFrame =
+    StoragePaths.prunedStore(spark, mediaPath(root), "media_id", batchIds,
+      StructType(Seq(StructField("media_id", LongType))),
+      Some(excludeBatchId), semiJoinKeys = false)
+
+  /** Drain the landing dir (Trigger.AvailableNow), appending each batch's
+    * NEW media to the bucketed catalog. `schema` is the landing relation's
+    * shape and must carry the [[CatalogSchema]] columns. Returns the
+    * accumulated catalog relation.
+    */
+  def run(
+      spark: SparkSession,
+      landingDir: String,
+      checkpointDir: String,
+      root: String,
+      schema: StructType,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    // fresh-era guard (the shared StoragePaths.hasEpochDirs contract): a
+    // new checkpoint era's batch ids restart at 0 and would overwrite the
+    // previous era's catalog batches — silently dropping served bytes.
+    // Re-entry is via MediaCatalogMaintenance's batch=-1 carry.
+    require(StoragePaths.exists(spark, checkpointDir) ||
+      !StoragePaths.hasEpochDirs(spark, mediaPath(root)),
+      s"MediaCatalogStore.run: fresh checkpoint $checkpointDir over " +
+        s"catalog $root which still holds batch>=0 directories — the new " +
+        "era would overwrite them; compact first (history belongs at " +
+        "batch=-1 before a fresh era)")
+    val q = spark.readStream.schema(schema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // one row per media_id even within the drain (a file and its
+          // re-crawl can land in the same AvailableNow batch)
+          val uniq = batch
+            .select(col("media_id"), col("media_type"), col("n_bytes"),
+              col("payload"))
+            .dropDuplicates("media_id")
+          // first write wins for a re-landed media_id, checked against
+          // only the touched id buckets (see priorIds)
+          val fresh = uniq.join(priorIds(spark, root, uniq, batchId),
+            Seq("media_id"), "left_anti")
+          StoragePaths.writeBucketedStoreBatch(spark, mediaPath(root),
+            fresh, "media_id", batchId, buckets,
+            legacyFlatFallback = false)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (StoragePaths.exists(spark, mediaPath(root)))
+      spark.read.parquet(mediaPath(root)).drop("batch", "id_bucket")
+    else emptyCatalog(spark)
+  }
+
   /** The catalog slice a feed's refs touch: the store read pruned to the
     * refs' id buckets (collecting at most `buckets` distinct bucket
     * numbers to the driver — the bounded collect of the ANN membership
-    * probe), with the leaf directories ENUMERATED explicitly so even the
-    * file LISTING is window-bounded — a plain partition-filtered read
-    * would still list every bucket dir of a catalog whose bucket count
-    * grew with its size (the chunk-store lesson,
-    * [[StoragePaths.readTouchedBuckets]]). Probe I/O is ∝ touched
-    * buckets, independent of catalog size — the property the soak's
-    * `media_fetch_probe` leg measures.
+    * probe), with the `batch=* / id_bucket=B` leaf directories ENUMERATED
+    * explicitly so even the file LISTING is window-bounded — a plain
+    * partition-filtered read would still list every bucket dir of a
+    * catalog whose bucket count grew with its size (the chunk-store
+    * lesson, [[StoragePaths.readTouchedBuckets]]; batch-dir count is
+    * bounded by compaction folding history into `batch=-1`). Probe I/O is
+    * ∝ touched buckets, independent of catalog size — the property the
+    * soak's `media_fetch_probe` leg measures. First-write-wins makes each
+    * media_id live in exactly one batch, so no cross-batch dedup is
+    * needed at read time.
     */
   def touchedCatalog(spark: SparkSession, root: String,
       feed: DataFrame): DataFrame = {
@@ -67,29 +181,14 @@ object MediaCatalogStore {
       .select(explode(col("media_slots")).as("s"))
       .select(IncrementalAnnIndex.idBucket(col("s.media_ref"), buckets)
         .as("id_bucket"))
-      .distinct().collect().map(_.getInt(0))
-    val fsPath = new org.apache.hadoop.fs.Path(path)
-    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val dirs = touched.toSeq
-      .map(b => new org.apache.hadoop.fs.Path(fsPath, s"id_bucket=$b"))
-      .filter(fs.exists(_)).map(_.toString)
-    if (dirs.isEmpty)
-      // static empty schema, never a limit(0) over the root read — that
-      // would partition-discover every bucket dir, re-paying the exact
-      // listing this function exists to bound
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("media_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("media_type",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_bytes",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("payload",
-            org.apache.spark.sql.types.BinaryType))))
-    else
-      spark.read.option("basePath", path).parquet(dirs: _*)
-        .select("media_id", "media_type", "n_bytes", "payload")
+      .distinct().collect().map(_.getInt(0)).toSeq
+    StoragePaths.readTouchedBuckets(spark, path, "id_bucket", touched)
+      // no touched leaf anywhere ⇒ no collision candidates — the typed
+      // empty frame, never a limit(0) over the root read (that would
+      // partition-discover every bucket dir, re-paying the exact listing
+      // this function exists to bound)
+      .fold(emptyCatalog(spark))(
+        _.select("media_id", "media_type", "n_bytes", "payload"))
   }
 
   /** The byte fetch against the store: [[Packing.fetchMediaPayloads]]'s
