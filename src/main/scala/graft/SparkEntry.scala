@@ -109,13 +109,21 @@ object SparkEntry {
   def prewarmShared(s: SparkSession, dir: String): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val marts = Future { dimSecurities(s, dir) } // int → fct → dim
       val curation = Future { curationAudit(s, dir) } // dupClusters → audit
+      // the walked-runbook stores: era migrations (text + mm) and the
+      // serving media catalog — stand-up cost is shared-build cost, so
+      // the battery rows time the fetch (see demoRoot)
+      val walks = Future {
+        eraWalkRoots(s, dir); eraWalkRootsMm(s, dir); mediaStoreRoot(s, dir)
+        ()
+      }
       Await.result(marts, Duration.Inf)
       Await.result(curation, Duration.Inf)
+      Await.result(walks, Duration.Inf)
       ()
     } finally pool.shutdown()
   }
@@ -231,30 +239,99 @@ object SparkEntry {
     ()
   }
 
+  /** Memoized DEMO STORE roots per (session, dir) — directories the
+    * battery's walked runbooks (the era migrations, the serving media
+    * catalog) stand up ONCE and every subsequent query only reads, the
+    * same materialize-once convention as [[memo]]. [[prewarmShared]]
+    * forces these too, so a bench run reports the walk/stand-up cost as
+    * `_mart_build` and the rows time the FETCH — matching every other
+    * `curate_*` row's semantics instead of charging two streaming drains
+    * to a "feed" line.
+    */
+  private val demoRoots =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+
+  private def demoRoot(s: SparkSession, dir: String, key: String)
+      (build: String => Unit): String = {
+    demoRoots.filterInPlace { case ((sess, _, _), _) =>
+      !sess.sparkContext.isStopped }
+    demoRoots.getOrElseUpdate((s, dir, key), {
+      val base = TempDirs.scratch(s"graft-$key").toString
+      build(base)
+      base
+    })
+  }
+
   /** The operated vocabulary-retrain migration, walked for the battery:
     * era 0 drains the even doc_ids under the FIXTURE vocabulary, the
     * retrain ships the TRAINED successor, era 1 repacks the odd doc_ids
     * under it via [[graft.streaming.PackingMigration.repackUnderVocab]],
     * and the combined feed serves every bin of both eras exactly once —
     * the most fumble-prone trainer-feed surface, oracle-checked
-    * cross-engine instead of only spec-asserted.
+    * cross-engine instead of only spec-asserted. The walk (two real
+    * incremental drains + the migration) runs once per battery in the
+    * memoized builder; the row serves the fetch.
     */
-  private def eraFeedDemo(s: SparkSession, dir: String): DataFrame = {
+  private def eraWalkRoots(s: SparkSession, dir: String): Seq[String] = {
     import graft.streaming.{IncrementalPacking, PackingMigration}
-    val docs = T.table(s, dir, "documents").select("doc_id", "text")
-    val base = TempDirs.scratch("graft-erafeed").toString
-    landOne(docs.filter("doc_id % 2 = 0"), s"$base/land0", "b0.parquet")
-    IncrementalPacking.run(s, s"$base/land0", s"$base/ckpt0",
-      s"$base/root0", docs.schema,
-      nTokensSql = TextAnalysis.subwordCountSqlWith(Portable.subwordVocab),
-      payloadVocab = Some(Portable.subwordVocab))
-    landOne(docs.filter("doc_id % 2 = 1"), s"$base/land1", "b1.parquet")
-    PackingMigration.repackUnderVocab(s, s"$base/root0", s"$base/root1",
-      s"$base/land1", s"$base/ckpt1", docs.schema,
-      Portable.trainedFixtureVocab)
-    PackingMigration.eraFeedChecked(
-      s, Seq(s"$base/root0", s"$base/root1"), epoch = 1)
+    val base = demoRoot(s, dir, "erafeed") { base =>
+      val docs = T.table(s, dir, "documents").select("doc_id", "text")
+      landOne(docs.filter("doc_id % 2 = 0"), s"$base/land0", "b0.parquet")
+      IncrementalPacking.run(s, s"$base/land0", s"$base/ckpt0",
+        s"$base/root0", docs.schema,
+        nTokensSql = TextAnalysis.subwordCountSqlWith(Portable.subwordVocab),
+        payloadVocab = Some(Portable.subwordVocab))
+      landOne(docs.filter("doc_id % 2 = 1"), s"$base/land1", "b1.parquet")
+      PackingMigration.repackUnderVocab(s, s"$base/root0", s"$base/root1",
+        s"$base/land1", s"$base/ckpt1", docs.schema,
+        Portable.trainedFixtureVocab)
+      ()
+    }
+    Seq(s"$base/root0", s"$base/root1")
   }
+
+  /** The MULTIMODAL era walk — the same two-era runbook with the media
+    * sidecar riding every stage: era 0 drains under the fixture
+    * vocabulary WITH the default carriage (placeholders priced,
+    * `_payloads` frozen to the mm mode), the migration carries the mode
+    * across the boundary (`repackUnderVocab` refuses a dropped or
+    * re-keyed sidecar), and the combined mm feed interleaves each era in
+    * its own unit. Strictly more fumble surface than the text walk —
+    * mode carry-over plus sidecar rebase across eras — which is exactly
+    * why it earns its own driver-checked row.
+    */
+  private def eraWalkRootsMm(s: SparkSession, dir: String): Seq[String] = {
+    import graft.streaming.{IncrementalPacking, PackingMigration}
+    val base = demoRoot(s, dir, "erafeedmm") { base =>
+      val docs = T.table(s, dir, "documents").select("doc_id", "text")
+      landOne(docs.filter("doc_id % 2 = 0"), s"$base/land0", "b0.parquet")
+      IncrementalPacking.run(s, s"$base/land0", s"$base/ckpt0",
+        s"$base/root0", docs.schema,
+        nTokensSql = Packing.mmTokensSqlWith(Portable.subwordVocab),
+        payloadVocab = Some(Portable.subwordVocab),
+        mmCarriageSql = Some(Packing.MediaCarriageSql))
+      landOne(docs.filter("doc_id % 2 = 1"), s"$base/land1", "b1.parquet")
+      PackingMigration.repackUnderVocab(s, s"$base/root0", s"$base/root1",
+        s"$base/land1", s"$base/ckpt1", docs.schema,
+        Portable.trainedFixtureVocab,
+        mmCarriageSql = Some(Packing.MediaCarriageSql))
+      ()
+    }
+    Seq(s"$base/root0", s"$base/root1")
+  }
+
+  /** The battery's SERVING media catalog: the fixture catalog landed in
+    * [[graft.streaming.MediaCatalogStore]]'s bucketed layout once per
+    * (session, dir), so the store-backed byte-fetch row hash-checks the
+    * PRUNED serving path cross-engine — the 100 TB layout itself, not
+    * just the relation form its sibling row proves.
+    */
+  private def mediaStoreRoot(s: SparkSession, dir: String): String =
+    demoRoot(s, dir, "mediastore") { base =>
+      graft.streaming.MediaCatalogStore.write(
+        Multimodal.media(T.table(s, dir, "documents")),
+        base, buckets = 64)
+    }
 
   /** The ad-hoc SQL surface proof: plain ANSI SQL over the registered mart
     * views, oracle-checked like every DataFrame query. Aggregates are
@@ -586,9 +663,24 @@ object SparkEntry {
     // catalog, fingerprinted per (reader, reader_pos, slot)
     "curate_reader_feed_bytes" -> ((s, dir) =>
       Packing.readerFeedBytesChecked(T.table(s, dir, "documents"))),
-    // the multi-era feed after an operated vocabulary-retrain migration:
-    // two real incremental drains, one combined era-salted fetch
-    "curate_era_feed" -> ((s, dir) => eraFeedDemo(s, dir)),
+    // the same last mile through the SERVING STORE: the fetch resolves
+    // refs against the bucketed, partition-pruned catalog layout — the
+    // oracle hash proves the pruned path serves the same bytes
+    "curate_reader_feed_bytes_store" -> ((s, dir) =>
+      Packing.bytesChecked(graft.streaming.MediaCatalogStore.fetch(
+        s, mediaStoreRoot(s, dir),
+        Packing.readerFeedMm(T.table(s, dir, "documents"))))),
+    // the multi-era feed after an operated vocabulary-retrain migration
+    // (roots stood up once in the memoized walk; the row serves the
+    // combined era-salted fetch)
+    "curate_era_feed" -> ((s, dir) =>
+      graft.streaming.PackingMigration.eraFeedChecked(
+        s, eraWalkRoots(s, dir), epoch = 1)),
+    // the mm era feed: mode carried across the retrain boundary, sidecar
+    // rebased per era, each era priced in its own unit
+    "curate_era_feed_mm" -> ((s, dir) =>
+      graft.streaming.PackingMigration.eraFeedMmChecked(
+        s, eraWalkRootsMm(s, dir), epoch = 1)),
     "quality_lm_model" -> ((s, dir) =>
       LmPerplexity.modelTable(T.table(s, dir, "documents"))),
     "quality_lm_ppl" -> ((s, dir) =>
@@ -945,7 +1037,11 @@ object SparkEntry {
     "curate_reader_feed" -> OO.CURATE_READER_FEED,
     "curate_reader_feed_mm" -> OO.CURATE_READER_FEED_MM,
     "curate_reader_feed_bytes" -> OO.CURATE_READER_FEED_BYTES,
+    // the store-backed fetch serves the same bytes as the relation form —
+    // same oracle, so a pruned-path divergence fails the hash
+    "curate_reader_feed_bytes_store" -> OO.CURATE_READER_FEED_BYTES,
     "curate_era_feed" -> OO.CURATE_ERA_FEED,
+    "curate_era_feed_mm" -> OO.CURATE_ERA_FEED_MM,
     "quality_lm_model" -> OO.QUALITY_LM_MODEL,
     "quality_lm_ppl" -> OO.QUALITY_LM_PPL,
     "quality_lm_select" -> OO.QUALITY_LM_SELECT,

@@ -462,17 +462,24 @@ object Packing {
       .select("reader", "reader_pos", "shard", "bin", "slot", "media_ref",
         "media_type", "n_bytes", "payload")
 
+  /** A fetched byte feed in the battery's checked form — the payload
+    * reported as the md5 of its lowercase hex (the [[Multimodal.catalog]]
+    * fingerprint convention: the catalog's payloads are deterministic md5
+    * chunks, so the hash check proves the right BYTES landed on the right
+    * slot cross-engine). ONE spelling shared by the relation-form row and
+    * the store-backed row, so the two cannot drift.
+    */
+  def bytesChecked(fetched: DataFrame): DataFrame =
+    fetched.selectExpr("reader", "reader_pos", "shard", "bin", "slot",
+      "media_ref", "media_type", "n_bytes",
+      "md5(lower(hex(payload))) AS payload_md5")
+
   /** [[fetchMediaPayloads]] over [[readerFeedMm]] in the battery's
-    * checked form — the payload reported as the md5 of its lowercase
-    * hex (the [[Multimodal.catalog]] fingerprint convention: the
-    * catalog's payloads are deterministic md5 chunks, so the hash check
-    * proves the right BYTES landed on the right slot cross-engine).
+    * checked form (see [[bytesChecked]]).
     */
   def readerFeedBytesChecked(docs: DataFrame): DataFrame =
-    fetchMediaPayloads(readerFeedMm(docs), Multimodal.media(docs))
-      .selectExpr("reader", "reader_pos", "shard", "bin", "slot",
-        "media_ref", "media_type", "n_bytes",
-        "md5(lower(hex(payload))) AS payload_md5")
+    bytesChecked(
+      fetchMediaPayloads(readerFeedMm(docs), Multimodal.media(docs)))
 
   /** The BIN MANIFEST — per-document span coordinates inside each bin's
     * concatenated stream: `(shard, bin, doc_id, span_start, span_len)`,

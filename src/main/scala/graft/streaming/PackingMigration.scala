@@ -227,6 +227,20 @@ object PackingMigration {
     eraDealFetch(eraPayloadStreamsMm(spark, roots, pins), epoch, readers,
       Seq("input_ids", "media_slots"))
 
+  /** [[eraFeedMm]] in the battery's checked string form — ids joined
+    * '-', slots as '-'-joined `slot:media_ref` pairs in slot order (the
+    * [[graft.ops.Packing.binPayloadsMmChecked]] convention).
+    */
+  def eraFeedMmChecked(spark: SparkSession, roots: Seq[String], epoch: Int,
+      readers: Int = Packing.Readers): DataFrame =
+    eraFeedMm(spark, roots, epoch, readers)
+      .selectExpr("era", "reader", "reader_pos", "shard", "bin", "n_docs",
+        "bin_tokens", "order_hash",
+        "array_join(input_ids, '-') AS input_ids_str",
+        "array_join(transform(media_slots, s -> concat(" +
+          "CAST(s.slot AS STRING), ':', CAST(s.media_ref AS STRING))), " +
+          "'-') AS media_slots_str")
+
   /** The era-salted deal + single payload fetch under [[eraFeed]] /
     * [[eraFeedMm]] — ONE spelling of the multi-era serving math, so the
     * text and mm feeds cannot drift. The planning leg is id-width (column

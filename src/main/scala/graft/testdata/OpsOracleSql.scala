@@ -2485,6 +2485,73 @@ object OpsOracleSql {
        |FROM eh""".stripMargin
   }
 
+  /** Mirrors `PackingMigration.eraFeedMmChecked` over the battery's mm
+    * two-era stand-up — the [[CURATE_ERA_FEED]] walk with the media
+    * sidecar riding every stage: per era, image-carrying docs
+    * (`doc_id % 3 = 0`) prepend one `-1` placeholder that prices one
+    * budget token, the sidecar lists stream-relative `(slot, media_ref)`
+    * pairs, and the combined deal is salted with (epoch, era, shard,
+    * bin). `bin_tokens` and the slots are priced/positioned in each
+    * era's own unit — the id spaces are different languages and never
+    * mix inside one bin.
+    */
+  val CURATE_ERA_FEED_MM: String = {
+    val readers = graft.ops.Packing.Readers
+    def eraChainMm(cp: String, vocab: Seq[String], filt: String): String = {
+      val rel = s"(SELECT * FROM documents WHERE $filt)"
+      s"""${subwordChainFor(vocab, cp, rel)},
+         |${subwordDocIdsCtes(cp, rel)},
+         |${cp}per_doc AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN d.doc_id % 3 = 0
+         |              THEN [CAST(-1 AS BIGINT)] ||
+         |                   coalesce(di.input_ids, CAST([] AS BIGINT[]))
+         |              ELSE coalesce(di.input_ids, CAST([] AS BIGINT[]))
+         |         END AS input_ids
+         |  FROM $rel d LEFT JOIN ${cp}doc_ids di USING (doc_id)
+         |),
+         |${packChainFrom(
+        s"""
+           |  SELECT doc_id,
+           |         ${hexcastDuck("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard,
+           |         CAST(len(input_ids) AS BIGINT) AS n_tokens
+           |  FROM ${cp}per_doc""".stripMargin, cp)},
+         |${cp}mm_based AS (
+         |  SELECT pb.*,
+         |         pb.bin_offset - min(pb.bin_offset)
+         |           OVER (PARTITION BY pb.shard, pb.bin) AS slot
+         |  FROM ${cp}pk_bins pb),
+         |${cp}pay AS (
+         |  SELECT mb.shard, mb.bin,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(mb.n_tokens) AS BIGINT) AS bin_tokens,
+         |    array_to_string(flatten(list(pd.input_ids ORDER BY pd.doc_id)), '-')
+         |      AS input_ids_str,
+         |    coalesce(array_to_string(
+         |      list(CAST(mb.slot AS VARCHAR) || ':' || CAST(mb.doc_id AS VARCHAR)
+         |           ORDER BY mb.slot, mb.doc_id)
+         |        FILTER (WHERE mb.doc_id % 3 = 0), '-'), '') AS media_slots_str
+         |  FROM ${cp}mm_based mb JOIN ${cp}per_doc pd USING (doc_id)
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    s"""WITH RECURSIVE ${eraChainMm("e0", subwordVocab, "doc_id % 2 = 0")},
+       |${eraChainMm("e1", trainedFixtureVocab, "doc_id % 2 = 1")},
+       |eras AS (
+       |  SELECT CAST(0 AS BIGINT) AS era, * FROM e0pay
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT) AS era, * FROM e1pay),
+       |eh AS (
+       |  SELECT *,
+       |    ${hexcastDuck("concat('epoch:1:', CAST(era AS VARCHAR), ':', CAST(shard AS VARCHAR), ':', CAST(bin AS VARCHAR))")} AS order_hash
+       |  FROM eras)
+       |SELECT era, order_hash % $readers AS reader,
+       |       CAST(row_number() OVER (PARTITION BY order_hash % $readers
+       |         ORDER BY order_hash, era, shard, bin) AS BIGINT) AS reader_pos,
+       |       shard, bin, n_docs, bin_tokens, order_hash, input_ids_str,
+       |       media_slots_str
+       |FROM eh""".stripMargin
+  }
+
   /** Mirrors SparkEntry's ad-hoc `sql_nb_by_lang` over the registered
     * score view — order-independent aggregates only.
     */
