@@ -83,6 +83,13 @@ class EmptyInputSpec extends SparkSpec {
       spark, "/tmp/graft-nowhere-mm").count() == 0)
     assert(graft.streaming.IncrementalPacking.binManifest(
       spark, "/tmp/graft-nowhere-mm").count() == 0)
+    // an EXPLICIT pin over the absent store takes the same empty-store
+    // degrade as the defaulted one, never an AnalysisException from the
+    // raw parquet read (both readers share the binsUpTo guard)
+    assert(graft.streaming.IncrementalPacking.binManifest(
+      spark, "/tmp/graft-nowhere-mm", upToBatch = Some(3L)).count() == 0)
+    assert(graft.streaming.IncrementalPacking.epochPlanAt(
+      spark, "/tmp/graft-nowhere-mm", 1, upToBatch = Some(3L)).count() == 0)
     assert(Dedup.boilerplateChunks(d).count() == 0)
     assert(Dedup.boilerplateDocs(d).count() == 0)
     // the one-row stats reports read 0, never NULL, on an occurrence-free
