@@ -743,6 +743,23 @@ class PlanSpec extends SparkSpec {
       feed.filter(col("reader") === 0).localCheckpoint(),
       graft.ops.Multimodal.media(docs))
     assert(one.filter(col("reader") =!= 0).count() == 0)
+    // the STORE-backed fetch keeps the same byte discipline: the catalog
+    // side is a pruned parquet read instead of the media expression, and
+    // bytes still cross at most one exchange, never beside input_ids
+    val catRoot = java.nio.file.Files
+      .createTempDirectory("plan-mcat").toString
+    graft.streaming.MediaCatalogStore.write(
+      graft.ops.Multimodal.media(docs), catRoot, buckets = 8)
+    val sp = initial(graft.streaming.MediaCatalogStore.fetch(
+      spark, catRoot, feed.localCheckpoint()))
+    val sEx = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(sEx.count(binary) <= 1,
+      sEx.map(_.child.output.map(a => s"${a.name}:${a.dataType}")
+        .mkString("[", ",", "]")).mkString("\n") + "\n" + sp.toString)
+    assert(!sEx.exists(e => binary(e) &&
+      e.child.output.exists(_.name == "input_ids")), sp.toString)
   }
 
   test("incremental packing batch: cursor broadcast, one batch shuffle, local sort") {
