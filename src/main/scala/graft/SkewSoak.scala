@@ -690,16 +690,8 @@ object SkewSoak {
         mediaRows(0L, n - drainN), root,
         buckets = math.max(16, (n / 1500).toInt))
       // land the tail as one streamed batch and drain it in
-      val land = java.nio.file.Files
-        .createDirectories(java.nio.file.Paths.get(s"$root/land"))
-      val stage = TempDirs.scratch("soak-mcat-stage")
-      mediaRows(n - drainN, n).coalesce(1)
-        .write.mode("overwrite").parquet(stage.toString)
-      import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(stage).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part, land.resolve("b0.parquet"))
-      graft.streaming.MediaCatalogStore.run(spark, land.toString,
+      TempDirs.landOne(mediaRows(n - drainN, n), s"$root/land", "b0.parquet")
+      graft.streaming.MediaCatalogStore.run(spark, s"$root/land",
         s"$root/ck", root, mediaRows(0L, 1L).schema)
       val window = spark.range(mfBatch.toLong).select(
         lit(0L).as("reader"), (col("id") + 1L).as("reader_pos"),

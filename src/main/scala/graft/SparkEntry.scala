@@ -109,22 +109,22 @@ object SparkEntry {
   def prewarmShared(s: SparkSession, dir: String): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val marts = Future { dimSecurities(s, dir) } // int → fct → dim
-      val curation = Future { curationAudit(s, dir) } // dupClusters → audit
-      // the walked-runbook stores: era migrations (text + mm) and the
-      // serving media catalog — stand-up cost is shared-build cost, so
-      // the battery rows time the fetch (see demoRoot)
-      val walks = Future {
-        eraWalkRoots(s, dir); eraWalkRootsMm(s, dir); mediaStoreRoot(s, dir)
-        ()
-      }
-      Await.result(marts, Duration.Inf)
-      Await.result(curation, Duration.Inf)
-      Await.result(walks, Duration.Inf)
-      ()
+      // the walked-runbook stores (era migrations text + mm, the serving
+      // media catalog) are mutually independent like the two relation
+      // legs — distinct demoRoot keys, disjoint inputs — so each gets
+      // its own future: _mart_build pays the max of the stand-ups, not
+      // the sum. Stand-up cost is shared-build cost by design (demoRoot);
+      // the battery rows time the fetch.
+      val legs = Seq(
+        Future { dimSecurities(s, dir); () }, // int → fct → dim
+        Future { curationAudit(s, dir); () }, // dupClusters → audit
+        Future { eraWalkRoots(s, dir); () },
+        Future { eraWalkRootsMm(s, dir); () },
+        Future { mediaStoreRoot(s, dir); () })
+      legs.foreach(Await.result(_, Duration.Inf))
     } finally pool.shutdown()
   }
 
@@ -222,22 +222,11 @@ object SparkEntry {
       |GROUP BY source, split
       |ORDER BY source, split""".stripMargin
 
-  /** Land one parquet FILE for a streaming file source (which does not
-    * recurse into the directory a DataFrame write produces) — the
-    * [[queries]]-side twin of the spec helper, used by the era-feed
-    * battery row to stand up real incremental drains.
+  /** The shared landing idiom (see [[TempDirs.landOne]]) — used by the
+    * era-walk builders to stand up real incremental drains.
     */
-  private def landOne(df: DataFrame, landing: String, name: String): Unit = {
-    val stage = TempDirs.scratch("graft-land")
-    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    import scala.jdk.CollectionConverters._
-    val part = java.nio.file.Files.list(stage).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
-    java.nio.file.Files.copy(part, java.nio.file.Paths.get(landing, name),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+  private def landOne(df: DataFrame, landing: String, name: String): Unit =
+    TempDirs.landOne(df, landing, name)
 
   /** Memoized DEMO STORE roots per (session, dir) — directories the
     * battery's walked runbooks (the era migrations, the serving media

@@ -37,4 +37,24 @@ object TempDirs {
     created.add(p)
     p
   }
+
+  /** Land one parquet FILE for a streaming file source (which does not
+    * recurse into the directory a DataFrame write produces): stage the
+    * frame as a single-part directory in scratch space, then copy the
+    * part file into the landing dir under `name`. The ONE spelling of
+    * the idiom — the battery's walked runbooks, the soak's drain-grown
+    * stores, and the specs all land through here.
+    */
+  def landOne(df: org.apache.spark.sql.DataFrame, landing: String,
+      name: String): Unit = {
+    val stage = scratch("graft-land")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(landing, name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 }

@@ -545,10 +545,13 @@ object Pq {
     // must EQUAL the default k, not merely fit under it: a relation
     // searched at a SMALLER k would pass a <= check and be graded
     // against default-k floors — a spurious low-recall violation, the
-    // exact wrong-verdict the probe exists to refuse (any default-k
-    // search over a non-degenerate corpus fills rank k for some query;
-    // a corpus too small to do so degrades through the empty contract
-    // upstream, never through a partial ranking)
+    // exact wrong-verdict the probe exists to refuse. The refusal is
+    // deliberately strict: a default-configuration search over a corpus
+    // too small to fill rank k (fewer than k candidates per query) also
+    // refuses here, because the floors are calibrated at k neighbors
+    // and grading a partial ranking against them is exactly as wrong as
+    // grading a small-k search — at that corpus scale the gate is not a
+    // meaningful measurement, and a loud refusal beats a junk verdict
     val anySuppliedEmpty = supplied.flatMap(_._2).exists { df =>
       val m = df.agg(max("rank")).head()
       if (!m.isNullAt(0)) require(m.getInt(0) == Similarity.TopK,

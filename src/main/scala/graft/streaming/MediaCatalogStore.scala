@@ -127,6 +127,21 @@ object MediaCatalogStore {
         s"catalog $root which still holds batch>=0 directories — the new " +
         "era would overwrite them; compact first (history belongs at " +
         "batch=-1 before a fresh era)")
+    // a crashed write() leaves batch=-1 data WITHOUT its marker; the
+    // bucket count the bootstrap hashed with is then unknowable, and
+    // draining would stamp the default over it — the membership probe
+    // and the pruned fetch would silently look in the wrong partitions.
+    // Refuse loudly: errorifexists already blocks a blind write() retry,
+    // so the recovery is delete-and-rewrite the bootstrap.
+    require(IncrementalAnnIndex.bucketCount(spark, mediaPath(root)).isDefined ||
+      !StoragePaths.exists(spark,
+        s"${mediaPath(root)}/batch=${StoreMaintenance.CompactedBatch}"),
+      s"MediaCatalogStore.run: catalog $root holds bootstrap data " +
+        s"(batch=${StoreMaintenance.CompactedBatch}) without its " +
+        s"${IncrementalAnnIndex.IdBucketsMarker} marker — a crashed " +
+        "write(); delete the partial bootstrap and rewrite it before " +
+        "draining (stamping a default count over unknown-bucketed data " +
+        "would corrupt the pruned probes)")
     val q = spark.readStream.schema(schema).parquet(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -183,12 +198,25 @@ object MediaCatalogStore {
         .as("id_bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
     StoragePaths.readTouchedBuckets(spark, path, "id_bucket", touched)
-      // no touched leaf anywhere ⇒ no collision candidates — the typed
-      // empty frame, never a limit(0) over the root read (that would
-      // partition-discover every bucket dir, re-paying the exact listing
-      // this function exists to bound)
-      .fold(emptyCatalog(spark))(
-        _.select("media_id", "media_type", "n_bytes", "payload"))
+      .map(_.select("media_id", "media_type", "n_bytes", "payload"))
+      // no touched batch=*/bucket leaf anywhere: either a genuinely
+      // untouched store (the typed empty frame — never a limit(0) over
+      // the root read, which would partition-discover every bucket dir
+      // and re-pay the exact listing this function exists to bound), or
+      // a LEGACY pre-drain catalog whose id_bucket leaves sit directly
+      // under media/ with no batch= level — serve those with the same
+      // touched-leaf enumeration rather than silently fetching nothing
+      .orElse {
+        val fsPath = new org.apache.hadoop.fs.Path(path)
+        val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val legacy = touched
+          .map(b => new org.apache.hadoop.fs.Path(fsPath, s"id_bucket=$b"))
+          .filter(fs.exists(_)).map(_.toString)
+        if (legacy.isEmpty) None
+        else Some(spark.read.option("basePath", path).parquet(legacy: _*)
+          .select("media_id", "media_type", "n_bytes", "payload"))
+      }
+      .getOrElse(emptyCatalog(spark))
   }
 
   /** The byte fetch against the store: [[Packing.fetchMediaPayloads]]'s

@@ -144,6 +144,49 @@ class MediaCatalogStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("fresh checkpoint"))
   }
 
+  test("a legacy flat catalog (pre-drain layout) still serves through the pruned fetch") {
+    // the old one-shot layout: id_bucket leaves DIRECTLY under media/,
+    // no batch= level — a store persisted before the append path landed
+    val base = Files.createTempDirectory("mcat-legacy").toString
+    val buckets = 8
+    media.select(col("media_id"), col("media_type"), col("n_bytes"),
+        col("payload"))
+      .withColumn("id_bucket",
+        IncrementalAnnIndex.idBucket(col("media_id"), buckets))
+      .repartition(col("id_bucket"))
+      .write.partitionBy("id_bucket")
+      .parquet(MediaCatalogStore.mediaPath(s"$base/root"))
+    StoragePaths.writeSmallFile(spark,
+      s"${MediaCatalogStore.mediaPath(s"$base/root")}/" +
+        IncrementalAnnIndex.IdBucketsMarker, buckets.toString)
+    val window = windowOf(Seq(1L, 42L, 99L)).localCheckpoint()
+    assert(fetchRows(MediaCatalogStore.fetch(spark, s"$base/root", window))
+      == fetchRows(Packing.fetchMediaPayloads(window, media)))
+  }
+
+  test("a crashed bootstrap (data without marker) refuses the drain loudly") {
+    val base = Files.createTempDirectory("mcat-crash").toString
+    // simulate write() dying between the data write and the marker write
+    MediaCatalogStore.write(media.filter("media_id < 40"),
+      s"$base/root", buckets = 20)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      MediaCatalogStore.mediaPath(s"$base/root"),
+      IncrementalAnnIndex.IdBucketsMarker))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      MediaCatalogStore.mediaPath(s"$base/root"),
+      "." + IncrementalAnnIndex.IdBucketsMarker + ".crc"))
+    val land = Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/land"))
+    landParquet(land, "b0.parquet", media.filter("media_id >= 40"))
+    // draining would stamp the DEFAULT bucket count over data hashed at
+    // 20 — the probe/fetch would silently look in the wrong partitions
+    val e = intercept[IllegalArgumentException] {
+      MediaCatalogStore.run(spark, land.toString, s"$base/ck",
+        s"$base/root", media.schema)
+    }
+    assert(e.getMessage.contains("without its"))
+  }
+
   test("maintenance carries the bytes and re-sizes buckets; a fresh era continues over the generation") {
     val base = Files.createTempDirectory("mcat-maint").toString
     val land = Files.createDirectories(

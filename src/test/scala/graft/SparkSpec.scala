@@ -19,18 +19,10 @@ trait SparkSpec extends AnyFunSuite {
 
   lazy val sf: String = sys.env.getOrElse("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
-  /** Land one parquet FILE for a streaming file source (which does not
-    * recurse into the directory a DataFrame write produces).
+  /** Land one parquet FILE for a streaming file source — the shared
+    * [[TempDirs.landOne]] idiom (scratch staging swept at exit).
     */
   def landParquet(landing: java.nio.file.Path, name: String,
-      df: org.apache.spark.sql.DataFrame): Unit = {
-    import scala.jdk.CollectionConverters._
-    val stage = java.nio.file.Files.createTempDirectory("land-stage")
-      .resolve("d")
-    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = java.nio.file.Files.list(stage).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
-    java.nio.file.Files.copy(part, landing.resolve(name),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+      df: org.apache.spark.sql.DataFrame): Unit =
+    TempDirs.landOne(df, landing.toString, name)
 }

@@ -75,7 +75,11 @@ doc = {
     "gross_ratio": round(min(cur_secs) / min(prev_secs), 4),
     # kept as an alias so older trend tooling keeps reading the pair
     "same_host_ratio": round(min(cur_secs) / min(prev_secs), 4),
-    "carried_ratio": round(carried_cur / carried_prev, 4),
+    # None (JSON null) when the intersection is empty/all-zero — e.g. a
+    # prev ref whose rows all errored; never a ZeroDivisionError after
+    # both sides' expensive runs already happened
+    "carried_ratio": (round(carried_cur / carried_prev, 4)
+                      if carried_prev > 0 else None),
     "carried_n": len(carried),
     "carried_cur_sec": round(carried_cur, 2),
     "carried_prev_sec": round(carried_prev, 2),
