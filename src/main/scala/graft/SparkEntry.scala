@@ -309,6 +309,15 @@ object SparkEntry {
     Seq(s"$base/root0", s"$base/root1")
   }
 
+  /** The battery's one mm trainer feed — shared by the mm-feed row and
+    * all three byte-fetch rows (relation-form, store-backed full-epoch,
+    * store-backed window), so the corpus is interleave-encoded once per
+    * battery instead of once per row (the [[memo]] convention).
+    */
+  private def mmFeed(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mmfeed")(
+      Packing.readerFeedMm(T.table(s, dir, "documents")))
+
   /** The battery's SERVING media catalog: the fixture catalog landed in
     * [[graft.streaming.MediaCatalogStore]]'s bucketed layout once per
     * (session, dir), so the store-backed byte-fetch row hash-checks the
@@ -647,18 +656,26 @@ object SparkEntry {
     // the vision-language loader's fetch: the media sidecar rides the
     // same single payload join as the id streams
     "curate_reader_feed_mm" -> ((s, dir) =>
-      Packing.readerFeedMmChecked(T.table(s, dir, "documents"))),
+      Packing.readerFeedMmCheckedFrom(mmFeed(s, dir))),
     // the last mile: each fetched slot's media BYTES resolved against the
     // catalog, fingerprinted per (reader, reader_pos, slot)
     "curate_reader_feed_bytes" -> ((s, dir) =>
-      Packing.readerFeedBytesChecked(T.table(s, dir, "documents"))),
+      Packing.bytesChecked(Packing.fetchMediaPayloads(mmFeed(s, dir),
+        Multimodal.media(T.table(s, dir, "documents"))))),
     // the same last mile through the SERVING STORE: the fetch resolves
     // refs against the bucketed, partition-pruned catalog layout — the
     // oracle hash proves the pruned path serves the same bytes
     "curate_reader_feed_bytes_store" -> ((s, dir) =>
       Packing.bytesChecked(graft.streaming.MediaCatalogStore.fetch(
+        s, mediaStoreRoot(s, dir), mmFeed(s, dir)))),
+    // the loader's ACTUAL 100 TB shape: ONE reader's position window
+    // through the store — the fetch the pruned layout exists for (a
+    // handful of refs resolve without scanning the catalog), its bytes
+    // hash-checked cross-engine like the full-epoch rows
+    "curate_reader_feed_bytes_window" -> ((s, dir) =>
+      Packing.bytesChecked(graft.streaming.MediaCatalogStore.fetch(
         s, mediaStoreRoot(s, dir),
-        Packing.readerFeedMm(T.table(s, dir, "documents"))))),
+        mmFeed(s, dir).filter("reader = 0 AND reader_pos <= 5")))),
     // the multi-era feed after an operated vocabulary-retrain migration
     // (roots stood up once in the memoized walk; the row serves the
     // combined era-salted fetch)
@@ -1029,6 +1046,7 @@ object SparkEntry {
     // the store-backed fetch serves the same bytes as the relation form —
     // same oracle, so a pruned-path divergence fails the hash
     "curate_reader_feed_bytes_store" -> OO.CURATE_READER_FEED_BYTES,
+    "curate_reader_feed_bytes_window" -> OO.CURATE_READER_FEED_BYTES_WINDOW,
     "curate_era_feed" -> OO.CURATE_ERA_FEED,
     "curate_era_feed_mm" -> OO.CURATE_ERA_FEED_MM,
     "quality_lm_model" -> OO.QUALITY_LM_MODEL,

@@ -420,14 +420,21 @@ object Packing {
       .select("reader", "reader_pos", "shard", "bin", "n_docs",
         "bin_tokens", "order_hash", "input_ids", "media_slots")
 
-  /** [[readerFeedMm]] in the battery's checked string form. */
-  def readerFeedMmChecked(docs: DataFrame): DataFrame =
-    readerFeedMm(docs).selectExpr("reader", "reader_pos", "shard", "bin",
+  /** An mm feed relation in the battery's checked string form — shared
+    * by the one-call [[readerFeedMmChecked]] and the battery's memoized
+    * feed (built once, read by the mm-feed row AND the byte-fetch rows).
+    */
+  def readerFeedMmCheckedFrom(feed: DataFrame): DataFrame =
+    feed.selectExpr("reader", "reader_pos", "shard", "bin",
       "n_docs", "bin_tokens", "order_hash",
       "array_join(input_ids, '-') AS input_ids_str",
       "array_join(transform(media_slots, s -> concat(" +
         "CAST(s.slot AS STRING), ':', CAST(s.media_ref AS STRING))), '-')" +
         " AS media_slots_str")
+
+  /** [[readerFeedMm]] in the battery's checked string form. */
+  def readerFeedMmChecked(docs: DataFrame): DataFrame =
+    readerFeedMmCheckedFrom(readerFeedMm(docs))
 
   /** The LAST MILE of the vision-language loader — resolve a fetched
     * feed's media refs against the catalog and serve the actual payload

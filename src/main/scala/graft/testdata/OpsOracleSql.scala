@@ -2435,6 +2435,16 @@ object OpsOracleSql {
        |WHERE mb.doc_id % 3 = 0""".stripMargin
   }
 
+  /** Mirrors the battery's WINDOW byte fetch — one reader's first five
+    * positions through the serving store. The window predicate wraps the
+    * full [[CURATE_READER_FEED_BYTES]] derivation (DuckDB allows CTEs
+    * inside a derived table), so the two rows cannot drift.
+    */
+  val CURATE_READER_FEED_BYTES_WINDOW: String =
+    s"""SELECT * FROM (
+       |$CURATE_READER_FEED_BYTES
+       |) w WHERE reader = 0 AND reader_pos <= 5""".stripMargin
+
   /** Mirrors `PackingMigration.eraFeedChecked` over the battery's
     * two-era stand-up (even doc_ids packed under the FIXTURE vocabulary,
     * odd doc_ids under the TRAINED successor via `repackUnderVocab`):
