@@ -27,10 +27,15 @@ import graft.ops.Packing
   * as the catalog grows.
   *
   * Re-landed media_ids (a re-crawl) are IGNORED — first write wins,
-  * exactly the [[IncrementalAnnIndex]] `add` semantics (replacing a
-  * byte payload mid-corpus needs an explicit remove+add runbook): the
-  * membership check is a media_id anti-join against only the batch's
-  * touched id buckets. Exactly-once follows the house pattern:
+  * exactly the [[IncrementalAnnIndex]] `add` semantics: the membership
+  * check is a media_id anti-join against only the batch's touched id
+  * buckets. REMOVAL is operated, not implied: [[MediaCatalogMaintenance
+  * .retract]] rewrites the generation without the taken-down bytes and
+  * tombstones the ids ([[tombstonesPath]]) so a later re-crawl cannot
+  * re-admit them — the admission guard below consults the ledger with
+  * the same pruned probe. Replacing a payload is retract-then-clear
+  * territory and deliberately NOT a one-call path: a catalog serving
+  * trainers must not silently swap bytes under shipped epoch plans. Exactly-once follows the house pattern:
   * checkpointed file tracking + per-batch overwrite directories; the
   * membership read excludes the batch's own partition so an
   * at-least-once replay rewrites identical rows.
@@ -39,10 +44,20 @@ object MediaCatalogStore {
 
   def mediaPath(root: String): String = s"$root/media"
 
+  /** Retracted media_ids — the TAKEDOWN ledger ([[MediaCatalogMaintenance
+    * .retract]]): ids whose bytes were removed from the catalog and must
+    * STAY removed, because first-write-wins alone would let the next
+    * re-crawl of the same asset re-admit the taken-down bytes. Laid out
+    * like the catalog itself (id-bucketed, `_id_buckets` marker), so the
+    * drain's guard reads only the batch's touched buckets.
+    */
+  def tombstonesPath(root: String): String = s"$root/tombstones"
+
   /** The family's store list — what [[MediaCatalogMaintenance]] pins its
     * carry against, so a store added here cannot silently miss it.
     */
-  def storePaths(root: String): Seq[String] = Seq(mediaPath(root))
+  def storePaths(root: String): Seq[String] =
+    Seq(mediaPath(root), tombstonesPath(root))
 
   /** Default id-bucket count for a fresh store (the fresh-store seed
     * only — the store's actual count lives in its marker, and
@@ -122,7 +137,7 @@ object MediaCatalogStore {
     // previous era's catalog batches — silently dropping served bytes.
     // Re-entry is via MediaCatalogMaintenance's batch=-1 carry.
     require(StoragePaths.exists(spark, checkpointDir) ||
-      !StoragePaths.hasEpochDirs(spark, mediaPath(root)),
+      storePaths(root).forall(p => !StoragePaths.hasEpochDirs(spark, p)),
       s"MediaCatalogStore.run: fresh checkpoint $checkpointDir over " +
         s"catalog $root which still holds batch>=0 directories — the new " +
         "era would overwrite them; compact first (history belongs at " +
@@ -154,9 +169,20 @@ object MediaCatalogStore {
               col("payload"))
             .dropDuplicates("media_id")
           // first write wins for a re-landed media_id, checked against
-          // only the touched id buckets (see priorIds)
-          val fresh = uniq.join(priorIds(spark, root, uniq, batchId),
-            Seq("media_id"), "left_anti")
+          // only the touched id buckets (see priorIds); TAKEN-DOWN ids
+          // are refused the same way — a tombstone outlives the bytes it
+          // removed, so a re-crawl of a retracted asset cannot re-admit
+          // it (the guard that makes retraction a takedown, not a gap
+          // the next drain fills back in). Both probes are
+          // touched-bucket pruned.
+          val fresh = uniq
+            .join(priorIds(spark, root, uniq, batchId),
+              Seq("media_id"), "left_anti")
+            .join(StoragePaths.prunedStore(spark, tombstonesPath(root),
+              "media_id", uniq,
+              StructType(Seq(StructField("media_id", LongType))),
+              excludeBatchId = None, semiJoinKeys = false),
+              Seq("media_id"), "left_anti")
           StoragePaths.writeBucketedStoreBatch(spark, mediaPath(root),
             fresh, "media_id", batchId, buckets,
             legacyFlatFallback = false)

@@ -187,6 +187,63 @@ class MediaCatalogStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("without its"))
   }
 
+  test("retraction removes the bytes, tombstones hold across re-crawls and compactions") {
+    import graft.streaming.StoreMaintenance
+    val base = Files.createTempDirectory("mcat-retract").toString
+    MediaCatalogStore.write(media, s"$base/flat", buckets = 8)
+    val genRoot = s"$base/gen"
+    MediaCatalogMaintenance.adopt(spark, genRoot, s"$base/flat")
+
+    // takedown: ids 3 and 33 (plus 9999, a not-yet-crawled asset whose
+    // takedown arrives before the crawl does)
+    import spark.implicits._
+    val gone = MediaCatalogMaintenance.retract(spark, genRoot,
+      Seq(3L, 33L, 9999L).toDF("media_id"))
+    val window = windowOf(Seq(2L, 3L, 33L, 40L)).localCheckpoint()
+    val served = fetchRows(MediaCatalogStore.fetch(spark, gone, window))
+    // the retracted refs serve NOTHING; the rest serve the same bytes
+    assert(served.map(_._4).toSet == Set(2L, 40L))
+    assert(served == fetchRows(Packing.fetchMediaPayloads(
+      window, media.filter("media_id IN (2, 40)"))))
+    assert(spark.read.parquet(MediaCatalogStore.mediaPath(gone))
+      .count() == media.count() - 2)
+
+    // a re-crawl lands the taken-down asset again (plus the pre-crawl
+    // one and a genuinely new id) under a fresh era over the generation:
+    // tombstoned ids are refused admission, the new id lands
+    val land = Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/land"))
+    val newDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").filter("doc_id >= 120 AND doc_id < 125")
+    landParquet(land, "b0.parquet",
+      media.filter("media_id IN (3, 33)")
+        .unionByName(Multimodal.media(newDocs))
+        .unionByName(media.filter("media_id = 5")
+          .withColumn("media_id", lit(9999L))))
+    MediaCatalogStore.run(spark, land.toString, s"$base/ck", gone,
+      media.schema)
+    val after = spark.read.parquet(MediaCatalogStore.mediaPath(gone))
+    assert(after.filter("media_id IN (3, 33, 9999)").count() == 0,
+      "a tombstoned id must never re-enter the catalog")
+    assert(after.filter("media_id >= 120").count() == 5)
+
+    // the ledger survives a routine compaction, and so does the refusal
+    val compacted = MediaCatalogMaintenance.compact(spark, genRoot)
+    assert(spark.read.parquet(MediaCatalogStore.tombstonesPath(compacted))
+      .select("media_id").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 33L, 9999L))
+    val land2 = Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/land2"))
+    landParquet(land2, "b0.parquet", media.filter("media_id = 3"))
+    MediaCatalogStore.run(spark, land2.toString, s"$base/ck2", compacted,
+      media.schema)
+    assert(spark.read.parquet(MediaCatalogStore.mediaPath(compacted))
+      .filter("media_id = 3").count() == 0)
+    // retraction is complete once superseded generations are vacuumed —
+    // the stale list names every pre-retraction copy of the bytes
+    assert(StoreMaintenance.staleGenerations(spark, genRoot).size == 2)
+  }
+
   test("maintenance carries the bytes and re-sizes buckets; a fresh era continues over the generation") {
     val base = Files.createTempDirectory("mcat-maint").toString
     val land = Files.createDirectories(
