@@ -552,6 +552,25 @@ object Packing {
         .select("shard", "bin", "doc_spans"),
       Seq("shard", "bin"))
 
+  /** DOCUMENT retraction over SHIPPED bins — the span-side half of the
+    * takedown story ([[graft.streaming.MediaCatalogMaintenance.retract]]
+    * owns the byte side): packed bins are immutable by design (trainers
+    * hold epoch plans over them), so removing a document from a shipped
+    * corpus means MASKING its span, not re-packing — the loader zeroes
+    * the attention/loss over `[span_start, span_start + span_len)` of
+    * the affected (shard, bin) streams. This derives exactly those
+    * coordinates from the manifest: one id-width semi-join, no text
+    * touched, no bin moved, usable against the batch [[binManifest]] or
+    * the store-backed [[graft.streaming.IncrementalPacking.binManifest]]
+    * at any pin. Documents to retract that were never packed simply
+    * produce no mask rows (the takedown-before-crawl case is the byte
+    * ledger's job). Composes with [[feedWithSpans]]: serve the feed with
+    * `doc_spans`, mask the rows this relation names.
+    */
+  def retractionSpans(manifest: DataFrame, ids: DataFrame): DataFrame =
+    manifest.join(ids.select("doc_id").distinct(), Seq("doc_id"))
+      .select("shard", "bin", "doc_id", "span_start", "span_len")
+
   /** Fill/waste calibration surface, one row per shard:
     * `(shard, n_docs, n_bins, total_tokens, max_bin_tokens,
     * overflow_bins)` — `overflow_bins` counts bins whose contents exceed

@@ -406,6 +406,41 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("retraction spans mask exactly the retracted docs' ids in shipped bins") {
+    import spark.implicits._
+    val nTok = graft.ops.TextAnalysis.subwordCountSql
+    val manifest = Packing.binManifest(docs, nTokensSql = nTok)
+      .localCheckpoint()
+    // ids 0, 9, 18, … retracted; 424242 never packed (the pre-crawl
+    // takedown case — the byte ledger's job, zero mask rows here)
+    val retract = docs.filter("doc_id % 9 = 0").select("doc_id")
+      .unionByName(Seq(424242L).toDF("doc_id"))
+    val mask = Packing.retractionSpans(manifest, retract).collect()
+    val retractedIds = docs.filter("doc_id % 9 = 0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // one mask row per retracted PACKED doc, none for the unpacked one
+    assert(mask.map(_.getAs[Long]("doc_id")).toSet == retractedIds)
+    // each mask carves exactly its document's id stream out of the
+    // served payload — the slice the loader zeroes
+    val payloads = Packing.binPayloads(docs).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+        r.getSeq[Long](r.fieldIndex("input_ids")).toList).toMap
+    val docIds = docs.selectExpr("doc_id",
+      s"${graft.ops.TextAnalysis.subwordIdsSqlWith(
+        graft.ops.Portable.subwordVocab)} AS ids").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Long](r.fieldIndex("ids")).toList).toMap
+    mask.foreach { r =>
+      val ids = payloads((r.getAs[Long]("shard"), r.getAs[Long]("bin")))
+      val (s0, l0) = (r.getAs[Long]("span_start"), r.getAs[Long]("span_len"))
+      assert(ids.slice(s0.toInt, (s0 + l0).toInt) ==
+        docIds(r.getAs[Long]("doc_id")))
+    }
+    // masking never moves a bin: the payload relation is untouched by
+    // construction (retractionSpans reads only the manifest)
+    assert(mask.nonEmpty)
+  }
+
   test("stats agrees with packBins and conserves tokens; overflow is bounded") {
     val bins = Packing.packBins(docs)
     val st = Packing.stats(docs).collect()
