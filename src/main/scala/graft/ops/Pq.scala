@@ -33,11 +33,16 @@ import org.apache.spark.sql.functions._
   *    projection (argmin over the splatted codebook) — no explode, no
   *    join, no aggregation: encoding 10^10 vectors on 1000 executors is an
   *    embarrassingly-parallel scan writing id + 6 bytes of codes.
-  *  - **ADC search never shuffles the corpus.** The per-query distance
-  *    table (queries × [[NumSubspaces]] × [[CodebookSize]] rows) is
-  *    broadcast; the code relation streams through broadcast hash joins,
-  *    and the only shuffle is the final per-query top-k over id-width
-  *    rows — the same tail as [[Similarity.bruteTopK]].
+  *  - **ADC search never shuffles the corpus.** The query relation (the
+  *    only non-literal input besides the codes) is broadcast; the code
+  *    relation streams through ONE broadcast join, each candidate's
+  *    distance is a single codegen'd projection over the splatted
+  *    codebook literals (`adcDistSql` — the classic per-query lookup
+  *    TABLE earns its keep in SIMD CPU code, but inside whole-stage
+  *    codegen a table "lookup" was a per-subspace hash-join probe costing
+  *    far more than the multiply-adds it saved), and the only shuffle is
+  *    the final per-query top-k over id-width rows — the same tail as
+  *    [[Similarity.bruteTopK]].
   *
   * Both distance forms drop nothing from the math: encode ranks by
   * ‖c‖² − 2⟨x_m, c⟩ (the ‖x_m‖² term is constant within a row's argmin and
@@ -239,7 +244,9 @@ object Pq {
   }
 
   /** The codebook as a 64-row local relation `(m, k, cvec, cnorm2)` — the
-    * broadcast side of the ADC distance-table build.
+    * broadcast side of [[quantizationError]]'s decode join. (The ADC
+    * search paths no longer join a codebook relation at all: they fold
+    * the centroids into the one-projection distance — see `adcDistSql`.)
     */
   /** `(vec_id, list_id, rvec)` residuals of `rows` under an EXPLICIT
     * leader relation — [[residualRows]] exposed for the maintenance loop
@@ -278,25 +285,6 @@ object Pq {
     * estimate. Approximate by design — [[PqSpec]] gates its recall against
     * [[Similarity.bruteTopK]]; the driver oracle replays it exactly.
     */
-  /** Per-query ADC distance table `(query_id, m, k, d)` — Q × M × K rows:
-    * queries exploded to M sub-vector rows, then one broadcast join
-    * against the codebook relation (ONE graft_dot per output row; ‖q_m‖²
-    * computed once per (query, m) and shared across that subspace's K
-    * entries).
-    */
-  private def distanceTable(queries: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
-    val subStructs = (0 until NumSubspaces)
-      .map(m => s"struct($m AS m, ${subSql(m)} AS qsub)").mkString(", ")
-    queries
-      .select(col("vec_id").as("query_id"),
-        expr(s"inline(array($subStructs))"))
-      .withColumn("qsub2", expr("graft_dot(qsub, qsub)"))
-      .join(broadcast(codebookDf(queries, book)), Seq("m"))
-      .select(col("query_id"), col("m"), col("k"),
-        ((col("qsub2") - lit(2.0) * expr("graft_dot(qsub, cvec)")) +
-          col("cnorm2")).as("d"))
-  }
-
   def adcTopK(emb: DataFrame, k: Int = Similarity.TopK): DataFrame = {
     val book = codebook(emb)
     if (book.isEmpty) return emptyResult(emb, adcSchema)
@@ -310,82 +298,70 @@ object Pq {
     * code store with the frozen codebook). A query id equal to a stored
     * id is excluded (self-match).
     */
-  /** The per-subspace distance-table join + fixed-order ADC sum — ONE
-    * construction shared by [[adcSearch]] and [[ivfpqTopK]], so the two
-    * paths cannot drift from the oracle's shared arithmetic. Each leg is a
-    * broadcast hash join of the (Q × K)-row slice for one subspace.
-    * `queryBound = Some(col)` binds every leg to an existing query column
-    * on `rel` (the pre-pruned IVFPQ path); `None` lets the first leg fan
-    * each code row out to all queries (the full-scan path). `listBound =
-    * Some(col)` additionally keys every leg on a list column — the
-    * RESIDUAL path, whose distance entries are only meaningful for the
-    * (query, list) pair they were built from. Returns the joined relation,
-    * the ADC sum column, and the query-id column.
+  /** The per-candidate ADC distance as ONE codegen'd expression over the
+    * splatted codebook literals — the r15 optimization replacing the
+    * per-subspace distance-table broadcast joins:
+    *
+    *   d = Σ_m ((⟨q_m,q_m⟩ − 2·⟨q_m, c_{m,code_m}⟩) + ‖c_{m,code_m}‖²)
+    *
+    * with every term the EXACT expression the former distance table
+    * computed (same `graft_dot` fold, same double ops in the same
+    * association order, same float centroid values via the per-m literal
+    * arrays), so results are bit-identical and the DuckDB oracle is
+    * untouched. What changes is the physical plan: the old spelling built
+    * the Q × M × K table as its own job, broadcast a slice per subspace,
+    * and re-derived the query relation inside EVERY broadcast leg — at
+    * sf0.1, 8 extra parquet scans of `embeddings`, 8 broadcast builds,
+    * and an 8-deep BroadcastHashJoin chain per search. The classic
+    * table-lookup form earns its keep in SIMD CPU implementations where a
+    * lookup beats M×SubDim multiplies; inside whole-stage codegen each
+    * "lookup" was a hash-table probe costing far more than the 8
+    * fused multiply-adds it saved, at any corpus size. The literal
+    * arrays constant-fold at plan build (the [[encodeSql]] convention),
+    * and `element_at` indexes them per row — no per-row allocation, no
+    * join, no broadcast beyond the query relation itself.
     */
-  private def adcJoin(rel: DataFrame, dtab: DataFrame,
-      queryBound: Option[String],
-      listBound: Option[String] = None): (DataFrame,
-        org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
-    var joined = rel
-    for (m <- 0 until NumSubspaces) {
-      val listCols = listBound.toSeq.map(_ => col("list_id").as(s"l_$m"))
-      val dm = broadcast(dtab.filter(col("m") === m)
-        .select(Seq(col("query_id").as(s"q_$m")) ++ listCols ++
-          Seq(col("k").as(s"k_$m"), col("d").as(s"d_$m")): _*))
-      val base0 = col(s"k_$m") === col(s"code_$m")
-      val base = listBound match {
-        case Some(lc) => col(s"l_$m") === col(lc) && base0
-        case None => base0
-      }
-      val cond = queryBound match {
-        case Some(qc) => col(s"q_$m") === col(qc) && base
-        case None =>
-          if (m == 0) base else col(s"q_$m") === col("q_0") && base
-      }
-      joined = joined.join(dm, cond)
+  private def adcDistSql(book: Seq[CodebookEntry], qvec: String): String = {
+    val byM = book.groupBy(_.m)
+    val terms = (0 until NumSubspaces).map { m =>
+      val entries = byM(m).sortBy(_.k)
+      val cb = entries.map(_.cvec.map(f => s"CAST(${f.toDouble}D AS FLOAT)")
+        .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+      val cn = entries.map(c => d(c.cnorm2)).mkString("array(", ", ", ")")
+      val qs = subSql(m, qvec)
+      s"((graft_dot($qs, $qs) - 2.0D * graft_dot($qs, " +
+        s"element_at($cb, CAST(code_$m + 1 AS INT)))) + " +
+        s"element_at($cn, CAST(code_$m + 1 AS INT)))"
     }
-    val adc = (1 until NumSubspaces)
-      .foldLeft(col("d_0"))((acc, m) => acc + col(s"d_$m"))
-    (joined, adc, queryBound.map(col).getOrElse(col("q_0")))
+    terms.reduceLeft((a, b) => s"($a + $b)")
   }
+
+  /** All-codes-present guard: the former distance-table INNER joins
+    * dropped a row whose code was null (an all-null encode of a null
+    * vector); the direct expression must drop it too, not rank a null
+    * distance.
+    */
+  private def codesPresent: org.apache.spark.sql.Column =
+    (0 until NumSubspaces).map(m => col(s"code_$m").isNotNull)
+      .reduce(_ && _)
 
   private[graft] def adcSearch(codes: DataFrame, queries: DataFrame,
       book: Seq[CodebookEntry], k: Int = Similarity.TopK): DataFrame = {
-    val (joined, adc, qcol) = adcJoin(codes, distanceTable(queries, book), None)
-    joined
-      .filter(col("vec_id") =!= qcol)
-      .select(qcol.as("query_id"), col("vec_id").as("neighbor_id"),
-        adc.as("adc_dist"))
+    // the query relation broadcasts (it is strictly smaller than the old
+    // Q × M × K distance table); the code relation streams through the
+    // one nested-loop fan-out that the old first distance-table leg
+    // performed implicitly via its k_0 = code_0 hash probe
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    codes
+      .filter(codesPresent)
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(adcDistSql(book, "q_emb")).as("adc_dist"))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("adc_dist").asc, col("neighbor_id"))))
       .filter(col("rank") <= k)
-  }
-
-  /** Per-(query, probed list) RESIDUAL distance table `(query_id, list_id,
-    * m, k, d)` — Q × [[Similarity.NProbe]] × M × K rows: the query's
-    * residual against EACH probed list's leader, exploded to subspaces,
-    * one broadcast join against the residual codebook. Still
-    * query-bounded — nprobe× the flat table, never N-proportional.
-    */
-  private def residualDistanceTable(probePairs: DataFrame, queries: DataFrame,
-      leadersDf: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
-    val qres = probePairs
-      .join(queries.select(col("vec_id").as("query_id"), col("embedding")),
-        Seq("query_id"))
-      .join(broadcast(leadersDf.select("list_id", "lvec")), Seq("list_id"))
-      .select(col("query_id"), col("list_id"),
-        expr(residualSql("embedding", "lvec")).as("qres"))
-    val subStructs = (0 until NumSubspaces)
-      .map(m => s"struct($m AS m, ${subSql(m, "qres")} AS qsub)")
-      .mkString(", ")
-    qres
-      .select(col("query_id"), col("list_id"),
-        expr(s"inline(array($subStructs))"))
-      .withColumn("qsub2", expr("graft_dot(qsub, qsub)"))
-      .join(broadcast(codebookDf(qres, book)), Seq("m"))
-      .select(col("query_id"), col("list_id"), col("m"), col("k"),
-        ((col("qsub2") - lit(2.0) * expr("graft_dot(qsub, cvec)")) +
-          col("cnorm2")).as("d"))
   }
 
   /** IVFPQ search — the composition FAISS ships as its default
@@ -438,10 +414,11 @@ object Pq {
           residualCodesFor(assign, emb, leadersDf, book),
           queries, leadersDf, book, k)
       } else {
-        val (joined, adc, _) =
-          adcJoin(cand.join(codesWith(emb, book), Seq("vec_id")),
-            distanceTable(queries, book), Some("query_id"))
-        rankAdc(joined, adc, k)
+        val joined = cand.join(codesWith(emb, book), Seq("vec_id"))
+          .filter(codesPresent)
+          .join(broadcast(queries.select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"))), Seq("query_id"))
+        rankAdc(joined, expr(adcDistSql(book, "q_emb")), k)
       }
     Dedup.materializeFreeing(ranked, assign)
   }
@@ -456,13 +433,18 @@ object Pq {
   private[graft] def residualAdcRank(cand: DataFrame, codes: DataFrame,
       queries: DataFrame, leadersDf: DataFrame, book: Seq[CodebookEntry],
       k: Int): DataFrame = {
-    val dtab = residualDistanceTable(
-      cand.select("query_id", "list_id").distinct(), queries,
-      leadersDf, book)
-    val (joined, adc, _) =
-      adcJoin(cand.join(codes, Seq("vec_id", "list_id")), dtab,
-        Some("query_id"), Some("list_id"))
-    rankAdc(joined, adc, k)
+    // the query residual against each probed list's leader is computed
+    // per candidate row (same zip_with float subtraction, same `graft_dot`
+    // folds as the former per-(query, list) distance table — bit-identical
+    // doubles), with the queries and the ≤NumLists leader relation the
+    // only broadcasts
+    val joined = cand.join(codes, Seq("vec_id", "list_id"))
+      .filter(codesPresent)
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .join(broadcast(leadersDf.select("list_id", "lvec")), Seq("list_id"))
+      .withColumn("qres", expr(residualSql("q_emb", "lvec")))
+    rankAdc(joined, expr(adcDistSql(book, "qres")), k)
   }
 
   private def rankAdc(joined: DataFrame,

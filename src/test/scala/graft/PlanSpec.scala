@@ -282,13 +282,17 @@ class PlanSpec extends SparkSpec {
     assert(plan(q).contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
   }
 
-  test("PQ ADC search joins only through broadcasts") {
-    // distance tables and codebook broadcast; the code relation must
-    // stream — a SortMergeJoin would shuffle the (at scale 10^10-row)
-    // code store once per subspace
+  test("PQ ADC search is one broadcast fan-out, no distance-table joins") {
+    // r15: the per-subspace distance-table joins folded into one codegen'd
+    // projection over the splatted codebook literals — the code relation
+    // streams through exactly ONE broadcast join (the query fan-out), and
+    // nothing may shuffle the (at scale 10^10-row) code store
     val ns = nodes(graft.ops.Pq.adcTopK(T.table(spark, sf, "embeddings")))
-    assert(ns.count(_ == "BroadcastHashJoin") >= 4, ns)
+    assert(ns.count(_.contains("Join")) == 1, ns)
+    assert(ns.contains("BroadcastNestedLoopJoin"), ns)
     assert(!ns.contains("SortMergeJoin"), ns)
+    // the one shuffle is the final per-query top-k
+    assert(ns.count(_ == "Exchange") <= 1, ns)
   }
 
   test("residual code store: leaders broadcast, one id-keyed join at most") {
@@ -307,9 +311,8 @@ class PlanSpec extends SparkSpec {
     // ivfpqTopK's own output plan is checkpoint-flattened
     // (materializeFreeing — the semDedup situation), so its two legs are
     // asserted at their shared seams: the probe-candidate leg here (ONE
-    // construction with ivfTopK), and the broadcast distance-table joins
-    // via the ADC-search test above (ONE adcJoin construction for both
-    // paths)
+    // construction with ivfTopK), and the one-projection ADC distance via
+    // the ADC-search test above (ONE adcDistSql spelling for both paths)
     val (cand, assign) =
       Similarity.ivfProbeCandidates(T.table(spark, sf, "embeddings"))
     try {
