@@ -54,13 +54,81 @@ object SparkEntry {
   private def dimSecurities(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "dim")(DimSecuritiesCurrent.build(fctMomentum(s, dir)))
 
+  /** agg_daily_market_breadth IS a dbt model in the reference — it
+    * materializes once per run like the rest of the mart chain; the r15
+    * battery built it three times (its row, the trend endpoint, the SQL
+    * view registration).
+    */
+  private def breadth(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "breadth")(
+      AggDailyMarketBreadth.build(intDaily(s, dir), fctMomentum(s, dir)))
+
+  /** The verified MinHash near-duplicate pair relation — its own battery
+    * row AND the edge set [[dupClusters]] resolves, so the LSH candidate +
+    * Jaccard-verify pipeline runs ONCE per (session, dir) instead of once
+    * for the row and once more inside the cluster build (r15: the battery
+    * paid that pipeline twice).
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "minhashpairs")(
+      Dedup.minhashPairs(T.table(s, dir, "documents")))
+
   /** Cluster resolution is the most expensive dedup stage and feeds both
     * the cluster query and keeper selection — materialized once per
-    * (session, dir), like the marts.
+    * (session, dir), like the marts, over the shared pair relation.
     */
   private def dupClusters(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "dupclusters")(
-      Dedup.minhashDupClusters(T.table(s, dir, "documents")))
+      Dedup.dupClusters(T.table(s, dir, "documents"),
+        minhashPairs(s, dir).filter(
+          org.apache.spark.sql.functions.col("is_duplicate") === 1)))
+
+  /** Winnow fingerprints and their verified overlap pairs — each its own
+    * battery row, and the pair relation also feeds the containment-dedup
+    * row ([[Dedup.winnowKeepDocsFrom]]); shared so the battery tokenizes
+    * and self-joins the fingerprint space once, not three times.
+    */
+  private def winnowFps(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "winnowfps")(
+      Dedup.winnowFingerprints(T.table(s, dir, "documents")))
+
+  private def winnowPairs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "winnowpairs")(
+      Dedup.winnowOverlapPairsFrom(
+        winnowFps(s, dir).select("doc_id", "h").distinct().localCheckpoint()))
+
+  /** Frozen trained model tables per (session, dir) — each learned-filter
+    * family trains ONCE per battery and every consumer row scores through
+    * its frozen-model seam (`*With`), the same materialize-once convention
+    * as the marts and the exact semantics the incremental drains freeze at
+    * bootstrap. All are bounded relations (≤Buckets / ≤Buckets² rows) at
+    * ANY corpus size.
+    */
+  private def dsirRatio(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "dsirratio")(
+      Dsir.trainedRatioTable(T.table(s, dir, "documents")))
+
+  private def nbModel(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "nbmodel")(
+      QualityClassifier.modelTable(T.table(s, dir, "documents")))
+
+  private def nbPrior(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "nbprior")(
+      QualityClassifier.priorRow(T.table(s, dir, "documents")))
+
+  /** The LM's seed bigram counts — the ONE training scan both LM tables
+    * derive from; [[lmModel]]/[[lmContexts]] are cheap aggregates over
+    * this persisted ≤Buckets²-row relation.
+    */
+  private def lmCounts(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "lmcounts")(
+      LmPerplexity.seedBigramCounts(T.table(s, dir, "documents")))
+
+  private def lmModel(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "lmmodel")(LmPerplexity.modelOf(lmCounts(s, dir)))
+
+  private def lmContexts(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "lmcontexts")(LmPerplexity.contextsOf(lmCounts(s, dir)))
 
   /** The composed curation funnel's per-doc audit — shared by the audit,
     * corpus, and funnel queries, and itself built over the memoized
@@ -91,6 +159,14 @@ object SparkEntry {
   private def pqIvfpqTopK(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "pqivfpqtopk")(Pq.ivfpqTopK(T.table(s, dir, "embeddings")))
 
+  /** The occupancy-annotated sign-LSH band relation — ONE signature +
+    * occupancy build shared by the top-k and near-dup rows
+    * ([[graft.ops.Similarity.lshBandRelation]]).
+    */
+  private def lshBands(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "lshbands")(
+      Similarity.lshBandRelation(T.table(s, dir, "embeddings")))
+
   /** Forces every memoized shared relation (the int→fct→dim mart chain and
     * the dup-cluster resolution) to materialize NOW, so callers timing
     * individual queries can report the shared build as its own line instead
@@ -111,6 +187,13 @@ object SparkEntry {
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val profiling = sys.env.contains("GRAFT_PROFILE")
+    def leg(name: String)(f: => Unit): Future[Unit] = Future {
+      val t0 = System.nanoTime()
+      f
+      if (profiling)
+        println(f"PROFILE prewarm.$name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     try {
       // the walked-runbook stores (era migrations text + mm, the serving
       // media catalog) are mutually independent like the two relation
@@ -119,11 +202,11 @@ object SparkEntry {
       // the sum. Stand-up cost is shared-build cost by design (demoRoot);
       // the battery rows time the fetch.
       val legs = Seq(
-        Future { dimSecurities(s, dir); () }, // int → fct → dim
-        Future { curationAudit(s, dir); () }, // dupClusters → audit
-        Future { eraWalkRoots(s, dir); () },
-        Future { eraWalkRootsMm(s, dir); () },
-        Future { mediaStoreRoot(s, dir); () })
+        leg("dim") { dimSecurities(s, dir); () }, // int → fct → dim
+        leg("audit") { curationAudit(s, dir); () }, // dupClusters → audit
+        leg("era") { eraWalkRoots(s, dir); () },
+        leg("eramm") { eraWalkRootsMm(s, dir); () },
+        leg("mediastore") { mediaStoreRoot(s, dir); () })
       legs.foreach(Await.result(_, Duration.Inf))
     } finally pool.shutdown()
   }
@@ -140,8 +223,7 @@ object SparkEntry {
       .createOrReplaceTempView("stg_daily_stocks")
     intDaily(s, dir).createOrReplaceTempView("int_russell_daily")
     fctMomentum(s, dir).createOrReplaceTempView("fct_trading_momentum")
-    AggDailyMarketBreadth.build(intDaily(s, dir), fctMomentum(s, dir))
-      .createOrReplaceTempView("agg_daily_market_breadth")
+    breadth(s, dir).createOrReplaceTempView("agg_daily_market_breadth")
     dimSecurities(s, dir).createOrReplaceTempView("dim_securities_current")
   }
 
@@ -162,9 +244,10 @@ object SparkEntry {
     // so a view would execute it on every registration)
     Dedup.chunkDedupDocs(T.table(s, dir, "documents"))
       .createOrReplaceTempView("chunk_deduped_docs")
-    Dsir.weights(T.table(s, dir, "documents"))
+    Dsir.weightsWith(T.table(s, dir, "documents"), dsirRatio(s, dir))
       .createOrReplaceTempView("dsir_weights")
-    QualityClassifier.score(T.table(s, dir, "documents"))
+    QualityClassifier.scoreWith(T.table(s, dir, "documents"),
+        nbModel(s, dir), nbPrior(s, dir))
       .createOrReplaceTempView("nb_scores")
     Sampling.temperatureAssign(T.table(s, dir, "documents"))
       .createOrReplaceTempView("temp_assign")
@@ -251,6 +334,28 @@ object SparkEntry {
     })
   }
 
+  /** The two era-walk LANDINGS (even doc_ids for era 0, odd for era 1) —
+    * shared by the text and mm walks, which drain the SAME halves under
+    * different carriage: landing the corpus twice was two extra
+    * coalesce(1) writes inside `_mart_build` for bytes that already
+    * existed. A streaming file source only ever READS its landing dir
+    * (checkpoints live elsewhere), so two drains over one landing are
+    * independent. The build is serialized under its own lock: the two
+    * walk legs run concurrently in [[prewarmShared]], and TrieMap's
+    * per-key atomicity protects the MAP, not a racing double-build of
+    * the directory itself.
+    */
+  private val eraLandingLock = new Object
+
+  private def eraLandings(s: SparkSession, dir: String): String =
+    eraLandingLock.synchronized {
+      demoRoot(s, dir, "eralanding") { base =>
+        val docs = T.table(s, dir, "documents").select("doc_id", "text")
+        landOne(docs.filter("doc_id % 2 = 0"), s"$base/land0", "b0.parquet")
+        landOne(docs.filter("doc_id % 2 = 1"), s"$base/land1", "b1.parquet")
+      }
+    }
+
   /** The operated vocabulary-retrain migration, walked for the battery:
     * era 0 drains the even doc_ids under the FIXTURE vocabulary, the
     * retrain ships the TRAINED successor, era 1 repacks the odd doc_ids
@@ -265,14 +370,13 @@ object SparkEntry {
     import graft.streaming.{IncrementalPacking, PackingMigration}
     val base = demoRoot(s, dir, "erafeed") { base =>
       val docs = T.table(s, dir, "documents").select("doc_id", "text")
-      landOne(docs.filter("doc_id % 2 = 0"), s"$base/land0", "b0.parquet")
-      IncrementalPacking.run(s, s"$base/land0", s"$base/ckpt0",
+      val land = eraLandings(s, dir)
+      IncrementalPacking.run(s, s"$land/land0", s"$base/ckpt0",
         s"$base/root0", docs.schema,
         nTokensSql = TextAnalysis.subwordCountSqlWith(Portable.subwordVocab),
         payloadVocab = Some(Portable.subwordVocab))
-      landOne(docs.filter("doc_id % 2 = 1"), s"$base/land1", "b1.parquet")
       PackingMigration.repackUnderVocab(s, s"$base/root0", s"$base/root1",
-        s"$base/land1", s"$base/ckpt1", docs.schema,
+        s"$land/land1", s"$base/ckpt1", docs.schema,
         Portable.trainedFixtureVocab)
       ()
     }
@@ -293,15 +397,14 @@ object SparkEntry {
     import graft.streaming.{IncrementalPacking, PackingMigration}
     val base = demoRoot(s, dir, "erafeedmm") { base =>
       val docs = T.table(s, dir, "documents").select("doc_id", "text")
-      landOne(docs.filter("doc_id % 2 = 0"), s"$base/land0", "b0.parquet")
-      IncrementalPacking.run(s, s"$base/land0", s"$base/ckpt0",
+      val land = eraLandings(s, dir)
+      IncrementalPacking.run(s, s"$land/land0", s"$base/ckpt0",
         s"$base/root0", docs.schema,
         nTokensSql = Packing.mmTokensSqlWith(Portable.subwordVocab),
         payloadVocab = Some(Portable.subwordVocab),
         mmCarriageSql = Some(Packing.MediaCarriageSql))
-      landOne(docs.filter("doc_id % 2 = 1"), s"$base/land1", "b1.parquet")
       PackingMigration.repackUnderVocab(s, s"$base/root0", s"$base/root1",
-        s"$base/land1", s"$base/ckpt1", docs.schema,
+        s"$land/land1", s"$base/ckpt1", docs.schema,
         Portable.trainedFixtureVocab,
         mmCarriageSql = Some(Packing.MediaCarriageSql))
       ()
@@ -309,14 +412,40 @@ object SparkEntry {
     Seq(s"$base/root0", s"$base/root1")
   }
 
+  /** Packed-assignment and payload relations shared across the packing
+    * rows — the trainer-feed materializations a real run derives ONCE per
+    * corpus ([[Packing.epochPlanFrom]]'s multi-epoch rationale): the
+    * whitespace and subword bin assignments each feed 2-3 rows, the
+    * encoded payload relation feeds the payload row AND the reader
+    * fetch, and the mm payload relation feeds its row AND the memoized
+    * mm feed.
+    */
+  private def packBinsWs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "packbins")(
+      Packing.packBins(T.table(s, dir, "documents")))
+
+  private def packBinsSub(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "packbinssub")(
+      Packing.packBins(T.table(s, dir, "documents"),
+        nTokensSql = TextAnalysis.subwordCountSql))
+
+  private def textPayloads(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "binpayloads")(
+      Packing.binPayloads(T.table(s, dir, "documents")))
+
+  private def mmPayloads(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mmpayloads")(
+      Packing.binPayloadsMm(T.table(s, dir, "documents")))
+
   /** The battery's one mm trainer feed — shared by the mm-feed row and
     * all three byte-fetch rows (relation-form, store-backed full-epoch,
     * store-backed window), so the corpus is interleave-encoded once per
-    * battery instead of once per row (the [[memo]] convention).
+    * battery instead of once per row (the [[memo]] convention), over the
+    * shared mm payload relation.
     */
   private def mmFeed(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "mmfeed")(
-      Packing.readerFeedMm(T.table(s, dir, "documents")))
+      Packing.readerFeedMmFrom(mmPayloads(s, dir)))
 
   /** The battery's SERVING media catalog: the fixture catalog landed in
     * [[graft.streaming.MediaCatalogStore]]'s bucketed layout once per
@@ -327,9 +456,18 @@ object SparkEntry {
   private def mediaStoreRoot(s: SparkSession, dir: String): String =
     demoRoot(s, dir, "mediastore") { base =>
       graft.streaming.MediaCatalogStore.write(
-        Multimodal.media(T.table(s, dir, "documents")),
-        base, buckets = 64)
+        mediaCat(s, dir), base, buckets = 64)
     }
+
+  /** The synthesized media relation ([[Multimodal.media]]) — seven
+    * consumers per battery (five media rows, the relation-form byte
+    * fetch, the serving-store stand-up) each re-ran the per-row md5
+    * payload synthesis; materialized once like every other shared
+    * relation.
+    */
+  private def mediaCat(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mediacat")(
+      Multimodal.media(T.table(s, dir, "documents")))
 
   /** The ad-hoc SQL surface proof: plain ANSI SQL over the registered mart
     * views, oracle-checked like every DataFrame query. Aggregates are
@@ -379,8 +517,7 @@ object SparkEntry {
       StgDailyStocks.build(T.rawDaily(s, dir))),
     "stock_int_daily" -> ((s, dir) => intDaily(s, dir)),
     "stock_fct_momentum" -> ((s, dir) => fctMomentum(s, dir)),
-    "stock_breadth" -> ((s, dir) =>
-      AggDailyMarketBreadth.build(intDaily(s, dir), fctMomentum(s, dir))),
+    "stock_breadth" -> ((s, dir) => breadth(s, dir)),
     "stock_dim_securities" -> ((s, dir) => dimSecurities(s, dir)),
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(T.table(s, dir, "documents"))),
@@ -402,18 +539,16 @@ object SparkEntry {
       Dedup.exact(T.table(s, dir, "documents"))),
     "dedup_minhash_signature" -> ((s, dir) =>
       Dedup.minhashSignatures(T.table(s, dir, "documents"))),
-    "dedup_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(T.table(s, dir, "documents"))),
+    "dedup_minhash_pairs" -> ((s, dir) => minhashPairs(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(T.table(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(T.table(s, dir, "documents"))),
-    "dedup_winnow_fps" -> ((s, dir) =>
-      Dedup.winnowFingerprints(T.table(s, dir, "documents"))),
-    "dedup_winnow_overlap" -> ((s, dir) =>
-      Dedup.winnowOverlapPairs(T.table(s, dir, "documents"))),
+    "dedup_winnow_fps" -> ((s, dir) => winnowFps(s, dir)),
+    "dedup_winnow_overlap" -> ((s, dir) => winnowPairs(s, dir)),
     "dedup_winnow_docs" -> ((s, dir) =>
-      Dedup.winnowKeepDocs(T.table(s, dir, "documents"))),
+      Dedup.winnowKeepDocsFrom(T.table(s, dir, "documents"),
+        winnowPairs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(T.table(s, dir, "documents"))),
     "dedup_embedding_cosine" -> ((s, dir) =>
@@ -451,9 +586,11 @@ object SparkEntry {
       Similarity.signatures(T.table(s, dir, "embeddings"))),
     "sim_brute_topk" -> ((s, dir) => bruteTopK(s, dir)),
     "sim_lsh_topk" -> ((s, dir) =>
-      Similarity.lshTopK(T.table(s, dir, "embeddings"))),
+      Similarity.lshTopKFrom(lshBands(s, dir),
+        T.table(s, dir, "embeddings"))),
     "sim_lsh_neardup" -> ((s, dir) =>
-      Similarity.lshNearDup(T.table(s, dir, "embeddings"))),
+      Similarity.lshNearDupFrom(lshBands(s, dir),
+        T.table(s, dir, "embeddings"))),
     "sim_ivf_assign" -> ((s, dir) =>
       Similarity.ivfAssignments(T.table(s, dir, "embeddings"))),
     "sim_ivf_topk" -> ((s, dir) =>
@@ -549,11 +686,11 @@ object SparkEntry {
     "curate_funnel_lang" -> ((s, dir) =>
       Curation.funnelByLang(curationAudit(s, dir))),
     "curate_dsir_weights" -> ((s, dir) =>
-      Dsir.weights(T.table(s, dir, "documents"))),
+      Dsir.weightsWith(T.table(s, dir, "documents"), dsirRatio(s, dir))),
     "curate_dsir_select" -> ((s, dir) =>
-      Dsir.select(T.table(s, dir, "documents"))),
+      Dsir.selectWith(T.table(s, dir, "documents"), dsirRatio(s, dir))),
     "curate_dsir_summary" -> ((s, dir) =>
-      Dsir.summary(T.table(s, dir, "documents"))),
+      Dsir.summaryWith(T.table(s, dir, "documents"), dsirRatio(s, dir))),
     "split_assign" -> ((s, dir) =>
       HashSplit.split(T.table(s, dir, "documents"))),
     "split_summary" -> ((s, dir) =>
@@ -566,15 +703,15 @@ object SparkEntry {
       HashSplit.semanticContamination(T.table(s, dir, "documents"),
         T.table(s, dir, "embeddings"))),
     "media_catalog" -> ((s, dir) =>
-      Multimodal.catalog(T.table(s, dir, "documents"))),
+      Multimodal.catalogFrom(mediaCat(s, dir))),
     "media_byte_stats" -> ((s, dir) =>
-      Multimodal.byteStats(T.table(s, dir, "documents"))),
+      Multimodal.byteStatsFrom(mediaCat(s, dir))),
     "media_decode_mappartitions" -> ((s, dir) =>
       Multimodal.decodeFeatures(s, T.table(s, dir, "documents")).toDF()),
     "media_frame_sample" -> ((s, dir) =>
-      Multimodal.frameSample(T.table(s, dir, "documents"))),
+      Multimodal.frameSampleFrom(mediaCat(s, dir))),
     "media_resize" -> ((s, dir) =>
-      Multimodal.resize(T.table(s, dir, "documents"))),
+      Multimodal.resizeFrom(mediaCat(s, dir))),
     "rel_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(T.table(s, dir, "lineitem"))),
     "rel_top_customers" -> ((s, dir) =>
@@ -603,8 +740,8 @@ object SparkEntry {
     "api_ticker_history" -> ((s, dir) =>
       Queries.tickerHistory(fctMomentum(s, dir), "S07",
         java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1998-12-31"))),
-    "api_breadth_trend" -> ((s, dir) => Queries.breadthTrend(
-      AggDailyMarketBreadth.build(intDaily(s, dir), fctMomentum(s, dir)))),
+    "api_breadth_trend" -> ((s, dir) =>
+      Queries.breadthTrend(breadth(s, dir))),
     "api_freshness" -> ((s, dir) => Queries.freshness(fctMomentum(s, dir))),
     "readme_golden_crosses" -> ((s, dir) =>
       Queries.latestGoldenCrosses(fctMomentum(s, dir))),
@@ -620,39 +757,38 @@ object SparkEntry {
     "quality_report" -> ((s, dir) =>
       graft.quality.DataQuality.report(fctMomentum(s, dir),
         graft.quality.DataQuality.fctTests)),
-    "quality_nb_model" -> ((s, dir) =>
-      QualityClassifier.modelTable(T.table(s, dir, "documents"))),
+    "quality_nb_model" -> ((s, dir) => nbModel(s, dir)),
     "quality_nb_score" -> ((s, dir) =>
-      QualityClassifier.score(T.table(s, dir, "documents"))),
+      QualityClassifier.scoreWith(T.table(s, dir, "documents"),
+        nbModel(s, dir), nbPrior(s, dir))),
     "quality_nb_select" -> ((s, dir) =>
-      QualityClassifier.select(T.table(s, dir, "documents"))),
+      QualityClassifier.selectWith(T.table(s, dir, "documents"),
+        nbModel(s, dir), nbPrior(s, dir))),
     "quality_nb_summary" -> ((s, dir) =>
-      QualityClassifier.summary(T.table(s, dir, "documents"))),
-    "curate_pack_bins" -> ((s, dir) =>
-      Packing.packBins(T.table(s, dir, "documents"))),
+      QualityClassifier.summaryWith(T.table(s, dir, "documents"),
+        nbModel(s, dir), nbPrior(s, dir))),
+    "curate_pack_bins" -> ((s, dir) => packBinsWs(s, dir)),
     "curate_bin_payloads" -> ((s, dir) =>
-      Packing.binPayloadsChecked(T.table(s, dir, "documents"))),
+      Packing.binPayloadsCheckedFrom(textPayloads(s, dir))),
     // interleaved multimodal packing: image-carrying docs contribute a
     // placeholder slot; the sidecar keys the media catalog per bin
     "curate_bin_payloads_mm" -> ((s, dir) =>
-      Packing.binPayloadsMmChecked(T.table(s, dir, "documents"))),
-    "curate_pack_bins_subword" -> ((s, dir) =>
-      Packing.packBins(T.table(s, dir, "documents"),
-        nTokensSql = TextAnalysis.subwordCountSql)),
+      Packing.binPayloadsMmCheckedFrom(mmPayloads(s, dir))),
+    "curate_pack_bins_subword" -> ((s, dir) => packBinsSub(s, dir)),
     // the attention-mask surface: per-doc span coordinates inside each
     // bin's stream, in the unit the payload feed prices with — the
     // boundaries a packed trainer masks cross-document attention on
     "curate_bin_manifest" -> ((s, dir) =>
-      Packing.binManifest(T.table(s, dir, "documents"),
-        nTokensSql = TextAnalysis.subwordCountSql)),
+      Packing.manifestFromBins(packBinsSub(s, dir))),
     "curate_pack_stats" -> ((s, dir) =>
-      Packing.stats(T.table(s, dir, "documents"))),
+      Packing.statsFrom(packBinsWs(s, dir))),
     "curate_epoch_plan" -> ((s, dir) =>
-      Packing.epochPlan(T.table(s, dir, "documents"))),
+      Packing.epochPlanFrom(packBinsWs(s, dir))),
     // the trainer-reader fetch: epoch plan ⋈ bin payloads — the one join
     // a training loop actually issues, (reader, reader_pos) → input_ids
     "curate_reader_feed" -> ((s, dir) =>
-      Packing.readerFeedChecked(T.table(s, dir, "documents"))),
+      Packing.readerFeedCheckedFrom(
+        Packing.readerFeedFrom(textPayloads(s, dir)))),
     // the vision-language loader's fetch: the media sidecar rides the
     // same single payload join as the id streams
     "curate_reader_feed_mm" -> ((s, dir) =>
@@ -661,7 +797,7 @@ object SparkEntry {
     // catalog, fingerprinted per (reader, reader_pos, slot)
     "curate_reader_feed_bytes" -> ((s, dir) =>
       Packing.bytesChecked(Packing.fetchMediaPayloads(mmFeed(s, dir),
-        Multimodal.media(T.table(s, dir, "documents"))))),
+        mediaCat(s, dir)))),
     // the same last mile through the SERVING STORE: the fetch resolves
     // refs against the bucketed, partition-pruned catalog layout — the
     // oracle hash proves the pruned path serves the same bytes
@@ -687,19 +823,27 @@ object SparkEntry {
     "curate_era_feed_mm" -> ((s, dir) =>
       graft.streaming.PackingMigration.eraFeedMmChecked(
         s, eraWalkRootsMm(s, dir), epoch = 1)),
-    "quality_lm_model" -> ((s, dir) =>
-      LmPerplexity.modelTable(T.table(s, dir, "documents"))),
+    "quality_lm_model" -> ((s, dir) => lmModel(s, dir)),
     "quality_lm_ppl" -> ((s, dir) =>
-      LmPerplexity.score(T.table(s, dir, "documents"))),
+      LmPerplexity.scoreWith(T.table(s, dir, "documents"),
+        lmModel(s, dir), lmContexts(s, dir))),
     "quality_lm_select" -> ((s, dir) =>
-      LmPerplexity.select(T.table(s, dir, "documents"))),
+      LmPerplexity.selectWith(T.table(s, dir, "documents"),
+        lmModel(s, dir), lmContexts(s, dir))),
     "quality_lm_summary" -> ((s, dir) =>
-      LmPerplexity.summary(T.table(s, dir, "documents"))),
+      LmPerplexity.summaryWith(T.table(s, dir, "documents"),
+        lmModel(s, dir), lmContexts(s, dir))),
     "curate_learned_audit" -> ((s, dir) =>
-      Curation.learnedAudit(T.table(s, dir, "documents"))),
+      Curation.learnedAuditWith(T.table(s, dir, "documents"),
+          nbModel(s, dir), nbPrior(s, dir),
+          lmModel(s, dir), lmContexts(s, dir), dsirRatio(s, dir))
+        .select("doc_id", "nb_selected", "lm_selected", "dsir_selected",
+          "kept")),
     "curate_learned_funnel" -> ((s, dir) =>
       Curation.learnedFunnel(
-        Curation.learnedAudit(T.table(s, dir, "documents")))),
+        Curation.learnedAuditWith(T.table(s, dir, "documents"),
+          nbModel(s, dir), nbPrior(s, dir),
+          lmModel(s, dir), lmContexts(s, dir), dsirRatio(s, dir)))),
     "sql_sector_momentum" -> ((s, dir) => {
       registerMartViews(s, dir)
       s.sql(sectorMomentumSql)

@@ -972,8 +972,17 @@ object Dedup {
     */
   def winnowKeepDocs(docs: DataFrame, k: Int = WinnowK,
       w: Int = WinnowWindow, maxDf: Int = MaxShingleDf): DataFrame =
+    winnowKeepDocsFrom(docs, winnowOverlapPairs(docs, k, w, maxDf))
+
+  /** [[winnowKeepDocs]] over an EXPLICIT overlap-pair relation — the
+    * share-one-pass seam: a battery that already materialized
+    * [[winnowOverlapPairs]] as its own row applies the anti-join without
+    * re-running the fingerprint + self-join pipeline (the
+    * materialize-once convention of the mart readers).
+    */
+  def winnowKeepDocsFrom(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.join(
-      winnowOverlapPairs(docs, k, w, maxDf)
+      pairs
         .filter(col("is_overlap") === 1)
         .select(col("b_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")

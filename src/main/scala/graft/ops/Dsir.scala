@@ -221,11 +221,26 @@ object Dsir {
         expr(gumbelMicroSql(c => s"CAST($c AS STRING)")))
       .withColumn("key_micro", col("logweight_micro") + col("gumbel_micro"))
 
+  /** The trained ratio table over a corpus — [[ratioTable]] ∘
+    * [[featureCounts]] named as the train step, so a battery can
+    * materialize it ONCE and feed every consumer through the frozen-table
+    * seams ([[weightsWith]]/[[selectWith]]/[[summaryWith]]), exactly as
+    * [[graft.streaming.IncrementalDsir]] freezes it at bootstrap.
+    */
+  def trainedRatioTable(docs: DataFrame): DataFrame =
+    ratioTable(featureCounts(docs))
+
   /** Calibration surface: corpus size, selected count, and the weight
     * envelope — order-independent aggregates only.
     */
-  def summary(docs: DataFrame): DataFrame = {
-    val w = keyed(weights(docs))
+  def summary(docs: DataFrame): DataFrame =
+    summaryWith(docs, trainedRatioTable(docs))
+
+  /** [[summary]] against an EXPLICIT ratio table — the frozen-table seam
+    * (see [[weightsWith]]).
+    */
+  def summaryWith(docs: DataFrame, lrTable: DataFrame): DataFrame = {
+    val w = keyed(weightsWith(docs, lrTable))
     w.agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("key_micro") >= SelectTauMicro, 1L).otherwise(0L))

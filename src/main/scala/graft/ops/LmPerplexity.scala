@@ -196,8 +196,17 @@ object LmPerplexity {
     * Per-row threshold; no global rank. Evidence-free documents (< 2
     * tokens) are rejected.
     */
-  def select(docs: DataFrame): DataFrame =
-    score(docs).filter(col("n_bigrams") >= 1 &&
+  def select(docs: DataFrame): DataFrame = {
+    val counts = seedBigramCounts(docs)
+    selectWith(docs, modelOf(counts), contextsOf(counts))
+  }
+
+  /** [[select]] against an EXPLICIT model — the frozen-model seam (see
+    * [[scoreWith]]).
+    */
+  def selectWith(docs: DataFrame, model: DataFrame,
+      contexts: DataFrame): DataFrame =
+    scoreWith(docs, model, contexts).filter(col("n_bigrams") >= 1 &&
         col("logprob_micro") >= lit(SelectTauMicro) * col("n_bigrams"))
       .select("doc_id", "n_bigrams", "logprob_micro")
 
@@ -206,8 +215,18 @@ object LmPerplexity {
     * tune τ offline (the seed source should over-admit under its own LM).
     * Order-independent aggregates only.
     */
-  def summary(docs: DataFrame): DataFrame =
-    score(docs).join(docs.select("doc_id", "source"), Seq("doc_id"))
+  def summary(docs: DataFrame): DataFrame = {
+    val counts = seedBigramCounts(docs)
+    summaryWith(docs, modelOf(counts), contextsOf(counts))
+  }
+
+  /** [[summary]] against an EXPLICIT model — the frozen-model seam (see
+    * [[scoreWith]]).
+    */
+  def summaryWith(docs: DataFrame, model: DataFrame,
+      contexts: DataFrame): DataFrame =
+    scoreWith(docs, model, contexts)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

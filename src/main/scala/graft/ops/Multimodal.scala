@@ -61,7 +61,14 @@ object Multimodal {
     * reported as its md5).
     */
   def catalog(docs: DataFrame): DataFrame =
-    media(docs).select(
+    catalogFrom(media(docs))
+
+  /** [[catalog]] over an ALREADY-MATERIALIZED media relation — the
+    * share-one-synthesis seam: the battery derives [[media]] once and
+    * every media row reads it (the materialize-once convention).
+    */
+  def catalogFrom(media: DataFrame): DataFrame =
+    media.select(
       col("media_id"), col("media_type"), col("n_bytes"),
       md5(col("payload_hex")).as("payload_md5"),
       col("meta.width").as("width"), col("meta.height").as("height"),
@@ -72,7 +79,11 @@ object Multimodal {
     * statistics (exact integer folds — bit-stable in any engine).
     */
   def byteStats(docs: DataFrame): DataFrame =
-    media(docs)
+    byteStatsFrom(media(docs))
+
+  /** [[byteStats]] over an explicit media relation (see [[catalogFrom]]). */
+  def byteStatsFrom(media: DataFrame): DataFrame =
+    media
       .withColumn("bytes", expr(
         s"transform(sequence(1, CAST(length(payload_hex) / 2 AS INT)), i -> CAST(conv(substr(payload_hex, 2 * i - 1, 2), 16, 10) AS INT))"))
       .select(col("media_id"), col("media_type"), col("n_bytes"),
@@ -86,7 +97,11 @@ object Multimodal {
     * fingerprinted.
     */
   def frameSample(docs: DataFrame): DataFrame =
-    media(docs).filter(col("media_type") === "video")
+    frameSampleFrom(media(docs))
+
+  /** [[frameSample]] over an explicit media relation (see [[catalogFrom]]). */
+  def frameSampleFrom(media: DataFrame): DataFrame =
+    media.filter(col("media_type") === "video")
       .select(col("media_id"), col("payload_hex"),
         explode(expr(s"sequence(0, CAST(length(payload_hex) / $ChunkHexChars AS INT) - 1, $FrameStride)"))
           .as("frame_idx"))
@@ -98,7 +113,11 @@ object Multimodal {
     * of the payload (whole bytes), fingerprinted.
     */
   def resize(docs: DataFrame): DataFrame =
-    media(docs).filter(col("media_type") === "image")
+    resizeFrom(media(docs))
+
+  /** [[resize]] over an explicit media relation (see [[catalogFrom]]). */
+  def resizeFrom(media: DataFrame): DataFrame =
+    media.filter(col("media_type") === "image")
       .select(col("media_id"),
         expr("CAST(meta.width / 2 AS INT)").as("new_width"),
         expr("CAST(meta.height / 2 AS INT)").as("new_height"),

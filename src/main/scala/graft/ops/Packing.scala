@@ -249,7 +249,14 @@ object Packing {
     * the join is bijective over the sequence).
     */
   def binPayloadsChecked(docs: DataFrame): DataFrame =
-    binPayloads(docs).selectExpr("shard", "bin", "n_docs", "bin_tokens",
+    binPayloadsCheckedFrom(binPayloads(docs))
+
+  /** [[binPayloadsChecked]] over an ALREADY-MATERIALIZED payload relation
+    * — the share-one-encode seam for a battery that also serves the
+    * trainer feed from the same payloads.
+    */
+  def binPayloadsCheckedFrom(payloads: DataFrame): DataFrame =
+    payloads.selectExpr("shard", "bin", "n_docs", "bin_tokens",
       "array_join(input_ids, '-') AS input_ids_str")
 
   /** The DEFAULT carriage rule — which documents carry an interleavable
@@ -359,7 +366,13 @@ object Packing {
     * '-', slots as '-'-joined `slot:media_ref` pairs in slot order.
     */
   def binPayloadsMmChecked(docs: DataFrame): DataFrame =
-    binPayloadsMm(docs).selectExpr("shard", "bin", "n_docs", "bin_tokens",
+    binPayloadsMmCheckedFrom(binPayloadsMm(docs))
+
+  /** [[binPayloadsMmChecked]] over an ALREADY-MATERIALIZED mm payload
+    * relation (see [[binPayloadsCheckedFrom]]).
+    */
+  def binPayloadsMmCheckedFrom(payloads: DataFrame): DataFrame =
+    payloads.selectExpr("shard", "bin", "n_docs", "bin_tokens",
       "array_join(input_ids, '-') AS input_ids_str",
       "array_join(transform(media_slots, s -> concat(" +
         "CAST(s.slot AS STRING), ':', CAST(s.media_ref AS STRING))), '-')" +
@@ -381,7 +394,13 @@ object Packing {
 
   /** [[readerFeed]] in the battery's checked string form. */
   def readerFeedChecked(docs: DataFrame): DataFrame =
-    readerFeed(docs).selectExpr("reader", "reader_pos", "shard", "bin",
+    readerFeedCheckedFrom(readerFeed(docs))
+
+  /** A text feed relation in the battery's checked string form — the
+    * [[readerFeedMmCheckedFrom]] convention for the text feed.
+    */
+  def readerFeedCheckedFrom(feed: DataFrame): DataFrame =
+    feed.selectExpr("reader", "reader_pos", "shard", "bin",
       "n_docs", "bin_tokens", "order_hash",
       "array_join(input_ids, '-') AS input_ids_str")
 
@@ -578,7 +597,13 @@ object Packing {
     * construction). Order-independent aggregates only.
     */
   def stats(docs: DataFrame, shards: Int = Shards): DataFrame =
-    packBins(docs, shards)
+    statsFrom(packBins(docs, shards))
+
+  /** [[stats]] over an ALREADY-MATERIALIZED packed-assignment relation —
+    * the [[manifestFromBins]] convention.
+    */
+  def statsFrom(bins: DataFrame): DataFrame =
+    bins
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("bin_docs"), sum("n_tokens").as("bin_tokens"))
       .groupBy("shard")

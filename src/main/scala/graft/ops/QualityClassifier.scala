@@ -195,6 +195,13 @@ object QualityClassifier {
   def select(docs: DataFrame): DataFrame =
     selectScored(score(docs))
 
+  /** [[select]] against an EXPLICIT model — the frozen-model seam (see
+    * [[scoreWith]]).
+    */
+  def selectWith(docs: DataFrame, model: DataFrame,
+      prior: DataFrame): DataFrame =
+    selectScored(scoreWith(docs, model, prior))
+
   private def selectScored(scored: DataFrame): DataFrame =
     scored.filter(col("n_tokens") >= 1 &&
         col("like_micro") >= lit(SelectTauMicro) * col("n_tokens"))
@@ -206,7 +213,15 @@ object QualityClassifier {
     * sources under-admit). Order-independent aggregates only.
     */
   def summary(docs: DataFrame): DataFrame =
-    score(docs).join(docs.select("doc_id", "source"), Seq("doc_id"))
+    summaryWith(docs, modelTable(docs), priorRow(docs))
+
+  /** [[summary]] against an EXPLICIT model — the frozen-model seam (see
+    * [[scoreWith]]).
+    */
+  def summaryWith(docs: DataFrame, model: DataFrame,
+      prior: DataFrame): DataFrame =
+    scoreWith(docs, model, prior)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -164,6 +164,23 @@ object Similarity {
       nBands: Int = NibbleBands,
       maxBandOccupancy: Int = Dedup.MaxBandOccupancy): DataFrame = {
     val bands = bandRowsWithOccupancy(emb, planes, nBands, maxBandOccupancy)
+    Dedup.materializeFreeing(lshTopKFrom(bands, emb, k), bands)
+  }
+
+  /** The occupancy-annotated band relation as a SHARED relation — the
+    * seam a battery memoizes so [[lshTopK]] and [[lshNearDup]] read ONE
+    * signature + occupancy build instead of each constructing their own
+    * (the materialize-once convention). The returned relation is
+    * persisted and eagerly filled; the caller owns its lifetime.
+    */
+  def lshBandRelation(emb: DataFrame, planes: Int = Planes,
+      nBands: Int = NibbleBands,
+      maxBandOccupancy: Int = Dedup.MaxBandOccupancy): DataFrame =
+    bandRowsWithOccupancy(emb, planes, nBands, maxBandOccupancy)
+
+  /** [[lshTopK]] over an explicit (persisted) band relation. */
+  private[graft] def lshTopKFrom(bands: DataFrame, emb: DataFrame,
+      k: Int = TopK): DataFrame = {
     val cold = bands.filter(col("hot_root").isNull)
       .select("vec_id", "q", "nib")
     val candCold = cold.filter(col("vec_id") % QueryStride === 0).as("qa")
@@ -179,14 +196,12 @@ object Similarity {
       .unionByName(hot.filter(col("vec_id") % QueryStride === 0)
         .select(col("vec_id").as("a_id"), col("hot_root.vec_id").as("b_id")))
     val cand = candCold.unionByName(candHot).distinct()
-    Dedup.materializeFreeing(
-      scorePairs(cand, emb)
-        .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
-          col("cos_sim"))
-        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-        .filter(col("rank") <= k),
-      bands)
+    scorePairs(cand, emb)
+      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+        col("cos_sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
   }
 
   // ---- IVF-flat (inverted-file) ANN ----
@@ -413,6 +428,14 @@ object Similarity {
       nBands: Int = NibbleBands,
       maxBandOccupancy: Int = Dedup.MaxBandOccupancy): DataFrame = {
     val bands = bandRowsWithOccupancy(emb, planes, nBands, maxBandOccupancy)
+    Dedup.materializeFreeing(lshNearDupFrom(bands, emb), bands)
+  }
+
+  /** [[lshNearDup]] over an explicit (persisted) band relation — the
+    * [[lshBandRelation]] share seam.
+    */
+  private[graft] def lshNearDupFrom(bands: DataFrame,
+      emb: DataFrame): DataFrame = {
     val cold = bands.filter(col("hot_root").isNull)
       .select("vec_id", "q", "nib")
     val candCold = cold.as("qa")
@@ -425,9 +448,7 @@ object Similarity {
         col("vec_id") =!= col("hot_root.vec_id"))
       .select(col("hot_root.vec_id").as("a_id"), col("vec_id").as("b_id"))
     val cand = candCold.unionByName(candHot).distinct()
-    Dedup.materializeFreeing(
-      scorePairs(cand, emb).filter(col("cos_sim") >= NearDupCosine),
-      bands)
+    scorePairs(cand, emb).filter(col("cos_sim") >= NearDupCosine)
   }
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.{Dedup, Dsir, LmPerplexity, Multimodal, Packing,
+  QualityClassifier, Similarity, TextAnalysis}
+import graft.testdata.{TestFixtures => T}
+
+/** The r15 optimization round routed battery rows through share-one-build
+  * seams (`*With` frozen-model scoring, `*From` relation forms) so shared
+  * relations materialize once per run instead of once per consumer. These
+  * pins prove each seam is the SAME function as its one-call form — row
+  * sets identical — so the rewiring cannot have changed what any battery
+  * row computes.
+  */
+class SharedSeamSpec extends SparkSpec {
+
+  private def docs = T.table(spark, sf, "documents")
+  private def emb = T.table(spark, sf, "embeddings")
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.columns.toSeq == b.columns.toSeq)
+    val la = a.collect().map(_.toString).sorted.toSeq
+    val lb = b.collect().map(_.toString).sorted.toSeq
+    assert(la == lb)
+  }
+
+  test("winnowKeepDocsFrom over winnowOverlapPairs == winnowKeepDocs") {
+    assertSame(
+      Dedup.winnowKeepDocsFrom(docs, Dedup.winnowOverlapPairs(docs)),
+      Dedup.winnowKeepDocs(docs))
+  }
+
+  test("DSIR *With over trainedRatioTable == one-call forms") {
+    val lr = Dsir.trainedRatioTable(docs)
+    assertSame(Dsir.weightsWith(docs, lr), Dsir.weights(docs))
+    assertSame(Dsir.selectWith(docs, lr), Dsir.select(docs))
+    assertSame(Dsir.summaryWith(docs, lr), Dsir.summary(docs))
+  }
+
+  test("NB *With over modelTable/priorRow == one-call forms") {
+    val m = QualityClassifier.modelTable(docs)
+    val p = QualityClassifier.priorRow(docs)
+    assertSame(QualityClassifier.selectWith(docs, m, p),
+      QualityClassifier.select(docs))
+    assertSame(QualityClassifier.summaryWith(docs, m, p),
+      QualityClassifier.summary(docs))
+  }
+
+  test("LM *With over modelOf/contextsOf == one-call forms") {
+    val counts = LmPerplexity.seedBigramCounts(docs)
+    val m = LmPerplexity.modelOf(counts)
+    val c = LmPerplexity.contextsOf(counts)
+    assertSame(LmPerplexity.selectWith(docs, m, c), LmPerplexity.select(docs))
+    assertSame(LmPerplexity.summaryWith(docs, m, c),
+      LmPerplexity.summary(docs))
+  }
+
+  test("LSH From forms over the shared band relation == one-call forms") {
+    val bands = Similarity.lshBandRelation(emb)
+    try {
+      assertSame(Similarity.lshTopKFrom(bands, emb), Similarity.lshTopK(emb))
+      assertSame(Similarity.lshNearDupFrom(bands, emb),
+        Similarity.lshNearDup(emb))
+    } finally bands.unpersist(blocking = false)
+  }
+
+  test("packing From forms over shared bins/payloads == one-call forms") {
+    val binsWs = Packing.packBins(docs)
+    val binsSub = Packing.packBins(docs,
+      nTokensSql = TextAnalysis.subwordCountSql)
+    assertSame(Packing.statsFrom(binsWs), Packing.stats(docs))
+    assertSame(Packing.epochPlanFrom(binsWs), Packing.epochPlan(docs))
+    assertSame(Packing.manifestFromBins(binsSub),
+      Packing.binManifest(docs, nTokensSql = TextAnalysis.subwordCountSql))
+    assertSame(Packing.binPayloadsCheckedFrom(Packing.binPayloads(docs)),
+      Packing.binPayloadsChecked(docs))
+    assertSame(Packing.binPayloadsMmCheckedFrom(Packing.binPayloadsMm(docs)),
+      Packing.binPayloadsMmChecked(docs))
+    assertSame(
+      Packing.readerFeedCheckedFrom(
+        Packing.readerFeedFrom(Packing.binPayloads(docs))),
+      Packing.readerFeedChecked(docs))
+  }
+
+  test("media From forms over the shared media relation == one-call forms") {
+    val m = Multimodal.media(docs)
+    assertSame(Multimodal.catalogFrom(m), Multimodal.catalog(docs))
+    assertSame(Multimodal.byteStatsFrom(m), Multimodal.byteStats(docs))
+    assertSame(Multimodal.frameSampleFrom(m), Multimodal.frameSample(docs))
+    assertSame(Multimodal.resizeFrom(m), Multimodal.resize(docs))
+  }
+}
