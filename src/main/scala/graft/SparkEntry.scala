@@ -130,6 +130,27 @@ object SparkEntry {
   private def lmContexts(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "lmcontexts")(LmPerplexity.contextsOf(lmCounts(s, dir)))
 
+  /** Per-document SCORE relations under the frozen tables — like the
+    * model tables, each family's scoring pass ran once per consumer
+    * (score/select/summary rows plus the SQL views: 4 NB, 3 LM, 4 DSIR
+    * corpus passes per battery); each is one id-width relation
+    * materialized once, exactly the nb_scores/dsir_weights "model" a
+    * dbt run would store.
+    */
+  private def nbScores(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "nbscores")(
+      QualityClassifier.scoreWith(T.table(s, dir, "documents"),
+        nbModel(s, dir), nbPrior(s, dir)))
+
+  private def lmScores(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "lmscores")(
+      LmPerplexity.scoreWith(T.table(s, dir, "documents"),
+        lmModel(s, dir), lmContexts(s, dir)))
+
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "dsirweights")(
+      Dsir.weightsWith(T.table(s, dir, "documents"), dsirRatio(s, dir)))
+
   /** The composed curation funnel's per-doc audit — shared by the audit,
     * corpus, and funnel queries, and itself built over the memoized
     * cluster resolution.
@@ -244,11 +265,8 @@ object SparkEntry {
     // so a view would execute it on every registration)
     Dedup.chunkDedupDocs(T.table(s, dir, "documents"))
       .createOrReplaceTempView("chunk_deduped_docs")
-    Dsir.weightsWith(T.table(s, dir, "documents"), dsirRatio(s, dir))
-      .createOrReplaceTempView("dsir_weights")
-    QualityClassifier.scoreWith(T.table(s, dir, "documents"),
-        nbModel(s, dir), nbPrior(s, dir))
-      .createOrReplaceTempView("nb_scores")
+    dsirWeights(s, dir).createOrReplaceTempView("dsir_weights")
+    nbScores(s, dir).createOrReplaceTempView("nb_scores")
     Sampling.temperatureAssign(T.table(s, dir, "documents"))
       .createOrReplaceTempView("temp_assign")
   }
@@ -685,12 +703,11 @@ object SparkEntry {
         Seq("doc_id")))),
     "curate_funnel_lang" -> ((s, dir) =>
       Curation.funnelByLang(curationAudit(s, dir))),
-    "curate_dsir_weights" -> ((s, dir) =>
-      Dsir.weightsWith(T.table(s, dir, "documents"), dsirRatio(s, dir))),
+    "curate_dsir_weights" -> ((s, dir) => dsirWeights(s, dir)),
     "curate_dsir_select" -> ((s, dir) =>
-      Dsir.selectWith(T.table(s, dir, "documents"), dsirRatio(s, dir))),
+      Dsir.selectFromWeights(dsirWeights(s, dir))),
     "curate_dsir_summary" -> ((s, dir) =>
-      Dsir.summaryWith(T.table(s, dir, "documents"), dsirRatio(s, dir))),
+      Dsir.summaryFromWeights(dsirWeights(s, dir))),
     "split_assign" -> ((s, dir) =>
       HashSplit.split(T.table(s, dir, "documents"))),
     "split_summary" -> ((s, dir) =>
@@ -758,15 +775,12 @@ object SparkEntry {
       graft.quality.DataQuality.report(fctMomentum(s, dir),
         graft.quality.DataQuality.fctTests)),
     "quality_nb_model" -> ((s, dir) => nbModel(s, dir)),
-    "quality_nb_score" -> ((s, dir) =>
-      QualityClassifier.scoreWith(T.table(s, dir, "documents"),
-        nbModel(s, dir), nbPrior(s, dir))),
+    "quality_nb_score" -> ((s, dir) => nbScores(s, dir)),
     "quality_nb_select" -> ((s, dir) =>
-      QualityClassifier.selectWith(T.table(s, dir, "documents"),
-        nbModel(s, dir), nbPrior(s, dir))),
+      QualityClassifier.selectFromScores(nbScores(s, dir))),
     "quality_nb_summary" -> ((s, dir) =>
-      QualityClassifier.summaryWith(T.table(s, dir, "documents"),
-        nbModel(s, dir), nbPrior(s, dir))),
+      QualityClassifier.summaryFromScores(nbScores(s, dir),
+        T.table(s, dir, "documents"))),
     "curate_pack_bins" -> ((s, dir) => packBinsWs(s, dir)),
     "curate_bin_payloads" -> ((s, dir) =>
       Packing.binPayloadsCheckedFrom(textPayloads(s, dir))),
@@ -824,15 +838,12 @@ object SparkEntry {
       graft.streaming.PackingMigration.eraFeedMmChecked(
         s, eraWalkRootsMm(s, dir), epoch = 1)),
     "quality_lm_model" -> ((s, dir) => lmModel(s, dir)),
-    "quality_lm_ppl" -> ((s, dir) =>
-      LmPerplexity.scoreWith(T.table(s, dir, "documents"),
-        lmModel(s, dir), lmContexts(s, dir))),
+    "quality_lm_ppl" -> ((s, dir) => lmScores(s, dir)),
     "quality_lm_select" -> ((s, dir) =>
-      LmPerplexity.selectWith(T.table(s, dir, "documents"),
-        lmModel(s, dir), lmContexts(s, dir))),
+      LmPerplexity.selectFromScores(lmScores(s, dir))),
     "quality_lm_summary" -> ((s, dir) =>
-      LmPerplexity.summaryWith(T.table(s, dir, "documents"),
-        lmModel(s, dir), lmContexts(s, dir))),
+      LmPerplexity.summaryFromScores(lmScores(s, dir),
+        T.table(s, dir, "documents"))),
     "curate_learned_audit" -> ((s, dir) =>
       Curation.learnedAuditWith(T.table(s, dir, "documents"),
           nbModel(s, dir), nbPrior(s, dir),

@@ -209,7 +209,14 @@ object Dsir {
     * (see [[weightsWith]]).
     */
   def selectWith(docs: DataFrame, lrTable: DataFrame): DataFrame =
-    keyed(weightsWith(docs, lrTable))
+    selectFromWeights(weightsWith(docs, lrTable))
+
+  /** The resampled selection over an ALREADY-WEIGHTED relation — the
+    * seam a battery memoizing [[weightsWith]]'s output reads (one
+    * weighting pass feeds weights, select, and summary rows).
+    */
+  private[graft] def selectFromWeights(w: DataFrame): DataFrame =
+    keyed(w)
       .filter(col("key_micro") >= SelectTauMicro)
       .select("doc_id", "logweight_micro", "gumbel_micro", "key_micro")
 
@@ -239,8 +246,14 @@ object Dsir {
   /** [[summary]] against an EXPLICIT ratio table — the frozen-table seam
     * (see [[weightsWith]]).
     */
-  def summaryWith(docs: DataFrame, lrTable: DataFrame): DataFrame = {
-    val w = keyed(weightsWith(docs, lrTable))
+  def summaryWith(docs: DataFrame, lrTable: DataFrame): DataFrame =
+    summaryFromWeights(weightsWith(docs, lrTable))
+
+  /** [[summary]] over an already-weighted relation (see
+    * [[selectFromWeights]]).
+    */
+  private[graft] def summaryFromWeights(weights: DataFrame): DataFrame = {
+    val w = keyed(weights)
     w.agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("key_micro") >= SelectTauMicro, 1L).otherwise(0L))

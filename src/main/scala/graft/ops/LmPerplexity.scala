@@ -206,7 +206,14 @@ object LmPerplexity {
     */
   def selectWith(docs: DataFrame, model: DataFrame,
       contexts: DataFrame): DataFrame =
-    scoreWith(docs, model, contexts).filter(col("n_bigrams") >= 1 &&
+    selectFromScores(scoreWith(docs, model, contexts))
+
+  /** The fluency filter over an ALREADY-SCORED relation — the seam a
+    * battery memoizing [[scoreWith]]'s output reads (one scoring pass
+    * feeds score, select, and summary rows).
+    */
+  private[graft] def selectFromScores(scored: DataFrame): DataFrame =
+    scored.filter(col("n_bigrams") >= 1 &&
         col("logprob_micro") >= lit(SelectTauMicro) * col("n_bigrams"))
       .select("doc_id", "n_bigrams", "logprob_micro")
 
@@ -225,8 +232,14 @@ object LmPerplexity {
     */
   def summaryWith(docs: DataFrame, model: DataFrame,
       contexts: DataFrame): DataFrame =
-    scoreWith(docs, model, contexts)
-      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    summaryFromScores(scoreWith(docs, model, contexts), docs)
+
+  /** [[summary]] over an already-scored relation (see
+    * [[selectFromScores]]).
+    */
+  private[graft] def summaryFromScores(scored: DataFrame,
+      docs: DataFrame): DataFrame =
+    scored.join(docs.select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -200,7 +200,29 @@ object QualityClassifier {
     */
   def selectWith(docs: DataFrame, model: DataFrame,
       prior: DataFrame): DataFrame =
-    selectScored(scoreWith(docs, model, prior))
+    selectFromScores(scoreWith(docs, model, prior))
+
+  /** The admission filter over an ALREADY-SCORED relation — the seam a
+    * battery memoizing [[scoreWith]]'s output reads, so one scoring pass
+    * feeds score, select, and summary rows.
+    */
+  private[graft] def selectFromScores(scored: DataFrame): DataFrame =
+    selectScored(scored)
+
+  /** [[summary]] over an already-scored relation (see
+    * [[selectFromScores]]).
+    */
+  private[graft] def summaryFromScores(scored: DataFrame,
+      docs: DataFrame): DataFrame =
+    scored.join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") >= 1 &&
+            col("like_micro") >= lit(SelectTauMicro) * col("n_tokens"), 1L)
+          .otherwise(0L)).as("n_selected"),
+        min("like_micro").as("min_like_micro"),
+        max("like_micro").as("max_like_micro"))
 
   private def selectScored(scored: DataFrame): DataFrame =
     scored.filter(col("n_tokens") >= 1 &&
@@ -220,14 +242,5 @@ object QualityClassifier {
     */
   def summaryWith(docs: DataFrame, model: DataFrame,
       prior: DataFrame): DataFrame =
-    scoreWith(docs, model, prior)
-      .join(docs.select("doc_id", "source"), Seq("doc_id"))
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("n_tokens") >= 1 &&
-            col("like_micro") >= lit(SelectTauMicro) * col("n_tokens"), 1L)
-          .otherwise(0L)).as("n_selected"),
-        min("like_micro").as("min_like_micro"),
-        max("like_micro").as("max_like_micro"))
+    summaryFromScores(scoreWith(docs, model, prior), docs)
 }

@@ -56,6 +56,26 @@ class SharedSeamSpec extends SparkSpec {
       LmPerplexity.summary(docs))
   }
 
+  test("FromScores/FromWeights over memoized score relations == one-call forms") {
+    val lr = Dsir.trainedRatioTable(docs)
+    val w = Dsir.weightsWith(docs, lr)
+    assertSame(Dsir.selectFromWeights(w), Dsir.select(docs))
+    assertSame(Dsir.summaryFromWeights(w), Dsir.summary(docs))
+    val nbScored = QualityClassifier.scoreWith(docs,
+      QualityClassifier.modelTable(docs), QualityClassifier.priorRow(docs))
+    assertSame(QualityClassifier.selectFromScores(nbScored),
+      QualityClassifier.select(docs))
+    assertSame(QualityClassifier.summaryFromScores(nbScored, docs),
+      QualityClassifier.summary(docs))
+    val counts = LmPerplexity.seedBigramCounts(docs)
+    val lmScored = LmPerplexity.scoreWith(docs,
+      LmPerplexity.modelOf(counts), LmPerplexity.contextsOf(counts))
+    assertSame(LmPerplexity.selectFromScores(lmScored),
+      LmPerplexity.select(docs))
+    assertSame(LmPerplexity.summaryFromScores(lmScored, docs),
+      LmPerplexity.summary(docs))
+  }
+
   test("LSH From forms over the shared band relation == one-call forms") {
     val bands = Similarity.lshBandRelation(emb)
     try {

@@ -65,6 +65,19 @@ pq, cq = prev_best["queries"], cur_best["queries"]
 carried = sorted((set(pq) & set(cq)) - infra)
 carried_cur = sum(cq[q] for q in carried)
 carried_prev = sum(pq[q] for q in carried)
+
+# per-query MIN across each side's runs: on a host whose per-row
+# attribution swings several-fold between runs (r15: one row 3.9 -> 19.4 s
+# run-over-run at a stable total), a best-TOTAL run still carries other
+# rows' unlucky draws; the min-per-row envelope converges on the code's
+# actual floor much faster, so the pair reports this ratio alongside
+def minq(side):
+    docs = [json.load(open(f"{rundir}/{side}_{i}.json"))["queries"]
+            for i in range(1, int(runs) + 1)]
+    return {q: min(d[q] for d in docs) for q in docs[0]}
+pmin, cmin = minq("prev"), minq("cur")
+carried_cur_min = sum(cmin[q] for q in carried)
+carried_prev_min = sum(pmin[q] for q in carried)
 new_q = sorted(set(cq) - set(pq) - infra)
 dropped_q = sorted(set(pq) - set(cq) - infra)
 
@@ -83,6 +96,10 @@ doc = {
     "carried_n": len(carried),
     "carried_cur_sec": round(carried_cur, 2),
     "carried_prev_sec": round(carried_prev, 2),
+    "carried_minq_ratio": (round(carried_cur_min / carried_prev_min, 4)
+                           if carried_prev_min > 0 else None),
+    "carried_minq_cur_sec": round(carried_cur_min, 2),
+    "carried_minq_prev_sec": round(carried_prev_min, 2),
     "new_queries": {q: round(cq[q], 2) for q in new_q},
     "dropped_queries": {q: round(pq[q], 2) for q in dropped_q},
     "mart_build": {"cur": round(cq.get("_mart_build", 0.0), 2),
@@ -93,5 +110,9 @@ with open(out, "w") as f:
 print(json.dumps(doc, separators=(",", ":")))
 PYEOF
 
+# keep the per-run JSONs beside the pair: the per-query diff is the
+# round's diagnosis surface, and a swept rundir made it unrecoverable
+KEEP="${OUT%.json}_runs"
+rm -rf "$KEEP"; mkdir -p "$KEEP"; cp "$RUNDIR"/*.json "$KEEP"/ || true
 rm -rf "$RUNDIR"
 git -C "$ROOT" worktree remove -f "$WT"
