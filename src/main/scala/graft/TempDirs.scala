@@ -38,6 +38,28 @@ object TempDirs {
     p
   }
 
+  /** List a directory's entries eagerly, CLOSING the underlying stream.
+    * `Files.list`/`Files.walk` hold an open directory descriptor until
+    * closed; a long test run that leaks one per landing can exhaust the
+    * process fd limit on hosts with a low ulimit.
+    */
+  def listFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.toSeq
+    finally s.close()
+  }
+
+  /** Walk a tree eagerly (depth-first, parents before children),
+    * closing the stream — see [[listFiles]].
+    */
+  def walkFiles(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala.toSeq
+    finally s.close()
+  }
+
   /** Land one parquet FILE for a streaming file source (which does not
     * recurse into the directory a DataFrame write produces): stage the
     * frame as a single-part directory in scratch space, then copy the
@@ -47,11 +69,18 @@ object TempDirs {
     */
   def landOne(df: org.apache.spark.sql.DataFrame, landing: String,
       name: String): Unit = {
-    val stage = scratch("graft-land")
-    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    import scala.jdk.CollectionConverters._
-    val part = java.nio.file.Files.list(stage).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
+    def writeAndFind(frame: org.apache.spark.sql.DataFrame)
+        : Option[java.nio.file.Path] = {
+      val stage = scratch("graft-land")
+      frame.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      listFiles(stage).find(_.getFileName.toString.endsWith(".parquet"))
+    }
+    // coalesce(1) over a zero-partition frame writes no part file at
+    // all; repartition(1) always materializes exactly one.
+    val part = writeAndFind(df)
+      .orElse(writeAndFind(df.repartition(1)))
+      .getOrElse(throw new IllegalStateException(
+        s"landOne($landing, $name): staged write produced no parquet part file"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
     java.nio.file.Files.copy(part, java.nio.file.Paths.get(landing, name),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

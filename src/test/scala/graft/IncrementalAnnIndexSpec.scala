@@ -98,10 +98,9 @@ class IncrementalAnnIndexSpec extends SparkSpec {
       .select(IncrementalAnnIndex.idBucket(col("vec_id"), n).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     import scala.jdk.CollectionConverters._
-    val allFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(lists))
-      .iterator().asScala
+    val allFiles = TempDirs.walkFiles(java.nio.file.Paths.get(lists))
       .filter(java.nio.file.Files.isRegularFile(_))
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+      .map(_.toString).filter(_.endsWith(".parquet"))
     val expected =
       allFiles.count(f => touched.exists(b => f.contains(s"/id_bucket=$b/")))
     assert(expected < allFiles.size,

@@ -161,10 +161,9 @@ class IncrementalBm25Spec extends SparkSpec {
       graft.streaming.IncrementalAnnIndex.idBucket(col("term"), n).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(store))
-      .iterator().asScala
+    val files = TempDirs.walkFiles(java.nio.file.Paths.get(store))
       .filter(java.nio.file.Files.isRegularFile(_))
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+      .map(_.toString).filter(_.endsWith(".parquet"))
     val expected = files.count(f =>
       touched.exists(b => f.contains(s"/id_bucket=$b/")))
     assert(expected < files.size,

@@ -196,7 +196,7 @@ class IncrementalChunkDedupSpec extends SparkSpec {
     def rmTree(p: String): Unit = {
       val root = java.nio.file.Paths.get(p)
       if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        TempDirs.walkFiles(root).reverse
           .foreach(java.nio.file.Files.delete)
     }
     rmTree(IncrementalChunkDedup.docIdIndexPath(corpus))
@@ -236,10 +236,9 @@ class IncrementalChunkDedupSpec extends SparkSpec {
       spark, landing.toString, ckpt, store, corpus, docSchema)
 
     def parquetFiles(path: String): Seq[String] =
-      java.nio.file.Files.walk(java.nio.file.Paths.get(path))
-        .iterator().asScala
+      TempDirs.walkFiles(java.nio.file.Paths.get(path))
         .filter(java.nio.file.Files.isRegularFile(_))
-        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+        .map(_.toString).filter(_.endsWith(".parquet"))
 
     // probe with one re-crawled text: it touches exactly one bucket
     val probe = Dedup.chunkRows(spark.createDataFrame(

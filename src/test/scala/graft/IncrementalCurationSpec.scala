@@ -264,10 +264,9 @@ class IncrementalCurationSpec extends SparkSpec {
 
     def parquetFiles(path: String): Seq[String] = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(path))
-        .iterator().asScala
+      TempDirs.walkFiles(java.nio.file.Paths.get(path))
         .filter(java.nio.file.Files.isRegularFile(_))
-        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+        .map(_.toString).filter(_.endsWith(".parquet"))
     }
     def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
       df.collect() // populate the scan metrics

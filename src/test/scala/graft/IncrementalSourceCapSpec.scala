@@ -201,10 +201,9 @@ class IncrementalSourceCapSpec extends SparkSpec {
     IncrementalSourceCap.run(
       spark, landing.toString, ckpt, root, docSchema, cap = 2)
     def parquetFiles(path: String): Seq[String] =
-      java.nio.file.Files.walk(java.nio.file.Paths.get(path))
-        .iterator().asScala
+      TempDirs.walkFiles(java.nio.file.Paths.get(path))
         .filter(java.nio.file.Files.isRegularFile(_))
-        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+        .map(_.toString).filter(_.endsWith(".parquet"))
     val counts = IncrementalSourceCap.countsPath(root)
     val n = graft.streaming.IncrementalAnnIndex.bucketCount(spark, counts).get
     val probe = spark.createDataFrame(

@@ -189,10 +189,9 @@ class IncrementalWinnowSpec extends SparkSpec {
     IncrementalWinnow.run(spark, landing.toString, ckpt, root, docSchema)
 
     def parquetFiles(path: String): Seq[String] =
-      java.nio.file.Files.walk(java.nio.file.Paths.get(path))
-        .iterator().asScala
+      TempDirs.walkFiles(java.nio.file.Paths.get(path))
         .filter(java.nio.file.Files.isRegularFile(_))
-        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+        .map(_.toString).filter(_.endsWith(".parquet"))
 
     // probe with one re-crawled text: its fingerprints touch few buckets
     val probeFps = IncrementalWinnow.batchFingerprints(spark.createDataFrame(
