@@ -67,15 +67,25 @@ object HashSplit {
     * frequent n-grams for the same reason). Mirrored in the DuckDB oracle.
     */
   def contaminatedTrainDocs(docs: DataFrame, minShared: Int = 1,
+      maxDf: Int = Dedup.MaxShingleDf): DataFrame =
+    contaminatedTrainDocsFrom(docs, Dedup.docShingles(docs), minShared, maxDf)
+
+  /** [[contaminatedTrainDocs]] over an EXPLICIT shingle relation — the
+    * [[Dedup.docShingles]] share seam (the battery memoizes ONE shingle
+    * relation across the dedup/contamination consumers). Result is
+    * eagerly materialized.
+    */
+  private[graft] def contaminatedTrainDocsFrom(docs: DataFrame,
+      shingles: DataFrame, minShared: Int = 1,
       maxDf: Int = Dedup.MaxShingleDf): DataFrame = {
-    // persist + eager materialize: the shingle relation (the costliest
-    // intermediate — tokenize + distinct) feeds the df cap's two scans AND
-    // both self-join legs; without it the split filters push into each leg
-    // and the whole pipeline runs twice. The df cap itself is
-    // [[Dedup.dfCapped]] (groupBy partials + broadcast anti-join), never a
-    // partitionBy(h) window: a corpus-wide boilerplate shingle is exactly
-    // the mega-key a window would buffer through one task.
-    val raw = Dedup.docShingles(docs)
+    // persist + eager materialize: the split-annotated shingle relation
+    // feeds the df cap's two scans AND both self-join legs; without it
+    // the split filters push into each leg and the whole pipeline runs
+    // twice. The df cap itself is [[Dedup.dfCapped]] (groupBy partials +
+    // broadcast anti-join), never a partitionBy(h) window: a corpus-wide
+    // boilerplate shingle is exactly the mega-key a window would buffer
+    // through one task.
+    val raw = shingles
       .join(split(docs).select("doc_id", "split"), Seq("doc_id"))
       .persist()
     raw.count()

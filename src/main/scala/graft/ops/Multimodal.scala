@@ -155,9 +155,17 @@ object Multimodal {
 
   /** Partition-batched decode over the binary column. */
   def decodeFeatures(spark: SparkSession, docs: DataFrame,
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] =
+    decodeFeaturesFrom(spark, media(docs), decoder)
+
+  /** [[decodeFeatures]] over an ALREADY-MATERIALIZED media relation (see
+    * [[catalogFrom]]) — the decoder was the one media consumer still
+    * re-synthesizing the relation per call.
+    */
+  def decodeFeaturesFrom(spark: SparkSession, media: DataFrame,
       decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media(docs).select("media_id", "media_type", "payload")
+    media.select("media_id", "media_type", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         val d = decoder // per-partition init seam

@@ -34,15 +34,15 @@ import org.apache.spark.sql.functions._
   *    join, no aggregation: encoding 10^10 vectors on 1000 executors is an
   *    embarrassingly-parallel scan writing id + 6 bytes of codes.
   *  - **ADC search never shuffles the corpus.** The query relation (the
-  *    only non-literal input besides the codes) is broadcast; the code
-  *    relation streams through ONE broadcast join, each candidate's
-  *    distance is a single codegen'd projection over the splatted
-  *    codebook literals (`adcDistSql` — the classic per-query lookup
-  *    TABLE earns its keep in SIMD CPU code, but inside whole-stage
-  *    codegen a table "lookup" was a per-subspace hash-join probe costing
-  *    far more than the multiply-adds it saved), and the only shuffle is
-  *    the final per-query top-k over id-width rows — the same tail as
-  *    [[Similarity.bruteTopK]].
+  *    only non-literal input besides the codes) is broadcast WITH its
+  *    per-query distance tables attached (`qdistSql` — the classic ADC
+  *    lookup table of Jégou et al. §IV-A, computed once per query on the
+  *    broadcast side, never as a per-subspace join: r14's table-JOIN form
+  *    cost a hash probe per lookup, r15's inline form recomputed the
+  *    query-side slices and dots per CANDIDATE); the code relation
+  *    streams through ONE broadcast join paying 8 codegen'd array picks
+  *    per candidate, and the only shuffle is the final per-query top-k
+  *    over id-width rows — the same tail as [[Similarity.bruteTopK]].
   *
   * Both distance forms drop nothing from the math: encode ranks by
   * ‖c‖² − 2⟨x_m, c⟩ (the ‖x_m‖² term is constant within a row's argmin and
@@ -246,7 +246,7 @@ object Pq {
   /** The codebook as a 64-row local relation `(m, k, cvec, cnorm2)` — the
     * broadcast side of [[quantizationError]]'s decode join. (The ADC
     * search paths no longer join a codebook relation at all: they fold
-    * the centroids into the one-projection distance — see `adcDistSql`.)
+    * the centroids into the per-query distance tables — see `qdistSql`.)
     */
   /** `(vec_id, list_id, rvec)` residuals of `rows` under an EXPLICIT
     * leader relation — [[residualRows]] exposed for the maintenance loop
@@ -298,43 +298,59 @@ object Pq {
     * code store with the frozen codebook). A query id equal to a stored
     * id is excluded (self-match).
     */
-  /** The per-candidate ADC distance as ONE codegen'd expression over the
-    * splatted codebook literals — the r15 optimization replacing the
-    * per-subspace distance-table broadcast joins:
+  /** The per-QUERY ADC distance table for subspace `m`, as one array
+    * expression over the splatted codebook literals — the r16 refinement
+    * of the r15 one-projection distance (which computed, PER CANDIDATE
+    * ROW, the query sub-vector slice, the query self-dot, and the
+    * query×centroid dot — ~16 slices + 16 dots per candidate, all of
+    * which depend only on the query):
     *
-    *   d = Σ_m ((⟨q_m,q_m⟩ − 2·⟨q_m, c_{m,code_m}⟩) + ‖c_{m,code_m}‖²)
+    *   qd_m[k] = (⟨q_m,q_m⟩ − 2·⟨q_m, c_{m,k}⟩) + ‖c_{m,k}‖²
     *
-    * with every term the EXACT expression the former distance table
-    * computed (same `graft_dot` fold, same double ops in the same
-    * association order, same float centroid values via the per-m literal
-    * arrays), so results are bit-identical and the DuckDB oracle is
-    * untouched. What changes is the physical plan: the old spelling built
-    * the Q × M × K table as its own job, broadcast a slice per subspace,
-    * and re-derived the query relation inside EVERY broadcast leg — at
-    * sf0.1, 8 extra parquet scans of `embeddings`, 8 broadcast builds,
-    * and an 8-deep BroadcastHashJoin chain per search. The classic
-    * table-lookup form earns its keep in SIMD CPU implementations where a
-    * lookup beats M×SubDim multiplies; inside whole-stage codegen each
-    * "lookup" was a hash-table probe costing far more than the 8
-    * fused multiply-adds it saved, at any corpus size. The literal
-    * arrays constant-fold at plan build (the [[encodeSql]] convention),
-    * and `element_at` indexes them per row — no per-row allocation, no
-    * join, no broadcast beyond the query relation itself.
+    * Every entry is the EXACT expression the r15 per-candidate form
+    * computed for `k = code_m` (same `graft_dot` fold, same double ops in
+    * the same association order, same float centroid values), evaluated
+    * ONCE per query row on the broadcast side — this is the classic ADC
+    * lookup table (Jégou et al. §IV-A), landed where it belongs: built
+    * per query, consulted per candidate. The candidate side then pays 8
+    * `element_at` picks + 7 adds per row instead of ~128 multiply-adds
+    * (see [[adcTableDist]]). The `transform` lambda runs interpreted, but
+    * only over Q × M × K entries on the bounded query relation — never on
+    * the corpus-sized code stream.
     */
-  private def adcDistSql(book: Seq[CodebookEntry], qvec: String): String = {
-    val byM = book.groupBy(_.m)
-    val terms = (0 until NumSubspaces).map { m =>
-      val entries = byM(m).sortBy(_.k)
-      val cb = entries.map(_.cvec.map(f => s"CAST(${f.toDouble}D AS FLOAT)")
-        .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-      val cn = entries.map(c => d(c.cnorm2)).mkString("array(", ", ", ")")
-      val qs = subSql(m, qvec)
+  private def qdistSql(book: Seq[CodebookEntry], m: Int, qvec: String): String = {
+    val entries = book.groupBy(_.m)(m).sortBy(_.k)
+    val cb = entries.map(_.cvec.map(f => s"CAST(${f.toDouble}D AS FLOAT)")
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    val cn = entries.map(c => d(c.cnorm2)).mkString("array(", ", ", ")")
+    val qs = subSql(m, qvec)
+    s"transform(sequence(0, ${entries.size - 1}), k -> " +
       s"((graft_dot($qs, $qs) - 2.0D * graft_dot($qs, " +
-        s"element_at($cb, CAST(code_$m + 1 AS INT)))) + " +
-        s"element_at($cn, CAST(code_$m + 1 AS INT)))"
-    }
-    terms.reduceLeft((a, b) => s"($a + $b)")
+      s"element_at($cb, CAST(k + 1 AS INT)))) + " +
+      s"element_at($cn, CAST(k + 1 AS INT))))"
   }
+
+  /** Project a query-keyed relation down to `keep` plus the M per-query
+    * distance-table arrays `qd_0 … qd_{M−1}` over `vecCol`. Applied to
+    * the BROADCAST side only (queries, or the (query, probed-list)
+    * residual pairs) — the arrays are Q × M × K doubles by construction.
+    */
+  private def withDistTables(rel: DataFrame, book: Seq[CodebookEntry],
+      vecCol: String, keep: Seq[String]): DataFrame =
+    rel.select(keep.map(col) ++
+      (0 until NumSubspaces).map(m =>
+        expr(qdistSql(book, m, vecCol)).as(s"qd_$m")): _*)
+
+  /** The per-candidate ADC distance over the attached `qd_m` tables: 8
+    * array picks (whole-stage codegen `element_at`) + the fixed-order
+    * fold `((t0 + t1) + t2)…` — value-identical to the r15 per-candidate
+    * projection, which evaluated the identical term expression inline at
+    * `k = code_m`.
+    */
+  private def adcTableDist: org.apache.spark.sql.Column =
+    (0 until NumSubspaces).map(m =>
+        element_at(col(s"qd_$m"), (col(s"code_$m") + lit(1)).cast("int")))
+      .reduceLeft(_ + _)
 
   /** All-codes-present guard: the former distance-table INNER joins
     * dropped a row whose code was null (an all-null encode of a null
@@ -347,18 +363,20 @@ object Pq {
 
   private[graft] def adcSearch(codes: DataFrame, queries: DataFrame,
       book: Seq[CodebookEntry], k: Int = Similarity.TopK): DataFrame = {
-    // the query relation broadcasts (it is strictly smaller than the old
-    // Q × M × K distance table); the code relation streams through the
-    // one nested-loop fan-out that the old first distance-table leg
-    // performed implicitly via its k_0 = code_0 hash probe
-    val q = broadcast(queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    // the query relation broadcasts WITH its distance tables attached
+    // (Q × M × K doubles — still a bounded broadcast); the code relation
+    // streams through the one nested-loop fan-out paying 8 array picks
+    // per candidate instead of recomputing the query-side slices/dots
+    val q = broadcast(withDistTables(
+      queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")),
+      book, "q_emb", Seq("query_id")))
     codes
       .filter(codesPresent)
       .crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        expr(adcDistSql(book, "q_emb")).as("adc_dist"))
+        adcTableDist.as("adc_dist"))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("adc_dist").asc, col("neighbor_id"))))
       .filter(col("rank") <= k)
@@ -408,19 +426,44 @@ object Pq {
     // built from the QUERY SLICE — building them from the full corpus
     // would broadcast an N-proportional relation per subspace
     val ranked =
-      if (byResidual) {
-        val leadersDf = Similarity.ivfLeaders(emb)
-        residualAdcRank(cand,
-          residualCodesFor(assign, emb, leadersDf, book),
-          queries, leadersDf, book, k)
-      } else {
+      if (byResidual) residualLeg(cand, assign, emb, book, k)
+      else {
         val joined = cand.join(codesWith(emb, book), Seq("vec_id"))
           .filter(codesPresent)
-          .join(broadcast(queries.select(col("vec_id").as("query_id"),
-            col("embedding").as("q_emb"))), Seq("query_id"))
-        rankAdc(joined, expr(adcDistSql(book, "q_emb")), k)
+          .join(broadcast(withDistTables(
+            queries.select(col("vec_id").as("query_id"),
+              col("embedding").as("q_emb")),
+            book, "q_emb", Seq("query_id"))), Seq("query_id"))
+        rankAdc(joined, k)
       }
     Dedup.materializeFreeing(ranked, assign)
+  }
+
+  /** The residual encode + rank leg over EXPLICIT candidate/assignment
+    * relations — ONE spelling shared by [[ivfpqTopKWith]] and
+    * [[ivfpqTopKFrom]].
+    */
+  private def residualLeg(cand: DataFrame, assign: DataFrame,
+      emb: DataFrame, book: Seq[CodebookEntry], k: Int): DataFrame = {
+    val leadersDf = Similarity.ivfLeaders(emb)
+    val queries = emb.filter(col("vec_id") % Similarity.QueryStride === 0)
+    residualAdcRank(cand,
+      residualCodesFor(assign, emb, leadersDf, book),
+      queries, leadersDf, book, k)
+  }
+
+  /** The default-configuration residual IVFPQ search over EXPLICIT
+    * (persisted, caller-owned) probe candidate + capped assignment
+    * relations — the share seam: a battery memoizing
+    * [[Similarity.ivfCappedAssignWith]]/`ivfCandidatesWith` feeds the
+    * flat search, this search, and the code-store row from ONE
+    * assignment build (r15 built it once per row).
+    */
+  private[graft] def ivfpqTopKFrom(cand: DataFrame, assign: DataFrame,
+      emb: DataFrame, k: Int = Similarity.TopK): DataFrame = {
+    val book = residualCodebook(emb)
+    if (book.isEmpty) return emptyResult(emb, adcSchema)
+    residualLeg(cand, assign, emb, book, k)
   }
 
   /** Residual ADC scoring + per-query rank over an EXPLICIT candidate
@@ -433,25 +476,32 @@ object Pq {
   private[graft] def residualAdcRank(cand: DataFrame, codes: DataFrame,
       queries: DataFrame, leadersDf: DataFrame, book: Seq[CodebookEntry],
       k: Int): DataFrame = {
-    // the query residual against each probed list's leader is computed
-    // per candidate row (same zip_with float subtraction, same `graft_dot`
-    // folds as the former per-(query, list) distance table — bit-identical
-    // doubles), with the queries and the ≤NumLists leader relation the
-    // only broadcasts
-    val joined = cand.join(codes, Seq("vec_id", "list_id"))
-      .filter(codesPresent)
+    // r15 computed, PER CANDIDATE ROW, the query residual (an interpreted
+    // 64-float zip_with) plus the full slice/dot distance expression —
+    // work that depends only on the (query, probed list) pair, of which
+    // there are ≤ Q × NProbe. r16 derives that pair relation from the
+    // candidates (one id-width distinct — partial-aggregated map-side,
+    // never a payload shuffle), computes each pair's residual ONCE with
+    // the same zip_with/`graft_dot` folds (bit-identical doubles), folds
+    // it into the per-pair distance tables, and broadcast-joins the
+    // bounded table relation back onto the candidate stream — which now
+    // pays 8 codegen'd array picks per row.
+    val qlPairs = cand.select("query_id", "list_id").distinct()
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))), Seq("query_id"))
       .join(broadcast(leadersDf.select("list_id", "lvec")), Seq("list_id"))
       .withColumn("qres", expr(residualSql("q_emb", "lvec")))
-    rankAdc(joined, expr(adcDistSql(book, "qres")), k)
+    val qd = withDistTables(qlPairs, book, "qres", Seq("query_id", "list_id"))
+    val joined = cand.join(codes, Seq("vec_id", "list_id"))
+      .filter(codesPresent)
+      .join(broadcast(qd), Seq("query_id", "list_id"))
+    rankAdc(joined, k)
   }
 
-  private def rankAdc(joined: DataFrame,
-      adc: org.apache.spark.sql.Column, k: Int): DataFrame =
+  private def rankAdc(joined: DataFrame, k: Int): DataFrame =
     joined
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        adc.as("adc_dist"))
+        adcTableDist.as("adc_dist"))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("adc_dist").asc, col("neighbor_id"))))
       .filter(col("rank") <= k)
@@ -585,16 +635,21 @@ object Pq {
     * instead of surfacing as a search-result hash drift.
     */
   def ivfpqCodes(emb: DataFrame,
-      maxListOccupancy: Int = Similarity.MaxListOccupancy): DataFrame = {
+      maxListOccupancy: Int = Similarity.MaxListOccupancy): DataFrame =
+    ivfpqCodesFrom(
+      Similarity.ivfCappedAssignWith(emb, Similarity.ivfLeaders(emb),
+        maxListOccupancy),
+      emb)
+
+  /** [[ivfpqCodes]] over an EXPLICIT capped assignment — the share seam
+    * (see [[ivfpqTopKFrom]]): the code-store row reads the battery's one
+    * memoized assignment instead of rebuilding it.
+    */
+  private[graft] def ivfpqCodesFrom(assign: DataFrame,
+      emb: DataFrame): DataFrame = {
     val book = residualCodebook(emb)
     if (book.isEmpty) return emptyResult(emb, residualCodesSchema)
-    val leadersDf = Similarity.ivfLeaders(emb)
-    val assign = Similarity.assignWithLeaders(emb, leadersDf)
-      .withColumn("lrnk", row_number().over(Window.partitionBy("list_id")
-        .orderBy("vec_id")))
-      .filter(col("lrnk") <= maxListOccupancy)
-      .select("vec_id", "list_id")
-    residualCodesFor(assign, emb, leadersDf, book)
+    residualCodesFor(assign, emb, Similarity.ivfLeaders(emb), book)
   }
 
   /** Fixed-point scale for [[adcRecallGate]]'s integerized recall. */

@@ -348,16 +348,23 @@ object Similarity {
     val (cand, assign) = ivfProbeCandidates(emb, kmeansIters, maxListOccupancy)
     // free the assignment leg once the (k rows/query) result materializes —
     // same no-leak contract as the Dedup pair operators
-    Dedup.materializeFreeing(
-      scorePairs(cand.select(col("query_id").as("a_id"),
-          col("vec_id").as("b_id")), emb)
-        .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
-          col("cos_sim"))
-        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-        .filter(col("rank") <= k),
-      assign)
+    Dedup.materializeFreeing(ivfTopKFrom(cand, emb, k), assign)
   }
+
+  /** [[ivfTopK]]'s ranking leg over an EXPLICIT candidate relation — the
+    * share seam: a battery memoizing [[ivfCappedAssign]]/
+    * [[ivfCandidatesFrom]] feeds the flat and IVFPQ searches from ONE
+    * assignment + candidate build (the caller owns those lifetimes).
+    */
+  private[graft] def ivfTopKFrom(cand: DataFrame, emb: DataFrame,
+      k: Int = TopK): DataFrame =
+    scorePairs(cand.select(col("query_id").as("a_id"),
+        col("vec_id").as("b_id")), emb)
+      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+        col("cos_sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
 
   /** The capped-list probe candidate relation `(query_id, vec_id)` shared
     * by [[ivfTopK]] and [[graft.ops.Pq.ivfpqTopK]] — ONE construction, so
@@ -386,34 +393,52 @@ object Similarity {
 
   private[graft] def ivfProbeCandidates(emb: DataFrame, kmeansIters: Int = 0,
       maxListOccupancy: Int = MaxListOccupancy): (DataFrame, DataFrame) = {
-    val e = withNorm(emb)
+    // ONE centroid set for both halves: training twice would not only
+    // double the Lloyd cost, its order-dependent float means could
+    // disagree bitwise and misroute probes near list boundaries
     val cents =
       if (kmeansIters == 0) leaders(emb) else kmeansLeaders(emb, kmeansIters)
-    // assign against the SAME centroid set the probes rank below: training
-    // twice would not only double the Lloyd cost, its order-dependent float
-    // means could disagree bitwise and misroute probes near list boundaries
-    val assign = assignTo(e, cents)
+    val assign =
+      ivfCappedAssignWith(emb, cents, maxListOccupancy).persist()
+    assign.count() // eager: probed by both the query and candidate legs
+    (ivfCandidatesWith(assign, emb, cents), assign)
+  }
+
+  /** The capped-list assignment `(vec_id, list_id)` under an explicit
+    * centroid set — the build half of [[ivfProbeCandidates]], split out so
+    * a battery can memoize ONE assignment for the flat search, the
+    * residual IVFPQ search AND the residual code store (each built the
+    * identical relation per row in r15). Cap via the two-phase
+    * WindowGroupLimit rank, as always.
+    */
+  private[graft] def ivfCappedAssignWith(emb: DataFrame, cents: DataFrame,
+      maxListOccupancy: Int = MaxListOccupancy): DataFrame =
+    assignTo(withNorm(emb), cents)
       .withColumn("lrnk", row_number().over(Window.partitionBy("list_id")
         .orderBy("vec_id")))
       .filter(col("lrnk") <= maxListOccupancy)
       .select("vec_id", "list_id")
-      .persist()
-    assign.count() // eager: probed by both the query and candidate legs
+
+  /** The probe-candidate half of [[ivfProbeCandidates]] over an EXPLICIT
+    * (persisted) capped assignment and the SAME centroid set it was built
+    * against. cand carries the probed list_id: each vector belongs to
+    * exactly one list (assignment rnk = 1) so the pair set is unchanged,
+    * and the IVFPQ residual path needs the list to pick the right
+    * per-(query, list) distance-table slice. The capped-list side
+    * BROADCASTS (≤ cap × lists id-width rows by construction): the only
+    * equi-key is list_id (NumLists values), so a shuffled join would cap
+    * parallelism at the list count — a probed hot list's every
+    * (query × member) candidate through one task.
+    */
+  private[graft] def ivfCandidatesWith(assign: DataFrame, emb: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val e = withNorm(emb)
     val probes = probeLists(e.filter(col("vec_id") % QueryStride === 0), cents)
-    // cand carries the probed list_id: each vector belongs to exactly one
-    // list (assignment rnk = 1) so the pair set is unchanged, and the
-    // IVFPQ residual path needs the list to pick the right per-(query,
-    // list) distance-table slice
-    // the capped-list side BROADCASTS (≤ cap × lists id-width rows by
-    // construction): the only equi-key is list_id (NumLists values), so
-    // a shuffled join would cap parallelism at the list count — a probed
-    // hot list's every (query × member) candidate through one task
-    val cand = probes
+    probes
       .join(broadcast(assign), Seq("list_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select("query_id", "list_id", "vec_id")
       .distinct()
-    (cand, assign)
   }
 
   /** LSH near-duplicate pairs: nibble-band candidates, exact-cosine verified

@@ -1307,21 +1307,34 @@ object OpsOracleSql {
        |         (qsub2 - 2 * ${dotDuck("qsub", "cvec")}) + cnorm2 AS dd
        |  FROM pq_q2 JOIN pq_cb2 USING (m))""".stripMargin
 
-  private val pqAdcSum: String = (1 until NumSubspaces)
-    .foldLeft("d0.dd")((acc, m) => s"($acc + d$m.dd)")
-
   val SIM_PQ_TOPK: String = {
-    val djoins = (0 until NumSubspaces).map { m =>
-      val extra = if (m == 0) "" else s" AND d$m.query_id = d0.query_id"
-      s"JOIN pq_dtab d$m ON d$m.m = $m AND d$m.k = w.code_$m$extra"
-    }
+    // ONE long-form join (code row → its distance entry) + fixed-order
+    // pivot sum — the [[SIM_IVFPQ_TOPK]] spelling. The former 8
+    // table-aliased pq_dtab joins left DuckDB's optimizer free to join
+    // the d_m aliases against each other on query_id alone (64² k-pairs
+    // per query per alias pair) before any code constraint pruned them
+    // — measured 52.8 s at sf0.01 vs 0.3 s for this shape, identical
+    // rows. The pivot keeps the ((d0+d1)+d2)… double fold bit-identical
+    // to the engine's, and HAVING count(*) = M preserves the old inner
+    // joins' all-8-codes-present semantics.
+    val pivots = (0 until NumSubspaces)
+      .map(m => s"max(CASE WHEN m = $m THEN dd END) AS dd_$m")
+      .mkString(",\n       |           ")
+    val adcSum = (1 until NumSubspaces)
+      .foldLeft("dd_0")((acc, m) => s"($acc + dd_$m)")
     s"""WITH $pqChain,
        |$pqDtabChain,
+       |pq_dd AS (
+       |  SELECT d.query_id, c.vec_id AS neighbor_id, c.m, d.dd
+       |  FROM pq_code c
+       |  JOIN pq_dtab d ON d.m = c.m AND d.k = c.code
+       |  WHERE c.vec_id <> d.query_id),
        |pq_adc AS (
-       |  SELECT d0.query_id, w.vec_id AS neighbor_id, $pqAdcSum AS adc_dist
-       |  FROM pq_wide w
-       |  ${djoins.mkString("\n       |  ")}
-       |  WHERE w.vec_id <> d0.query_id)
+       |  SELECT query_id, neighbor_id, $adcSum AS adc_dist FROM (
+       |    SELECT query_id, neighbor_id,
+       |           $pivots
+       |    FROM pq_dd GROUP BY query_id, neighbor_id
+       |    HAVING count(*) = $NumSubspaces))
        |SELECT query_id, neighbor_id, adc_dist, "rank" FROM (
        |  SELECT query_id, neighbor_id, adc_dist,
        |         row_number() OVER (PARTITION BY query_id

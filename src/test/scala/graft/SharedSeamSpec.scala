@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.ops.{Dedup, Dsir, LmPerplexity, Multimodal, Packing,
-  QualityClassifier, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Dsir, HashSplit, LmPerplexity, Multimodal, Packing,
+  Pq, QualityClassifier, Similarity, TextAnalysis}
 import graft.testdata.{TestFixtures => T}
 
 /** The r15 optimization round routed battery rows through share-one-build
@@ -76,6 +76,30 @@ class SharedSeamSpec extends SparkSpec {
       LmPerplexity.summary(docs))
   }
 
+  test("shingle From forms over the shared relation == one-call forms") {
+    val ds = Dedup.docShingles(docs).persist()
+    try {
+      assertSame(Dedup.signaturesFrom(docs, ds), Dedup.minhashSignatures(docs))
+      assertSame(Dedup.minhashPairsFrom(docs, ds), Dedup.minhashPairs(docs))
+      assertSame(Dedup.ngramJaccardPairsFrom(ds), Dedup.ngramJaccardPairs(docs))
+      assertSame(HashSplit.contaminatedTrainDocsFrom(docs, ds),
+        HashSplit.contaminatedTrainDocs(docs))
+    } finally ds.unpersist(blocking = false)
+  }
+
+  test("IVF From forms over the shared capped assignment == one-call forms") {
+    val leaders = Similarity.ivfLeaders(emb)
+    val assign = Similarity.ivfCappedAssignWith(emb, leaders).persist()
+    try {
+      val cand = Similarity.ivfCandidatesWith(assign, emb, leaders).persist()
+      try {
+        assertSame(Similarity.ivfTopKFrom(cand, emb), Similarity.ivfTopK(emb))
+        assertSame(Pq.ivfpqTopKFrom(cand, assign, emb), Pq.ivfpqTopK(emb))
+        assertSame(Pq.ivfpqCodesFrom(assign, emb), Pq.ivfpqCodes(emb))
+      } finally cand.unpersist(blocking = false)
+    } finally assign.unpersist(blocking = false)
+  }
+
   test("LSH From forms over the shared band relation == one-call forms") {
     val bands = Similarity.lshBandRelation(emb)
     try {
@@ -103,11 +127,36 @@ class SharedSeamSpec extends SparkSpec {
       Packing.readerFeedChecked(docs))
   }
 
+  test("per-family score relations are exact projections of the one-scan ensemble") {
+    // the r16 wiring scores the corpus ONCE (learnedAuditWith) and derives
+    // nb_scores / lm_scores / dsir_weights as projections — these pins
+    // prove each projection row-identical to its family's own scoreWith/
+    // weightsWith pass (integer sums are order-independent)
+    val m = QualityClassifier.modelTable(docs)
+    val p = QualityClassifier.priorRow(docs)
+    val counts = LmPerplexity.seedBigramCounts(docs)
+    val lmM = LmPerplexity.modelOf(counts)
+    val lmC = LmPerplexity.contextsOf(counts)
+    val lr = Dsir.trainedRatioTable(docs)
+    val scored = graft.ops.Curation.learnedAuditWith(docs, m, p, lmM, lmC, lr)
+    assertSame(
+      scored.select("doc_id", "n_tokens", "like_micro", "score_micro"),
+      QualityClassifier.scoreWith(docs, m, p))
+    assertSame(
+      scored.select("doc_id", "n_bigrams", "logprob_micro"),
+      LmPerplexity.scoreWith(docs, lmM, lmC))
+    assertSame(
+      scored.select("doc_id", "n_grams", "logweight_micro"),
+      Dsir.weightsWith(docs, lr))
+  }
+
   test("media From forms over the shared media relation == one-call forms") {
     val m = Multimodal.media(docs)
     assertSame(Multimodal.catalogFrom(m), Multimodal.catalog(docs))
     assertSame(Multimodal.byteStatsFrom(m), Multimodal.byteStats(docs))
     assertSame(Multimodal.frameSampleFrom(m), Multimodal.frameSample(docs))
     assertSame(Multimodal.resizeFrom(m), Multimodal.resize(docs))
+    assertSame(Multimodal.decodeFeaturesFrom(spark, m).toDF(),
+      Multimodal.decodeFeatures(spark, docs).toDF())
   }
 }
