@@ -55,6 +55,21 @@ object SparkEntry {
     })
   }
 
+  /** [[memo]] + plan flattening for the k-rows/query-sized ANN search
+    * results: their LOGICAL plans are enormous (codebook literal arrays,
+    * a window, a cross join), and every consumer action re-analyzes and
+    * cache-matches that tree — measured ~0.4 s of driver time per action
+    * on the ADC relation, ~1 s per recall-gate run. `localCheckpoint`
+    * cuts the plan to a flat LogicalRDD whose lookups are O(1)-ish; the
+    * blocks are result-sized. GRAFT_PLAN_LAZY (PlanDump only) keeps the
+    * full plan so committed evidence shows the real search shape.
+    */
+  private def memoFlat(s: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame =
+    memo(s, dir, key)(
+      if (sys.env.contains("GRAFT_PLAN_LAZY")) build
+      else build.localCheckpoint())
+
   private def intDaily(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "int")(
       IntRussellDaily.buildFull(T.stagedBars(s, dir), T.constituents(s, dir)))
@@ -207,7 +222,7 @@ object SparkEntry {
     * (the query that IS that search) and the gate reads the cache.
     */
   private def bruteTopK(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "brutetopk")(
+    memoFlat(s, dir, "brutetopk")(
       Similarity.bruteTopK(T.table(s, dir, "embeddings")))
 
   /** The two approximate searches, shared the same way: each is its own
@@ -215,10 +230,10 @@ object SparkEntry {
     * residual-IVFPQ search per battery, not two of each.
     */
   private def pqAdcTopK(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "pqadctopk")(Pq.adcTopK(T.table(s, dir, "embeddings")))
+    memoFlat(s, dir, "pqadctopk")(Pq.adcTopK(T.table(s, dir, "embeddings")))
 
   private def pqIvfpqTopK(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "pqivfpqtopk")(
+    memoFlat(s, dir, "pqivfpqtopk")(
       Pq.ivfpqTopKFrom(ivfCand(s, dir), ivfAssign(s, dir),
         T.table(s, dir, "embeddings")))
 

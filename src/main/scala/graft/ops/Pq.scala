@@ -150,12 +150,15 @@ object Pq {
     * code.) ONE spelling shared by [[codesWith]] and
     * [[quantizationError]], so the two cannot drift.
     */
-  private def encodeSql(book: Seq[CodebookEntry], vecCol: String): String = {
+  private def encodeCol(book: Seq[CodebookEntry],
+      vecCol: String): org.apache.spark.sql.Column = {
     val sorted = book.sortBy(c => (c.m, c.k))
-    val cbFlat = sorted.flatMap(_.cvec.map(f => s"${f.toDouble}D"))
-      .mkString("array(", ", ", ")")
-    val cn2 = sorted.map(c => d(c.cnorm2)).mkString("array(", ", ", ")")
-    s"graft_pq_encode($vecCol, $cbFlat, $cn2, $NumSubspaces)"
+    // typedlit: one Literal node per array (see qdistCol) — the flat
+    // codebook alone was 4096 parsed double literals per encode plan
+    val cbFlat = typedlit(sorted.flatMap(_.cvec.map(_.toDouble)))
+    val cn2 = typedlit(sorted.map(_.cnorm2))
+    call_function("graft_pq_encode", col(vecCol), cbFlat, cn2,
+      lit(NumSubspaces))
   }
 
   private[graft] def codesWith(emb: DataFrame, book: Seq[CodebookEntry]): DataFrame = {
@@ -166,7 +169,7 @@ object Pq {
       .map(m => col(s"code_$m") * lit(1L << (CodeBits * m)))
       .reduce(_ + _)
     emb.select(col("vec_id"),
-        expr(encodeSql(book, "embedding")).as("pq_codes_arr"))
+        encodeCol(book, "embedding").as("pq_codes_arr"))
       .select(col("vec_id") +: codeCols: _*)
       .withColumn("pq_code", packed)
   }
@@ -238,7 +241,7 @@ object Pq {
       .map(m => col(s"code_$m") * lit(1L << (CodeBits * m)))
       .reduce(_ + _)
     resid.select(col("vec_id"), col("list_id"),
-        expr(encodeSql(book, "rvec")).as("pq_codes_arr"))
+        encodeCol(book, "rvec").as("pq_codes_arr"))
       .select(col("vec_id") +: col("list_id") +: codeCols: _*)
       .withColumn("pq_code", packed)
   }
@@ -318,16 +321,25 @@ object Pq {
     * only over Q × M × K entries on the bounded query relation — never on
     * the corpus-sized code stream.
     */
-  private def qdistSql(book: Seq[CodebookEntry], m: Int, qvec: String): String = {
+  private def qdistCol(book: Seq[CodebookEntry], m: Int,
+      qvec: String): org.apache.spark.sql.Column = {
     val entries = book.groupBy(_.m)(m).sortBy(_.k)
-    val cb = entries.map(_.cvec.map(f => s"CAST(${f.toDouble}D AS FLOAT)")
-      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-    val cn = entries.map(c => d(c.cnorm2)).mkString("array(", ", ", ")")
-    val qs = subSql(m, qvec)
-    s"transform(sequence(0, ${entries.size - 1}), k -> " +
-      s"((graft_dot($qs, $qs) - 2.0D * graft_dot($qs, " +
-      s"element_at($cb, CAST(k + 1 AS INT)))) + " +
-      s"element_at($cn, CAST(k + 1 AS INT))))"
+    // typedlit packs each array into ONE Literal node; the r16.0 spelling
+    // splatted ~4600 CAST(<double> AS FLOAT) parse nodes per search,
+    // and every consumer of the (cached) search relation re-walked that
+    // tree during analysis — a flat multi-second driver cost per query
+    // instantiation (measured 2.7 s/rep on the recall gate). Values are
+    // bit-identical: CAST(d AS FLOAT) of a float's double widening IS
+    // the float.
+    val cb = typedlit(entries.map(_.cvec.toSeq))
+    val cn = typedlit(entries.map(_.cnorm2))
+    val qs = slice(col(qvec), m * SubDim + 1, SubDim)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    transform(sequence(lit(0), lit(entries.size - 1)), k =>
+      (dot(qs, qs) - lit(2.0) * dot(qs,
+        element_at(cb, (k + lit(1)).cast("int")))) +
+        element_at(cn, (k + lit(1)).cast("int")))
   }
 
   /** Project a query-keyed relation down to `keep` plus the M per-query
@@ -339,7 +351,7 @@ object Pq {
       vecCol: String, keep: Seq[String]): DataFrame =
     rel.select(keep.map(col) ++
       (0 until NumSubspaces).map(m =>
-        expr(qdistSql(book, m, vecCol)).as(s"qd_$m")): _*)
+        qdistCol(book, m, vecCol).as(s"qd_$m")): _*)
 
   /** The per-candidate ADC distance over the attached `qd_m` tables: 8
     * array picks (whole-stage codegen `element_at`) + the fixed-order
@@ -674,7 +686,7 @@ object Pq {
         "CAST(NULL AS DOUBLE) AS mean_qerr")
     val withCodes = emb.select(
       col("vec_id") +:
-        expr(encodeSql(book, "embedding")).as("carr") +:
+        encodeCol(book, "embedding").as("carr") +:
         (0 until NumSubspaces).map(m => expr(subSql(m)).as(s"sub_$m")): _*)
     val subStructs = (0 until NumSubspaces)
       .map(m => s"struct($m AS m, sub_$m AS sub, carr[$m] AS k)")

@@ -665,8 +665,16 @@ object IncrementalPacking {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          storedShards(spark, root) match {
+        def prof[A](name: String)(f: => A): A =
+          if (sys.env.contains("GRAFT_PROFILE")) {
+            val t0 = System.nanoTime()
+            val r = f
+            println(f"PROFILE pack.$name#$batchId " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+            r
+          } else f
+        if (!prof("isEmpty")(batch.isEmpty)) {
+          prof("markers")(storedShards(spark, root) match {
             case Some(n) =>
               // the shard count is frozen at bootstrap: silently
               // re-routing documents under a different count would strand
@@ -687,7 +695,8 @@ object IncrementalPacking {
                 spark, budgetMarker(root), Packing.Budget.toString)
               StoragePaths.writeSmallFile(
                 spark, shardsMarker(root), shards.toString)
-          }
+          })
+          prof("guards") {
           storedBudget(spark, root) match {
             case Some(b) =>
               // the budget is frozen with the shard count: packBatch bins
@@ -759,24 +768,26 @@ object IncrementalPacking {
                   s"), this run drains under '$runMode' — continue with " +
                   "the stored history's choice")
           }
+          }
           val uniq = batch.dropDuplicates("doc_id")
           val (bins, nextCursor) =
             packBatch(uniq, cursor(spark, root, batchId), shards, nTokensSql)
-          val stable = bins.localCheckpoint()
-          val cursorStable = nextCursor.localCheckpoint()
-          stable.write.mode("overwrite")
-            .parquet(s"${binsPath(root)}/batch=$batchId")
-          cursorStable.coalesce(1).write.mode("overwrite")
-            .parquet(s"${cursorPath(root)}/batch=$batchId")
+          val stable = prof("binsCkpt")(bins.localCheckpoint())
+          val cursorStable = prof("cursorCkpt")(nextCursor.localCheckpoint())
+          prof("binsWrite")(stable.write.mode("overwrite")
+            .parquet(s"${binsPath(root)}/batch=$batchId"))
+          prof("cursorWrite")(cursorStable.coalesce(1).write.mode("overwrite")
+            .parquet(s"${cursorPath(root)}/batch=$batchId"))
           payloadVocab.foreach { v =>
             // the batch's payload fragments off the SAME materialized
             // bins (a pure function of (batch, cursor) like the bins
             // themselves, so the overwrite is replay-idempotent); the mm
             // sidecar rides the same one packing window
-            mmCarriageSql.fold(payloadsFromBins(uniq, stable, v))(c =>
-              payloadsMmFromBins(uniq, stable, v, c, mmMediaRefSql))
-              .write.mode("overwrite")
-              .parquet(s"${payloadsPath(root)}/batch=$batchId")
+            prof("payloadWrite")(
+              mmCarriageSql.fold(payloadsFromBins(uniq, stable, v))(c =>
+                payloadsMmFromBins(uniq, stable, v, c, mmMediaRefSql))
+                .write.mode("overwrite")
+                .parquet(s"${payloadsPath(root)}/batch=$batchId"))
           }
         }
         ()
