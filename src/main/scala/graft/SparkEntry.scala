@@ -119,6 +119,26 @@ object SparkEntry {
     martCache.remove((s, dir, key))
       .foreach(_.unpersist(blocking = false))
 
+  /** The ID-WIDTH chunk-occurrence relation ([[graft.ops.Dedup.chunkMeta]]:
+    * digest pair + occurrence key + character count, five longs per chunk)
+    * — ONE tokenize + digest pass feeding all six chunk-level rows (the
+    * keep-first audit/docs/stats and the boilerplate audit/docs/stats);
+    * r15 re-chunked the corpus once per election leg (8 builds per
+    * battery). Unlike [[docShingles]] this relation is id-width, not
+    * corpus-sized, so it keeps the ordinary battery-lifetime memo.
+    */
+  private def chunkMeta(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "chunkmeta")(
+      Dedup.chunkMeta(T.table(s, dir, "documents")))
+
+  /** The per-document SimHash signature relation — its own battery row AND
+    * the input of the banded pair pipeline: one signature aggregate per
+    * battery instead of two.
+    */
+  private def simhashSig(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "simhashsig")(
+      Dedup.simhash(T.table(s, dir, "documents")))
+
   /** Cluster resolution is the most expensive dedup stage and feeds both
     * the cluster query and keeper selection — materialized once per
     * (session, dir), like the marts, over the shared pair relation.
@@ -643,29 +663,30 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, dir) => minhashPairs(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairsFrom(docShingles(s, dir))),
-    "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(T.table(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) => simhashSig(s, dir)),
     "dedup_winnow_fps" -> ((s, dir) => winnowFps(s, dir)),
     "dedup_winnow_overlap" -> ((s, dir) => winnowPairs(s, dir)),
     "dedup_winnow_docs" -> ((s, dir) =>
       Dedup.winnowKeepDocsFrom(T.table(s, dir, "documents"),
         winnowPairs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(T.table(s, dir, "documents"))),
+      Dedup.simhashPairsFrom(simhashSig(s, dir))),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDup(T.table(s, dir, "embeddings"))),
     "dedup_chunks" -> ((s, dir) =>
-      Dedup.chunkDedup(T.table(s, dir, "documents"))),
+      Dedup.chunkDedupFrom(chunkMeta(s, dir))),
     "dedup_chunk_docs" -> ((s, dir) =>
-      Dedup.chunkDedupDocs(T.table(s, dir, "documents"))),
+      Dedup.chunkDedupDocsFrom(T.table(s, dir, "documents"),
+        chunkMeta(s, dir))),
     "dedup_chunk_stats" -> ((s, dir) =>
-      Dedup.chunkDedupStats(T.table(s, dir, "documents"))),
+      Dedup.chunkDedupStatsFrom(chunkMeta(s, dir))),
     "dedup_boilerplate" -> ((s, dir) =>
-      Dedup.boilerplateChunks(T.table(s, dir, "documents"))),
+      Dedup.boilerplateChunksFrom(chunkMeta(s, dir))),
     "dedup_boilerplate_docs" -> ((s, dir) =>
-      Dedup.boilerplateDocs(T.table(s, dir, "documents"))),
+      Dedup.boilerplateDocsFrom(T.table(s, dir, "documents"),
+        chunkMeta(s, dir))),
     "dedup_boilerplate_stats" -> ((s, dir) =>
-      Dedup.boilerplateStats(T.table(s, dir, "documents"))),
+      Dedup.boilerplateStatsFrom(chunkMeta(s, dir))),
     // composition: document-level curation first, then cross-document
     // chunk dedup over the survivors (the C4 ordering) — the keep-first
     // election runs on the curated subset only

@@ -301,7 +301,13 @@ object Dedup {
     // recompute an unmaterialized cache, so fill it once up front
     val ds = docShingles(docs).persist()
     ds.count()
-    materializeFreeing(minhashPairsFrom(docs, ds, maxBandOccupancy), ds)
+    // the From form materializes eagerly (its own materializeFreeing);
+    // wrapping it in a SECOND one would checkpoint the already-flat
+    // result again — the double-persist the ScaleOpsSpec leak pin
+    // rejects. Only the shingle leg remains to free here.
+    val out = minhashPairsFrom(docs, ds, maxBandOccupancy)
+    ds.unpersist(blocking = false)
+    out
   }
 
   /** [[minhashPairs]] over an EXPLICIT (persisted, caller-owned) shingle
@@ -442,7 +448,18 @@ object Dedup {
   def simhashPairs(docs: DataFrame,
       maxBandOccupancy: Int = MaxBandOccupancy): DataFrame = {
     val sig = simhash(docs).persist()
-    val sigN = sig.count() // eager: both self-join legs (see minhashPairs)
+    sig.count() // eager: both self-join legs (see minhashPairs)
+    materializeFreeing(simhashPairsFrom(sig, maxBandOccupancy), sig)
+  }
+
+  /** [[simhashPairs]] over an explicit PERSISTED signature relation — the
+    * share seam: the signature row and the pair pipeline read ONE
+    * [[simhash]] build (the caller owns its lifetime), and the result is
+    * returned LAZY so the caller decides materialization.
+    */
+  private[graft] def simhashPairsFrom(sig: DataFrame,
+      maxBandOccupancy: Int = MaxBandOccupancy): DataFrame = {
+    val sigN = sig.count() // cached: a cheap probe for the occupancy hint
     val nibRows = sig.select(col("doc_id"), col("simhash_sig"), posexplode(
       array((0 until SimhashBands).map(q => col(s"nib_$q")): _*)).as(Seq("q", "nib")))
     // bucket root rides in the hot_root struct so the star branch has the
@@ -465,12 +482,10 @@ object Dedup {
         col("doc_id") =!= col("hot_root.doc_id"))
       .select(col("hot_root.doc_id").as("a_id"), col("doc_id").as("b_id"),
         col("hot_root.simhash_sig").as("sh_a"), col("simhash_sig").as("sh_b"))
-    materializeFreeing(
-      candCold.unionByName(candHot)
-        .distinct()
-        .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
-        .filter(col("hamming") <= HammingThreshold),
-      sig)
+    candCold.unionByName(candHot)
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .filter(col("hamming") <= HammingThreshold)
   }
 
   /** Duplicate-cluster resolution: connected components over the verified
@@ -682,6 +697,23 @@ object Dedup {
         expr(hexcastSpark2("chunk_text")).as("chunk_hash2"))
   }
 
+  /** The ID-WIDTH chunk-occurrence relation shared by every chunk-level
+    * election in the battery: [[chunkRows]] with `chunk_text` reduced to
+    * its LENGTH. Both election policies (keep-first [[chunkDedup]], df
+    * [[boilerplateChunks]]) and both one-row yield reports need only the
+    * digest pair, the occurrence key and the occurrence's character count
+    * — never the text — so a run that asks several chunk-level questions
+    * of one corpus can tokenize + digest it ONCE and keep five longs per
+    * chunk, instead of re-chunking the corpus per question (the r15
+    * battery built [[chunkRows]] eight times per run). The `Docs`
+    * reassembly variants still re-chunk WITH text on their own leg — by
+    * design, so the corpus bytes stay off every election exchange.
+    */
+  def chunkMeta(docs: DataFrame, w: Int = ChunkTokens): DataFrame =
+    chunkRows(docs, w).select(col("doc_id"), col("chunk_idx"),
+      col("chunk_hash"), col("chunk_hash2"),
+      length(col("chunk_text")).cast("long").as("chunk_chars"))
+
   /** Corpus-wide duplicate-chunk audit — exact substring dedup approximated
     * at fixed chunk granularity (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better", ACL 2022, uses suffix arrays for exact
@@ -700,7 +732,13 @@ object Dedup {
     * id-width rows.
     */
   def chunkDedup(docs: DataFrame, w: Int = ChunkTokens): DataFrame =
-    flaggedChunks(chunkRows(docs, w).drop("chunk_text"))
+    chunkDedupFrom(chunkMeta(docs, w))
+
+  /** [[chunkDedup]] over an explicit [[chunkMeta]] relation — the share
+    * seam (identical output pinned in `SharedSeamSpec`).
+    */
+  def chunkDedupFrom(meta: DataFrame): DataFrame =
+    flaggedChunks(meta.drop("chunk_chars"))
       .select("doc_id", "chunk_idx", "chunk_hash", "n_copies", "kept")
 
   /** First-occurrence flagging over a chunk-occurrence relation — shared by
@@ -768,8 +806,18 @@ object Dedup {
     * corpus bytes off the digest exchange.
     */
   def chunkDedupDocs(docs: DataFrame, w: Int = ChunkTokens): DataFrame =
+    chunkDedupDocsFrom(docs, chunkMeta(docs, w), w)
+
+  /** [[chunkDedupDocs]] with the election leg reading an explicit
+    * [[chunkMeta]] relation (built from the SAME `docs` at the SAME `w` —
+    * the caller's contract). The text-carrying reassembly leg still
+    * re-chunks `docs` itself: a narrow zero-shuffle projection, kept
+    * separate so the corpus bytes never ride the election exchanges.
+    */
+  def chunkDedupDocsFrom(docs: DataFrame, meta: DataFrame,
+      w: Int = ChunkTokens): DataFrame =
     reassembleFlagged(chunkRows(docs, w),
-      flaggedChunks(chunkRows(docs, w).drop("chunk_text"))
+      flaggedChunks(meta.drop("chunk_chars"))
         .select("doc_id", "chunk_idx", "kept"))
 
   // ---- boilerplate chunk filter (drop-ALL-occurrences policy) ----
@@ -811,7 +859,14 @@ object Dedup {
     */
   def boilerplateChunks(docs: DataFrame, w: Int = ChunkTokens,
       minDf: Int = BoilerplateMinDf): DataFrame =
-    dfFlaggedChunks(chunkRows(docs, w).drop("chunk_text"), minDf)
+    boilerplateChunksFrom(chunkMeta(docs, w), minDf)
+
+  /** [[boilerplateChunks]] over an explicit [[chunkMeta]] relation — the
+    * share seam (identical output pinned in `SharedSeamSpec`).
+    */
+  def boilerplateChunksFrom(meta: DataFrame,
+      minDf: Int = BoilerplateMinDf): DataFrame =
+    dfFlaggedChunks(meta.drop("chunk_chars"), minDf)
       .select("doc_id", "chunk_idx", "chunk_hash", "df_docs", "kept")
 
   /** Documents rewritten with their boilerplate chunks removed — the
@@ -822,8 +877,17 @@ object Dedup {
     */
   def boilerplateDocs(docs: DataFrame, w: Int = ChunkTokens,
       minDf: Int = BoilerplateMinDf): DataFrame =
+    boilerplateDocsFrom(docs, chunkMeta(docs, w), w, minDf)
+
+  /** [[boilerplateDocs]] with the df-election leg reading an explicit
+    * [[chunkMeta]] relation (same `docs`, same `w` — the caller's
+    * contract); the text reassembly leg re-chunks on its own, as in
+    * [[chunkDedupDocsFrom]].
+    */
+  def boilerplateDocsFrom(docs: DataFrame, meta: DataFrame,
+      w: Int = ChunkTokens, minDf: Int = BoilerplateMinDf): DataFrame =
     reassembleFlagged(chunkRows(docs, w),
-      dfFlaggedChunks(chunkRows(docs, w).drop("chunk_text"), minDf)
+      dfFlaggedChunks(meta.drop("chunk_chars"), minDf)
         .select("doc_id", "chunk_idx", "kept"))
 
   /** Corpus-level boilerplate yield, one row: occurrence / distinct-chunk /
@@ -832,7 +896,18 @@ object Dedup {
     */
   def boilerplateStats(docs: DataFrame, w: Int = ChunkTokens,
       minDf: Int = BoilerplateMinDf): DataFrame =
-    dfFlaggedChunks(chunkRows(docs, w), minDf)
+    boilerplateStatsFrom(chunkMeta(docs, w), minDf)
+
+  /** [[boilerplateStats]] over an explicit [[chunkMeta]] relation. The
+    * dropped-character sum reads the precomputed `chunk_chars` — the same
+    * value `length(chunk_text)` produced, but the flag-back join and this
+    * aggregate now carry a LONG where the old spelling shuffled the chunk
+    * text itself through the df exchange (guide §2.3: project before the
+    * exchange).
+    */
+  def boilerplateStatsFrom(meta: DataFrame,
+      minDf: Int = BoilerplateMinDf): DataFrame =
+    dfFlaggedChunks(meta, minDf)
       .agg(
         countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_occurrences"),
@@ -842,9 +917,8 @@ object Dedup {
           .as("n_boilerplate_chunks"),
         coalesce(sum(when(!col("kept"), 1L).otherwise(0L)), lit(0L))
           .as("n_dropped"),
-        coalesce(sum(when(!col("kept"),
-          length(col("chunk_text")).cast("long")).otherwise(0L)), lit(0L))
-          .as("chars_dropped"))
+        coalesce(sum(when(!col("kept"), col("chunk_chars")).otherwise(0L)),
+          lit(0L)).as("chars_dropped"))
 
   /** Corpus-level dedup yield — the one-row report an operator reads to
     * decide whether chunk dedup pays for itself on a corpus: occurrence /
@@ -852,7 +926,13 @@ object Dedup {
     * aggregates only, so the cross-engine hash compare is exact.
     */
   def chunkDedupStats(docs: DataFrame, w: Int = ChunkTokens): DataFrame =
-    flaggedChunks(chunkRows(docs, w))
+    chunkDedupStatsFrom(chunkMeta(docs, w))
+
+  /** [[chunkDedupStats]] over an explicit [[chunkMeta]] relation — same
+    * id-width-exchange upgrade as [[boilerplateStatsFrom]].
+    */
+  def chunkDedupStatsFrom(meta: DataFrame): DataFrame =
+    flaggedChunks(meta)
       .agg(
         countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_occurrences"),
@@ -860,9 +940,8 @@ object Dedup {
           .as("n_distinct_chunks"),
         coalesce(sum(when(!col("kept"), 1L).otherwise(0L)), lit(0L))
           .as("n_dropped"),
-        coalesce(sum(when(!col("kept"),
-          length(col("chunk_text")).cast("long")).otherwise(0L)), lit(0L))
-          .as("chars_dropped"))
+        coalesce(sum(when(!col("kept"), col("chunk_chars")).otherwise(0L)),
+          lit(0L)).as("chars_dropped"))
 
   // ---------------------------------------------------------------------
   // Winnowing fingerprints (local document fingerprinting — SIGMOD 2003)

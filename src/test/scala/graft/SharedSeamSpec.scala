@@ -87,6 +87,24 @@ class SharedSeamSpec extends SparkSpec {
     } finally ds.unpersist(blocking = false)
   }
 
+  test("chunk From forms over the shared chunkMeta relation == one-call forms") {
+    val meta = Dedup.chunkMeta(docs).persist()
+    try {
+      assertSame(Dedup.chunkDedupFrom(meta), Dedup.chunkDedup(docs))
+      assertSame(Dedup.chunkDedupDocsFrom(docs, meta), Dedup.chunkDedupDocs(docs))
+      assertSame(Dedup.chunkDedupStatsFrom(meta), Dedup.chunkDedupStats(docs))
+      assertSame(Dedup.boilerplateChunksFrom(meta), Dedup.boilerplateChunks(docs))
+      assertSame(Dedup.boilerplateDocsFrom(docs, meta), Dedup.boilerplateDocs(docs))
+      assertSame(Dedup.boilerplateStatsFrom(meta), Dedup.boilerplateStats(docs))
+    } finally meta.unpersist(blocking = false)
+  }
+
+  test("simhashPairsFrom over the shared signature relation == one-call form") {
+    val sig = Dedup.simhash(docs).persist()
+    try assertSame(Dedup.simhashPairsFrom(sig), Dedup.simhashPairs(docs))
+    finally sig.unpersist(blocking = false)
+  }
+
   test("IVF From forms over the shared capped assignment == one-call forms") {
     val leaders = Similarity.ivfLeaders(emb)
     val assign = Similarity.ivfCappedAssignWith(emb, leaders).persist()
