@@ -82,29 +82,45 @@ object Bench {
         val s = new String(java.nio.file.Files.readAllBytes(abPath),
           java.nio.charset.StandardCharsets.UTF_8).trim
         if (s.startsWith("{") && !s.contains("\n")) {
-          // the pair is authoritative only for the HEAD it measured: an
-          // A/B captured at an earlier commit of the round must not be
-          // stamped into a later HEAD's artifact as the same-host ratio,
-          // so compare its cur_ref to the live HEAD and tag a mismatch
-          // (the trend then qualifies the ratio instead of trusting it)
+          // the pair is authoritative only for the ENGINE it measured: an
+          // A/B captured before later engine-code commits must not be
+          // stamped into that later HEAD's artifact as the same-host
+          // ratio, so tag a mismatch when any commit after cur_ref
+          // touches src/main (the trend then qualifies the ratio instead
+          // of trusting it). Comparing raw refs — the r15 spelling —
+          // false-tagged every pair, because the commit that CARRIES the
+          // pair necessarily post-dates the ref the pair measured; a
+          // measurement-artifact or docs commit does not change what the
+          // bench executes.
           val curRef = "\"cur_ref\"\\s*:\\s*\"([0-9a-f]+)\"".r
             .findFirstMatchIn(s).map(_.group(1))
-          val headRef = try {
-            // resolve HEAD of the repo the ARTIFACT belongs to (the A/B
-            // json's parent dir), not the JVM's working directory — a
-            // bench launched from elsewhere must not compare against some
+          def git(args: String*): Option[String] = try {
+            // run in the repo the ARTIFACT belongs to (the A/B json's
+            // parent dir), not the JVM's working directory — a bench
+            // launched from elsewhere must not compare against some
             // unrelated repo's HEAD and false-tag a valid pair
-            val pb = new ProcessBuilder("git", "rev-parse", "HEAD")
+            val pb = new ProcessBuilder(("git" +: args): _*)
             Option(abPath.toAbsolutePath.getParent)
               .foreach(d => pb.directory(d.toFile))
             val p = pb.start()
             val out = new String(p.getInputStream.readAllBytes(),
               java.nio.charset.StandardCharsets.UTF_8).trim
-            if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+            if (p.waitFor() == 0) Some(out) else None
           } catch { case scala.util.control.NonFatal(_) => None }
-          val stale = (curRef, headRef) match {
-            case (Some(c), Some(h)) => !h.startsWith(c) && !c.startsWith(h)
-            case _ => false // unverifiable ≠ stale; keep the pair untagged
+          val stale = curRef match {
+            case Some(c) =>
+              git("rev-parse", "HEAD") match {
+                case Some(h) if h.startsWith(c) || c.startsWith(h) => false
+                case Some(_) =>
+                  // refs differ: stale only if engine code changed since
+                  // ":/" = repo-root-relative pathspec (the working dir
+                  // here is the artifact's parent, not the repo root)
+                  git("diff", "--name-only", c, "HEAD", "--", ":/src/main")
+                    .map(_.nonEmpty)
+                    .getOrElse(true) // unresolvable cur_ref = not this code
+                case None => false // unverifiable ≠ stale; keep untagged
+              }
+            case None => false
           }
           s""","same_host_ab":$s""" +
             (if (stale) s""","same_host_ab_ref_mismatch":true""" else "")
